@@ -1,0 +1,625 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.{r2, r6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, predicates, joins, aggregations, windows, sorts,
+  * set ops (SURVEY.md §2.1–§2.7).
+  *
+  * Every query is a declarative DataFrame plan (Catalyst handles pushdown,
+  * pruning, partial aggregation, join-strategy selection); ends with a
+  * deterministic ORDER BY on a unique tuple; and rounds every floating
+  * aggregate so output hash-matches the DuckDB oracle (SURVEY.md §5.3).
+  *
+  * Scale notes are per-query in the scaladoc: the same plans run on a
+  * 1000-executor cluster because nothing here collects to the driver and
+  * every join/agg keys on high-cardinality columns or broadcasts a
+  * bounded dimension.
+  */
+object RelationalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
+
+  /** Parquet scan + projection; column pruning reaches the reader
+    * (ReadSchema shows only 4 of 11 lineitem columns). */
+  private val scanProject: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+      // every output column so ties are identical rows (hash-safe).
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+  /** ns-timestamp ingest (SURVEY.md §1.4): events.ts arrives as parquet
+    * TIMESTAMP(NANOS); Tables.events floors it to µs exactly like DuckDB. */
+  private val scanEventsTs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type")
+      .orderBy("event_id")
+
+  // ------------------------------------------------- projection / filter
+
+  /** Compound predicate AND/OR/NOT/IN/BETWEEN/LIKE/IS NULL — stays on raw
+    * columns so every conjunct is pushed to the parquet scan. */
+  private val filterPred: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_quantity").between(5, 30) &&
+        col("l_returnflag").isin("A", "R") &&
+        (col("l_discount") > 0.05 || col("l_tax") < 0.03) &&
+        !(col("l_linestatus") === "F" && col("l_quantity") < 10) &&
+        col("l_returnflag").like("%") &&
+        col("l_shipdate").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus")
+
+  /** Computed columns — classic TPC-H revenue arithmetic. */
+  private val projectExpr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("disc_price"),
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge")
+
+  /** Conditional projection: CASE WHEN, coalesce/nullif/greatest/least. */
+  private val caseWhen: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("status2"),
+        r2(greatest(col("o_totalprice"), lit(200000.0))).as("hi"),
+        r2(least(col("o_totalprice"), lit(200000.0))).as("lo"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Multi-way star join: fact orders ⋈ broadcast dims (customer, nation,
+    * region). Dims are bounded (≤ customers) — broadcast() keeps the fact
+    * table shuffle-free; at 100 TB only the final 125-group agg shuffles. */
+  private val joinBroadcast: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), r2(sum("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Large-large equi join lineitem ⋈ orders → sort-merge at scale; both
+    * sides shuffle-partition on the join key, AQE coalesces. */
+  private val joinShuffle: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        r2(sum("l_extendedprice")).as("rev"))
+      .orderBy("o_orderpriority")
+
+  /** Left outer join with null-extension counted — pins outer-join null
+    * semantics (count(col) skips nulls, the flag counts unmatched rows). */
+  private val joinOuter: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("unmatched"))
+      .orderBy("c_custkey")
+
+  /** Left-semi: customers with ≥1 urgent order. */
+  private val joinSemi: Q = (s, d) => {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti: customers with no orders at all. */
+  private val joinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Band (theta-range) self-join on events: pairs of events of the same
+    * user ≤ 10 minutes apart. The equi key (user_id) keeps this a
+    * shuffle-hash/SMJ join with a residual range predicate — never a
+    * nested-loop cross product; per-user fan-out is bounded (~7 events per
+    * user in this data; salting would apply if a user were hot). */
+  private val joinThetaRange: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val a = e.select(col("user_id"), col("event_id").as("eid_a"),
+      col("ts").as("ts_a"))
+    val b = e.select(col("user_id").as("uid_b"), col("event_id").as("eid_b"),
+      col("ts").as("ts_b"))
+    a.join(b,
+        col("user_id") === col("uid_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: each event → the most recent order of that customer with
+    * o_orderdate <= ts. Spark has no native ASOF; expressed as equi join on
+    * the partition key + row_number()=1 on date desc — the output column is
+    * the matched *date*, which is deterministic even when a customer has two
+    * orders on the same max date. Equivalent to DuckDB's ASOF JOIN. */
+  private val joinAsof: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderdate")
+    val joined = e.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+    val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** FLAGSHIP — TPC-H Q1-style pricing summary. Hash aggregate with
+    * map-side partial aggregation; 6 output groups regardless of scale. */
+  private val aggPricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r6(avg("l_quantity")).as("avg_qty"),
+        r6(avg("l_extendedprice")).as("avg_price"),
+        r6(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact multi-distinct aggregation. */
+  private val aggDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** HLL approx-distinct — deliberately NOT oracle-checked (Spark and
+    * DuckDB use different sketches); unit test asserts ≤5% error vs exact.
+    * At 100 TB this is the right default for distinct-user counts. */
+  private val aggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Conditional aggregation: sum(CASE WHEN), count FILTER equivalent. */
+  private val aggFiltered: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r2(sum(when(col("l_discount") > 0.05, col("l_quantity"))
+          .otherwise(lit(0.0)))).as("qty_hi_disc"),
+        count(when(col("l_tax") > 0.04, lit(1))).as("cnt_hi_tax"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Moment stats per group. */
+  private val aggStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        r6(stddev_samp(col("value"))).as("sd"),
+        r6(var_samp(col("value"))).as("vr"),
+        r6(min(col("value"))).as("mn"),
+        r6(max(col("value"))).as("mx"))
+      .orderBy("event_type")
+
+  /** Exact interpolated quantiles (matches DuckDB quantile_cont). */
+  private val aggPercentile: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"))
+      .orderBy("event_type")
+
+  /** GROUPING SETS on (lang), (source), () — null grouping keys coalesced
+    * to a sentinel so NULL-ordering differences can't flip row order. */
+  private val aggGroupingSets: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs_gs")
+    s.sql("""
+      SELECT coalesce(lang, '(all)') AS lang_g,
+             coalesce(source, '(all)') AS source_g,
+             count(*) AS cnt,
+             cast(sum(n_chars) AS BIGINT) AS total_chars
+      FROM graft_docs_gs
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY lang_g, source_g""")
+  }
+
+  /** ROLLUP (nation, mktsegment) over customer⋈nation revenue. */
+  private val aggRollup: Q = (s, d) => {
+    // SQL form: the DSL rollup-then-coalesce trips Spark's ambiguous
+    // self-join detection on grouping columns.
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_ru")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nat_ru")
+    s.sql("""
+      SELECT /*+ BROADCAST(graft_nat_ru) */
+             coalesce(n_name, '(all)') AS nation_g,
+             coalesce(c_mktsegment, '(all)') AS seg_g,
+             count(*) AS cnt,
+             floor(sum(c_acctbal) * 100 + 0.5) / 100 AS bal
+      FROM graft_cust_ru JOIN graft_nat_ru ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY nation_g, seg_g""")
+  }
+
+  /** CUBE (returnflag, linestatus). */
+  private val aggCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), r2(sum("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf_g"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls_g"),
+        col("cnt"), col("qty"))
+      .orderBy("rf_g", "ls_g")
+
+  /** Per-group ordered array — collect_list is order-nondeterministic under
+    * parallelism, so sort_array pins it (SURVEY.md §2.4). */
+  private val aggCollect: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .orderBy("o_custkey")
+
+  // -------------------------------------------------------------- windows
+
+  /** Ranking functions. row_number/ntile run over a *unique* ordering
+    * (date, key) — a non-unique ordering would be nondeterministic. */
+  private val winRank: Q = (s, d) => {
+    val unique = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(unique).cast("long").as("rn"),
+        rank().over(byDate).cast("long").as("rk"),
+        dense_rank().over(byDate).cast("long").as("drk"),
+        ntile(4).over(unique).cast("long").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Inter-event gap per user via lag() — the sessionization primitive.
+    * Gap computed on the raw ns counter (exact integer µs), not on
+    * timestamps, so no interval-type parity issues. */
+  private val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (expr("ts_ns div 1000") - lag(expr("ts_ns div 1000"), 1).over(w))
+          .as("gap_us"),
+        (lead(expr("ts_ns div 1000"), 1).over(w) - expr("ts_ns div 1000"))
+          .as("next_us"))
+      .orderBy("event_id")
+  }
+
+  /** Running revenue per customer (rows frame). Sequential accumulation
+    * order is pinned by the unique ORDER BY → bit-identical across engines. */
+  private val winRunning: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("running_rev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** 7-day trailing spend per customer — RANGE frame over epoch seconds
+    * (portable across engines; intervals are not). */
+  private val winRangeFrame: Q = (s, d) => {
+    val withEpoch = Tables.orders(s, d)
+      .withColumn("epoch_s",
+        col("o_orderdate").cast("timestamp").cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 24 * 3600, 0)
+    withEpoch
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("spend_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-3 orders per customer — the "suggestion ranking" primitive.
+    * row_number + filter compiles to a partial top-k per partition. */
+  private val winTopkGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(col("o_totalprice")).as("price"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ------------------------------------------------------- sort / set ops
+
+  /** Global top-20 — Spark plans TakeOrderedAndProject (no full sort). */
+  private val sortLimit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        r2(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** UNION ALL of two key streams + aggregate. */
+  private val setUnion: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .unionAll(Tables.events(s, d).select(col("user_id").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  /** INTERSECT (distinct semantics). */
+  private val setIntersect: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.events(s, d).select(col("user_id").as("k")))
+      .orderBy("k")
+
+  /** EXCEPT (distinct semantics). */
+  private val setExcept: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .except(Tables.events(s, d).select(col("user_id").as("k")))
+      .orderBy("k")
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> scanProject,
+    "q_scan_events_ts" -> scanEventsTs,
+    "q_filter_pred" -> filterPred,
+    "q_project_expr" -> projectExpr,
+    "q_case_when" -> caseWhen,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_shuffle" -> joinShuffle,
+    "q_join_outer" -> joinOuter,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_theta_range" -> joinThetaRange,
+    "q_join_asof" -> joinAsof,
+    "q_agg_pricing_summary" -> aggPricingSummary,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_filtered" -> aggFiltered,
+    "q_agg_stats" -> aggStats,
+    "q_agg_percentile" -> aggPercentile,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_collect" -> aggCollect,
+    "q_win_rank" -> winRank,
+    "q_win_lag_lead" -> winLagLead,
+    "q_win_running" -> winRunning,
+    "q_win_range_frame" -> winRangeFrame,
+    "q_win_topk_group" -> winTopkGroup,
+    "q_sort_limit" -> sortLimit,
+    "q_set_union" -> setUnion,
+    "q_set_intersect" -> setIntersect,
+    "q_set_except" -> setExcept)
+
+  /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
+    * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
+    * sum(BIGINT) is HUGEINT); window-fn ints cast to match Spark widths. */
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""",
+    "q_scan_events_ts" ->
+      """SELECT event_id, ts, user_id, event_type
+         FROM events ORDER BY event_id""",
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+                l_returnflag, l_linestatus
+         FROM lineitem
+         WHERE l_quantity BETWEEN 5 AND 30
+           AND l_returnflag IN ('A','R')
+           AND (l_discount > 0.05 OR l_tax < 0.03)
+           AND NOT (l_linestatus = 'F' AND l_quantity < 10)
+           AND l_returnflag LIKE '%'
+           AND l_shipdate IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+                  l_returnflag, l_linestatus""",
+    "q_project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+                floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS disc_price,
+                floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100.0
+                  AS charge
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, disc_price, charge""",
+    "q_case_when" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'big'
+                     WHEN o_totalprice > 150000 THEN 'mid'
+                     ELSE 'small' END AS bucket,
+                coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status2,
+                floor((greatest(o_totalprice, 200000.0)) * 100 + 0.5) / 100.0 AS hi,
+                floor((least(o_totalprice, 200000.0)) * 100 + 0.5) / 100.0 AS lo
+         FROM orders ORDER BY o_orderkey""",
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+                floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS unmatched
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_theta_range" ->
+      """SELECT a.user_id, count(*) AS pairs
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+         FROM events e ASOF JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+                floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_base_price,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0
+                  AS sum_disc_price,
+                floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000.0 AS avg_qty,
+                floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000.0 AS avg_price,
+                floor((avg(l_discount)) * 1000000 + 0.5) / 1000000.0 AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+                count(DISTINCT o_orderpriority) AS n_prio, count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+                floor((sum(CASE WHEN l_discount > 0.05 THEN l_quantity
+                               ELSE 0 END)) * 100 + 0.5) / 100.0 AS qty_hi_disc,
+                count(*) FILTER (WHERE l_tax > 0.04) AS cnt_hi_tax,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_stats" ->
+      """SELECT event_type, floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000.0 AS sd,
+                floor((var_samp(value)) * 1000000 + 0.5) / 1000000.0 AS vr,
+                floor((min(value)) * 1000000 + 0.5) / 1000000.0 AS mn, floor((max(value)) * 1000000 + 0.5) / 1000000.0 AS mx
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_percentile" ->
+      """SELECT event_type,
+                floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000.0 AS p50,
+                floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000.0 AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g,
+                coalesce(source, '(all)') AS source_g,
+                count(*) AS cnt, cast(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang), (source), ())
+         ORDER BY lang_g, source_g""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(n_name, '(all)') AS nation_g,
+                coalesce(c_mktsegment, '(all)') AS seg_g,
+                count(*) AS cnt, floor((sum(c_acctbal)) * 100 + 0.5) / 100.0 AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY nation_g, seg_g""",
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf_g,
+                coalesce(l_linestatus, '(all)') AS ls_g,
+                count(*) AS cnt, floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf_g, ls_g""",
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+                array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+                cast(row_number() OVER u AS BIGINT) AS rn,
+                cast(rank() OVER b AS BIGINT) AS rk,
+                cast(dense_rank() OVER b AS BIGINT) AS drk,
+                cast(ntile(4) OVER u AS BIGINT) AS quartile
+         FROM orders
+         WINDOW u AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                b AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+                lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS next_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+                floor((sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0
+                  AS running_rev
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                floor((sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0
+                  AS spend_7d
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS price,
+                cast(rn AS BIGINT) AS rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""",
+    "q_set_union" ->
+      """SELECT k, count(*) AS cnt FROM (
+           SELECT o_custkey AS k FROM orders
+           UNION ALL SELECT user_id FROM events) u
+         GROUP BY k ORDER BY k""",
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+         INTERSECT SELECT user_id FROM events ORDER BY k""",
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT user_id FROM events ORDER BY k""")
+}
