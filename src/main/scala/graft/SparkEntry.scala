@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs = Seq(
-    operators.RelationalOps.queries -> operators.RelationalOps.oracle)
+    operators.RelationalOps.queries -> operators.RelationalOps.oracle,
+    operators.ScalarOps.queries -> operators.ScalarOps.oracle,
+    operators.EventOps.queries -> operators.EventOps.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.r2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators, batch forms (SURVEY.md §2.10). The streaming twins
+  * in graft.streaming reuse the same window semantics via Structured
+  * Streaming; these batch versions are the oracle-checkable surface.
+  *
+  * All grouping is on (window, event_type) or (user_id, session) — both
+  * high-cardinality-safe at 100 TB: tumbling/sliding windows hash-partition
+  * by window start, sessionization partitions by user_id (the natural
+  * shuffle key for per-entity state).
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hourly tumbling counts+sums per event_type — uses the streaming-native
+    * window() operator (start == date_trunc('hour') for 1h/epoch-aligned). */
+  private val tumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), r2(sum(col("value"))).as("total"))
+      .select(col("w.start").as("h"), col("event_type"), col("cnt"),
+        col("total"))
+      .orderBy("h", "event_type")
+
+  /** 1-hour window sliding every 15 min — each event lands in 4 windows
+    * (epoch-aligned, matching Spark's window() alignment). */
+  private val sliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
+  /** Session windows (30-min inactivity gap) per user via gaps-and-islands:
+    * lag → gap flag → running sum = session id. Exact integer µs arithmetic
+    * on the raw ns counter — no interval/float drift. The same sessions come
+    * out of Structured Streaming's session_window (parity-tested). */
+  private val session: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(runW))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), r2(sum(col("value"))).as("session_value"))
+      .orderBy("user_id", "sess")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> tumbling,
+    "q_stream_sliding" -> sliding,
+    "q_stream_session" -> session)
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
+                floor((sum(value)) * 100 + 0.5) / 100.0 AS total
+         FROM events GROUP BY h, event_type ORDER BY h, event_type""",
+    // Each event belongs to the 4 epoch-aligned 15-min-slide windows whose
+    // start is within the preceding hour: start = floor15(ts) - k*15min.
+    "q_stream_sliding" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+                  AS ws,
+                event_type, count(*) AS cnt
+         FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q_stream_session" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                            > 1800000000 THEN 1
+                       WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+                       ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ), sessed AS (
+           SELECT *, CAST(sum(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sess
+           FROM flagged)
+         SELECT user_id, sess, min(ts) AS session_start,
+                max(ts) AS session_end, count(*) AS n_events,
+                floor((sum(value)) * 100 + 0.5) / 100.0 AS session_value
+         FROM sessed GROUP BY user_id, sess ORDER BY user_id, sess""")
+}
