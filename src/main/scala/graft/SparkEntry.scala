@@ -10,7 +10,8 @@ object SparkEntry {
   private def packs = Seq(
     operators.RelationalOps.queries -> operators.RelationalOps.oracle,
     operators.ScalarOps.queries -> operators.ScalarOps.oracle,
-    operators.EventOps.queries -> operators.EventOps.oracle)
+    operators.EventOps.queries -> operators.EventOps.oracle,
+    operators.TextOps.queries -> operators.TextOps.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,333 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text / search / LLM-pipeline operators (SURVEY.md §2.9 + the north-star
+  * text-analysis set: language-ID, quality scoring, token counting, document
+  * fingerprinting).
+  *
+  * Scale design: every operator is explode → hash-aggregate, keyed on token
+  * or doc_id — linear work, map-side combinable, no O(n²) anywhere except
+  * q_dedup_near whose brute-force form is deliberately the *exact* baseline
+  * (the scalable MinHash-LSH variant is q_dedup_minhash in DedupOps; same
+  * contract, banded candidate generation instead of all-pairs).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: String = "text") = split(col(c), " ")
+
+  /** Token frequency — the ETL hello-world; map-side partial agg makes the
+    * shuffle 31 rows here and |vocab| rows at any scale. */
+  private val wordcount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(toks()).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  /** Top-5 terms per lang — term-frequency ranking (suggestion index). */
+  private val tfTop: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks()).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
+  /** Word bigrams per doc via lead() over token position — no self-join. */
+  private val ngram: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+      .withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("bigram", concat_ws(" ", col("token"), col("nxt")))
+      .select("doc_id", "pos", "bigram")
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Autocomplete: top-10 tokens for prefix 's' by frequency — the
+    * reference's suggestion serving query (BASELINE.json:6). */
+  private val prefixSuggest: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(toks()).as("token"))
+      .filter(col("token").startsWith("s"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(10)
+
+  /** Exact dedup by content hash, keep min doc_id per group. */
+  private val dedupExact: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate pairs: token-set Jaccard ≥ 0.8 — exact all-pairs
+    * baseline with a size-ratio prefilter (J ≥ 0.8 ⟹ |A|,|B| within 1.25×).
+    * Integer intersection/union → the Jaccard division is bit-identical
+    * across engines. O(n²) by design (the oracle-checkable ground truth);
+    * q_dedup_minhash is the banded LSH path that scales. */
+  private val dedupNear: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_distinct(toks())).as("tokset"))
+      .withColumn("sz", size(col("tokset")))
+    val a = base.select(col("doc_id").as("a"), col("tokset").as("ta"),
+      col("sz").as("sa"))
+    val b = base.select(col("doc_id").as("b"), col("tokset").as("tb"),
+      col("sz").as("sb"))
+    a.join(b, col("a") < col("b") &&
+        col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5)
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jacc",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jacc") >= 0.8)
+      .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
+      .orderBy("a", "b")
+  }
+
+  /** Lexicon-scored sentiment per doc (pluggable lexicon; tokens outside
+    * the lexicon score 0 so the mean is over all tokens). */
+  private val sentiment: Q = (s, d) => {
+    val lex = s.createDataFrame(sentimentLexicon)
+      .toDF("token", "score")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("token"))
+      .join(broadcast(lex), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(r6(avg(coalesce(col("score"), lit(0.0)))).as("sentiment"))
+      .orderBy("doc_id")
+  }
+
+  private val sentimentLexicon: Seq[(String, Double)] = Seq(
+    "fast" -> 2.0, "big" -> 1.0, "merge" -> 1.0, "value" -> 1.0,
+    "spark" -> 1.0, "slow" -> -2.0, "dup" -> -2.0, "filter" -> -1.0,
+    "small" -> -1.0)
+
+  /** n-gram/lexicon-vote language ID. The lexicon is the pluggable part —
+    * real deployments load per-language stopword profiles; the voting,
+    * argmax, and tie-breaking machinery is what's exercised here. */
+  private val langid: Q = (s, d) => {
+    val lex = s.createDataFrame(langLexicon).toDF("token", "lex_lang")
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("lex_lang"))
+    val votes = docs
+      .select(col("doc_id"), explode(toks()).as("token"))
+      .join(broadcast(lex), Seq("token"))
+      .groupBy("doc_id", "lex_lang")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lex_lang"))
+    docs.select("doc_id", "lang")
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lex_lang"), lit("und")).as("pred_lang"),
+        (coalesce(col("lex_lang"), lit("und")) === col("lang"))
+          .as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  private val langLexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "data" -> "zh", "value" -> "zh",
+    "line" -> "es", "order" -> "es", "group" -> "de", "window" -> "de",
+    "query" -> "fr", "table" -> "fr")
+
+  /** Heuristic quality score: token count, avg token length, stopword
+    * ratio, duplicate-token ratio → weighted score. Pure column arithmetic
+    * (higher-order array functions, no explode, no shuffle). */
+  private val quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toksArr", toks())
+      .withColumn("n_tok", size(col("toksArr")))
+      .withColumn("n_stop",
+        size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
+      .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
+      .select(
+        col("doc_id"), col("n_tok"),
+        r6((col("n_chars") - (col("n_tok") - 1)) / col("n_tok"))
+          .as("avg_tok_len"),
+        r6(col("n_stop") / col("n_tok")).as("stop_ratio"),
+        r6(lit(1) - col("n_uniq") / col("n_tok").cast("double"))
+          .as("dup_ratio"),
+        r6(lit(0.3) * log(col("n_tok"))
+          - lit(0.5) * (col("n_stop") / col("n_tok"))
+          - lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double")))
+          .as("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + regex word tokens + a BPE-ish
+    * bounded-subword count ([a-z]{1,4} greedy chunks). */
+  private val tokencount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks()).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_words"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_bpe"),
+        length(col("text")).as("n_chars_check"))
+      .orderBy("doc_id")
+
+  /** Rolling-window document fingerprint: min-md5 over all 8-char shingles
+    * (winnowing-style). Near-identical docs collide; linear work. */
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, i, 8)")).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(col("sh")).as("shingle_fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_text_wordcount" -> wordcount,
+    "q_text_tf_top" -> tfTop,
+    "q_text_ngram" -> ngram,
+    "q_text_prefix_suggest" -> prefixSuggest,
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_near" -> dedupNear,
+    "q_text_sentiment" -> sentiment,
+    "q_text_langid" -> langid,
+    "q_text_quality" -> quality,
+    "q_text_tokencount" -> tokencount,
+    "q_text_fingerprint" -> fingerprint)
+
+  private def lexValues(lex: Seq[(String, Any)]): String =
+    lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY token""",
+    "q_text_tf_top" ->
+      """SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT lang, token, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY count(*) DESC, token) AS rn
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY lang, token) t
+         WHERE rn <= 5 ORDER BY lang, rn""",
+    "q_text_ngram" ->
+      """SELECT doc_id, pos, token || ' ' || nxt AS bigram FROM (
+           SELECT doc_id, pos, token,
+                  lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS nxt
+           FROM (SELECT doc_id,
+                        CAST(unnest(generate_series(1,
+                          len(string_split(text, ' ')))) - 1 AS INTEGER)
+                          AS pos,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents) tk) t
+         WHERE nxt IS NOT NULL ORDER BY doc_id, pos""",
+    "q_text_prefix_suggest" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         WHERE token LIKE 's%'
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
+    "q_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+           SELECT doc_id, md5(text) AS fp,
+                  row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q_dedup_near" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+         SELECT a, b,
+                floor((i / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000.0
+                  AS jacc_r
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a
+         JOIN sz sb ON sb.doc_id = b
+         WHERE i / (sa.n + sb.n - i) >= 0.8
+           AND sa.n * 4 <= sb.n * 5 AND sb.n * 4 <= sa.n * 5
+         ORDER BY a, b""",
+    "q_text_sentiment" ->
+      s"""SELECT doc_id,
+                floor((avg(coalesce(score, 0.0))) * 1000000 + 0.5)
+                  / 1000000.0 AS sentiment
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents) t
+         LEFT JOIN (VALUES ${lexValues(sentimentLexicon)})
+           AS lex(tok, score) ON t.token = lex.tok
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_langid" ->
+      s"""WITH votes AS (
+           SELECT doc_id, lex_lang, count(*) AS v
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents) t
+           JOIN (VALUES ${lexValues(langLexicon.map { case (t, l) => (t, s"'$l'") })})
+             AS lex(tok, lex_lang) ON t.token = lex.tok
+           GROUP BY doc_id, lex_lang),
+         best AS (
+           SELECT doc_id, lex_lang FROM (
+             SELECT doc_id, lex_lang,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY v DESC, lex_lang) AS rn
+             FROM votes) WHERE rn = 1)
+         SELECT d.doc_id, coalesce(b.lex_lang, 'und') AS pred_lang,
+                coalesce(b.lex_lang, 'und') = d.lang AS is_correct
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         ORDER BY d.doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+                floor(((n_chars - (n_tok - 1)) / n_tok) * 1000000 + 0.5)
+                  / 1000000.0 AS avg_tok_len,
+                floor((n_stop / n_tok) * 1000000 + 0.5) / 1000000.0
+                  AS stop_ratio,
+                floor((1 - n_uniq / CAST(n_tok AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000.0 AS dup_ratio,
+                floor((0.3 * ln(n_tok) - 0.5 * (n_stop / n_tok)
+                       - 0.2 * (1 - n_uniq / CAST(n_tok AS DOUBLE)))
+                      * 1000000 + 0.5) / 1000000.0 AS quality
+         FROM (SELECT doc_id, n_chars,
+                      len(string_split(text, ' ')) AS n_tok,
+                      len(list_filter(string_split(text, ' '),
+                          t -> t = 'the' OR t = 'a')) AS n_stop,
+                      len(list_distinct(string_split(text, ' '))) AS n_uniq
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[a-z]+', 0)) AS INTEGER)
+                  AS n_words,
+                CAST(len(regexp_extract_all(text, '[a-z]{1,4}', 0))
+                     AS INTEGER) AS n_bpe,
+                CAST(length(text) AS INTEGER) AS n_chars_check
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, min(md5(substring(text, i, 8))) AS shingle_fp
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1,
+                        greatest(length(text) - 7, 1))) AS i
+               FROM documents) t
+         GROUP BY doc_id ORDER BY doc_id""")
+}
