@@ -11,7 +11,9 @@ object SparkEntry {
     operators.RelationalOps.queries -> operators.RelationalOps.oracle,
     operators.ScalarOps.queries -> operators.ScalarOps.oracle,
     operators.EventOps.queries -> operators.EventOps.oracle,
-    operators.TextOps.queries -> operators.TextOps.oracle)
+    operators.TextOps.queries -> operators.TextOps.oracle,
+    operators.VectorOps.queries -> operators.VectorOps.oracle,
+    operators.FunctionOps.queries -> operators.FunctionOps.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
