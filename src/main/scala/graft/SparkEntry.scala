@@ -13,7 +13,9 @@ object SparkEntry {
     operators.EventOps.queries -> operators.EventOps.oracle,
     operators.TextOps.queries -> operators.TextOps.oracle,
     operators.VectorOps.queries -> operators.VectorOps.oracle,
-    operators.FunctionOps.queries -> operators.FunctionOps.oracle)
+    operators.FunctionOps.queries -> operators.FunctionOps.oracle,
+    operators.DedupOps.queries -> operators.DedupOps.oracle,
+    operators.MultimodalOps.queries -> operators.MultimodalOps.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

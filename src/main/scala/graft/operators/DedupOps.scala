@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path near-duplicate detection: MinHash+LSH banding and SimHash
+  * (north-star LLM-pipeline operators; same public algorithms as Spark ML's
+  * MinHashLSH / classic Charikar SimHash, re-expressed as declarative
+  * DataFrame plans).
+  *
+  * Both use md5 as the hash family so every intermediate is deterministic
+  * and cross-engine reproducible — the whole pipeline (signatures, bands,
+  * candidates, verified pairs) is oracle-checked, not just spot-tested.
+  *
+  * Scale story (the reason these exist next to q_dedup_near's exact
+  * all-pairs baseline): banding turns O(n²) candidate generation into
+  * an equi self-join on (band, band_key) — a plain shuffle join whose
+  * output is only the colliding pairs. At 100 TB: tokens explode map-side,
+  * signatures are a 16-row-per-doc aggregate, bands a 4-row-per-doc
+  * aggregate, and the candidate join keys on band_key (high cardinality,
+  * salt-able if a band bucket ever gets hot).
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 16
+  private val BandRows = 4 // → 4 bands of 4 rows
+
+  /** MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
+    * verification at 0.8. Deterministic md5 hash family ⟹ identical
+    * candidates (and therefore identical output) in Spark and DuckDB,
+    * including any banding misses — recall behavior is itself pinned. */
+  private val dedupMinhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sigs = tok
+      .withColumn("i", explode(expr(s"sequence(0, ${NumHashes - 1})")))
+      .withColumn("h",
+        md5(concat(col("i").cast("string"), lit(":"), col("tok"))))
+      .groupBy("doc_id", "i").agg(min("h").as("sig"))
+    val bands = sigs
+      .withColumn("band", expr(s"i div $BandRows"))
+      .groupBy("doc_id", "band")
+      .agg(md5(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, sig))), x -> x.sig), '|')"))
+        .as("bkey"))
+    val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+    val y = bands.select(col("doc_id").as("b"), col("band").as("band_y"),
+      col("bkey").as("bkey_y"))
+    val cand = x.join(y,
+        col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
+        col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact verification on candidates only
+    val base = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("tokset"),
+      size(array_distinct(split(col("text"), " "))).as("sz"))
+    cand
+      .join(base.select(col("doc_id").as("a"), col("tokset").as("ta"),
+        col("sz").as("sa")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("tokset").as("tb"),
+        col("sz").as("sb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jacc",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jacc") >= 0.8)
+      .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
+      .orderBy("a", "b")
+  }
+
+  /** Charikar SimHash: 64-bit fingerprint from token-frequency-weighted
+    * md5 bit votes. Computed per *distinct token* (bit matrix is
+    * |vocab|×64, broadcastable) then weighted by per-doc counts — linear
+    * in corpus size. Output is the 64-char bit string per doc; hamming
+    * distance between fingerprints ≈ cosine of frequency vectors. */
+  private val dedupSimhash: Q = (s, d) => {
+    val tokc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val tokBits = tokc.select("tok").distinct()
+      .withColumn("h", md5(col("tok")))
+      .withColumn("j", explode(expr("sequence(0, 63)")))
+      .withColumn("sgn", expr(
+        """CASE WHEN ((position(substring(h, j div 4 + 1, 1),
+          |'0123456789abcdef') - 1 >> (j % 4)) % 2) = 1
+          |THEN 1 ELSE -1 END""".stripMargin))
+      .select("tok", "j", "sgn")
+    tokc.join(broadcast(tokBits), Seq("tok"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("cnt") * col("sgn")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')")
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash)
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         hs AS (
+           SELECT doc_id, i, min(md5(i::VARCHAR || ':' || tok)) AS sig
+           FROM tok, UNNEST(generate_series(0, ${NumHashes - 1})) AS t(i)
+           GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // $BandRows AS band,
+                  md5(string_agg(sig, '|' ORDER BY i)) AS bkey
+           FROM hs GROUP BY doc_id, i // $BandRows),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bkey = y.bkey
+            AND x.doc_id < y.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS i
+           FROM cand c
+           JOIN tok x ON x.doc_id = c.a
+           JOIN tok y ON y.doc_id = c.b AND y.tok = x.tok
+           GROUP BY c.a, c.b)
+         SELECT a, b,
+                floor((i / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000.0
+                  AS jacc_r
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a
+         JOIN sz sb ON sb.doc_id = b
+         WHERE i / (sa.n + sb.n - i) >= 0.8
+         ORDER BY a, b""",
+    "q_dedup_simhash" ->
+      """WITH tokc AS (
+           SELECT doc_id, tok, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY doc_id, tok),
+         tb AS (SELECT DISTINCT tok, md5(tok) AS h FROM tokc),
+         bits AS (
+           SELECT tok, j,
+                  CASE WHEN (((strpos('0123456789abcdef',
+                               substring(h, j // 4 + 1, 1)) - 1)
+                              >> (j % 4)) % 2) = 1
+                       THEN 1 ELSE -1 END AS sgn
+           FROM tb, UNNEST(generate_series(0, 63)) AS u(j)),
+         sums AS (
+           SELECT doc_id, j, sum(cnt * sgn) AS s
+           FROM tokc JOIN bits USING (tok)
+           GROUP BY doc_id, j)
+         SELECT doc_id,
+                string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY j) AS simhash
+         FROM sums GROUP BY doc_id ORDER BY doc_id""")
+}
