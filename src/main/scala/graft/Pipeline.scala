@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.{Sinks, SourceFactory}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference architecture end to end (SURVEY.md §3.5): message-bus
+  * ingest → Spark transforms → search-index + relational serving.
+  *
+  * Batch mode builds the suggestion index from the documents corpus;
+  * streaming mode runs the event pipeline with foreachBatch delivery so
+  * one sink implementation serves both. Everything upstream of the sink is
+  * the operator library — the pipeline is wiring, not logic.
+  */
+object Pipeline {
+
+  /** Suggestion-index build: token frequencies + per-prefix ranking,
+    * formatted as bulk-index documents. Pure batch; the DataFrame it
+    * returns is what gets delivered to the index. */
+  def suggestionIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring(col("token"), 1, 1))
+      .select(col("token"), col("cnt"), col("prefix"))
+
+  /** Deliver the suggestion index through an IndexWriter. */
+  def publishSuggestions(spark: SparkSession, sfDir: String,
+      writer: Sinks.IndexWriter): Unit =
+    Sinks.writeToIndex(suggestionIndex(spark, sfDir), "suggestions",
+      "token", writer)
+
+  /** Streaming event pipeline: source → hourly aggregates → foreachBatch
+    * into the index writer. Checkpointing + idempotent (batchId,
+    * partition) writes give end-to-end exactly-once to an idempotent
+    * sink. */
+  def eventPipeline(spark: SparkSession, source: SourceFactory,
+      writer: Sinks.IndexWriter, checkpointDir: String): StreamingQuery = {
+    val aggregated = streaming.StreamingOps.tumbling(source.stream(spark))
+      .withColumn("agg_id",
+        concat_ws("|", col("h").cast("string"), col("event_type")))
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sinks.writeToIndex(batch, "event_aggs", "agg_id", writer, batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Source abstraction for the ingest edge of the pipeline
+  * (SURVEY.md §2.1, §3.5: the reference ingests from a message bus).
+  *
+  * No broker is reachable from this image, so the production source is an
+  * interface with offline-testable implementations: tests use MemoryStream
+  * directly (see streaming specs), demos use the rate source, and batch
+  * replay reads the parquet events table. A real message-bus connector
+  * (e.g. a pulsar/kafka `spark.readStream.format(...)`) drops in as
+  * another SourceFactory without touching pipeline code.
+  */
+trait SourceFactory extends Serializable {
+  /** A streaming DataFrame with the events schema:
+    * (event_id long, ts timestamp, user_id long, event_type string,
+    *  value double, props string). */
+  def stream(spark: SparkSession): DataFrame
+}
+
+/** Synthetic load via Spark's rate source — deterministic shape, real
+  * streaming micro-batches. rowsPerSecond scales load tests. */
+class RateSourceFactory(rowsPerSecond: Int = 100) extends SourceFactory {
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").cast(TimestampNTZType).as("ts"),
+        (col("value") % 1000).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("signup"),
+            lit("error")),
+          (col("value") % 5 + 1).cast("int")).as("event_type"),
+        (col("value") % 500).cast("double").as("value"),
+        concat(lit("{\"k\": "), col("value") % 100, lit("}")).as("props"))
+}
+
+/** Batch replay of the static events table through the same schema —
+  * lets every streaming transform be smoke-run in batch mode. */
+class ParquetReplaySource(sfDir: String) extends SourceFactory {
+  def stream(spark: SparkSession): DataFrame = {
+    // files-based streaming read over the same parquet the batch path uses
+    val schema = graft.Tables.eventsRawSchema
+    graft.Tables.configure(spark)
+    spark.readStream.schema(schema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
+}

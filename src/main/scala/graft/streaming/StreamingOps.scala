@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators
+  * (SURVEY.md §2.10). Each takes a *streaming* DataFrame with the events
+  * schema (ts already a timestamp) and returns a transformed streaming
+  * DataFrame — source-agnostic: tests feed MemoryStream, production feeds
+  * a message-bus reader via graft.sources.SourceFactory.
+  *
+  * Watermarks bound state: at 100 TB/day the tumbling/sliding aggregations
+  * keep only open windows per (window, event_type) group and sessionization
+  * keeps one open session per active user — both shuffle on their group key
+  * exactly like the batch forms.
+  */
+object StreamingOps {
+
+  /** Hourly tumbling counts+sums, 10-min watermark (late rows dropped). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("h"), col("event_type"), col("cnt"),
+        col("total"))
+
+  /** 1-hour window sliding every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** Session windows, 30-min inactivity gap, per user — the native
+    * streaming form of EventOps' gaps-and-islands batch query. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
+  /** Exactly-once-style ingest dedup by event_id within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Output row of [[userRunningState]]. */
+  case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful op: running per-user event count + value total via
+    * flatMapGroupsWithState — the escape hatch for state machines the
+    * built-in windows can't express. */
+  def userRunningState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator(UserState(uid, n, v))
+      }
+      .toDF()
+  }
+}

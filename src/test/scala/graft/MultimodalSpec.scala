@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("featurize runs the decoder per partition and emits fixed-width rows") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+      .withColumn("bin", col("text").cast("binary"))
+    val assets = Multimodal.toAssets(docs, "doc_id", "bin", "text/plain")
+    val feats = Multimodal.featurize(assets, Multimodal.FakeDecoder, dim = 8)
+      .collect()
+    assert(feats.length === 20)
+    feats.foreach { f =>
+      assert(f.features.length === 8)
+      assert(f.n_bytes > 0)
+      assert(f.width === f.n_bytes % 64 + 16)
+      assert(f.mean_intensity > 0.0f && f.mean_intensity < 1.0f)
+    }
+  }
+
+  test("featurize tolerates null payloads") {
+    import spark.implicits._
+    val df = Seq((1L, Some("abc")), (2L, None)).toDF("doc_id", "text")
+      .withColumn("bin", col("text").cast("binary"))
+    val out = Multimodal.featurize(
+      Multimodal.toAssets(df, "doc_id", "bin", "x"), Multimodal.FakeDecoder)
+      .collect().map(f => f.doc_id -> f.n_bytes).toMap
+    assert(out(1L) === 3)
+    assert(out(2L) === 0)
+  }
+
+  test("sampleFrames emits strided fixed-size blocks") {
+    import spark.implicits._
+    val df = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
+      .withColumn("bin", col("text").cast("binary"))
+    val frames = Multimodal.sampleFrames(df, "bin", frameBytes = 4, stride = 2)
+      .select("frame_idx", "frame").collect()
+      .map(r => r.getInt(0) -> new String(r.getAs[Array[Byte]](1)))
+    assert(frames.toSeq === Seq(0 -> "0123", 2 -> "89ab"))
+  }
+}

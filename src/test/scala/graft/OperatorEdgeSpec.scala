@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Edge cases the testdata can't produce (nulls, empties, duplicates) +
+  * algebraic properties (SURVEY.md §5.2). */
+class OperatorEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every declared query runs at sf0.001 (rows > 0 unless inherently empty)") {
+    // q_join_anti is legitimately empty when every customer has orders
+    val mayBeEmpty = Set("q_join_anti")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("queries and oracleSql keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle without query: ${o -- q}")
+    // the only intentionally oracle-less key is the approx sketch
+    assert((q -- o) === Set("q_agg_approx_distinct"))
+  }
+
+  test("entry() flagship smoke: rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val df = Tables.events(spark, sfDir)
+    val approx = df.agg(approx_count_distinct("user_id")).as[Long].head()
+    val exact = df.agg(countDistinct("user_id")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("exact dedup is idempotent and keeps min id") {
+    val docs = Seq((3L, "a b"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t")
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val once = dedup(docs).orderBy("doc_id").collect().toSeq
+    val twice = dedup(dedup(docs)).orderBy("doc_id").collect().toSeq
+    assert(once === twice)
+    assert(once.map(_.getLong(0)) === Seq(1L, 2L))
+  }
+
+  test("token ops handle empty and null text") {
+    val docs = Seq((1L, Option("a b")), (2L, Option("")), (3L, None))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val sizes = toks.select(col("doc_id"), size(col("t"))).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(sizes(1L) === Some(2))
+    assert(sizes(2L) === Some(1)) // split("") -> [""]
+    assert(sizes(3L) === None) // size(null) = null in Spark 4
+    // explode drops nulls, keeps the empty token
+    assert(toks.select(explode(col("t"))).count() === 3)
+  }
+
+  test("set-op cardinality laws on keys") {
+    val a = Tables.customer(spark, sfDir).select(col("c_custkey").as("k"))
+    val b = Tables.events(spark, sfDir).select(col("user_id").as("k"))
+    val inter = a.intersect(b).count()
+    val exceptN = a.except(b).count()
+    assert(inter + exceptN === a.distinct().count())
+  }
+
+  test("cosine of a unit vector with itself is 1") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sims = e.select(
+      expr("aggregate(zip_with(v, v, (p,q) -> p*q), CAST(0.0 AS DOUBLE), (a,z) -> a+z)")
+        .as("s")).as[Double].collect()
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
+  }
+
+  test("session count is non-increasing in gap size (property)") {
+    val gaps = Gen.choose(60L, 7200L)
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "ts_ns", "event_id").cache()
+    def nSessions(gapS: Long): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      events
+        .withColumn("new_sess",
+          when(col("ts_ns") - lag(col("ts_ns"), 1).over(w)
+            > gapS * 1000000000L, 1L)
+            .when(lag(col("ts_ns"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .agg(sum("new_sess")).as[Long].head()
+    }
+    // sample 5 generated gaps (scalacheck Gen used directly — the
+    // scalatest-scalacheck bridge isn't in the offline cache)
+    (0 until 5).foreach { i =>
+      val g = gaps(Gen.Parameters.default, Seed(42L + i)).get
+      assert(nSessions(g) >= nSessions(g * 2), s"gap=$g")
+    }
+  }
+
+  test("minhash LSH finds only true near-dup pairs (precision 1.0)") {
+    val lsh = operators.DedupOps.queries("q_dedup_minhash")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = operators.TextOps.queries("q_dedup_near")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, "LSH-verified pair not in exact result")
+    assert(lsh.size >= (exact.size * 0.8).toInt, "LSH recall below 80%")
+  }
+}

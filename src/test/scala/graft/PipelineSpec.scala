@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Sinks
+import scala.jdk.CollectionConverters._
+
+class PipelineSpec extends SparkSpec {
+
+  test("suggestion index publishes valid bulk-index lines") {
+    val dir = Files.createTempDirectory("graft-bulk").toString
+    Pipeline.publishSuggestions(spark, sfDir, new Sinks.FileIndexWriter(dir))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+    assert(files.nonEmpty)
+    val lines = files.flatMap(f =>
+      Files.readAllLines(f.toPath).asScala)
+    // bulk format: action line then doc line, pairwise
+    assert(lines.length % 2 === 0)
+    val actions = lines.grouped(2).map(_.head).toSeq
+    assert(actions.forall(_.startsWith("""{"index":{"_index":"suggestions"""")))
+    val docs = lines.grouped(2).map(_.last).toSeq
+    assert(docs.forall(l => l.contains("\"token\"") && l.contains("\"cnt\"")))
+    // 31-token vocabulary → 31 documents total
+    assert(docs.length === 31)
+  }
+
+  test("streaming event pipeline delivers idempotent per-batch bulk files") {
+    val dir = Files.createTempDirectory("graft-stream-bulk").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val src = new graft.sources.SourceFactory {
+      def stream(s: org.apache.spark.sql.SparkSession) = ms.toDF()
+    }
+    val q = Pipeline.eventPipeline(spark, src,
+      new Sinks.FileIndexWriter(dir), ckpt)
+    try {
+      ms.addData(Ev(1, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"),
+        1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      val lines = new java.io.File(dir).listFiles().toSeq
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+      assert(lines.exists(_.contains(""""event_type":"click"""")))
+      assert(lines.exists(_.contains(""""_index":"event_aggs"""")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, ts: String, uid: Long = 1, typ: String = "click",
+      v: Double = 1.0) = Ev(id, t(ts), uid, typ, v, "{\"k\": 1}")
+
+  test("tumbling streaming aggregation counts per hour/type") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:45:00"),
+        ev(3, "2024-01-01 11:05:00", typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("t_tumbling")
+        .select("h", "event_type", "cnt").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late data beyond 10 minutes") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      ms.addData(ev(2, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      // late row for the 10:00 window — must be dropped
+      ms.addData(ev(3, "2024-01-01 10:06:00"))
+      q.processAllAvailable()
+      val cnt10 = spark.table("t_late")
+        .filter(col("h") === t("2024-01-01 10:00:00"))
+        .select("cnt").as[Long].collect().max
+      assert(cnt10 === 1L, "late event must not update the closed window")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedup(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01 10:00:30")) // replay within watermark
+      q.processAllAvailable()
+      assert(spark.table("t_dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("session_window streaming matches batch gaps-and-islands sessions") {
+    // batch parity: the same semantics through two implementations
+    val events = Tables.events(spark, sfDir)
+    val batchSessions = operators.EventOps.queries("q_stream_session")(
+      spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val swSessions = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    // session_window end = last_ts + gap; gaps-and-islands end = last_ts.
+    // Compare on (user, start, count) which both define identically.
+    def key(s: Set[Seq[Any]]) = s.map(r => (r.head, r(1), r(3)))
+    assert(key(batchSessions) === key(swSessions))
+    assert(batchSessions.nonEmpty)
+  }
+
+  test("streaming session_window emits sessions") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // session-window streaming aggregation emits closed sessions in
+    // append mode as the watermark passes their end
+    val q = StreamingOps.sessions(ms.toDF())
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+        ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      val n = spark.table("t_sess").count()
+      assert(n >= 2, s"expected >=2 closed sessions, got $n")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.userRunningState(ms.toDF())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", uid = 7, v = 2.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:05:00", uid = 7, v = 3.0))
+      q.processAllAvailable()
+      val last = spark.table("t_state").filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).limit(1)
+        .select("n_events", "total_value").collect().head
+      assert(last.getLong(0) === 2L)
+      assert(last.getDouble(1) === 5.0)
+    } finally q.stop()
+  }
+}
