@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries — the
+  * scale-readiness audit (SURVEY.md §4): filter/projection pushdown into
+  * the parquet scan, broadcast vs sort-merge join selection, partial
+  * aggregation, TakeOrderedAndProject for top-k, WholeStageCodegen spans.
+  * Run: sbt "runMain graft.ExplainAudit [sfDir]" */
+object ExplainAudit {
+  val audited = Seq(
+    "q_scan_project", "q_filter_pred", "q_agg_pricing_summary",
+    "q_join_broadcast", "q_join_shuffle", "q_sort_limit",
+    "q_win_topk_group", "q_dedup_near", "q_sim_cosine_topk",
+    "q_stream_tumbling")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Tables.configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    audited.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: dot product of two float arrays accumulated
+  * in double, with full codegen (SURVEY.md §4 item 1 — the perf path that
+  * replaces both the scala UDF and the transform/zip_with/aggregate
+  * higher-order pipeline for the similarity operators).
+  *
+  * Why it's faster than the alternatives it replaces:
+  *  - scala UDF: breaks WholeStageCodegen, pays catalyst↔scala conversion
+  *    of both arrays per row;
+  *  - zip_with + aggregate: allocates an intermediate array per row and
+  *    interprets two lambda expressions per element;
+  *  - this: one fused loop over the UnsafeArrayData buffers, no
+  *    allocation, JIT-friendly — and the sequential accumulation order is
+  *    identical to the fold it replaces, so oracle parity is unchanged.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<float>, array<float>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Runtime registration so `expr("graft_dot(a, b)")` works in any query.
+  * (The SparkSessionExtensions.injectFunction route needs control of the
+  * session builder, which the driver owns — runtime registry registration
+  * is the equivalent for an already-built session.) */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1)))
+    }
+  }
+}

@@ -54,16 +54,14 @@ object DedupOps {
         col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
         col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact verification on candidates only
-    val base = docs.select(col("doc_id"),
-      array_sort(array_distinct(split(col("text"), " "))).as("tokset"),
-      size(array_distinct(split(col("text"), " "))).as("sz"))
+    // exact verification on candidates only (bitmap bit_count fold)
+    val base = TokenBitmap.bitmaps(s, d)
     cand
-      .join(base.select(col("doc_id").as("a"), col("tokset").as("ta"),
+      .join(base.select(col("doc_id").as("a"), col("bm").as("ba"),
         col("sz").as("sa")), Seq("a"))
-      .join(base.select(col("doc_id").as("b"), col("tokset").as("tb"),
+      .join(base.select(col("doc_id").as("b"), col("bm").as("bb"),
         col("sz").as("sb")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jacc") >= 0.8)

@@ -76,21 +76,20 @@ object TextOps {
 
   /** Near-duplicate pairs: token-set Jaccard ≥ 0.8 — exact all-pairs
     * baseline with a size-ratio prefilter (J ≥ 0.8 ⟹ |A|,|B| within 1.25×).
-    * Integer intersection/union → the Jaccard division is bit-identical
-    * across engines. O(n²) by design (the oracle-checkable ground truth);
-    * q_dedup_minhash is the banded LSH path that scales. */
+    * Token sets are dictionary-encoded into packed 64-bit bitmap words
+    * (TokenBitmap) so the per-pair intersection is a bit_count fold —
+    * integer ops, bit-identical Jaccard across engines. O(n²) pairs by
+    * design (the oracle-checkable ground truth); q_dedup_minhash is the
+    * banded LSH path that scales. */
   private val dedupNear: Q = (s, d) => {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_sort(array_distinct(toks())).as("tokset"))
-      .withColumn("sz", size(col("tokset")))
-    val a = base.select(col("doc_id").as("a"), col("tokset").as("ta"),
+    val base = TokenBitmap.bitmaps(s, d)
+    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
       col("sz").as("sa"))
-    val b = base.select(col("doc_id").as("b"), col("tokset").as("tb"),
+    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
       col("sz").as("sb"))
     a.join(b, col("a") < col("b") &&
         col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5)
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jacc") >= 0.8)
