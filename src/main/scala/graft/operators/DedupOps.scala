@@ -97,9 +97,37 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Word-bigram shingles as array<string> (SQL, engine-portable shape). */
+  private val bigramExpr =
+    """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+      |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+      |         (a, b) -> concat(a, ' ', b))""".stripMargin
+
+  /** n-gram (word-bigram) Jaccard near-dup — order-sensitive where
+    * token-set Jaccard (q_dedup_near) is bag-of-words: shuffled copies of
+    * a doc stop matching. Same bitmap machinery, bigram dictionary
+    * (≤ |vocab|² entries → ⌈/64⌉ words). Threshold 0.6: bigram overlap
+    * runs lower than unigram overlap on the same corpus. */
+  private val dedupNgram: Q = (s, d) => {
+    val base = TokenBitmap.bitmaps(s, d, bigramExpr)
+    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
+      col("sz").as("sa"))
+    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
+      col("sz").as("sb"))
+    a.join(b, col("a") < col("b") &&
+        col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5)
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
+      .withColumn("jacc",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jacc") >= 0.6)
+      .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash" -> dedupMinhash,
-    "q_dedup_simhash" -> dedupSimhash)
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_ngram" -> dedupNgram)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" ->
@@ -134,6 +162,28 @@ object DedupOps {
          JOIN sz sa ON sa.doc_id = a
          JOIN sz sb ON sb.doc_id = b
          WHERE i / (sa.n + sb.n - i) >= 0.8
+         ORDER BY a, b""",
+    "q_dedup_ngram" ->
+      """WITH bg AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1]))) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM bg x JOIN bg y ON x.tok = y.tok AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+         SELECT a, b,
+                floor((i / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000.0
+                  AS jacc_r
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a
+         JOIN sz sb ON sb.doc_id = b
+         WHERE i / (sa.n + sb.n - i) >= 0.6
+           AND sa.n * 3 <= sb.n * 5 AND sb.n * 3 <= sa.n * 5
          ORDER BY a, b""",
     "q_dedup_simhash" ->
       """WITH tokc AS (

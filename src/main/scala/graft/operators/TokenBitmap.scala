@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object TokenBitmap {
 
-  /** (doc_id, bm: array<bigint>, sz: int) — bitmap + distinct-token count. */
-  def bitmaps(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, bm: array<bigint>, sz: int) — bitmap + distinct-token count.
+    * `tokensExpr` is any SQL expression producing array<string> from `text`
+    * (unigrams by default; n-gram shingles for q_dedup_ngram). */
+  def bitmaps(s: SparkSession, d: String,
+      tokensExpr: String = "split(text, ' ')"): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(expr(tokensExpr))).as("tok"))
     // tiny global dictionary; deterministic ids (alphabetical)
     val vocab = tok.select("tok").distinct()
       .withColumn("id",

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON source coverage (SURVEY.md §2.1 — no csv/json testdata ships,
+  * so round-trip through temp files) + the extensions entry point. */
+class SourceFormatSpec extends SparkSpec {
+
+  test("csv source round-trips with declared schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Tables.orders(spark, sfDir).limit(100)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() === 100)
+    assert(back.schema("o_orderdate").dataType === TimestampNTZType)
+    val sum1 = Tables.orders(spark, sfDir).limit(100)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    val sum2 = back.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(sum1 - sum2) < 1e-6)
+  }
+
+  test("json source round-trips events incl. nested props parsing") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Tables.events(spark, sfDir).drop("ts_ns").limit(50)
+      .write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 50)
+    // the json props string survives and still parses
+    val ks = back.select(get_json_object(col("props"), "$.k").cast("int"))
+      .na.drop().count()
+    assert(ks === 50)
+  }
+
+  test("GraftExtensions installs graft_dot via withExtensions") {
+    val s2 = SparkSession.builder()
+      .master("local[1]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      val dot = df.selectExpr("graft_dot(a, b)").as[Double].head()
+      assert(dot === 11.0)
+    } finally () // shared-JVM: don't stop, it's the same underlying context
+  }
+}
