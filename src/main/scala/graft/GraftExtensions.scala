@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductFloat
+import graft.functions.{BitmapIntersectCount, DotProductFloat}
 
 /** SparkSessionExtensions entry point — the supported way to install the
   * library's native expressions when you control the session builder:
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_inter"),
+      new ExpressionInfo(classOf[BitmapIntersectCount].getName,
+        "graft_bitmap_inter"),
+      (exprs: Seq[Expression]) => BitmapIntersectCount(exprs.head, exprs(1))))
   }
 }

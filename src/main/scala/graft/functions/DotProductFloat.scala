@@ -80,12 +80,21 @@ case class DotProductFloat(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(ident)) {
+    val dot = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(dot)) {
       registry.registerFunction(
-        ident,
+        dot,
         new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
         (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1)))
+    }
+    val bi = FunctionIdentifier("graft_bitmap_inter")
+    if (!registry.functionExists(bi)) {
+      registry.registerFunction(
+        bi,
+        new ExpressionInfo(classOf[BitmapIntersectCount].getName,
+          "graft_bitmap_inter"),
+        (exprs: Seq[Expression]) =>
+          BitmapIntersectCount(exprs.head, exprs(1)))
     }
   }
 }

@@ -36,17 +36,23 @@ object DedupOps {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sigs = tok
+    // h_i(tok) depends only on (i, tok): |vocab| × NumHashes values —
+    // computed once on the tiny dictionary and broadcast, not per doc-token
+    val tokHash = tok.select("tok").distinct()
       .withColumn("i", explode(expr(s"sequence(0, ${NumHashes - 1})")))
       .withColumn("h",
         md5(concat(col("i").cast("string"), lit(":"), col("tok"))))
+    val sigs = tok.join(broadcast(tokHash), Seq("tok"))
       .groupBy("doc_id", "i").agg(min("h").as("sig"))
+    // band key = md5 of the band's sigs in i-order; conditional scalar
+    // aggs keep this a codegen'd HashAggregate (collect_list would fall
+    // back to ObjectHashAggregate)
+    val bandSigs = (0 until BandRows).map(k =>
+      max(when(col("i") % BandRows === k, col("sig"))))
     val bands = sigs
       .withColumn("band", expr(s"i div $BandRows"))
       .groupBy("doc_id", "band")
-      .agg(md5(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, sig))), x -> x.sig), '|')"))
-        .as("bkey"))
+      .agg(md5(concat_ws("|", bandSigs: _*)).as("bkey"))
     val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
     val y = bands.select(col("doc_id").as("b"), col("band").as("band_y"),
       col("bkey").as("bkey_y"))

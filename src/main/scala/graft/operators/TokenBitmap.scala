@@ -49,7 +49,8 @@ object TokenBitmap {
       .select("doc_id", "bm", "sz")
   }
 
-  /** |A ∩ B| as a codegen'd fold over paired bitmap words. */
+  /** |A ∩ B| via the native fused-loop expression
+    * (graft.functions.BitmapIntersectCount). */
   def intersectExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)"
+    s"graft_bitmap_inter($a, $b)"
 }
