@@ -193,7 +193,31 @@ object TextOps {
       .agg(min(col("sh")).as("shingle_fp"))
       .orderBy("doc_id")
 
+  /** Ranked keyword retrieval — the reference's search serving query:
+    * TF-IDF scoring of a multi-term query over the corpus, top-20.
+    * Corpus stats (df, N) come from aggregates joined back broadcast-style;
+    * at scale df/N are precomputed index-build artifacts (exactly what the
+    * suggestion/search index pipeline materializes). */
+  private val searchTfidf: Q = (s, d) => {
+    val queryTerms = Seq("spark", "query", "fast")
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(r6(sum(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_search_tfidf" -> searchTfidf,
     "q_text_wordcount" -> wordcount,
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
@@ -210,6 +234,22 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_search_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           WHERE tok IN ('spark', 'query', 'fast')
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id,
+                floor((sum(tf * ln(CAST(n_docs AS DOUBLE) / df)))
+                      * 1000000 + 0.5) / 1000000.0 AS score
+         FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q_text_wordcount" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token
