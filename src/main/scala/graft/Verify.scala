@@ -21,6 +21,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale dump from a previous run — otherwise a reused
+        // outDir makes the oracle compare a false PASS on old output
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete(): Unit
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

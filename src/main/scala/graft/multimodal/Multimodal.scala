@@ -95,8 +95,11 @@ object Multimodal {
       stride: Int): DataFrame =
     df.withColumn("n_frames",
         (length(col(binCol)) / frameBytes).cast("int"))
+      // payloads shorter than one frame produce zero frames, not a
+      // truncated one
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
-        explode(expr(s"sequence(0, greatest(n_frames - 1, 0), $stride)")))
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")))
       .withColumn("frame",
         expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
 }

@@ -29,7 +29,9 @@ object MultimodalOps {
         length(col("asset")).as("n_bytes"),
         (length(col("asset")) % 64 + 16).as("width"),
         (length(col("asset")) % 48 + 12).as("height"),
-        lit(3).as("channels"),
+        // channels matches Multimodal.FakeDecoder (single-channel fake);
+        // width/height formulas mirror FakeDecoder.decode — keep in sync
+        lit(1).as("channels"),
         md5(col("text")).as("sig"))
       .orderBy("doc_id")
 
@@ -44,7 +46,7 @@ object MultimodalOps {
                   AS width,
                 CAST(octet_length(encode(text)) % 48 + 12 AS INTEGER)
                   AS height,
-                3 AS channels,
+                1 AS channels,
                 md5(text) AS sig
          FROM documents ORDER BY doc_id""")
 }

@@ -191,7 +191,9 @@ object ScalarOps {
                 floor((avg(value)) * 1000000 + 0.5) / 1000000.0 AS avg_value
          FROM events GROUP BY k ORDER BY k""",
     "q_hash_md5" ->
+      // concat_ws on both sides: null-skipping like Spark's, where '||'
+      // would propagate NULL and diverge on nullable lang/source
       """SELECT doc_id, md5(text) AS fp,
-                md5(lang || '|' || source) AS meta_fp
+                md5(concat_ws('|', lang, source)) AS meta_fp
          FROM documents ORDER BY doc_id""")
 }

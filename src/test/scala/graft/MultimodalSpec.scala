@@ -40,4 +40,12 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getInt(0) -> new String(r.getAs[Array[Byte]](1)))
     assert(frames.toSeq === Seq(0 -> "0123", 2 -> "89ab"))
   }
+
+  test("sampleFrames emits no frames for sub-frame payloads") {
+    import spark.implicits._
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+      .withColumn("bin", col("text").cast("binary"))
+    assert(Multimodal.sampleFrames(df, "bin", frameBytes = 4, stride = 1)
+      .count() === 0)
+  }
 }

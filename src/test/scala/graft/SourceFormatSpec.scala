@@ -42,17 +42,33 @@ class SourceFormatSpec extends SparkSpec {
   }
 
   test("GraftExtensions installs graft_dot via withExtensions") {
-    val s2 = SparkSession.builder()
-      .master("local[1]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // force the shared session's existence first, then clear the default
+    // so getOrCreate genuinely builds a NEW session (over the same
+    // SparkContext) and applies the extensions — otherwise this test is
+    // vacuous: getOrCreate would return the shared session where
+    // Tables.configure already registered the function at runtime
+    val shared = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     try {
+      val s2 = SparkSession.builder()
+        .master("local[1]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne shared, "test requires a freshly built session")
       import s2.implicits._
       val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
       val dot = df.selectExpr("graft_dot(a, b)").as[Double].head()
       assert(dot === 11.0)
-    } finally () // shared-JVM: don't stop, it's the same underlying context
+      val inter = df.selectExpr(
+        "graft_bitmap_inter(array(3L, 12L), array(1L, 4L))")
+        .head().getInt(0)
+      assert(inter === 2)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 }

@@ -36,6 +36,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: no such oracle key(s): {sorted(unknown)}")
+        sys.exit(2)
     failures, passed = [], 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
