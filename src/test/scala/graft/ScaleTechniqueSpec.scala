@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Skew
+import graft.sources.PartitionedWriter
+import org.apache.spark.sql.functions._
+
+/** Scale techniques: salted aggregation/join equivalence, partition
+  * pruning, exchange-free co-bucketed joins. */
+class ScaleTechniqueSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation (hot key spread)") {
+    // one hot key (90% of rows) + a long tail
+    val df = spark.range(10000)
+      .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedAgg(df, col("k"), col("v"), buckets = 8,
+        partial = Seq("s" -> sum(col("v")), "c" -> count(lit(1))),
+        fin = Seq("s" -> sum(col("s")), "c" -> sum(col("c"))))
+      .select(col("key").as("k"), col("s"), col("c").cast("long"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain join row-for-row") {
+    val fact = spark.range(5000)
+      .select((col("id") % 100).as("fk"), col("id").as("v"))
+    val dim = spark.range(100)
+      .select(col("id").as("dk"), concat(lit("d"), col("id")).as("name"))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "v", "name")
+      .orderBy("v").collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 4)
+      .select("fk", "v", "name")
+      .orderBy("v").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+
+  test("date-partitioned events layout prunes to the requested day") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    PartitionedWriter.writeEventsByDay(
+      Tables.events(spark, sfDir).drop("ts_ns"), dir)
+    // physical layout: one directory per day
+    val days = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_date=")).map(_.getName)
+    assert(days.length > 1)
+    val oneDay = PartitionedWriter.readEventsDay(spark, dir, "2024-01-03")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_date"), s"no partition pruning in:\n$plan")
+    // correct rows
+    val expected = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(oneDay.count() === expected && expected > 0)
+  }
+
+  test("co-bucketed tables sort-merge join without exchange") {
+    // uses the session's default warehouse (./spark-warehouse, gitignored);
+    // clean any orphaned locations from aborted runs
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+    PartitionedWriter.writeCoBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_extendedprice"),
+      "li_b", "l_orderkey",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      "ord_b", "o_orderkey", buckets = 4)
+    // force the sort-merge path (broadcast would hide the bucket layout
+    // at this tiny scale; at 100 TB neither side broadcasts)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan should read bucket layout:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set(thresholdKey, old)
+  }
+}
