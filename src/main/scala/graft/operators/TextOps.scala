@@ -216,8 +216,41 @@ object TextOps {
       .limit(20)
   }
 
+  /** BM25 ranked retrieval (k1=1.2, b=0.75) — the standard search-engine
+    * scoring function, same corpus-stat shape as TF-IDF plus document
+    * length normalization. Everything is closed-form double arithmetic on
+    * integer counts, so scores are bit-identical cross-engine pre-round. */
+  private val searchBm25: Q = (s, d) => {
+    val queryTerms = Seq("spark", "query", "fast")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(toks()).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(toks())).as("avgdl"))
+    val docLen = docs.select(col("doc_id"), size(toks()).as("dl"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tfn",
+        col("tf") * lit(k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(r6(sum(col("idf") * col("tfn"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_search_tfidf" -> searchTfidf,
+    "q_text_search_bm25" -> searchBm25,
     "q_text_wordcount" -> wordcount,
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
@@ -250,6 +283,32 @@ object TextOps {
          FROM tf JOIN dfreq USING (tok) CROSS JOIN n
          GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q_text_search_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           WHERE tok IN ('spark', 'query', 'fast')
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY tok),
+         stats AS (SELECT count(*) AS n_docs,
+                          avg(len(string_split(text, ' '))) AS avgdl
+                   FROM documents),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents)
+         SELECT tf.doc_id,
+                floor((sum(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                  (tf * (1.2 + 1) /
+                   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))))
+                  * 1000000 + 0.5) / 1000000.0 AS score
+         FROM tf
+         JOIN dfreq USING (tok)
+         JOIN dl ON dl.doc_id = tf.doc_id
+         CROSS JOIN stats
+         GROUP BY tf.doc_id
+         ORDER BY score DESC, tf.doc_id LIMIT 20""",
     "q_text_wordcount" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token
