@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
 /** Structured Streaming twins of the batch event-time operators
   * (SURVEY.md §2.10). Each takes a *streaming* DataFrame with the events
@@ -55,6 +55,44 @@ object StreamingOps {
 
   /** Output row of [[userRunningState]]. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
+
+  /** transformWithState processor (the Spark 4 arbitrary-state API that
+    * supersedes flatMapGroupsWithState): running per-user count + total
+    * kept in a typed ValueState handle. */
+  class UserStateProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserState] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("userTotals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserState] = {
+      val (n0, v0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0
+      var v = v0
+      rows.foreach { case (_, value) => n += 1; v += value }
+      state.update((n, v))
+      Iterator.single(UserState(uid, n, v))
+    }
+  }
+
+  /** Running per-user state via transformWithState (RocksDB-backed state
+    * store in production; the typed-handle API). */
+  def userRunningStateTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
 
   /** Custom stateful op: running per-user event count + value total via
     * flatMapGroupsWithState — the escape hatch for state machines the

@@ -113,6 +113,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user state across batches") {
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.userRunningStateTws(ms.toDF())
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", uid = 9, v = 4.0))
+      q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:05:00", uid = 9, v = 6.0))
+      q.processAllAvailable()
+      val last = spark.table("t_tws").filter(col("user_id") === 9)
+        .orderBy(col("n_events").desc).limit(1)
+        .select("n_events", "total_value").collect().head
+      assert(last.getLong(0) === 2L)
+      assert(last.getDouble(1) === 10.0)
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
