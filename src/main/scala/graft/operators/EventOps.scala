@@ -59,12 +59,35 @@ object EventOps {
       .orderBy("user_id", "sess")
   }
 
+  /** Pivot: daily event counts spread into one column per event_type.
+    * Explicit value list keeps the schema static (required for a plannable
+    * wide table at scale — never let pivot scan for distinct values on a
+    * 100 TB input). */
+  private val pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy("day")
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding" -> sliding,
-    "q_stream_session" -> session)
+    "q_stream_session" -> session,
+    "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY day ORDER BY day""",
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
                 floor((sum(value)) * 100 + 0.5) / 100.0 AS total

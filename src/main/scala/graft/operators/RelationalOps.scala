@@ -307,7 +307,9 @@ object RelationalOps {
         row_number().over(unique).cast("long").as("rn"),
         rank().over(byDate).cast("long").as("rk"),
         dense_rank().over(byDate).cast("long").as("drk"),
-        ntile(4).over(unique).cast("long").as("quartile"))
+        ntile(4).over(unique).cast("long").as("quartile"),
+        r6(percent_rank().over(byDate)).as("prk"),
+        r6(cume_dist().over(byDate)).as("cd"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -573,7 +575,11 @@ object RelationalOps {
                 cast(row_number() OVER u AS BIGINT) AS rn,
                 cast(rank() OVER b AS BIGINT) AS rk,
                 cast(dense_rank() OVER b AS BIGINT) AS drk,
-                cast(ntile(4) OVER u AS BIGINT) AS quartile
+                cast(ntile(4) OVER u AS BIGINT) AS quartile,
+                floor((percent_rank() OVER b) * 1000000 + 0.5) / 1000000.0
+                  AS prk,
+                floor((cume_dist() OVER b) * 1000000 + 0.5) / 1000000.0
+                  AS cd
          FROM orders
          WINDOW u AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey),

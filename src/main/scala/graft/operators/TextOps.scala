@@ -248,9 +248,36 @@ object TextOps {
       .limit(20)
   }
 
+  /** Deterministic (hash-based) ~25% Bernoulli sample — the reproducible
+    * downsampling primitive for training-data pipelines: membership is a
+    * pure function of the row key, so re-runs, retries, and different
+    * cluster layouts all select the same rows (df.sample's RNG does not
+    * survive any of those). */
+  private val sampleHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Stratified hash sampling: per-class rates (rebalancing — keep all of
+    * the rare classes, thin the dominant one). Same determinism story. */
+  private val sampleStratified: Q = (s, d) => {
+    val hexVal = expr(
+      "position(substring(md5(CAST(doc_id AS STRING)), 1, 1), '0123456789abcdef') - 1")
+    Tables.documents(s, d)
+      .withColumn("hv", hexVal)
+      // en is ~half the corpus: keep 25%; keep all other languages
+      .filter((col("lang") === "en" && col("hv") < 4) || col("lang") =!= "en")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_search_tfidf" -> searchTfidf,
     "q_text_search_bm25" -> searchBm25,
+    "q_sample_hash" -> sampleHash,
+    "q_sample_stratified" -> sampleStratified,
     "q_text_wordcount" -> wordcount,
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
@@ -267,6 +294,18 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2', '3')
+         ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND
+                strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4)
+            OR lang != 'en'
+         ORDER BY doc_id""",
     "q_text_search_tfidf" ->
       """WITH tf AS (
            SELECT doc_id, tok, count(*) AS tf
