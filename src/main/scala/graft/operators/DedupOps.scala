@@ -63,7 +63,9 @@ object DedupOps {
         col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
         col("a") < col("b"))
       .select(expr("shiftleft(a, 32) | b").as("pk")).distinct()
-      .select(expr("shiftright(pk, 32)").as("a"),
+      // unsigned shift: arithmetic shiftright would sign-extend once
+      // doc_id reaches 2^31 and silently corrupt the decoded pair
+      .select(expr("shiftrightunsigned(pk, 32)").as("a"),
         expr("pk & 4294967295").as("b"))
     // exact verification on candidates only (bitmap bit_count fold)
     val base = TokenBitmap.bitmaps(s, d)

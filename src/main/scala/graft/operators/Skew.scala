@@ -19,27 +19,32 @@ object Skew {
     *
     * deterministic salt: hash of a row-distinguishing column modulo
     * buckets (never Random in a task — must be cluster-replayable). */
-  def saltedAgg(df: DataFrame, key: Column, saltBy: Column, buckets: Int,
-      partial: Seq[(String, Column)], fin: Seq[(String, Column)]): DataFrame = {
+  def saltedAgg(df: DataFrame, key: Column, keyName: String, saltBy: Column,
+      buckets: Int, partial: Seq[(String, Column)],
+      fin: Seq[(String, Column)]): DataFrame = {
+    require(!partial.exists(_._1 == keyName) && !fin.exists(_._1 == keyName),
+      s"aggregate output name collides with key column '$keyName'")
     val salted = df.withColumn("__salt", pmod(hash(saltBy), lit(buckets)))
-    val stage1 = salted.groupBy(key.as("__k"), col("__salt"))
+    val stage1 = salted.groupBy(key.as(keyName), col("__salt"))
       .agg(partial.head._2.as(partial.head._1),
         partial.tail.map { case (n, c) => c.as(n) }: _*)
-    stage1.groupBy(col("__k"))
+    stage1.groupBy(col(keyName))
       .agg(fin.head._2.as(fin.head._1),
         fin.tail.map { case (n, c) => c.as(n) }: _*)
-      .withColumnRenamed("__k", "key")
   }
 
   /** Salted join for a hot-keyed fact against a non-broadcastable dim:
-    * fact rows get a deterministic salt in [0, buckets); the dim is
+    * fact rows get a deterministic salt in [0, buckets) derived from
+    * `saltBy` (a stable row-distinguishing column of the fact — an id, a
+    * timestamp; NEVER monotonically_increasing_id or rand, which change
+    * under task replay and silently duplicate/drop join rows); the dim is
     * replicated `buckets` times with each salt value; the join key becomes
     * (key, salt) — splitting each hot key's rows across `buckets` tasks.
     * Row-for-row identical to the unsalted join. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, buckets: Int): DataFrame = {
+      dimKey: String, saltBy: Column, buckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(factKey), monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(col(factKey), saltBy), lit(buckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(expr(s"sequence(0, ${buckets - 1})")))
     saltedFact.join(replicatedDim,

@@ -261,14 +261,15 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Stratified hash sampling: per-class rates (rebalancing — keep all of
-    * the rare classes, thin the dominant one). Same determinism story. */
+    * the rare classes, thin the dominant one). Same determinism story and
+    * same hash-digit predicate as q_sample_hash. */
   private val sampleStratified: Q = (s, d) => {
-    val hexVal = expr(
-      "position(substring(md5(CAST(doc_id AS STRING)), 1, 1), '0123456789abcdef') - 1")
+    // en is ~half the corpus: keep 25% (first md5 hex digit in 0..3);
+    // keep all other languages
+    val keepQuarter = substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1", "2", "3")
     Tables.documents(s, d)
-      .withColumn("hv", hexVal)
-      // en is ~half the corpus: keep 25%; keep all other languages
-      .filter((col("lang") === "en" && col("hv") < 4) || col("lang") =!= "en")
+      .filter((col("lang") === "en" && keepQuarter) || col("lang") =!= "en")
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
@@ -302,8 +303,8 @@ object TextOps {
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE (lang = 'en' AND
-                strpos('0123456789abcdef',
-                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 4)
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                IN ('0', '1', '2', '3'))
             OR lang != 'en'
          ORDER BY doc_id""",
     "q_text_search_tfidf" ->

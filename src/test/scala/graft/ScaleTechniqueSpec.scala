@@ -18,10 +18,10 @@ class ScaleTechniqueSpec extends SparkSpec {
     val plain = df.groupBy("k")
       .agg(sum("v").as("s"), count(lit(1)).as("c"))
       .orderBy("k").collect().map(_.toSeq).toSeq
-    val salted = Skew.saltedAgg(df, col("k"), col("v"), buckets = 8,
+    val salted = Skew.saltedAgg(df, col("k"), "k", col("v"), buckets = 8,
         partial = Seq("s" -> sum(col("v")), "c" -> count(lit(1))),
         fin = Seq("s" -> sum(col("s")), "c" -> sum(col("c"))))
-      .select(col("key").as("k"), col("s"), col("c").cast("long"))
+      .select(col("k"), col("s"), col("c").cast("long"))
       .orderBy("k").collect().map(_.toSeq).toSeq
     assert(salted === plain)
   }
@@ -34,7 +34,7 @@ class ScaleTechniqueSpec extends SparkSpec {
     val plain = fact.join(dim, col("fk") === col("dk"))
       .select("fk", "v", "name")
       .orderBy("v").collect().map(_.toSeq).toSeq
-    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 4)
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", col("v"), buckets = 4)
       .select("fk", "v", "name")
       .orderBy("v").collect().map(_.toSeq).toSeq
     assert(salted === plain)
