@@ -286,12 +286,18 @@ object RelationalOps {
         col("cnt"), col("qty"))
       .orderBy("rf_g", "ls_g")
 
-  /** Per-group ordered array — collect_list is order-nondeterministic under
-    * parallelism, so sort_array pins it (SURVEY.md §2.4). */
+  /** Per-group ordered collection — collect_list is order-nondeterministic
+    * under parallelism, so sort_array pins it (SURVEY.md §2.4). Output is
+    * the space-joined string, not the raw array: the driver's comparator
+    * can't hash array-typed columns, and the string form carries identical
+    * information (numeric sort order preserved). */
   private val aggCollect: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("ka"))
+      .select(col("o_custkey"),
+        array_join(expr("transform(ka, x -> cast(x AS string))"), " ")
+          .as("orderkeys"))
       .orderBy("o_custkey")
 
   // -------------------------------------------------------------- windows
@@ -315,9 +321,13 @@ object RelationalOps {
 
   /** Inter-event gap per user via lag() — the sessionization primitive.
     * Gap computed on the raw ns counter (exact integer µs), not on
-    * timestamps, so no interval-type parity issues. */
+    * timestamps, so no interval-type parity issues. The window orders by
+    * the SAME µs-floored value the oracle's `ts` carries (not raw ns):
+    * two events in one microsecond must tie-break identically on both
+    * engines or their lag/lead partners diverge. */
   private val winLagLead: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         (expr("ts_ns div 1000") - lag(expr("ts_ns div 1000"), 1).over(w))
@@ -568,7 +578,8 @@ object RelationalOps {
          ORDER BY rf_g, ls_g""",
     "q_agg_collect" ->
       """SELECT o_custkey,
-                array_agg(o_orderkey ORDER BY o_orderkey) AS orderkeys
+                string_agg(CAST(o_orderkey AS VARCHAR), ' '
+                           ORDER BY o_orderkey) AS orderkeys
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey,

@@ -89,25 +89,29 @@ object ScalarOps {
 
   /** array_sort / array_distinct / size / array_contains / slice on token
     * arrays. array_distinct alone is order-nondeterministic → always
-    * wrapped in array_sort (matches DuckDB list_sort(list_distinct)). */
+    * wrapped in array_sort (matches DuckDB list_sort(list_distinct)).
+    * Array-valued results are space-joined to strings so the driver's
+    * comparator (which can't hash array columns) can check them. */
   private val arrayFuncs: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_toks"),
-        array_sort(array_distinct(col("toks"))).as("vocab"),
+        array_join(array_sort(array_distinct(col("toks"))), " ").as("vocab"),
         array_contains(col("toks"), "the").as("has_the"),
-        slice(col("toks"), 1, 3).as("first3"))
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"))
       .orderBy("doc_id")
 
-  /** JSON extraction from events.props ('{"k": <int>}') + aggregate by it. */
+  /** JSON extraction from events.props ('{"k": <int>}') + aggregate by it.
+    * The extracted key is nullable (malformed/missing props): NULLS LAST
+    * matches DuckDB's ASC default, where Spark's default is NULLS FIRST. */
   private val jsonExtract: Q = (s, d) =>
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("k")
       .agg(count(lit(1)).as("cnt"), r6(avg(col("value"))).as("avg_value"))
-      .orderBy("k")
+      .orderBy(col("k").asc_nulls_last)
 
   /** md5 — THE cross-engine-stable row fingerprint (murmur hash() is not). */
   private val hashMd5: Q = (s, d) =>
@@ -181,9 +185,11 @@ object ScalarOps {
     "q_array_funcs" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks,
-                list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+                array_to_string(list_sort(list_distinct(
+                  string_split(text, ' '))), ' ') AS vocab,
                 list_contains(string_split(text, ' '), 'the') AS has_the,
-                list_slice(string_split(text, ' '), 1, 3) AS first3
+                array_to_string(list_slice(string_split(text, ' '), 1, 3),
+                                ' ') AS first3
          FROM documents ORDER BY doc_id""",
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
