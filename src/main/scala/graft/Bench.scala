@@ -22,9 +22,14 @@ object Bench {
           System.err.println(s"warmup $k failed: ${t.getClass.getSimpleName}") }
       }
     // Deterministic key order: Map iteration order is hash-random, which
-    // made round-1 totals incomparable run-to-run.
+    // made round-1 totals incomparable run-to-run. SPARK_GRAFT_ONLY
+    // (comma-separated keys) restricts the run for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case t: Throwable =>

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * MinHashLSH / classic Charikar SimHash, re-expressed as declarative
   * DataFrame plans).
   *
-  * Both use md5 as the hash family so every intermediate is deterministic
+  * All use md5 as the hash family so every intermediate is deterministic
   * and cross-engine reproducible — the whole pipeline (signatures, bands,
   * candidates, verified pairs) is oracle-checked, not just spot-tested.
   *
@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * signatures are a 16-row-per-doc aggregate, bands a 4-row-per-doc
   * aggregate, and the candidate join keys on band_key (high cardinality,
   * salt-able if a band bucket ever gets hot).
+  *
+  * Candidate dedup is FIRST-COLLISION EMISSION, not DISTINCT: each side of
+  * the band join carries the doc's full band-key array, and a colliding
+  * pair is emitted only at its lowest colliding band (`no earlier band j
+  * with ka[j]=kb[j]`). Every pair appears exactly once with zero extra
+  * shuffle — the round-1 plan's distinct over millions of packed pair keys
+  * (and its 32-bit doc-id packing hazard) is gone entirely. Cost: a ≤3-
+  * element array compare per candidate row, map-side, inside codegen.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -28,47 +36,76 @@ object DedupOps {
   private val NumHashes = 16
   private val BandRows = 4 // → 4 bands of 4 rows
 
-  /** MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
-    * verification at 0.8. Deterministic md5 hash family ⟹ identical
-    * candidates (and therefore identical output) in Spark and DuckDB,
-    * including any banding misses — recall behavior is itself pinned. */
-  private val dedupMinhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+  /** LSH-banded candidate pairs (a < b, exactly once) for any tokenizer.
+    * MinHash(16) signatures from the md5 hash family, 4 bands × 4 rows,
+    * band join + first-collision filter. Deterministic ⟹ identical
+    * candidates (including any banding misses — recall behavior itself is
+    * oracle-pinned) in Spark and DuckDB. */
+  private[graft] def bandedCandidates(s: SparkSession, d: String,
+      tokensExpr: String): DataFrame = {
+    val (vdf, _) = TokenBitmap.vocab(s, d, tokensExpr)
+    val tok = TokenBitmap.tokens(s, d, tokensExpr)
+    val nBands = NumHashes / BandRows
     // h_i(tok) depends only on (i, tok): |vocab| × NumHashes values —
-    // computed once on the tiny dictionary and broadcast, not per doc-token
-    val tokHash = tok.select("tok").distinct()
-      .withColumn("i", explode(expr(s"sequence(0, ${NumHashes - 1})")))
-      .withColumn("h",
-        md5(concat(col("i").cast("string"), lit(":"), col("tok"))))
+    // computed once on the cached dictionary as a 16-wide hash array and
+    // broadcast, not per doc-token. All 16 signature minimums then come
+    // out of ONE groupBy(doc_id) (16 scalar min aggs, map-side partial),
+    // and band keys are plain projections of that row — the per-(doc,i)
+    // explode and the two follow-up aggregations (band rollup, per-doc
+    // collect) that round 1 paid are gone. One shuffle, |tok| rows.
+    val tokHash = vdf.select("tok")
+      .withColumn("harr", array((0 until NumHashes).map(i =>
+        md5(concat(lit(s"$i:"), col("tok")))): _*))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(expr(s"element_at(harr, ${i + 1})")).as(s"s$i"))
     val sigs = tok.join(broadcast(tokHash), Seq("tok"))
-      .groupBy("doc_id", "i").agg(min("h").as("sig"))
-    // band key = md5 of the band's sigs in i-order; conditional scalar
-    // aggs keep this a codegen'd HashAggregate (collect_list would fall
-    // back to ObjectHashAggregate)
-    val bandSigs = (0 until BandRows).map(k =>
-      max(when(col("i") % BandRows === k, col("sig"))))
-    val bands = sigs
-      .withColumn("band", expr(s"i div $BandRows"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|", bandSigs: _*)).as("bkey"))
-    val x = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
-    val y = bands.select(col("doc_id").as("b"), col("band").as("band_y"),
-      col("bkey").as("bkey_y"))
-    // distinct on a packed 64-bit pair key (doc ids fit 32 bits at any
-    // tested SF; beyond that, fall back to struct distinct) — one long
-    // hashes/shuffles cheaper than a two-column row
-    val cand = x.join(y,
-        col("band") === col("band_y") && col("bkey") === col("bkey_y") &&
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band key = md5 of the band's sigs in i-order
+    val bandKeys = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
+    }
+    val docBands = sigs.select(col("doc_id"), array(bandKeys: _*).as("bkeys"))
+    // Explicit fan-out on the probe side: its INPUT is a few MB (AQE
+    // would coalesce it to ~1 partition) but each row fans out to its
+    // band-bucket size in the join below — the classic input-bytes ≠
+    // output-work trap. A fixed-width repartition keeps every core busy
+    // generating pairs.
+    val x = docBands.select(col("doc_id").as("a"), col("bkeys").as("ka"))
+      .select(col("a"), col("ka"), posexplode(col("ka")).as(Seq("band", "bk")))
+      .repartition(s.sparkContext.defaultParallelism * 4,
+        col("a"), col("band"))
+    val y = docBands.select(col("doc_id").as("b"), col("bkeys").as("kb"))
+      .select(col("b"), col("kb"),
+        posexplode(col("kb")).as(Seq("band_y", "bk_y")))
+    // keep the pair only at its lowest colliding band. Spelled as scalar
+    // element_at comparisons, NOT zip_with/slice lambdas: higher-order
+    // functions are interpreted (they break WholeStageCodegen) and
+    // allocate per row — fatal on millions of candidate rows.
+    val noEarlierCollision = (0 until nBands - 1)
+      .map(j => (col("band") <= j) ||
+        !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
+      .reduce(_ && _)
+    // broadcast the band side: pair generation then distributes by x-rows
+    // (even — every doc of a hot bucket expands on its own task) instead
+    // of serializing each hot (band, bkey) group through one SMJ task.
+    // At 100 TB the band table outgrows broadcast → shuffle join on
+    // (band, bkey) with a deterministic salt fan-out on the hot buckets
+    // (Skew.scala machinery) — same output, no single-task key groups.
+    x.join(broadcast(y),
+        col("band") === col("band_y") && col("bk") === col("bk_y") &&
         col("a") < col("b"))
-      .select(expr("shiftleft(a, 32) | b").as("pk")).distinct()
-      // unsigned shift: arithmetic shiftright would sign-extend once
-      // doc_id reaches 2^31 and silently corrupt the decoded pair
-      .select(expr("shiftrightunsigned(pk, 32)").as("a"),
-        expr("pk & 4294967295").as("b"))
-    // exact verification on candidates only (bitmap bit_count fold)
-    val base = TokenBitmap.bitmaps(s, d)
+      .filter(noEarlierCollision)
+      .select("a", "b")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs via the shared bitmap
+    * frame (bit_count fold, codegen). The bitmap side is one row per doc
+    * — AQE broadcasts it at tested SFs; at 100 TB it becomes a shuffle
+    * join on doc_id, still linear in candidates. */
+  private[graft] def verifyJaccard(s: SparkSession, d: String, tokensExpr: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val base = TokenBitmap.bitmaps(s, d, tokensExpr)
     cand
       .join(base.select(col("doc_id").as("a"), col("bm").as("ba"),
         col("sz").as("sa")), Seq("a"))
@@ -77,10 +114,16 @@ object DedupOps {
       .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jacc") >= 0.8)
+      .filter(col("jacc") >= threshold)
       .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
       .orderBy("a", "b")
   }
+
+  /** MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
+    * verification at 0.8 on unigram token sets. */
+  private val dedupMinhash: Q = (s, d) =>
+    verifyJaccard(s, d, "split(text, ' ')",
+      bandedCandidates(s, d, "split(text, ' ')"), 0.8)
 
   /** Charikar SimHash: 64-bit fingerprint from token-frequency-weighted
     * md5 bit votes. Computed per *distinct token* (bit matrix is
@@ -110,44 +153,30 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Word-bigram shingles as array<string> (SQL, engine-portable shape). */
-  private val bigramExpr =
-    """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-      |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
-      |         (a, b) -> concat(a, ' ', b))""".stripMargin
+  /** Word-bigram shingles (shared key/fast-path in TokenBitmap). */
+  private val bigramExpr = TokenBitmap.bigramExpr
 
-  /** n-gram (word-bigram) Jaccard near-dup — order-sensitive where
-    * token-set Jaccard (q_dedup_near) is bag-of-words: shuffled copies of
-    * a doc stop matching. Same bitmap machinery, bigram dictionary
-    * (≤ |vocab|² entries → ⌈/64⌉ words). Threshold 0.6: bigram overlap
-    * runs lower than unigram overlap on the same corpus. */
-  private val dedupNgram: Q = (s, d) => {
-    val base = TokenBitmap.bitmaps(s, d, bigramExpr)
-    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
-      col("sz").as("sa"))
-    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
-      col("sz").as("sb"))
-    a.join(b, col("a") < col("b") &&
-        col("sa") * 3 <= col("sb") * 5 && col("sb") * 3 <= col("sa") * 5)
-      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
-      .withColumn("jacc",
-        col("inter") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jacc") >= 0.6)
-      .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
-      .orderBy("a", "b")
-  }
+  /** n-gram (word-bigram) near-dup — order-sensitive where token-set
+    * Jaccard (q_dedup_near) is bag-of-words: shuffled copies of a doc stop
+    * matching. Same banded-LSH candidate path as q_dedup_minhash, run on
+    * the bigram dictionary (round 1's all-pairs bigram join is gone — the
+    * order-sensitive near-dup now also has a non-quadratic scale path).
+    * Threshold 0.6: bigram overlap runs lower than unigram overlap on the
+    * same corpus. */
+  private val dedupNgram: Q = (s, d) =>
+    verifyJaccard(s, d, bigramExpr, bandedCandidates(s, d, bigramExpr), 0.6)
 
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_ngram" -> dedupNgram)
 
-  val oracle: Map[String, String] = Map(
-    "q_dedup_minhash" ->
-      s"""WITH tok AS (
-           SELECT doc_id,
-                  unnest(list_distinct(string_split(text, ' '))) AS tok
-           FROM documents),
+  /** Shared SQL skeleton: MinHash sigs → bands → DISTINCT band-colliding
+    * pairs → exact Jaccard ≥ threshold. (DISTINCT here ≡ the Spark side's
+    * first-collision emission — same pair set.) `tokCte` must yield
+    * (doc_id, tok) with distinct tokens per doc. */
+  private def lshOracle(tokCte: String, threshold: Double): String =
+    s"""WITH tok AS ($tokCte),
          hs AS (
            SELECT doc_id, i, min(md5(i::VARCHAR || ':' || tok)) AS sig
            FROM tok, UNNEST(generate_series(0, ${NumHashes - 1})) AS t(i)
@@ -174,30 +203,21 @@ object DedupOps {
          FROM inter
          JOIN sz sa ON sa.doc_id = a
          JOIN sz sb ON sb.doc_id = b
-         WHERE i / (sa.n + sb.n - i) >= 0.8
-         ORDER BY a, b""",
-    "q_dedup_ngram" ->
-      """WITH bg AS (
-           SELECT doc_id,
-                  unnest(list_distinct(list_transform(
-                    generate_series(1, len(string_split(text, ' ')) - 1),
-                    i -> string_split(text, ' ')[i] || ' ' ||
-                         string_split(text, ' ')[i + 1]))) AS tok
-           FROM documents),
-         sz AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
-         inter AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM bg x JOIN bg y ON x.tok = y.tok AND x.doc_id < y.doc_id
-           GROUP BY x.doc_id, y.doc_id)
-         SELECT a, b,
-                floor((i / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000.0
-                  AS jacc_r
-         FROM inter
-         JOIN sz sa ON sa.doc_id = a
-         JOIN sz sb ON sb.doc_id = b
-         WHERE i / (sa.n + sb.n - i) >= 0.6
-           AND sa.n * 3 <= sb.n * 5 AND sb.n * 3 <= sa.n * 5
-         ORDER BY a, b""",
+         WHERE i / (sa.n + sb.n - i) >= $threshold
+         ORDER BY a, b"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> lshOracle(
+      """SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+         FROM documents""", 0.8),
+    "q_dedup_ngram" -> lshOracle(
+      """SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))) AS tok
+         FROM documents""", 0.6),
     "q_dedup_simhash" ->
       """WITH tokc AS (
            SELECT doc_id, tok, count(*) AS cnt
