@@ -219,22 +219,38 @@ object TextOps {
   /** BM25 ranked retrieval (k1=1.2, b=0.75) — the standard search-engine
     * scoring function, same corpus-stat shape as TF-IDF plus document
     * length normalization. Everything is closed-form double arithmetic on
-    * integer counts, so scores are bit-identical cross-engine pre-round. */
+    * integer counts, so scores are bit-identical cross-engine pre-round.
+    *
+    * SINGLE corpus pass: one explode → groupBy(doc_id) produces document
+    * length AND one conditional tf column per query term together (round 1
+    * scanned `documents` three times — tf, stats, docLen). The per-doc
+    * frame is persisted (n_docs rows, 4 narrow columns — an index-build
+    * artifact at any scale); corpus stats (n_docs, avgdl) and per-term df
+    * are broadcast 1-row/|terms|-row aggregates OF that frame, not fresh
+    * scans. */
   private val searchBm25: Q = (s, d) => {
     val queryTerms = Seq("spark", "query", "fast")
     val k1 = 1.2
     val b = 0.75
-    val docs = Tables.documents(s, d)
-    val tf = docs.select(col("doc_id"), explode(toks()).as("tok"))
-      .filter(col("tok").isin(queryTerms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(toks())).as("avgdl"))
-    val docLen = docs.select(col("doc_id"), size(toks()).as("dl"))
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"),
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+        }: _*)
+      .persist()
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // long form (doc_id, dl, tok, tf>0) via a 3-wide stack — no rescan
+    val termArr = array(queryTerms.map(lit): _*)
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"),
+        posexplode(array((0 until queryTerms.size).map(i =>
+          col(s"tf$i")): _*)).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("tok", element_at(termArr, col("ti") + 1))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), Seq("tok"))
-      .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

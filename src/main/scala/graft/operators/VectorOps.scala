@@ -64,6 +64,79 @@ object VectorOps {
       .orderBy("va", "vb")
   }
 
+  private val HPlanes = 16 // hyperplanes → 16 sign bits
+  private val BandBits = 4 // → 4 bands of 4 bits
+
+  /** Bucketed SCALE PATH for embedding near-dup (q_dedup_embed is the
+    * exact all-pairs baseline): deterministic hyperplane LSH. 16 md5-
+    * seeded ±1 hyperplanes give each vector a 16-bit sign fingerprint
+    * (sign of a sequential-fold dot product — same accumulation order in
+    * both engines); 4 bands of 4 bits are the bucket keys; candidate
+    * pairs come from a band-bucket self-join with first-collision
+    * emission (no distinct), then exact graft_dot verification at the
+    * same 0.3 threshold. Everything — planes, bits, buckets, misses — is
+    * deterministic and oracle-pinned, so recall behavior itself is
+    * checked, exactly like q_dedup_minhash for text.
+    *
+    * At 100 TB: the plane matrix is 16×64 floats (broadcast literal),
+    * fingerprinting is one linear map-side pass, and the candidate join
+    * keys on (band, 4-bit key) — the quadratic all-pairs broadcast of
+    * q_dedup_embed never happens. More bits per band ⟹ more pruning;
+    * 4 bits is tuned to this corpus's diffuse similarity (max cosine
+    * ≈ 0.6) so the oracle-checked output stays non-trivial. */
+  private val dedupEmbedLsh: Q = (s, d) => {
+    val dim = 64
+    val nBands = HPlanes / BandBits
+    // ±1 plane components from md5(p:j) — public-hash seeded, engine-
+    // reproducible (first hex digit odd/even)
+    val planes = s.range(HPlanes.toLong).toDF("p")
+      .withColumn("j", explode(expr(s"sequence(0, ${dim - 1})")))
+      .withColumn("sgn", expr(
+        """CAST(CASE WHEN (position(substring(
+          |md5(concat(cast(p AS string), ':', cast(j AS string))), 1, 1),
+          |'0123456789abcdef') - 1) % 2 = 1
+          |THEN 1.0 ELSE -1.0 END AS FLOAT)""".stripMargin))
+      .groupBy("p")
+      .agg(expr("transform(array_sort(collect_list(struct(j, sgn))), x -> x.sgn)")
+        .as("parr"))
+    val bits = vecs(s, d).select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(expr("graft_dot(v, parr)") >= 0, "1").otherwise("0"))
+    // all band keys from one groupBy (conditional scalar aggs)
+    val keyCols = (0 until nBands).map { b =>
+      concat((0 until BandBits).map(r =>
+        max(when(col("p") === b * BandBits + r, col("bit")))): _*).as(s"k$b")
+    }
+    val fp = bits.groupBy("vec_id").agg(keyCols.head, keyCols.tail: _*)
+      .select(col("vec_id"),
+        array((0 until nBands).map(b => col(s"k$b")): _*).as("bkeys"))
+    val x = fp.select(col("vec_id").as("a"), col("bkeys").as("ka"))
+      .select(col("a"), col("ka"), posexplode(col("ka")).as(Seq("band", "bk")))
+      .repartition(s.sparkContext.defaultParallelism * 4,
+        col("a"), col("band"))
+    val y = fp.select(col("vec_id").as("b"), col("bkeys").as("kb"))
+      .select(col("b"), col("kb"),
+        posexplode(col("kb")).as(Seq("band_y", "bk_y")))
+    val noEarlierCollision = (0 until nBands - 1)
+      .map(j => (col("band") <= j) ||
+        !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
+      .reduce(_ && _)
+    val cand = x.join(broadcast(y),
+        col("band") === col("band_y") && col("bk") === col("bk_y") &&
+        col("a") < col("b"))
+      .filter(noEarlierCollision)
+      .select("a", "b")
+    val e = vecs(s, d)
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("xv")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("yv")), Seq("b"))
+      .withColumn("sim_r", r6(expr("graft_dot(xv, yv)")))
+      .filter(col("sim_r") >= 0.3)
+      .select(col("a").as("va"), col("b").as("vb"), col("sim_r"))
+      .orderBy("va", "vb")
+  }
+
   /** (vec_id, label, pos, val) long form — the layout every aggregate
     * below keys on; at scale this is the column-exploded table you'd
     * pre-materialize (or keep as arrays and use codegen'd folds). */
@@ -73,15 +146,26 @@ object VectorOps {
       .select(col("vec_id"), col("label"), col("pos"),
         col("col").cast("double").as("val"))
 
+  /** Per-label centroid as an ordered double array — built once from the
+    * long form, then broadcast. Similarity against a centroid becomes a
+    * sequential zip_with/aggregate fold over the raw arrays: accumulation
+    * order is pinned (matching DuckDB's list_inner_product), where the
+    * round-1 shuffled groupBy().sum() over exploded positions depended on
+    * partition layout. */
+  private def centroidArr(s: SparkSession, d: String): DataFrame =
+    dims(s, d).groupBy("label", "pos").agg(avg("val").as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("carr"))
+
+  private val centDotExpr =
+    "aggregate(zip_with(v, carr, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+
   /** Per-label centroid, then the member nearest to its centroid —
     * the medoid-style representative per class. */
   private val knnLabel: Q = (s, d) => {
-    val dm = dims(s, d)
-    val cent = dm.groupBy("label", "pos").agg(avg("val").as("c"))
-    val sims = dm.join(cent, Seq("label", "pos"))
-      .groupBy("label", "vec_id")
-      .agg(sum(col("val") * col("c")).as("sim"))
-      .withColumn("sim_r", r6(col("sim")))
+    val sims = vecs(s, d).join(broadcast(centroidArr(s, d)), Seq("label"))
+      .withColumn("sim_r", r6(expr(centDotExpr)))
     val w = Window.partitionBy("label")
       .orderBy(col("sim_r").desc, col("vec_id"))
     sims.withColumn("rn", row_number().over(w))
@@ -91,24 +175,25 @@ object VectorOps {
   }
 
   /** IVF-style ANN: queries = vec_id < 5; probe = argmax centroid dot;
-    * then exact top-3 within the probed partition only. */
+    * then exact top-3 within the probed partition only — all dot products
+    * are sequential array folds (centroid probe) or graft_dot (exact
+    * rerank), never shuffled per-position sums. */
   private val annIvf: Q = (s, d) => {
-    val dm = dims(s, d)
-    val cent = dm.groupBy("label", "pos").agg(avg("val").as("c"))
-    val qd = dm.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("pos"), col("val").as("qval"))
-    val qc = qd.join(cent.withColumnRenamed("label", "clabel"), Seq("pos"))
-      .groupBy("qid", "clabel")
-      .agg(r6(sum(col("qval") * col("c"))).as("csim"))
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qc = q.withColumnRenamed("qv", "v")
+      .crossJoin(broadcast(centroidArr(s, d)
+        .withColumnRenamed("label", "clabel")))
+      .withColumn("csim", r6(expr(centDotExpr)))
     val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("clabel"))
     val probe = qc.withColumn("rn", row_number().over(wq))
       .filter(col("rn") === 1)
       .select(col("qid"), col("clabel").as("label"))
-    val cand = probe.join(dm, Seq("label"))
+    val cand = probe.join(e, Seq("label"))
       .filter(col("vec_id") =!= col("qid"))
-      .join(qd, Seq("qid", "pos"))
-      .groupBy("qid", "vec_id")
-      .agg(r6(sum(col("val") * col("qval"))).as("sim_r"))
+      .join(q, Seq("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
     val wr = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 3)
@@ -119,6 +204,7 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_topk" -> cosineTopk,
     "q_dedup_embed" -> dedupEmbed,
+    "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_sim_knn_label" -> knnLabel,
     "q_ann_ivf" -> annIvf)
 
@@ -139,6 +225,41 @@ object VectorOps {
                         * 1000000 + 0.5) / 1000000.0 AS sim_r
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
          WHERE sim_r >= 0.3 ORDER BY va, vb""",
+    "q_dedup_embed_lsh" ->
+      """WITH pc AS (
+           SELECT p, j,
+                  CASE WHEN (strpos('0123456789abcdef',
+                         substring(md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))
+                         - 1) % 2 = 1
+                       THEN 1.0 ELSE -1.0 END AS sgn
+           FROM UNNEST(generate_series(0, 15)) AS tp(p),
+                UNNEST(generate_series(0, 63)) AS tj(j)),
+         pl AS (SELECT p, list(CAST(sgn AS DOUBLE) ORDER BY j) AS parr
+                FROM pc GROUP BY p),
+         bits AS (
+           SELECT e.vec_id, pl.p,
+                  CASE WHEN list_inner_product(
+                         CAST(e.embedding AS DOUBLE[]), parr) >= 0
+                       THEN '1' ELSE '0' END AS bit
+           FROM embeddings e, pl),
+         ks AS (
+           SELECT vec_id, p // 4 AS band,
+                  string_agg(bit, '' ORDER BY p) AS bkey
+           FROM bits GROUP BY vec_id, p // 4),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM ks x JOIN ks y
+             ON x.band = y.band AND x.bkey = y.bkey
+            AND x.vec_id < y.vec_id)
+         SELECT va, vb, sim_r FROM (
+           SELECT c.a AS va, c.b AS vb,
+                  floor((list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.a
+           JOIN embeddings eb ON eb.vec_id = c.b) t
+         WHERE sim_r >= 0.3 ORDER BY va, vb""",
     "q_sim_knn_label" ->
       """WITH dm AS (
            SELECT vec_id, label,
@@ -148,12 +269,14 @@ object VectorOps {
            FROM embeddings),
          cent AS (SELECT label, pos, avg(val) AS c
                   FROM dm GROUP BY label, pos),
+         ca AS (SELECT label, list(c ORDER BY pos) AS carr
+                FROM cent GROUP BY label),
          sims AS (
-           SELECT dm.label, dm.vec_id,
-                  floor((sum(dm.val * cent.c)) * 1000000 + 0.5) / 1000000.0
-                    AS sim_r
-           FROM dm JOIN cent ON dm.label = cent.label AND dm.pos = cent.pos
-           GROUP BY dm.label, dm.vec_id)
+           SELECT e.label, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            ca.carr))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings e JOIN ca ON e.label = ca.label)
          SELECT label, vec_id, sim_r FROM (
            SELECT label, vec_id, sim_r,
                   row_number() OVER (PARTITION BY label
@@ -169,26 +292,30 @@ object VectorOps {
            FROM embeddings),
          cent AS (SELECT label, pos, avg(val) AS c
                   FROM dm GROUP BY label, pos),
-         qd AS (SELECT vec_id AS qid, pos, val FROM dm WHERE vec_id < 5),
+         ca AS (SELECT label, list(c ORDER BY pos) AS carr
+                FROM cent GROUP BY label),
+         q AS (SELECT vec_id AS qid, embedding FROM embeddings
+               WHERE vec_id < 5),
          qc AS (
-           SELECT qd.qid, cent.label AS clabel,
-                  floor((sum(qd.val * cent.c)) * 1000000 + 0.5) / 1000000.0
-                    AS csim
-           FROM qd JOIN cent ON qd.pos = cent.pos
-           GROUP BY qd.qid, cent.label),
+           SELECT q.qid, ca.label AS clabel,
+                  floor((list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                            ca.carr))
+                        * 1000000 + 0.5) / 1000000.0 AS csim
+           FROM q, ca),
          probe AS (
            SELECT qid, clabel AS label FROM (
              SELECT qid, clabel, row_number() OVER (PARTITION BY qid
                ORDER BY csim DESC, clabel) AS rn
              FROM qc) t WHERE rn = 1),
          cand AS (
-           SELECT probe.qid, dm.vec_id,
-                  floor((sum(dm.val * qd.val)) * 1000000 + 0.5) / 1000000.0
-                    AS sim_r
+           SELECT probe.qid, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
            FROM probe
-           JOIN dm ON dm.label = probe.label AND dm.vec_id != probe.qid
-           JOIN qd ON qd.qid = probe.qid AND qd.pos = dm.pos
-           GROUP BY probe.qid, dm.vec_id)
+           JOIN embeddings e ON e.label = probe.label
+                            AND e.vec_id != probe.qid
+           JOIN q ON q.qid = probe.qid)
          SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id AS nid, sim_r
          FROM (SELECT qid, vec_id, sim_r,
                       row_number() OVER (PARTITION BY qid

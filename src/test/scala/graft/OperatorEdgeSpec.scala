@@ -115,4 +115,22 @@ class OperatorEdgeSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, "LSH-verified pair not in exact result")
     assert(lsh.size >= (exact.size * 0.8).toInt, "LSH recall below 80%")
   }
+
+  test("hyperplane LSH embedding dedup: precision 1.0, expected recall") {
+    val lsh = operators.VectorOps.queries("q_dedup_embed_lsh")(spark, sfDir)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = operators.VectorOps.queries("q_dedup_embed")(spark, sfDir)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact graft_dot verification at the same threshold ⟹ every emitted
+    // pair is a true pair
+    assert((lsh -- exact).isEmpty, "LSH-verified pair not in exact result")
+    // 4 bands × 4 bits at cosine ≈ 0.3 (this corpus's near-dup range) has
+    // theoretical recall ≈ 1-(1-p^4)^4, p = 1-acos(0.3)/π ≈ 0.6 → ~0.42;
+    // measured 438/990 at sf0.01. Assert a loose floor — the value itself
+    // is oracle-pinned, this guards against the bucketing silently dying.
+    assert(lsh.size >= (exact.size * 0.25).toInt, "LSH recall below 25%")
+    assert(lsh.nonEmpty, "LSH found no pairs at all")
+  }
 }

@@ -23,6 +23,32 @@ class PipelineSpec extends SparkSpec {
     assert(docs.length === 31)
   }
 
+  test("jdbc option plumbing: conf reaches the writer options verbatim") {
+    val opts = Sinks.jdbcOptions("jdbc:postgresql://db:5432/graft",
+      "suggestions", Some("etl"), Some("secret"), batchSize = 500,
+      isolationLevel = "NONE")
+    assert(opts("url") === "jdbc:postgresql://db:5432/graft")
+    assert(opts("dbtable") === "suggestions")
+    assert(opts("batchsize") === "500")
+    assert(opts("isolationLevel") === "NONE")
+    assert(opts("user") === "etl")
+    assert(opts("password") === "secret")
+    // no credentials → no empty-string credential keys leak into options
+    val anon = Sinks.jdbcOptions("jdbc:postgresql://db/g", "t")
+    assert(!anon.contains("user") && !anon.contains("password"))
+  }
+
+  test("relational dispatch: no url in conf routes to the offline writer") {
+    val dir = Files.createTempDirectory("graft-table").toString
+    val df = spark.range(3).toDF("id")
+    Sinks.writeRelational(df, "t_ids", Map.empty,
+      new Sinks.FileTableWriter(dir))
+    val rows = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("t_ids-"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala)
+    assert(rows.toSet === Set("0", "1", "2"))
+  }
+
   test("streaming event pipeline delivers idempotent per-batch bulk files") {
     val dir = Files.createTempDirectory("graft-stream-bulk").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
