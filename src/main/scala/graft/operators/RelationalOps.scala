@@ -213,6 +213,49 @@ object RelationalOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  private val KmvK = 64
+
+  /** Hex-digit positional value of the first 15 md5 hex chars of column
+    * `h` as an exact BIGINT in [0, 16^15) — pure integer arithmetic, bit-
+    * identical in any engine (16^15 = 2^60 fits a long; no double in the
+    * decode path). */
+  private def hexValExpr(strposFn: String, argOrder: (String, String) => String): String =
+    (0 until 15).map { i =>
+      val weight = 1L << (4 * (14 - i))
+      s"(CAST($strposFn(${argOrder(s"substring(h, ${i + 1}, 1)", "'0123456789abcdef'")}) AS BIGINT) - 1) * $weight"
+    }.mkString(" + ")
+
+  /** ORACLE-CHECKABLE approx-distinct: a K-minimum-values sketch (k=64)
+    * over the md5 hash space. est = (k-1) / u_k where u_k is the k-th
+    * smallest normalized hash of the group's distinct values; groups with
+    * fewer than k distinct values fall back to the exact count (standard
+    * KMV). Every step — hash, ranking, hex decode, one double division —
+    * is deterministic, so unlike HLL (q_agg_approx_distinct, whose sketch
+    * is engine-private) the ESTIMATE itself hash-matches DuckDB.
+    *
+    * Scale shape: distinct-by-(group, hash) then per-group k-th order
+    * statistic. At 100 TB the window becomes a partial top-k aggregate
+    * (each partition keeps its k smallest hashes, merge keeps k smallest
+    * of the union — the classic mergeable-sketch property of KMV). */
+  private val aggApproxDistinctKmv: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val nd = h.groupBy("event_type").agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === KmvK)
+      .select(col("event_type"),
+        expr(hexValExpr("position", (sub, alpha) => s"$sub, $alpha")).as("v"))
+    nd.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"),
+        when(col("v").isNotNull,
+          floor(lit((KmvK - 1).toDouble) * lit(math.pow(16.0, 15.0)) /
+            col("v").cast("double")))
+          .otherwise(col("nd")).cast("long").as("est_users"))
+      .orderBy("event_type")
+  }
+
   /** Conditional aggregation: sum(CASE WHEN), count FILTER equivalent. */
   private val aggFiltered: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -423,6 +466,7 @@ object RelationalOps {
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_filtered" -> aggFiltered,
     "q_agg_stats" -> aggStats,
     "q_agg_percentile" -> aggPercentile,
@@ -538,6 +582,29 @@ object RelationalOps {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
                 count(DISTINCT o_orderpriority) AS n_prio, count(*) AS cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_approx_distinct_kmv" ->
+      s"""WITH h AS (
+            SELECT DISTINCT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events),
+          nd AS (SELECT event_type, count(*) AS nd FROM h
+                 GROUP BY event_type),
+          kth AS (
+            SELECT event_type,
+                   ${hexValExpr("strpos", (sub, alpha) => s"$alpha, $sub")}
+                     AS v
+            FROM (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY h) AS rn
+                  FROM h) t
+            WHERE rn = $KmvK)
+          SELECT nd.event_type,
+                 CAST(CASE WHEN kth.v IS NULL THEN nd.nd
+                      ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                 / CAST(kth.v AS DOUBLE)) END
+                      AS BIGINT) AS est_users
+          FROM nd LEFT JOIN kth USING (event_type)
+          ORDER BY event_type""",
     "q_agg_filtered" ->
       """SELECT l_returnflag,
                 floor((sum(CASE WHEN l_discount > 0.05 THEN l_quantity

@@ -64,6 +64,20 @@ object VectorOps {
       .orderBy("va", "vb")
   }
 
+  /** L2 normalization audit — the pre-processing primitive every
+    * embedding pipeline runs before cosine work. Norm via graft_dot(v,v)
+    * (sequential fold) + IEEE sqrt; output is scalar per vector (norm and
+    * the first normalized component) so the driver comparator can hash
+    * it. Pure map-side projection: no shuffle except the output sort. */
+  private val vecNorm: Q = (s, d) =>
+    vecs(s, d)
+      .withColumn("ss", expr("graft_dot(v, v)"))
+      .select(col("vec_id"),
+        r6(sqrt(col("ss"))).as("norm_r"),
+        r6(expr("CAST(element_at(v, 1) AS DOUBLE)") / sqrt(col("ss")))
+          .as("c0_r"))
+      .orderBy("vec_id")
+
   private val HPlanes = 16 // hyperplanes → 16 sign bits
   private val BandBits = 4 // → 4 bands of 4 bits
 
@@ -205,6 +219,7 @@ object VectorOps {
     "q_sim_cosine_topk" -> cosineTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
+    "q_vec_norm" -> vecNorm,
     "q_sim_knn_label" -> knnLabel,
     "q_ann_ivf" -> annIvf)
 
@@ -225,6 +240,18 @@ object VectorOps {
                         * 1000000 + 0.5) / 1000000.0 AS sim_r
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
          WHERE sim_r >= 0.3 ORDER BY va, vb""",
+    "q_vec_norm" ->
+      """SELECT vec_id,
+                floor((sqrt(list_inner_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))))
+                      * 1000000 + 0.5) / 1000000.0 AS norm_r,
+                floor((CAST(embedding[1] AS DOUBLE)
+                       / sqrt(list_inner_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))))
+                      * 1000000 + 0.5) / 1000000.0 AS c0_r
+         FROM embeddings ORDER BY vec_id""",
     "q_dedup_embed_lsh" ->
       """WITH pc AS (
            SELECT p, j,

@@ -37,6 +37,20 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("KMV sketch estimate within 20% of exact per group") {
+    val est = operators.RelationalOps
+      .queries("q_agg_approx_distinct_kmv")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n < 0.2,
+        s"$k: kmv ${est(k)} vs exact $n")
+    }
+  }
+
   test("exact dedup is idempotent and keeps min id") {
     val docs = Seq((3L, "a b"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     docs.createOrReplaceTempView("t")
