@@ -12,7 +12,10 @@ object ExplainAudit {
     "q_scan_project", "q_filter_pred", "q_agg_pricing_summary",
     "q_join_broadcast", "q_join_shuffle", "q_sort_limit",
     "q_win_topk_group", "q_dedup_near", "q_sim_cosine_topk",
-    "q_stream_tumbling")
+    "q_stream_tumbling",
+    // round 2: restructured / new scale-path queries
+    "q_dedup_minhash", "q_dedup_embed_lsh", "q_text_search_bm25",
+    "q_agg_approx_distinct_kmv", "q_sim_knn_label")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
