@@ -59,6 +59,30 @@ object EventOps {
       .orderBy("user_id", "sess")
   }
 
+  /** Click→purchase attribution: each click joined to the same user's
+    * purchases within the following 30 minutes — the batch twin of the
+    * stream-stream interval join (StreamingOps.intervalJoin). user_id is
+    * the equi shuffle key; the time band is a residual predicate, so this
+    * stays a plain hash/merge join at any scale (never a cartesian), and
+    * the streaming form's state per user ~ event rate × interval. Exact
+    * integer µs arithmetic (ts_ns div 1000) — no interval-type drift. */
+  private val intervalJoin: Q = (s, d) => {
+    val bandUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"), col("value").as("amount"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + bandUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("lag_us"), col("amount"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Pivot: daily event counts spread into one column per event_type.
     * Explicit value list keeps the schema static (required for a plannable
     * wide table at scale — never let pivot scan for distinct values on a
@@ -77,6 +101,7 @@ object EventOps {
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding" -> sliding,
     "q_stream_session" -> session,
+    "q_stream_interval_join" -> intervalJoin,
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
@@ -100,6 +125,16 @@ object EventOps {
                 event_type, count(*) AS cnt
          FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q_stream_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+                p.value AS amount
+         FROM events c JOIN events p ON p.user_id = c.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND epoch_us(p.ts) >= epoch_us(c.ts)
+           AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+         ORDER BY user_id, click_id, purchase_id""",
     "q_stream_session" ->
       """WITH flagged AS (
            SELECT user_id, event_id, ts, value, epoch_us(ts) AS ts_us,

@@ -47,6 +47,30 @@ object StreamingOps {
         col("w.end").as("session_end"), col("n_events"),
         col("session_value"))
 
+  /** Stream-stream INNER interval join: each click matched to the same
+    * user's purchases within the following 30 minutes (the attribution
+    * join; batch twin = EventOps q_stream_interval_join, oracle-checked).
+    * Watermarks on BOTH sides plus the time-range condition let Spark
+    * bound the join state: buffered clicks are evicted once the purchase
+    * watermark passes click_ts + 30 min, so state per user ~ rate ×
+    * interval — never unbounded. Sharded by user_id like every per-entity
+    * operator here. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
+  }
+
   /** Exactly-once-style ingest dedup by event_id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -41,6 +41,24 @@ class SourceFormatSpec extends SparkSpec {
     assert(ks === 50)
   }
 
+  test("orc source round-trips lineitem with stats-based filter pushdown") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Tables.lineitem(spark, sfDir).limit(200)
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === 200)
+    // predicate reaches the ORC scan (searchArgument pushdown)
+    val plan = back.filter(col("l_quantity") > 25.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity,25.0)"),
+      s"expected ORC filter pushdown in plan:\n$plan")
+    val sum1 = Tables.lineitem(spark, sfDir).limit(200)
+      .agg(sum("l_extendedprice")).head.getDouble(0)
+    val sum2 = back.agg(sum("l_extendedprice")).head.getDouble(0)
+    assert(math.abs(sum1 - sum2) < 1e-6)
+  }
+
   test("GraftExtensions installs graft_dot via withExtensions") {
     // force the shared session's existence first, then clear the default
     // so getOrCreate genuinely builds a NEW session (over the same

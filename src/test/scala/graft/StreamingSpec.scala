@@ -57,6 +57,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within 30 minutes") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoin(ms.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", uid = 1, typ = "click"),
+        ev(2, "2024-01-01 10:20:00", uid = 1, typ = "purchase", v = 9.5),
+        ev(3, "2024-01-01 11:30:00", uid = 1, typ = "purchase", v = 1.0),
+        ev(4, "2024-01-01 10:10:00", uid = 2, typ = "purchase", v = 3.0))
+      q.processAllAvailable()
+      // advance both watermarks so joined results are emitted (append mode
+      // holds rows until the state can no longer change)
+      ms.addData(ev(9, "2024-01-01 13:00:00", uid = 9, typ = "click"),
+        ev(10, "2024-01-01 13:00:00", uid = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("t_ssjoin")
+        .select("user_id", "click_id", "purchase_id", "amount").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // in-band purchase joins; the 90-min-later one and the other-user
+      // one do not (user 9's same-instant pair also joins — it advances
+      // the watermark)
+      assert(rows === Set((1L, 1L, 2L, 9.5), (9L, 9L, 10L, 1.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event_ids") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
