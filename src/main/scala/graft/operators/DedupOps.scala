@@ -36,16 +36,18 @@ object DedupOps {
   private val NumHashes = 16
   private val BandRows = 4 // → 4 bands of 4 rows
 
-  /** LSH-banded candidate pairs (a < b, exactly once) for any tokenizer.
-    * MinHash(16) signatures from the md5 hash family, 4 bands × 4 rows,
-    * band join + first-collision filter. Deterministic ⟹ identical
-    * candidates (including any banding misses — recall behavior itself is
-    * oracle-pinned) in Spark and DuckDB. */
-  private[graft] def bandedCandidates(s: SparkSession, d: String,
+  // LSH-banded candidate pairs (a < b, exactly once) for any tokenizer:
+  // MinHash(16) signatures from the md5 hash family, 4 bands × 4 rows,
+  // band join + first-collision filter. Deterministic ⟹ identical
+  // candidates (including any banding misses — recall behavior itself is
+  // oracle-pinned) in Spark and DuckDB.
+  private val nBands = NumHashes / BandRows
+
+  /** (doc_id, bkeys: array<string>[nBands]) — per-doc LSH band keys. */
+  private def docBandKeys(s: SparkSession, d: String,
       tokensExpr: String): DataFrame = {
     val (vdf, _) = TokenBitmap.vocab(s, d, tokensExpr)
     val tok = TokenBitmap.tokens(s, d, tokensExpr)
-    val nBands = NumHashes / BandRows
     // h_i(tok) depends only on (i, tok): |vocab| × NumHashes values —
     // computed once on the cached dictionary as a 16-wide hash array and
     // broadcast, not per doc-token. All 16 signature minimums then come
@@ -65,7 +67,22 @@ object DedupOps {
       md5(concat_ws("|",
         (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*))
     }
-    val docBands = sigs.select(col("doc_id"), array(bandKeys: _*).as("bkeys"))
+    sigs.select(col("doc_id"), array(bandKeys: _*).as("bkeys"))
+  }
+
+  /** First-collision filter: keep a pair only at its lowest colliding
+    * band (empty prefix at band 0 → always kept). Spelled as scalar
+    * element_at comparisons, NOT zip_with/slice lambdas: higher-order
+    * functions are interpreted (they break WholeStageCodegen) and
+    * allocate per row — fatal on millions of candidate rows. */
+  private val noEarlierCollision = (0 until nBands - 1)
+    .map(j => (col("band") <= j) ||
+      !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
+    .reduce(_ && _)
+
+  private[graft] def bandedCandidates(s: SparkSession, d: String,
+      tokensExpr: String): DataFrame = {
+    val docBands = docBandKeys(s, d, tokensExpr)
     // Explicit fan-out on the probe side: its INPUT is a few MB (AQE
     // would coalesce it to ~1 partition) but each row fans out to its
     // band-bucket size in the join below — the classic input-bytes ≠
@@ -78,23 +95,39 @@ object DedupOps {
     val y = docBands.select(col("doc_id").as("b"), col("bkeys").as("kb"))
       .select(col("b"), col("kb"),
         posexplode(col("kb")).as(Seq("band_y", "bk_y")))
-    // keep the pair only at its lowest colliding band. Spelled as scalar
-    // element_at comparisons, NOT zip_with/slice lambdas: higher-order
-    // functions are interpreted (they break WholeStageCodegen) and
-    // allocate per row — fatal on millions of candidate rows.
-    val noEarlierCollision = (0 until nBands - 1)
-      .map(j => (col("band") <= j) ||
-        !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
-      .reduce(_ && _)
     // broadcast the band side: pair generation then distributes by x-rows
     // (even — every doc of a hot bucket expands on its own task) instead
     // of serializing each hot (band, bkey) group through one SMJ task.
-    // At 100 TB the band table outgrows broadcast → shuffle join on
-    // (band, bkey) with a deterministic salt fan-out on the hot buckets
-    // (Skew.scala machinery) — same output, no single-task key groups.
+    // At 100 TB the band table outgrows broadcast → the salted-shuffle
+    // variant below (row-identical output, equivalence-spec'd).
     x.join(broadcast(y),
         col("band") === col("band_y") && col("bk") === col("bk_y") &&
         col("a") < col("b"))
+      .filter(noEarlierCollision)
+      .select("a", "b")
+  }
+
+  /** 100 TB form of the candidate join: a SHUFFLE join on
+    * (band, bkey, salt). The x side gets a deterministic salt from
+    * hash(doc_id); the y side is replicated once per salt bucket — a hot
+    * band bucket's pair explosion spreads over `saltBuckets` reducers
+    * instead of serializing through one task, with no broadcast
+    * requirement on either side. Same first-collision emission ⟹
+    * row-identical output to bandedCandidates (ScaleTechniqueSpec). */
+  private[graft] def bandedCandidatesSalted(s: SparkSession, d: String,
+      tokensExpr: String, saltBuckets: Int = 8): DataFrame = {
+    val docBands = docBandKeys(s, d, tokensExpr)
+    val x = docBands.select(col("doc_id").as("a"), col("bkeys").as("ka"))
+      .select(col("a"), col("ka"), posexplode(col("ka")).as(Seq("band", "bk")))
+      .withColumn("salt",
+        pmod(xxhash64(col("a")), lit(saltBuckets.toLong)).cast("int"))
+    val y = docBands.select(col("doc_id").as("b"), col("bkeys").as("kb"))
+      .select(col("b"), col("kb"),
+        posexplode(col("kb")).as(Seq("band_y", "bk_y")))
+      .withColumn("salt_y", explode(expr(s"sequence(0, ${saltBuckets - 1})")))
+    x.join(y,
+        col("band") === col("band_y") && col("bk") === col("bk_y") &&
+        col("salt") === col("salt_y") && col("a") < col("b"))
       .filter(noEarlierCollision)
       .select("a", "b")
   }

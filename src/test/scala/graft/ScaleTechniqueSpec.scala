@@ -40,6 +40,25 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted-shuffle banded candidates equal the broadcast variant") {
+    import graft.operators.DedupOps
+    val tokensExpr = "split(text, ' ')"
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the salted variant onto the genuine shuffle-join path (the
+    // 100 TB shape) before comparing row sets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = DedupOps
+        .bandedCandidatesSalted(spark, sfDir, tokensExpr, saltBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      val bcast = DedupOps.bandedCandidates(spark, sfDir, tokensExpr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted === bcast)
+      assert(salted.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("date-partitioned events layout prunes to the requested day") {
     val dir = Files.createTempDirectory("graft-part").toString + "/events"
     PartitionedWriter.writeEventsByDay(
