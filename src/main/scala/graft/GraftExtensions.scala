@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapIntersectCount, DotProductFloat}
+import graft.functions.{BitmapIntersectCount, DotProductFloat, KmvDistinct}
 
 /** SparkSessionExtensions entry point — the supported way to install the
   * library's native expressions when you control the session builder:
@@ -27,5 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmapIntersectCount].getName,
         "graft_bitmap_inter"),
       (exprs: Seq[Expression]) => BitmapIntersectCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => GraftExtensions.kmv(exprs)))
+  }
+}
+
+object GraftExtensions {
+  /** graft_kmv(col[, k]) — k defaults to 64, must be a foldable int.
+    * Returns the raw AggregateFunction; the analyzer wraps it into an
+    * AggregateExpression like any registry-resolved aggregate. */
+  def kmv(exprs: Seq[Expression]): Expression = {
+    val k = if (exprs.size > 1)
+      exprs(1).eval(null).asInstanceOf[Number].intValue()
+    else 64
+    KmvDistinct(exprs.head, k)
   }
 }

@@ -96,5 +96,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) =>
           BitmapIntersectCount(exprs.head, exprs(1)))
     }
+    val kmv = FunctionIdentifier("graft_kmv")
+    if (!registry.functionExists(kmv)) {
+      registry.registerFunction(
+        kmv,
+        new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
+        (exprs: Seq[Expression]) => graft.GraftExtensions.kmv(exprs))
+    }
   }
 }

@@ -233,28 +233,18 @@ object RelationalOps {
     * is deterministic, so unlike HLL (q_agg_approx_distinct, whose sketch
     * is engine-private) the ESTIMATE itself hash-matches DuckDB.
     *
-    * Scale shape: distinct-by-(group, hash) then per-group k-th order
-    * statistic. At 100 TB the window becomes a partial top-k aggregate
-    * (each partition keeps its k smallest hashes, merge keeps k smallest
-    * of the union — the classic mergeable-sketch property of KMV). */
-  private val aggApproxDistinctKmv: Q = (s, d) => {
-    val h = Tables.events(s, d)
-      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
-      .distinct()
-    val nd = h.groupBy("event_type").agg(count(lit(1)).as("nd"))
-    val w = Window.partitionBy("event_type").orderBy("h")
-    val kth = h.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === KmvK)
-      .select(col("event_type"),
-        expr(hexValExpr("position", (sub, alpha) => s"$sub, $alpha")).as("v"))
-    nd.join(kth, Seq("event_type"), "left")
-      .select(col("event_type"),
-        when(col("v").isNotNull,
-          floor(lit((KmvK - 1).toDouble) * lit(math.pow(16.0, 15.0)) /
-            col("v").cast("double")))
-          .otherwise(col("nd")).cast("long").as("est_users"))
+    * Executed by the native graft_kmv TypedImperativeAggregate
+    * (functions/KmvDistinct.scala): a mergeable bounded sketch — each
+    * partition keeps its k smallest hashes map-side and the shuffle
+    * carries ≤ k strings per group, the form that holds at 100 TB. The
+    * DuckDB oracle computes the same estimate relationally (distinct →
+    * rank → decode), pinning the aggregate's semantics end to end. */
+  private val aggApproxDistinctKmv: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)")
+        .as("est_users"))
       .orderBy("event_type")
-  }
 
   /** Conditional aggregation: sum(CASE WHEN), count FILTER equivalent. */
   private val aggFiltered: Q = (s, d) =>

@@ -37,6 +37,27 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("graft_kmv matches a reference KMV computed outside Spark") {
+    import spark.implicits._
+    val k = 8
+    val values = (0 until 200).map(i => s"u$i")
+    // reference: k-th smallest md5 hex string, decode 15 hex digits
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val kth = values.map(md5hex).sorted.apply(k - 1)
+    val v = java.lang.Long.parseLong(kth.take(15), 16)
+    val expected =
+      math.floor((k - 1).toDouble * math.pow(16.0, 15.0) / v.toDouble).toLong
+    // repartition(7) forces partial buffers + merges across partitions
+    val got = values.toDF("u").repartition(7)
+      .agg(expr(s"graft_kmv(u, $k)")).as[Long].head()
+    assert(got === expected)
+    // fewer than k distinct values → the sketch IS the exact count
+    val small = Seq("a", "b", "c", "a").toDF("u").repartition(3)
+      .agg(expr(s"graft_kmv(u, $k)")).as[Long].head()
+    assert(small === 3L)
+  }
+
   test("KMV sketch estimate within 20% of exact per group") {
     val est = operators.RelationalOps
       .queries("q_agg_approx_distinct_kmv")(spark, sfDir)
