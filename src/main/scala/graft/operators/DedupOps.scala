@@ -158,12 +158,11 @@ object DedupOps {
     verifyJaccard(s, d, "split(text, ' ')",
       bandedCandidates(s, d, "split(text, ' ')"), 0.8)
 
-  /** Charikar SimHash: 64-bit fingerprint from token-frequency-weighted
-    * md5 bit votes. Computed per *distinct token* (bit matrix is
-    * |vocab|×64, broadcastable) then weighted by per-doc counts — linear
-    * in corpus size. Output is the 64-char bit string per doc; hamming
-    * distance between fingerprints ≈ cosine of frequency vectors. */
-  private val dedupSimhash: Q = (s, d) => {
+  /** Charikar SimHash fingerprints: 64-char bit string per doc from
+    * token-frequency-weighted md5 bit votes. Computed per *distinct
+    * token* (bit matrix is |vocab|×64, broadcastable) then weighted by
+    * per-doc counts — linear in corpus size. */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
     val tokc = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
@@ -182,8 +181,54 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')")
-        .as("simhash"))
+        .as("sh"))
+  }
+
+  private val dedupSimhash: Q = (s, d) =>
+    simhashes(s, d).select(col("doc_id"), col("sh").as("simhash"))
       .orderBy("doc_id")
+
+  private val HammingMax = 3
+
+  /** Simhash-banded near-dup pairs — the USE of the fingerprints above.
+    * 4 bands of 16 bits: by pigeonhole, any pair within Hamming distance
+    * 3 shares at least one untouched band, so the band join is an EXACT
+    * (recall-1.0) candidate generator at this threshold, not a
+    * probabilistic one. Verification is pure integer codegen: each band
+    * decodes to a 16-bit word (conv base-2), hd = Σ bit_count(xor).
+    * Same first-collision emission as the minhash path; at 100 TB the
+    * same salted-shuffle variant applies. */
+  private val dedupSimhashPairs: Q = (s, d) => {
+    val bandCols = (0 until nBands).map(b =>
+      substring(col("sh"), 1 + 16 * b, 16))
+    val wordCols = (0 until nBands).map(b =>
+      conv(substring(col("sh"), 1 + 16 * b, 16), 2, 10).cast("int")
+        .as(s"w$b"))
+    val fp = simhashes(s, d).select(
+      col("doc_id") +: array(bandCols: _*).as("bkeys") +: wordCols: _*)
+    val x = fp.select(col("doc_id").as("a"), col("bkeys").as("ka"),
+        col("w0").as("xw0"), col("w1").as("xw1"), col("w2").as("xw2"),
+        col("w3").as("xw3"))
+      .select(col("a"), col("ka"), col("xw0"), col("xw1"), col("xw2"),
+        col("xw3"), posexplode(col("ka")).as(Seq("band", "bk")))
+      .repartition(s.sparkContext.defaultParallelism * 4,
+        col("a"), col("band"))
+    val y = fp.select(col("doc_id").as("b"), col("bkeys").as("kb"),
+        col("w0").as("yw0"), col("w1").as("yw1"), col("w2").as("yw2"),
+        col("w3").as("yw3"))
+      .select(col("b"), col("kb"), col("yw0"), col("yw1"), col("yw2"),
+        col("yw3"), posexplode(col("kb")).as(Seq("band_y", "bk_y")))
+    x.join(broadcast(y),
+        col("band") === col("band_y") && col("bk") === col("bk_y") &&
+        col("a") < col("b"))
+      .filter(noEarlierCollision)
+      .withColumn("hd", expr(
+        """CAST(bit_count(xw0 ^ yw0) + bit_count(xw1 ^ yw1) +
+          |bit_count(xw2 ^ yw2) + bit_count(xw3 ^ yw3) AS BIGINT)"""
+          .stripMargin))
+      .filter(col("hd") <= HammingMax)
+      .select("a", "b", "hd")
+      .orderBy("a", "b")
   }
 
   /** Word-bigram shingles (shared key/fast-path in TokenBitmap). */
@@ -202,6 +247,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_ngram" -> dedupNgram)
 
   /** Shared SQL skeleton: MinHash sigs → bands → DISTINCT band-colliding
@@ -251,6 +297,45 @@ object DedupOps {
                   i -> string_split(text, ' ')[i] || ' ' ||
                        string_split(text, ' ')[i + 1]))) AS tok
          FROM documents""", 0.6),
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tokc AS (
+           SELECT doc_id, tok, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY doc_id, tok),
+         tb AS (SELECT DISTINCT tok, md5(tok) AS h FROM tokc),
+         bits AS (
+           SELECT tok, j,
+                  CASE WHEN (((strpos('0123456789abcdef',
+                               substring(h, j // 4 + 1, 1)) - 1)
+                              >> (j % 4)) % 2) = 1
+                       THEN 1 ELSE -1 END AS sgn
+           FROM tb, UNNEST(generate_series(0, 63)) AS u(j)),
+         sums AS (
+           SELECT doc_id, j, sum(cnt * sgn) AS s
+           FROM tokc JOIN bits USING (tok)
+           GROUP BY doc_id, j),
+         sh AS (
+           SELECT doc_id,
+                  string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                             ORDER BY j) AS sh
+           FROM sums GROUP BY doc_id),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                  x.sh AS sa, y.sh AS sb
+           FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            AND (substring(x.sh, 1, 16) = substring(y.sh, 1, 16)
+              OR substring(x.sh, 17, 16) = substring(y.sh, 17, 16)
+              OR substring(x.sh, 33, 16) = substring(y.sh, 33, 16)
+              OR substring(x.sh, 49, 16) = substring(y.sh, 49, 16))),
+         ham AS (
+           SELECT a, b,
+                  len(list_filter(generate_series(1, 64),
+                      i -> substring(sa, i, 1) != substring(sb, i, 1)))
+                    AS hd
+           FROM cand)
+         SELECT a, b, hd FROM ham WHERE hd <= $HammingMax
+         ORDER BY a, b""",
     "q_dedup_simhash" ->
       """WITH tokc AS (
            SELECT doc_id, tok, count(*) AS cnt

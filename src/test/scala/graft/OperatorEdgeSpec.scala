@@ -151,6 +151,21 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.8).toInt, "LSH recall below 80%")
   }
 
+  test("simhash band join is EXACT at hamming<=3 (pigeonhole, recall 1.0)") {
+    val banded = operators.DedupOps
+      .queries("q_dedup_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all fingerprint pairs
+    val fps = operators.DedupOps.queries("q_dedup_simhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ida, sa) <- fps; (idb, sb) <- fps if ida < idb
+      hd = sa.zip(sb).count { case (x, y) => x != y } if hd <= 3
+    } yield (ida, idb, hd.toLong)).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+  }
+
   test("hyperplane LSH embedding dedup: precision 1.0, expected recall") {
     val lsh = operators.VectorOps.queries("q_dedup_embed_lsh")(spark, sfDir)
       .select("va", "vb").collect()
