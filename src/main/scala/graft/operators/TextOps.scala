@@ -53,6 +53,39 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Content-defined chunking — the block-level dedup primitive of
+    * training-data pipelines: chunk boundaries are a pure function of
+    * CONTENT (a token is a boundary when its md5 starts with hex '0',
+    * expected chunk ≈ 16 tokens), so inserting text into a document only
+    * re-chunks the neighborhood instead of shifting every block, and
+    * identical passages in different documents yield identical chunk
+    * fingerprints. Plan: posexplode → boundary flag → running sum per doc
+    * (window) → per-chunk ordered fingerprint — linear, partitioned by
+    * doc_id, no joins. Output: duplicated chunks across the corpus
+    * (fingerprint, occurrence count, distinct docs), the direct input to
+    * chunk-level dedup. */
+  private val chunkDedup: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+      .withColumn("boundary",
+        when(substring(md5(col("token")), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("boundary")).over(w))
+      .groupBy("doc_id", "chunk")
+      .agg(expr(
+        """md5(array_join(transform(array_sort(collect_list(struct(pos, token))),
+          |x -> x.token), ' '))""".stripMargin).as("chunk_fp"),
+        count(lit(1)).as("n_toks"))
+    chunks.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_toks")).as("n_toks"))
+      .filter(col("occurrences") >= 2)
+      .orderBy("chunk_fp")
+  }
+
   /** Autocomplete: top-10 tokens for prefix 's' by frequency — the
     * reference's suggestion serving query (BASELINE.json:6). */
   private val prefixSuggest: Q = (s, d) =>
@@ -305,7 +338,8 @@ object TextOps {
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
     "q_text_tokencount" -> tokencount,
-    "q_text_fingerprint" -> fingerprint)
+    "q_text_fingerprint" -> fingerprint,
+    "q_text_chunk_dedup" -> chunkDedup)
 
   private def lexValues(lex: Seq[(String, Any)]): String =
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
@@ -483,5 +517,34 @@ object TextOps {
                       unnest(generate_series(1,
                         greatest(length(text) - 7, 1))) AS i
                FROM documents) t
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_chunk_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1, len(string_split(text, ' '))))
+                       - 1 AS INTEGER) AS pos,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         fl AS (
+           SELECT doc_id, pos, token,
+                  CASE WHEN substring(md5(token), 1, 1) = '0'
+                       THEN 1 ELSE 0 END AS boundary
+           FROM tk),
+         ch AS (
+           SELECT doc_id, pos, token,
+                  sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS chunk
+           FROM fl),
+         chunks AS (
+           SELECT doc_id, chunk,
+                  md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_fp,
+                  count(*) AS n_toks
+           FROM ch GROUP BY doc_id, chunk)
+         SELECT chunk_fp, count(*) AS occurrences,
+                count(DISTINCT doc_id) AS n_docs,
+                max(n_toks) AS n_toks
+         FROM chunks GROUP BY chunk_fp
+         HAVING count(*) >= 2
+         ORDER BY chunk_fp""")
 }
