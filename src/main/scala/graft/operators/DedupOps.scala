@@ -244,10 +244,53 @@ object DedupOps {
   private val dedupNgram: Q = (s, d) =>
     verifyJaccard(s, d, bigramExpr, bandedCandidates(s, d, bigramExpr), 0.6)
 
+  /** Dedup CLUSTER assignment — the step after pair generation that an
+    * actual dedup pipeline needs (keep one representative per group of
+    * transitively-connected near-dups). Connected components by iterative
+    * min-label propagation over the undirected pair graph: every node
+    * adopts the minimum label in its neighborhood each round, so the
+    * component's minimum doc_id floods outward and the fixpoint is
+    * reached in diameter(G) rounds — deterministic under any partitioning
+    * (min is order-free), hence oracle-checkable against DuckDB's
+    * recursive transitive closure.
+    *
+    * Scale shape: each round is one shuffle join on node id + a min
+    * aggregate (the simple-but-sound cousin of the large-star/small-star
+    * algorithm); iterations are bounded and each intermediate label frame
+    * is persisted so lineage stays O(1) per round. The driver-side loop
+    * only checks the per-round convergence COUNT — no row data ever
+    * reaches the driver. Input pairs here: q_dedup_simhash_pairs. */
+  private val dedupClusters: Q = (s, d) => {
+    val edges = dedupSimhashPairs(s, d).select("a", "b")
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    val nodes = und.select(col("a").as("v")).distinct()
+    var lab = nodes.select(col("v"), col("v").as("lbl")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val nbrMin = und.join(lab, und("b") === lab("v"))
+        .groupBy(und("a").as("nv")).agg(min("lbl").as("nl"))
+      val upd = lab.join(nbrMin, lab("v") === nbrMin("nv"), "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
+        .persist()
+      changed = upd.filter(col("nlbl") < col("lbl")).count()
+      val old = lab
+      lab = upd.select(col("v"), col("nlbl").as("lbl")).persist()
+      old.unpersist()
+      upd.unpersist()
+      iter += 1
+    }
+    lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
+    "q_dedup_clusters" -> dedupClusters,
     "q_dedup_ngram" -> dedupNgram)
 
   /** Shared SQL skeleton: MinHash sigs → bands → DISTINCT band-colliding
@@ -285,20 +328,11 @@ object DedupOps {
          WHERE i / (sa.n + sb.n - i) >= $threshold
          ORDER BY a, b"""
 
-  val oracle: Map[String, String] = Map(
-    "q_dedup_minhash" -> lshOracle(
-      """SELECT doc_id,
-                unnest(list_distinct(string_split(text, ' '))) AS tok
-         FROM documents""", 0.8),
-    "q_dedup_ngram" -> lshOracle(
-      """SELECT doc_id,
-                unnest(list_distinct(list_transform(
-                  generate_series(1, len(string_split(text, ' ')) - 1),
-                  i -> string_split(text, ' ')[i] || ' ' ||
-                       string_split(text, ' ')[i + 1]))) AS tok
-         FROM documents""", 0.6),
-    "q_dedup_simhash_pairs" ->
-      s"""WITH tokc AS (
+  /** Shared CTE chain: simhash fingerprints → 4×16-bit band candidates →
+    * per-pair hamming distance (`ham(a, b, hd)`). Used by the pairs
+    * oracle and, transitively closed, by the clusters oracle. */
+  private val simhashPairCtes =
+    """tokc AS (
            SELECT doc_id, tok, count(*) AS cnt
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents) t
@@ -333,9 +367,35 @@ object DedupOps {
                   len(list_filter(generate_series(1, 64),
                       i -> substring(sa, i, 1) != substring(sb, i, 1)))
                     AS hd
-           FROM cand)
+           FROM cand)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" -> lshOracle(
+      """SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+         FROM documents""", 0.8),
+    "q_dedup_ngram" -> lshOracle(
+      """SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, len(string_split(text, ' ')) - 1),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))) AS tok
+         FROM documents""", 0.6),
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashPairCtes
          SELECT a, b, hd FROM ham WHERE hd <= $HammingMax
          ORDER BY a, b""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst)
+         SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         FROM reach GROUP BY src ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH tokc AS (
            SELECT doc_id, tok, count(*) AS cnt
