@@ -275,7 +275,20 @@ object DedupOps {
     * is persisted so lineage stays O(1) per round. The driver-side loop
     * only checks the per-round convergence COUNT — no row data ever
     * reaches the driver. Input pairs here: q_dedup_simhash_pairs. */
-  private val dedupClusters: Q = (s, d) => {
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** (doc_id, cluster_rep) for every doc that appears in a near-dup pair
+    * — cached per (session, dir) so the cluster query and the curation
+    * pipeline run the iterative propagation once. */
+  private def clusterReps(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent((System.identityHashCode(s), d),
+      _ => clusterRepsUncached(s, d))
+
+  private val dedupClusters: Q = (s, d) =>
+    clusterReps(s, d).orderBy("doc_id")
+
+  private def clusterRepsUncached(s: SparkSession, d: String): DataFrame = {
     val edges = dedupSimhashPairs(s, d).select("a", "b")
     // localCheckpoint (eager) — THE iterative-algorithm pattern: it
     // materializes AND truncates lineage. persist()/unpersist() pairs are
@@ -333,8 +346,39 @@ object DedupOps {
       iter += 1
     }
     lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
-      .orderBy("doc_id")
+      .localCheckpoint()
     } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+  }
+
+  /** END-TO-END corpus curation — the composition a training-data user
+    * actually runs, as one oracle-checked operator: quality gate
+    * (heuristic score ≥ 0.95) ∧ exact-dedup keeper (min doc_id per
+    * content hash) ∧ near-dup cluster representative (simhash clusters:
+    * unpaired docs represent themselves) ∧ deterministic 50% hash sample.
+    * Stages are independent predicates, so the whole pipeline is a single
+    * declarative plan over the shared cluster/fingerprint caches — and
+    * the DuckDB oracle replays the identical four gates relationally. */
+  private val pipelineCurate: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(s, d)
+      .withColumn("toksArr", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toksArr")))
+      .withColumn("n_stop",
+        size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
+      .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
+      .withColumn("quality_r", r6(lit(0.3) * log(col("n_tok"))
+        - lit(0.5) * (col("n_stop") / col("n_tok"))
+        - lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double"))))
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    q.withColumn("rn", row_number().over(w))
+      .join(clusterReps(s, d), Seq("doc_id"), "left")
+      .filter(col("quality_r") >= 0.95)
+      .filter(col("rn") === 1)
+      .filter(coalesce(col("cluster_rep"), col("doc_id")) === col("doc_id"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality_r"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -342,6 +386,7 @@ object DedupOps {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_clusters" -> dedupClusters,
+    "q_pipeline_curate" -> pipelineCurate,
     "q_dedup_ngram" -> dedupNgram)
 
   /** Shared SQL skeleton: MinHash sigs → bands → DISTINCT band-colliding
@@ -436,6 +481,40 @@ object DedupOps {
       s"""WITH $simhashPairCtes
          SELECT a, b, hd FROM ham WHERE hd <= $HammingMax
          ORDER BY a, b""",
+    "q_pipeline_curate" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         reps AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+                  FROM reach GROUP BY src),
+         q AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+                  floor((0.3 * ln(len(string_split(text, ' ')))
+                    - 0.5 * (len(list_filter(string_split(text, ' '),
+                               t -> t = 'the' OR t = 'a'))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                    - 0.2 * (1 - len(list_distinct(string_split(text, ' ')))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+                    * 1000000 + 0.5) / 1000000.0 AS quality_r
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT q.doc_id, q.lang, q.n_tok, q.quality_r
+         FROM q JOIN e USING (doc_id) LEFT JOIN reps USING (doc_id)
+         WHERE q.quality_r >= 0.95 AND e.rn = 1
+           AND coalesce(reps.cluster_rep, q.doc_id) = q.doc_id
+           AND substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2', '3', '4', '5', '6', '7')
+         ORDER BY doc_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
