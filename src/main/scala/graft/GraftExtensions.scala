@@ -35,13 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** graft_kmv(col[, k]) — k defaults to 64, must be a foldable int.
-    * Returns the raw AggregateFunction; the analyzer wraps it into an
-    * AggregateExpression like any registry-resolved aggregate. */
+  /** graft_kmv(col[, k]) — k defaults to 64, must be a foldable positive
+    * int. Returns the raw AggregateFunction; the analyzer wraps it into
+    * an AggregateExpression like any registry-resolved aggregate. */
   def kmv(exprs: Seq[Expression]): Expression = {
-    val k = if (exprs.size > 1)
-      exprs(1).eval(null).asInstanceOf[Number].intValue()
-    else 64
+    val k = if (exprs.size > 1) {
+      val e = exprs(1)
+      if (!e.foldable) throw new IllegalArgumentException(
+        "graft_kmv: k must be a literal integer, got " + e.sql)
+      e.eval(null) match {
+        case n: Number if n.intValue > 0 => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv: k must be a positive integer literal, got $other")
+      }
+    } else 64
     KmvDistinct(exprs.head, k)
   }
 }

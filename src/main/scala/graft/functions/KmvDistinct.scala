@@ -43,12 +43,27 @@ case class KmvDistinct(child: Expression, k: Int,
   override def createAggregationBuffer(): JTreeSet[String] =
     new JTreeSet[String]()
 
+  // MessageDigest is stateful and not thread-safe, and aggregate
+  // instances can be shared across tasks — one digest per thread, reused
+  // per row (a getInstance() + 16 Formatter allocations per row would
+  // dominate the sketch's cost).
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
   private def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   override def update(buf: JTreeSet[String],

@@ -75,24 +75,30 @@ object DedupOps {
     * element_at comparisons, NOT zip_with/slice lambdas: higher-order
     * functions are interpreted (they break WholeStageCodegen) and
     * allocate per row — fatal on millions of candidate rows. */
-  private val noEarlierCollision = (0 until nBands - 1)
+  private[graft] def firstCollisionOnly(nb: Int) = (0 until nb - 1)
     .map(j => (col("band") <= j) ||
       !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
     .reduce(_ && _)
 
-  private[graft] def bandedCandidates(s: SparkSession, d: String,
-      tokensExpr: String): DataFrame = {
-    val docBands = docBandKeys(s, d, tokensExpr)
+  private val noEarlierCollision = firstCollisionOnly(nBands)
+
+  /** Candidate pairs (a < b, exactly once) from ANY per-item band-key
+    * frame (id, bkeys: array<string>) — the one implementation behind the
+    * token-minhash, bigram-minhash, simhash and hyperplane-embedding LSH
+    * paths. */
+  private[graft] def candidatesFromBandKeys(s: SparkSession,
+      keys: DataFrame): DataFrame = {
+    val nb = nBands
     // Explicit fan-out on the probe side: its INPUT is a few MB (AQE
     // would coalesce it to ~1 partition) but each row fans out to its
     // band-bucket size in the join below — the classic input-bytes ≠
     // output-work trap. A fixed-width repartition keeps every core busy
     // generating pairs.
-    val x = docBands.select(col("doc_id").as("a"), col("bkeys").as("ka"))
+    val x = keys.select(col("id").as("a"), col("bkeys").as("ka"))
       .select(col("a"), col("ka"), posexplode(col("ka")).as(Seq("band", "bk")))
       .repartition(s.sparkContext.defaultParallelism * 4,
         col("a"), col("band"))
-    val y = docBands.select(col("doc_id").as("b"), col("bkeys").as("kb"))
+    val y = keys.select(col("id").as("b"), col("bkeys").as("kb"))
       .select(col("b"), col("kb"),
         posexplode(col("kb")).as(Seq("band_y", "bk_y")))
     // broadcast the band side: pair generation then distributes by x-rows
@@ -103,9 +109,14 @@ object DedupOps {
     x.join(broadcast(y),
         col("band") === col("band_y") && col("bk") === col("bk_y") &&
         col("a") < col("b"))
-      .filter(noEarlierCollision)
+      .filter(firstCollisionOnly(nb))
       .select("a", "b")
   }
+
+  private[graft] def bandedCandidates(s: SparkSession, d: String,
+      tokensExpr: String): DataFrame =
+    candidatesFromBandKeys(s,
+      docBandKeys(s, d, tokensExpr).withColumnRenamed("doc_id", "id"))
 
   /** 100 TB form of the candidate join: a SHUFFLE join on
     * (band, bkey, salt). The x side gets a deterministic salt from
@@ -159,7 +170,7 @@ object DedupOps {
       bandedCandidates(s, d, "split(text, ' ')"), 0.8)
 
   private val simhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Charikar SimHash fingerprints: 64-char bit string per doc from
     * token-frequency-weighted md5 bit votes. Computed per *distinct
@@ -168,7 +179,7 @@ object DedupOps {
     * dir): the fingerprint query, the banded pair query, and the cluster
     * query all start from this frame. */
   private def simhashes(s: SparkSession, d: String): DataFrame =
-    simhashCache.computeIfAbsent((System.identityHashCode(s), d),
+    simhashCache.computeIfAbsent(((s, d)),
       _ => simhashesUncached(s, d).persist())
 
   private def simhashesUncached(s: SparkSession, d: String): DataFrame = {
@@ -221,22 +232,14 @@ object DedupOps {
         .as(s"w$b"))
     val fp = simhashes(s, d).select(
       col("doc_id") +: array(bandCols: _*).as("bkeys") +: wordCols: _*)
-    val x = fp.select(col("doc_id").as("a"), col("bkeys").as("ka"),
-        col("w0").as("xw0"), col("w1").as("xw1"), col("w2").as("xw2"),
-        col("w3").as("xw3"))
-      .select(col("a"), col("ka"), col("xw0"), col("xw1"), col("xw2"),
-        col("xw3"), posexplode(col("ka")).as(Seq("band", "bk")))
-      .repartition(s.sparkContext.defaultParallelism * 4,
-        col("a"), col("band"))
-    val y = fp.select(col("doc_id").as("b"), col("bkeys").as("kb"),
-        col("w0").as("yw0"), col("w1").as("yw1"), col("w2").as("yw2"),
-        col("w3").as("yw3"))
-      .select(col("b"), col("kb"), col("yw0"), col("yw1"), col("yw2"),
-        col("yw3"), posexplode(col("kb")).as(Seq("band_y", "bk_y")))
-    x.join(broadcast(y),
-        col("band") === col("band_y") && col("bk") === col("bk_y") &&
-        col("a") < col("b"))
-      .filter(noEarlierCollision)
+    val cand = candidatesFromBandKeys(s,
+      fp.select(col("doc_id").as("id"), col("bkeys")))
+    def side(p: String, idc: String) = fp.select(
+      col("doc_id").as(idc) +: (0 until nBands).map(b =>
+        col(s"w$b").as(s"$p$b")): _*)
+    cand
+      .join(side("xw", "a"), Seq("a"))
+      .join(side("yw", "b"), Seq("b"))
       .withColumn("hd", expr(
         """CAST(bit_count(xw0 ^ yw0) + bit_count(xw1 ^ yw1) +
           |bit_count(xw2 ^ yw2) + bit_count(xw3 ^ yw3) AS BIGINT)"""
@@ -276,13 +279,13 @@ object DedupOps {
     * only checks the per-round convergence COUNT — no row data ever
     * reaches the driver. Input pairs here: q_dedup_simhash_pairs. */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** (doc_id, cluster_rep) for every doc that appears in a near-dup pair
     * — cached per (session, dir) so the cluster query and the curation
     * pipeline run the iterative propagation once. */
   private def clusterReps(s: SparkSession, d: String): DataFrame =
-    clusterCache.computeIfAbsent((System.identityHashCode(s), d),
+    clusterCache.computeIfAbsent(((s, d)),
       _ => clusterRepsUncached(s, d))
 
   private val dedupClusters: Q = (s, d) =>
@@ -360,15 +363,10 @@ object DedupOps {
     * the DuckDB oracle replays the identical four gates relationally. */
   private val pipelineCurate: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val q = Tables.documents(s, d)
-      .withColumn("toksArr", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toksArr")))
-      .withColumn("n_stop",
-        size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
-      .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
-      .withColumn("quality_r", r6(lit(0.3) * log(col("n_tok"))
-        - lit(0.5) * (col("n_stop") / col("n_tok"))
-        - lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double"))))
+    // quality scoring = TextOps' one shared definition (q_text_quality
+    // and this gate cannot drift apart)
+    val q = TextOps.withQualityStats(Tables.documents(s, d))
+      .withColumn("quality_r", r6(TextOps.qualityScore))
     val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     q.withColumn("rn", row_number().over(w))
       .join(clusterReps(s, d), Seq("doc_id"), "left")
@@ -493,16 +491,11 @@ object DedupOps {
          reps AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
                   FROM reach GROUP BY src),
          q AS (
-           SELECT doc_id, lang,
-                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
-                  floor((0.3 * ln(len(string_split(text, ' ')))
-                    - 0.5 * (len(list_filter(string_split(text, ' '),
-                               t -> t = 'the' OR t = 'a'))
-                             / CAST(len(string_split(text, ' ')) AS DOUBLE))
-                    - 0.2 * (1 - len(list_distinct(string_split(text, ' ')))
-                             / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+           SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+                  floor((${TextOps.qualityScoreSql})
                     * 1000000 + 0.5) / 1000000.0 AS quality_r
-           FROM documents),
+           FROM (SELECT doc_id, lang, ${TextOps.qualityStatsColsSql}
+                 FROM documents) t0),
          e AS (
            SELECT doc_id,
                   row_number() OVER (PARTITION BY md5(text)

@@ -215,14 +215,14 @@ object RelationalOps {
 
   private val KmvK = 64
 
-  /** Hex-digit positional value of the first 15 md5 hex chars of column
-    * `h` as an exact BIGINT in [0, 16^15) — pure integer arithmetic, bit-
-    * identical in any engine (16^15 = 2^60 fits a long; no double in the
-    * decode path). */
-  private def hexValExpr(strposFn: String, argOrder: (String, String) => String): String =
+  /** DuckDB SQL: positional value of the first 15 md5 hex chars of
+    * column `h` as an exact BIGINT in [0, 16^15) — pure integer
+    * arithmetic (16^15 = 2^60 fits a long; no double in the decode
+    * path), mirroring KmvDistinct.eval's decode digit for digit. */
+  private val hexValSql: String =
     (0 until 15).map { i =>
       val weight = 1L << (4 * (14 - i))
-      s"(CAST($strposFn(${argOrder(s"substring(h, ${i + 1}, 1)", "'0123456789abcdef'")}) AS BIGINT) - 1) * $weight"
+      s"(CAST(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) AS BIGINT) - 1) * $weight"
     }.mkString(" + ")
 
   /** ORACLE-CHECKABLE approx-distinct: a K-minimum-values sketch (k=64)
@@ -576,13 +576,13 @@ object RelationalOps {
       s"""WITH h AS (
             SELECT DISTINCT event_type,
                    md5(CAST(user_id AS VARCHAR)) AS h
-            FROM events),
+            FROM events
+            WHERE user_id IS NOT NULL),
           nd AS (SELECT event_type, count(*) AS nd FROM h
                  GROUP BY event_type),
           kth AS (
             SELECT event_type,
-                   ${hexValExpr("strpos", (sub, alpha) => s"$alpha, $sub")}
-                     AS v
+                   $hexValSql AS v
             FROM (SELECT event_type, h,
                          row_number() OVER (PARTITION BY event_type
                            ORDER BY h) AS rn

@@ -181,13 +181,34 @@ object TextOps {
   /** Heuristic quality score: token count, avg token length, stopword
     * ratio, duplicate-token ratio → weighted score. Pure column arithmetic
     * (higher-order array functions, no explode, no shuffle). */
+  /** Token stats feeding the heuristic quality score — ONE definition
+    * shared by q_text_quality and the curation pipeline
+    * (DedupOps q_pipeline_curate), on both sides of the oracle boundary
+    * (scoreSql / statsColsSql are the DuckDB mirror fragments). */
+  private[operators] def withQualityStats(df: DataFrame): DataFrame = df
+    .withColumn("toksArr", toks())
+    .withColumn("n_tok", size(col("toksArr")))
+    .withColumn("n_stop",
+      size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
+    .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
+
+  private[operators] def qualityScore =
+    lit(0.3) * log(col("n_tok")) -
+      lit(0.5) * (col("n_stop") / col("n_tok")) -
+      lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double"))
+
+  private[operators] val qualityStatsColsSql =
+    """len(string_split(text, ' ')) AS n_tok,
+       len(list_filter(string_split(text, ' '),
+           t -> t = 'the' OR t = 'a')) AS n_stop,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq"""
+
+  private[operators] val qualityScoreSql =
+    """0.3 * ln(n_tok) - 0.5 * (n_stop / n_tok)
+       - 0.2 * (1 - n_uniq / CAST(n_tok AS DOUBLE))"""
+
   private val quality: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("toksArr", toks())
-      .withColumn("n_tok", size(col("toksArr")))
-      .withColumn("n_stop",
-        size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
-      .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
+    withQualityStats(Tables.documents(s, d))
       .select(
         col("doc_id"), col("n_tok"),
         r6((col("n_chars") - (col("n_tok") - 1)) / col("n_tok"))
@@ -195,10 +216,7 @@ object TextOps {
         r6(col("n_stop") / col("n_tok")).as("stop_ratio"),
         r6(lit(1) - col("n_uniq") / col("n_tok").cast("double"))
           .as("dup_ratio"),
-        r6(lit(0.3) * log(col("n_tok"))
-          - lit(0.5) * (col("n_stop") / col("n_tok"))
-          - lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double")))
-          .as("quality"))
+        r6(qualityScore).as("quality"))
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens + regex word tokens + a BPE-ish
@@ -261,19 +279,35 @@ object TextOps {
     * artifact at any scale); corpus stats (n_docs, avgdl) and per-term df
     * are broadcast 1-row/|terms|-row aggregates OF that frame, not fresh
     * scans. */
+  private val bm25Terms = Seq("spark", "query", "fast")
+
+  /** (doc_id, dl, tf0..tfN) from ONE corpus pass, cached per (session,
+    * dir): the frame feeds tf, df, and the score join without rescans,
+    * and repeated builder invocations in one session reuse one persisted
+    * copy instead of stacking orphaned cache entries. */
+  private val bm25DocCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame =
+    bm25DocCache.computeIfAbsent(((s, d)), _ =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks()).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dl"),
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+          }: _*)
+        .persist())
+
   private val searchBm25: Q = (s, d) => {
-    val queryTerms = Seq("spark", "query", "fast")
+    val queryTerms = bm25Terms
     val k1 = 1.2
     val b = 0.75
-    val perDoc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks()).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("dl"),
-        queryTerms.zipWithIndex.map { case (t, i) =>
-          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
-        }: _*)
-      .persist()
-    val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val perDoc = bm25PerDoc(s, d)
+    // corpus stats from the RAW documents frame, not perDoc: a NULL-text
+    // row survives count(*) but not the explode, and the oracle's stats
+    // CTE counts it — the two sides must agree unconditionally
+    val stats = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"), avg(size(toks())).as("avgdl"))
     // long form (doc_id, dl, tok, tf>0) via a 3-wide stack — no rescan
     val termArr = array(queryTerms.map(lit): _*)
     val tf = perDoc
@@ -485,21 +519,16 @@ object TextOps {
          FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
          ORDER BY d.doc_id""",
     "q_text_quality" ->
-      """SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+      s"""SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
                 floor(((n_chars - (n_tok - 1)) / n_tok) * 1000000 + 0.5)
                   / 1000000.0 AS avg_tok_len,
                 floor((n_stop / n_tok) * 1000000 + 0.5) / 1000000.0
                   AS stop_ratio,
                 floor((1 - n_uniq / CAST(n_tok AS DOUBLE)) * 1000000 + 0.5)
                   / 1000000.0 AS dup_ratio,
-                floor((0.3 * ln(n_tok) - 0.5 * (n_stop / n_tok)
-                       - 0.2 * (1 - n_uniq / CAST(n_tok AS DOUBLE)))
+                floor(($qualityScoreSql)
                       * 1000000 + 0.5) / 1000000.0 AS quality
-         FROM (SELECT doc_id, n_chars,
-                      len(string_split(text, ' ')) AS n_tok,
-                      len(list_filter(string_split(text, ' '),
-                          t -> t = 'the' OR t = 'a')) AS n_stop,
-                      len(list_distinct(string_split(text, ' '))) AS n_uniq
+         FROM (SELECT doc_id, n_chars, $qualityStatsColsSql
                FROM documents) t
          ORDER BY doc_id""",
     "q_text_tokencount" ->

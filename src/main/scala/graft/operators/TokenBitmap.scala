@@ -28,13 +28,13 @@ object TokenBitmap {
 
   /** (vocab dictionary persisted, nWords) per (session, dir, tokenizer). */
   private val vocabCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       (DataFrame, Int)]()
   private val bitmapCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
   private val tokenCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
 
   /** Word-bigram shingles as array<string> (SQL, engine-portable shape).
@@ -56,7 +56,7 @@ object TokenBitmap {
     * 100 TB the same cached-once linear pass still holds.) */
   private[graft] def tokens(s: SparkSession, d: String,
       tokensExpr: String): DataFrame =
-    tokenCache.computeIfAbsent((System.identityHashCode(s), d, tokensExpr),
+    tokenCache.computeIfAbsent(((s, d, tokensExpr)),
       _ => Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(expr(tokensExpr))).as("tok"))
@@ -69,7 +69,7 @@ object TokenBitmap {
     * not per query build. */
   def vocab(s: SparkSession, d: String,
       tokensExpr: String = "split(text, ' ')"): (DataFrame, Int) =
-    vocabCache.computeIfAbsent((System.identityHashCode(s), d, tokensExpr),
+    vocabCache.computeIfAbsent(((s, d, tokensExpr)),
       _ => {
         // df.sort = globally range-partitioned sorted layout; zipWithIndex
         // numbers partitions in order → id = alphabetical rank, whatever
@@ -90,7 +90,7 @@ object TokenBitmap {
     * near-dup baseline share one build. */
   def bitmaps(s: SparkSession, d: String,
       tokensExpr: String = "split(text, ' ')"): DataFrame =
-    bitmapCache.computeIfAbsent((System.identityHashCode(s), d, tokensExpr),
+    bitmapCache.computeIfAbsent(((s, d, tokensExpr)),
       _ => {
         val (vdf, nWords) = vocab(s, d, tokensExpr)
         tokens(s, d, tokensExpr)

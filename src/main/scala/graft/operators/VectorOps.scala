@@ -125,22 +125,10 @@ object VectorOps {
     val fp = bits.groupBy("vec_id").agg(keyCols.head, keyCols.tail: _*)
       .select(col("vec_id"),
         array((0 until nBands).map(b => col(s"k$b")): _*).as("bkeys"))
-    val x = fp.select(col("vec_id").as("a"), col("bkeys").as("ka"))
-      .select(col("a"), col("ka"), posexplode(col("ka")).as(Seq("band", "bk")))
-      .repartition(s.sparkContext.defaultParallelism * 4,
-        col("a"), col("band"))
-    val y = fp.select(col("vec_id").as("b"), col("bkeys").as("kb"))
-      .select(col("b"), col("kb"),
-        posexplode(col("kb")).as(Seq("band_y", "bk_y")))
-    val noEarlierCollision = (0 until nBands - 1)
-      .map(j => (col("band") <= j) ||
-        !(expr(s"element_at(ka, ${j + 1})") === expr(s"element_at(kb, ${j + 1})")))
-      .reduce(_ && _)
-    val cand = x.join(broadcast(y),
-        col("band") === col("band_y") && col("bk") === col("bk_y") &&
-        col("a") < col("b"))
-      .filter(noEarlierCollision)
-      .select("a", "b")
+    // pair generation shares the one first-collision band-join
+    // implementation with every other LSH path (DedupOps)
+    val cand = DedupOps.candidatesFromBandKeys(s,
+      fp.select(col("vec_id").as("id"), col("bkeys")))
     val e = vecs(s, d)
     cand
       .join(e.select(col("vec_id").as("a"), col("v").as("xv")), Seq("a"))
