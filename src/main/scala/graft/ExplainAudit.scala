@@ -15,7 +15,9 @@ object ExplainAudit {
     "q_stream_tumbling",
     // round 2: restructured / new scale-path queries
     "q_dedup_minhash", "q_dedup_embed_lsh", "q_text_search_bm25",
-    "q_agg_approx_distinct_kmv", "q_sim_knn_label")
+    "q_agg_approx_distinct_kmv", "q_sim_knn_label",
+    "q_dedup_simhash_pairs", "q_text_chunk_dedup",
+    "q_stream_interval_join", "q_pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
