@@ -31,6 +31,20 @@ object Pipeline {
     Sinks.writeToIndex(suggestionIndex(spark, sfDir), "suggestions",
       "token", writer)
 
+  /** Training-corpus curation end to end: the q_pipeline_curate operator
+    * (quality gate ∧ exact-dedup keeper ∧ near-dup cluster representative
+    * ∧ deterministic hash sample) as a reusable API entry point. */
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    operators.DedupOps.queries("q_pipeline_curate")(spark, sfDir)
+
+  /** Deliver the curated corpus to the relational-store boundary —
+    * df.write.jdbc when conf carries a url, replayable files offline
+    * (Sinks.writeRelational). */
+  def publishCurated(spark: SparkSession, sfDir: String,
+      conf: Map[String, String], fallback: Sinks.TableWriter): Unit =
+    Sinks.writeRelational(curateCorpus(spark, sfDir), "curated_docs",
+      conf, fallback)
+
   /** Streaming event pipeline: source → hourly aggregates → foreachBatch
     * into the index writer. Checkpointing + idempotent (batchId,
     * partition) writes give end-to-end exactly-once to an idempotent

@@ -38,6 +38,21 @@ class PipelineSpec extends SparkSpec {
     assert(!anon.contains("user") && !anon.contains("password"))
   }
 
+  test("curation pipeline delivers curated docs to the table boundary") {
+    val dir = Files.createTempDirectory("graft-curated").toString
+    Pipeline.publishCurated(spark, sfDir, Map.empty,
+      new Sinks.FileTableWriter(dir))
+    val rows = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("curated_docs-"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala)
+      .filter(_.nonEmpty)
+    val expected = Pipeline.curateCorpus(spark, sfDir).count()
+    assert(expected > 0)
+    assert(rows.length.toLong === expected)
+    // every delivered row carries the 4 declared columns
+    assert(rows.forall(_.split(",").length === 4))
+  }
+
   test("relational dispatch: no url in conf routes to the offline writer") {
     val dir = Files.createTempDirectory("graft-table").toString
     val df = spark.range(3).toDF("id")
