@@ -16,8 +16,10 @@ object ExplainAudit {
     // round 2: restructured / new scale-path queries
     "q_dedup_minhash", "q_dedup_embed_lsh", "q_text_search_bm25",
     "q_agg_approx_distinct_kmv", "q_sim_knn_label",
+    // (q_pipeline_curate is excluded: building it RUNS the iterative
+    // cluster computation, so the audit would no longer be explain-only)
     "q_dedup_simhash_pairs", "q_text_chunk_dedup",
-    "q_stream_interval_join", "q_pipeline_curate")
+    "q_stream_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -44,7 +44,13 @@ object GraftExtensions {
       if (!e.foldable) throw new IllegalArgumentException(
         "graft_kmv: k must be a literal integer, got " + e.sql)
       e.eval(null) match {
-        case n: Number if n.intValue > 0 => n.intValue
+        // integral types only — a Double 2.9 or an overflowing Long must
+        // NOT silently truncate into a different sketch size
+        case n @ (_: java.lang.Integer | _: java.lang.Long |
+                  _: java.lang.Short | _: java.lang.Byte)
+            if n.asInstanceOf[Number].longValue > 0 &&
+              n.asInstanceOf[Number].longValue <= Int.MaxValue =>
+          n.asInstanceOf[Number].intValue
         case other => throw new IllegalArgumentException(
           s"graft_kmv: k must be a positive integer literal, got $other")
       }

@@ -85,10 +85,11 @@ object DedupOps {
   /** Candidate pairs (a < b, exactly once) from ANY per-item band-key
     * frame (id, bkeys: array<string>) — the one implementation behind the
     * token-minhash, bigram-minhash, simhash and hyperplane-embedding LSH
-    * paths. */
+    * paths. `nb` MUST equal the caller's bkeys length (each scheme has
+    * its own band count; it is not derivable from the unsized array
+    * type). */
   private[graft] def candidatesFromBandKeys(s: SparkSession,
-      keys: DataFrame): DataFrame = {
-    val nb = nBands
+      keys: DataFrame, nb: Int): DataFrame = {
     // Explicit fan-out on the probe side: its INPUT is a few MB (AQE
     // would coalesce it to ~1 partition) but each row fans out to its
     // band-bucket size in the join below — the classic input-bytes ≠
@@ -116,7 +117,8 @@ object DedupOps {
   private[graft] def bandedCandidates(s: SparkSession, d: String,
       tokensExpr: String): DataFrame =
     candidatesFromBandKeys(s,
-      docBandKeys(s, d, tokensExpr).withColumnRenamed("doc_id", "id"))
+      docBandKeys(s, d, tokensExpr).withColumnRenamed("doc_id", "id"),
+      nBands)
 
   /** 100 TB form of the candidate join: a SHUFFLE join on
     * (band, bkey, salt). The x side gets a deterministic salt from
@@ -233,7 +235,7 @@ object DedupOps {
     val fp = simhashes(s, d).select(
       col("doc_id") +: array(bandCols: _*).as("bkeys") +: wordCols: _*)
     val cand = candidatesFromBandKeys(s,
-      fp.select(col("doc_id").as("id"), col("bkeys")))
+      fp.select(col("doc_id").as("id"), col("bkeys")), nBands)
     def side(p: String, idc: String) = fp.select(
       col("doc_id").as(idc) +: (0 until nBands).map(b =>
         col(s"w$b").as(s"$p$b")): _*)
@@ -324,6 +326,9 @@ object DedupOps {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(4, col("a"))
       .localCheckpoint()
+    // the checkpointed edge list is self-contained — release the cached
+    // pairs blocks instead of pinning them for the session lifetime
+    pairs.unpersist()
     val nodes = und.select(col("a").as("v")).distinct()
     var lab = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
     var changed = 1L
@@ -373,8 +378,7 @@ object DedupOps {
       .filter(col("quality_r") >= 0.95)
       .filter(col("rn") === 1)
       .filter(coalesce(col("cluster_rep"), col("doc_id")) === col("doc_id"))
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .filter(TextOps.hashSampleKeep(TextOps.halfDigits))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("quality_r"))
       .orderBy("doc_id")
   }
@@ -505,8 +509,7 @@ object DedupOps {
          FROM q JOIN e USING (doc_id) LEFT JOIN reps USING (doc_id)
          WHERE q.quality_r >= 0.95 AND e.rn = 1
            AND coalesce(reps.cluster_rep, q.doc_id) = q.doc_id
-           AND substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 1)
-               IN ('0', '1', '2', '3', '4', '5', '6', '7')
+           AND ${TextOps.hashSampleSql("q.doc_id", TextOps.halfDigits)}
          ORDER BY doc_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCtes,

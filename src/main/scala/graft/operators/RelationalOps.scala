@@ -573,7 +573,8 @@ object RelationalOps {
                 count(DISTINCT o_orderpriority) AS n_prio, count(*) AS cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_agg_approx_distinct_kmv" ->
-      s"""WITH h AS (
+      s"""WITH g AS (SELECT DISTINCT event_type FROM events),
+          h AS (
             SELECT DISTINCT event_type,
                    md5(CAST(user_id AS VARCHAR)) AS h
             FROM events
@@ -588,12 +589,13 @@ object RelationalOps {
                            ORDER BY h) AS rn
                   FROM h) t
             WHERE rn = $KmvK)
-          SELECT nd.event_type,
-                 CAST(CASE WHEN kth.v IS NULL THEN nd.nd
+          SELECT g.event_type,
+                 CAST(CASE WHEN kth.v IS NULL THEN coalesce(nd.nd, 0)
                       ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
                                  / CAST(kth.v AS DOUBLE)) END
                       AS BIGINT) AS est_users
-          FROM nd LEFT JOIN kth USING (event_type)
+          FROM g LEFT JOIN nd USING (event_type)
+                 LEFT JOIN kth USING (event_type)
           ORDER BY event_type""",
     "q_agg_filtered" ->
       """SELECT l_returnflag,

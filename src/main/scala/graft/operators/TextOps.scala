@@ -331,31 +331,41 @@ object TextOps {
       .limit(20)
   }
 
-  /** Deterministic (hash-based) ~25% Bernoulli sample — the reproducible
-    * downsampling primitive for training-data pipelines: membership is a
-    * pure function of the row key, so re-runs, retries, and different
-    * cluster layouts all select the same rows (df.sample's RNG does not
-    * survive any of those). */
+  /** Deterministic hash-Bernoulli keep-predicate — membership is a pure
+    * function of the row key (first md5 hex digit of doc_id ∈ `digits`,
+    * keep rate = |digits|/16), so re-runs, retries, and different cluster
+    * layouts all select the same rows (df.sample's RNG does not survive
+    * any of those). ONE definition shared by the sampling queries and the
+    * curation pipeline, on both sides of the oracle boundary. */
+  private[operators] def hashSampleKeep(digits: Seq[String]) =
+    substring(md5(col("doc_id").cast("string")), 1, 1).isin(digits: _*)
+
+  private[operators] def hashSampleSql(colRef: String,
+      digits: Seq[String]): String =
+    s"""substring(md5(CAST($colRef AS VARCHAR)), 1, 1)
+        IN (${digits.map("'" + _ + "'").mkString(", ")})"""
+
+  private[operators] val quarterDigits = Seq("0", "1", "2", "3")
+  private[operators] val halfDigits =
+    Seq("0", "1", "2", "3", "4", "5", "6", "7")
+
+  /** ~25% deterministic sample. */
   private val sampleHash: Q = (s, d) =>
     Tables.documents(s, d)
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-        .isin("0", "1", "2", "3"))
+      .filter(hashSampleKeep(quarterDigits))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
   /** Stratified hash sampling: per-class rates (rebalancing — keep all of
     * the rare classes, thin the dominant one). Same determinism story and
     * same hash-digit predicate as q_sample_hash. */
-  private val sampleStratified: Q = (s, d) => {
-    // en is ~half the corpus: keep 25% (first md5 hex digit in 0..3);
-    // keep all other languages
-    val keepQuarter = substring(md5(col("doc_id").cast("string")), 1, 1)
-      .isin("0", "1", "2", "3")
+  private val sampleStratified: Q = (s, d) =>
+    // en is ~half the corpus: keep 25%; keep all other languages
     Tables.documents(s, d)
-      .filter((col("lang") === "en" && keepQuarter) || col("lang") =!= "en")
+      .filter((col("lang") === "en" && hashSampleKeep(quarterDigits)) ||
+        col("lang") =!= "en")
       .select("doc_id", "lang")
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "q_text_search_tfidf" -> searchTfidf,
@@ -380,15 +390,12 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
-      """SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-               IN ('0', '1', '2', '3')
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE ${hashSampleSql("doc_id", quarterDigits)}
          ORDER BY doc_id""",
     "q_sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-         WHERE (lang = 'en' AND
-                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                IN ('0', '1', '2', '3'))
+      s"""SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND ${hashSampleSql("doc_id", quarterDigits)})
             OR lang != 'en'
          ORDER BY doc_id""",
     "q_text_search_tfidf" ->

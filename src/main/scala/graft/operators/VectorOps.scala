@@ -128,7 +128,7 @@ object VectorOps {
     // pair generation shares the one first-collision band-join
     // implementation with every other LSH path (DedupOps)
     val cand = DedupOps.candidatesFromBandKeys(s,
-      fp.select(col("vec_id").as("id"), col("bkeys")))
+      fp.select(col("vec_id").as("id"), col("bkeys")), nBands)
     val e = vecs(s, d)
     cand
       .join(e.select(col("vec_id").as("a"), col("v").as("xv")), Seq("a"))
