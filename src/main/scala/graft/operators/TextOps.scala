@@ -96,6 +96,32 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(10)
 
+  private val fuzzyQueries = Seq("spakr", "qurey", "fst", "mrege", "joni")
+
+  /** Edit-distance-tolerant autocomplete — the fuzzy half of the
+    * suggestion serving surface (q_text_prefix_suggest is the exact
+    * half): top-3 vocabulary tokens per misspelled query, ranked by
+    * (distance, frequency). The query set broadcasts against the
+    * frequency-aggregated vocabulary, so matching is |queries| × |vocab|
+    * — vocab-linear, never corpus-quadratic; at real scale the vocabulary
+    * side is the prebuilt suggestion index this library's pipeline
+    * already materializes. */
+  private val fuzzySuggest: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks()).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val qdf = s.createDataFrame(fuzzyQueries.map(Tuple1(_))).toDF("qs")
+    val w = Window.partitionBy("qs")
+      .orderBy(col("dist"), col("cnt").desc, col("token"))
+    vocab.crossJoin(broadcast(qdf))
+      .withColumn("dist", levenshtein(col("token"), col("qs")))
+      .filter(col("dist") <= 2)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("qs", "rn", "token", "cnt", "dist")
+      .orderBy("qs", "rn")
+  }
+
   /** Exact dedup by content hash, keep min doc_id per group. */
   private val dedupExact: Q = (s, d) => {
     val w = Window.partitionBy("fp").orderBy("doc_id")
@@ -376,6 +402,7 @@ object TextOps {
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
     "q_text_prefix_suggest" -> prefixSuggest,
+    "q_text_fuzzy_suggest" -> fuzzySuggest,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_text_sentiment" -> sentiment,
@@ -398,6 +425,24 @@ object TextOps {
          WHERE (lang = 'en' AND ${hashSampleSql("doc_id", quarterDigits)})
             OR lang != 'en'
          ORDER BY doc_id""",
+    "q_text_fuzzy_suggest" ->
+      s"""WITH v AS (
+           SELECT tok AS token, count(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY tok),
+         q AS (SELECT unnest([${fuzzyQueries.map("'" + _ + "'").mkString(", ")}])
+                 AS qs),
+         m AS (
+           SELECT qs, token, cnt,
+                  CAST(levenshtein(token, qs) AS INTEGER) AS dist
+           FROM q JOIN v ON levenshtein(token, qs) <= 2)
+         SELECT qs, CAST(rn AS BIGINT) AS rn, token, cnt, dist FROM (
+           SELECT qs, token, cnt, dist,
+                  row_number() OVER (PARTITION BY qs
+                    ORDER BY dist, cnt DESC, token) AS rn
+           FROM m) t
+         WHERE rn <= 3 ORDER BY qs, rn""",
     "q_text_search_tfidf" ->
       """WITH tf AS (
            SELECT doc_id, tok, count(*) AS tf
