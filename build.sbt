@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim instead of routing it
+// via sbt's logger, which prefixes every line with "[info] ". Bench's
+// contract is ONE machine-parseable JSON line on stdout; the prefix broke
+// the driver's parser in rounds 1-2 (BENCH_r0{1,2}.json: "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

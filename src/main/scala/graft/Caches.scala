@@ -1,0 +1,55 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.CopyOnWriteArrayList
+
+/** Central registry for the session-lifetime derived-data caches
+  * (TokenBitmap dictionaries/bitmaps, DedupOps simhash fingerprints and
+  * cluster labels, TextOps BM25 per-doc stats).
+  *
+  * Staleness contract: every cache is keyed by (SparkSession, data dir
+  * [, tokenizer]) and holds a persisted DataFrame built from the parquet
+  * under that dir AT FIRST USE. If the files under a dir are rewritten
+  * within a session, cached consumers (including the public
+  * Pipeline.curateCorpus / publishCurated entry points) serve the
+  * snapshot they first read until `invalidate(dir)` (or `clearAll()`) is
+  * called — which unpersists the cached frames and releases their
+  * executor memory. This mirrors Spark's own `spark.catalog.
+  * refreshTable` contract for cached file-backed tables: explicit
+  * refresh, never mid-query invalidation (a query planned against a
+  * half-invalidated snapshot would be worse than a stale-but-consistent
+  * one). At 100 TB the dirs are immutable dated snapshots and
+  * invalidation is a no-op by construction; this API exists for
+  * long-lived sessions pointed at mutable staging dirs. */
+object Caches {
+
+  /** Each handler drops entries for one cache map: given Some(dir) only
+    * that dir's entries, given None all of them. */
+  private val handlers = new CopyOnWriteArrayList[Option[String] => Unit]()
+
+  private[graft] def register(h: Option[String] => Unit): Unit =
+    handlers.add(h)
+
+  /** Register a ConcurrentHashMap-backed cache. `dirOf` extracts the data
+    * dir from the key; `release` unpersists whatever the value pins. */
+  private[graft] def registerMap[K, V](map: ConcurrentHashMap[K, V],
+      dirOf: K => String, release: V => Unit): Unit =
+    register { dirOpt =>
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (dirOpt.forall(_ == dirOf(e.getKey))) {
+          release(e.getValue)
+          it.remove()
+        }
+      }
+    }
+
+  /** Drop every cached frame built from `dir` (all sessions, all
+    * tokenizers), unpersisting them. The next query rebuilds from the
+    * files as they are then. */
+  def invalidate(dir: String): Unit = handlers.forEach(_(Some(dir)))
+
+  /** Drop every registered cache entry (all dirs). */
+  def clearAll(): Unit = handlers.forEach(_(None))
+}

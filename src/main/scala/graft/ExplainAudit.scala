@@ -17,7 +17,13 @@ object ExplainAudit {
     "q_dedup_minhash", "q_dedup_embed_lsh", "q_text_search_bm25",
     "q_agg_approx_distinct_kmv", "q_sim_knn_label",
     // (q_pipeline_curate is excluded: building it RUNS the iterative
-    // cluster computation, so the audit would no longer be explain-only)
+    // cluster computation, so the audit would no longer be explain-only.
+    // A lesser degree of the same applies to the dictionary-backed
+    // entries below — q_dedup_minhash / q_dedup_simhash_pairs /
+    // q_dedup_embed_lsh execute the one-time vocab build (zipWithIndex
+    // offset pass + sizing count) and cache persists during plan
+    // construction; accepted here so their band-join physical plans,
+    // the scale-relevant part, stay in the audit.)
     "q_dedup_simhash_pairs", "q_text_chunk_dedup",
     "q_stream_interval_join")
 

@@ -33,7 +33,12 @@ object Pipeline {
 
   /** Training-corpus curation end to end: the q_pipeline_curate operator
     * (quality gate ∧ exact-dedup keeper ∧ near-dup cluster representative
-    * ∧ deterministic hash sample) as a reusable API entry point. */
+    * ∧ deterministic hash sample) as a reusable API entry point.
+    *
+    * Staleness: the dedup stages read session-lifetime caches keyed by
+    * (session, sfDir) — if the parquet under sfDir is rewritten mid-
+    * session, call [[Caches.invalidate]] first or this serves the
+    * previously cached snapshot (see graft.Caches for the contract). */
   def curateCorpus(spark: SparkSession, sfDir: String): DataFrame =
     operators.DedupOps.queries("q_pipeline_curate")(spark, sfDir)
 

@@ -97,6 +97,11 @@ case class KmvDistinct(child: Expression, k: Int,
         v = v * 16 + Character.digit(kth.charAt(i), 16)
         i += 1
       }
+      // Defense in depth: if the k-th hash's first 15 hex digits are all
+      // zero (p ≈ 2^-60), v=0 would divide to Infinity → Long.MaxValue
+      // here but a CAST error in the DuckDB oracle. Clamp to 1 on both
+      // sides (oracle mirrors with greatest(v, 1)).
+      v = math.max(v, 1L)
       math.floor((k - 1).toDouble * math.pow(16.0, 15.0) / v.toDouble).toLong
     }
 

@@ -174,6 +174,10 @@ object DedupOps {
   private val simhashCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  graft.Caches.registerMap(simhashCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
   /** Charikar SimHash fingerprints: 64-char bit string per doc from
     * token-frequency-weighted md5 bit votes. Computed per *distinct
     * token* (bit matrix is |vocab|×64, broadcastable) then weighted by
@@ -283,6 +287,12 @@ object DedupOps {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // cluster frames are localCheckpointed; unpersist releases the
+  // checkpoint blocks (no-op if already released by GC)
+  graft.Caches.registerMap(clusterCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
   /** (doc_id, cluster_rep) for every doc that appears in a near-dup pair
     * — cached per (session, dir) so the cluster query and the curation
     * pipeline run the iterative propagation once. */
@@ -312,19 +322,25 @@ object DedupOps {
     // banded pair generation runs several times slower — and a union of
     // two references to the same uncached subtree would execute it twice.
     val pairs = edges.persist()
-    pairs.count()
+    val edgeCount = pairs.count()
     // The iteration stages run through the RDD path (localCheckpoint), so
-    // AQE never coalesces their shuffles: pin the loop to few shuffle
-    // partitions (graph is a few hundred rows) and restore the session
-    // default afterwards. Queries execute sequentially under the driver
-    // contract, so the temporary session setting can't leak into a
-    // concurrent plan.
-    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-    val und = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .repartition(4, col("a"))
+    // AQE never coalesces their shuffles: the loop's shuffle width must be
+    // set statically. Right-size it to the MATERIALIZED edge count (~64k
+    // edge rows per partition, floor 4): a few-hundred-row bench graph
+    // gets 4 partitions instead of drowning in 32-task overhead per
+    // round; a billion-edge graph gets thousands and scales out. The
+    // width is set on a CHILD session (shared SparkContext, private SQL
+    // conf), so no setting leaks into plans concurrently compiled on the
+    // caller's session.
+    val np = math.max(4L, edgeCount / 65536L).toInt
+    val loopS = s.newSession()
+    loopS.conf.set("spark.sql.shuffle.partitions", np.toString)
+    // Lift the materialized pairs into the child session: the rows come
+    // from the persisted blocks, so this is a re-read, not a re-compute.
+    val pairsL = loopS.createDataFrame(pairs.toDF().rdd, pairs.schema)
+    val und = pairsL
+      .union(pairsL.select(col("b").as("a"), col("a").as("b")))
+      .repartition(np, col("a"))
       .localCheckpoint()
     // the checkpointed edge list is self-contained — release the cached
     // pairs blocks instead of pinning them for the session lifetime
@@ -347,15 +363,27 @@ object DedupOps {
       val upd = stepped.join(jump, stepped("mid") === jump("jv"), "left")
         .select(stepped("v"), col("prev"),
           least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
-        .repartition(4, col("v"))
+        .repartition(np, col("v"))
         .localCheckpoint()
       changed = upd.filter(col("nlbl") < col("prev")).count()
       lab = upd.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
     }
-    lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
+    // Min-label + pointer-jumping converges in O(log diameter) rounds —
+    // 30 covers any graph with diameter < 2^30. If we ever hit the cap
+    // anyway, the labels are WRONG (docs in one component carry different
+    // reps) and every consumer (q_dedup_clusters, q_pipeline_curate)
+    // would silently diverge from the oracle — fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"cluster label propagation did not converge after $iter rounds " +
+          s"($changed labels still changing, $edgeCount edges)")
+    val res = lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
       .localCheckpoint()
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    // Hand the result back on the CALLER's session so downstream plans
+    // (cluster query, curation joins) compile with its conf, not the
+    // loop's: same re-read-from-checkpoint-blocks trick as the lift in.
+    s.createDataFrame(res.toDF().rdd, res.schema)
   }
 
   /** END-TO-END corpus curation — the composition a training-data user

@@ -583,7 +583,7 @@ object RelationalOps {
                  GROUP BY event_type),
           kth AS (
             SELECT event_type,
-                   $hexValSql AS v
+                   greatest($hexValSql, 1) AS v
             FROM (SELECT event_type, h,
                          row_number() OVER (PARTITION BY event_type
                            ORDER BY h) AS rn

@@ -313,6 +313,10 @@ object TextOps {
     * copy instead of stacking orphaned cache entries. */
   private val bm25DocCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(bm25DocCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
   private def bm25PerDoc(s: SparkSession, d: String): DataFrame =
     bm25DocCache.computeIfAbsent(((s, d)), _ =>
       Tables.documents(s, d)

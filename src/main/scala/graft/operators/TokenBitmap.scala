@@ -37,6 +37,18 @@ object TokenBitmap {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
       DataFrame]()
 
+  // Registered with the central invalidation API (graft.Caches): see its
+  // scaladoc for the staleness contract these caches operate under.
+  graft.Caches.registerMap(vocabCache,
+    (k: (SparkSession, String, String)) => k._2,
+    (v: (DataFrame, Int)) => v._1.unpersist())
+  graft.Caches.registerMap(bitmapCache,
+    (k: (SparkSession, String, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+  graft.Caches.registerMap(tokenCache,
+    (k: (SparkSession, String, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
   /** Word-bigram shingles as array<string> (SQL, engine-portable shape).
     * Used as a `tokens()` key; the actual evaluation goes through the
     * window-lead fast path below. */
