@@ -409,6 +409,75 @@ object RelationalOps {
       .orderBy("o_custkey", "rn")
   }
 
+  // ----------------------------------------------- subqueries / reshaping
+
+  /** SQL-surface subqueries in one query: a correlated scalar subquery
+    * (per-customer order count), a correlated EXISTS (has a >100k order),
+    * and an uncorrelated scalar (corpus-average order count) — exercising
+    * Catalyst's decorrelation rules (RewriteCorrelatedScalarSubquery →
+    * outer join + aggregate; EXISTS → left-semi join), i.e. by the time
+    * the plan is physical there is no per-row re-execution, only joins.
+    * The threshold average is over INTEGER counts, so the boundary
+    * comparison is exact cross-engine (no float-sum order sensitivity). */
+  private val subqueryMix: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_sq")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_sq")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM graft_ord_sq o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM graft_cust_sq c
+      WHERE EXISTS (SELECT 1 FROM graft_ord_sq o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+        AND (SELECT count(*) FROM graft_ord_sq o
+             WHERE o.o_custkey = c.c_custkey)
+            > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt
+               FROM graft_ord_sq GROUP BY o_custkey))
+      ORDER BY c_custkey""")
+  }
+
+  /** Wide→long reshape (unpivot/melt) + aggregate over the melted rows.
+    * Dataset.unpivot is a zero-shuffle generator (each input row emits one
+    * row per measure in place); the only exchange is the 4-group
+    * aggregation after it. At 100 TB the melt multiplies rows ×4 but
+    * partial aggregation collapses them map-side before any shuffle. */
+  private val unpivotMetrics: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("cnt"), r2(sum("val")).as("total"))
+      .orderBy("metric")
+
+  /** Bloom-prefiltered join: build a bloom filter over the (filtered) dim
+    * keys, prefilter the fact side BEFORE the join, then verify exactly
+    * with the real join — false positives cost nothing but a second look,
+    * false negatives are impossible. This is the explicit form of what
+    * Spark's runtime row-level filtering (spark.sql.optimizer.runtime.
+    * bloomFilter) injects into shuffle joins at cluster scale; built
+    * explicitly here because at 100 TB a reusable bloom artifact (built
+    * once per dim snapshot, ~1.2 MB at 1M keys/1% fpp, broadcast to every
+    * scan) prunes the fact scan across MANY queries, not one plan. The
+    * filter build is a treeAggregate over the dim side — no driver-side
+    * row loop. */
+  private val joinBloom: Q = (s, d) => {
+    val dim = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < 5).select("s_suppkey")
+    val bloom = dim.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    Tables.lineitem(s, d)
+      .filter(mightContain(col("l_suppkey")))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"), r2(sum("l_quantity")).as("qty"))
+      .orderBy("l_suppkey")
+  }
+
   // ------------------------------------------------------- sort / set ops
 
   /** Global top-20 — Spark plans TakeOrderedAndProject (no full sort). */
@@ -469,6 +538,9 @@ object RelationalOps {
     "q_win_running" -> winRunning,
     "q_win_range_frame" -> winRangeFrame,
     "q_win_topk_group" -> winTopkGroup,
+    "q_subquery_mix" -> subqueryMix,
+    "q_unpivot_metrics" -> unpivotMetrics,
+    "q_join_bloom" -> joinBloom,
     "q_sort_limit" -> sortLimit,
     "q_set_union" -> setUnion,
     "q_set_intersect" -> setIntersect,
@@ -684,6 +756,37 @@ object RelationalOps {
                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders) t
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_subquery_mix" ->
+      """SELECT c_custkey,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+           AND (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey)
+               > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt
+                  FROM orders GROUP BY o_custkey))
+         ORDER BY c_custkey""",
+    "q_unpivot_metrics" ->
+      """SELECT metric, count(*) AS cnt,
+                floor(sum(val) * 100 + 0.5) / 100.0 AS total
+         FROM (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+               UNION ALL
+               SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+               UNION ALL
+               SELECT 'l_discount', l_discount FROM lineitem
+               UNION ALL
+               SELECT 'l_tax', l_tax FROM lineitem) m
+         GROUP BY metric ORDER BY metric""",
+    "q_join_bloom" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+                floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS qty
+         FROM lineitem JOIN (SELECT s_suppkey FROM supplier
+                             WHERE s_nationkey < 5) s
+              ON l_suppkey = s_suppkey
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""",

@@ -397,7 +397,72 @@ object TextOps {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Benchmark membership for decontamination: 1/16 of docs by first md5
+    * hex digit — the same deterministic hash-Bernoulli primitive as the
+    * sampling queries, standing in for a real eval-set manifest. */
+  private[operators] val benchDigits = Seq("0")
+
+  /** Benchmark decontamination — the training-data hygiene operator:
+    * flag every candidate document that shares a word-trigram shingle
+    * with the benchmark (eval) set, so eval material can be excluded
+    * from training. Shingles via lead() over token position (no
+    * self-join); the benchmark's distinct-shingle set is broadcast —
+    * eval sets are small by construction (thousands of docs), so at
+    * 100 TB the candidate side streams once past a ~MB broadcast set,
+    * no shuffle of the corpus. Real pipelines use 8–13-gram shingles;
+    * trigrams here because the synthetic corpus' 31-token vocabulary
+    * makes longer shingles vacuously unique. */
+  private val decontaminate: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+      .withColumn("n1", lead(col("token"), 1).over(w))
+      .withColumn("n2", lead(col("token"), 2).over(w))
+      .filter(col("n2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("token"), col("n1"), col("n2")).as("sh"))
+    val benchSet = sh.filter(hashSampleKeep(benchDigits))
+      .select("sh").distinct()
+    val hits = sh.filter(!hashSampleKeep(benchDigits))
+      .join(broadcast(benchSet), "sh")
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+    Tables.documents(s, d)
+      .filter(!hashSampleKeep(benchDigits))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** PII masking — email / URL / phone patterns replaced with typed
+    * placeholders. The PII-shaped strings are SYNTHESIZED from row keys
+    * (the corpus is synthetic and contains none), so the masking regexes
+    * do real work and the oracle pins their semantics; the patterns stay
+    * in the Java∩RE2 common subset so Spark and DuckDB agree. Pure
+    * per-row projection — codegen'd, no shuffle, linear at any scale. */
+  private val piiMask: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("concat('u', cast(doc_id AS string), " +
+          "'@mail.example said call 555-', " +
+          "lpad(cast(doc_id % 10000 AS string), 4, '0'), " +
+          "' or visit https://h', cast(doc_id % 7 AS string), " +
+          "'.example/p ', substring(text, 1, 40))").as("raw"))
+      .withColumn("masked",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "\\b555-[0-9]{4}\\b", "<PHONE>"))
+      .select("doc_id", "raw", "masked")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_text_decontaminate" -> decontaminate,
+    "q_text_pii_mask" -> piiMask,
     "q_text_search_tfidf" -> searchTfidf,
     "q_text_search_bm25" -> searchBm25,
     "q_sample_hash" -> sampleHash,
@@ -420,6 +485,47 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      s"""WITH tok AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1,
+                     len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents),
+          tri AS (
+            SELECT doc_id,
+                   token || ' ' || lead(token, 1) OVER w
+                         || ' ' || lead(token, 2) OVER w AS sh,
+                   lead(token, 2) OVER w AS n2
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          sh AS (SELECT doc_id, sh FROM tri WHERE n2 IS NOT NULL),
+          bset AS (SELECT DISTINCT sh FROM sh
+                   WHERE ${hashSampleSql("doc_id", benchDigits)}),
+          hits AS (SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+                   FROM sh s JOIN bset USING (sh)
+                   WHERE NOT (${hashSampleSql("s.doc_id", benchDigits)})
+                   GROUP BY s.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE NOT (${hashSampleSql("d.doc_id", benchDigits)})
+          ORDER BY doc_id""",
+    "q_text_pii_mask" ->
+      """SELECT doc_id, raw,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                  'https?://[^ ]+', '<URL>', 'g'),
+                  '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS masked
+         FROM (SELECT doc_id,
+                      'u' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example said call 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' or visit https://h'
+                          || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example/p ' || substring(text, 1, 40) AS raw
+               FROM documents) t
+         ORDER BY doc_id""",
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ${hashSampleSql("doc_id", quarterDigits)}

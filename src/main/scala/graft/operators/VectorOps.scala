@@ -203,7 +203,32 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth operator of a 100 TB vector pipeline (float32 → int8 is a
+    * 4× cut in scan bytes; rerank against the float originals restores
+    * exactness). Per-dimension affine code: q = floor((x−mn)/(mx−mn)·254
+    * + .5) − 127 ∈ [−127, 127]. The stats frame is |dims| rows (64) —
+    * broadcast, never shuffled; the quantization itself is a linear
+    * projection. All arithmetic in DOUBLE on both engines (float math
+    * would stay single-precision in DuckDB and diverge). Output is the
+    * space-joined code string per vector (driver-comparator-safe form,
+    * same info as the int8 array). */
+  private val embedQuantize: Q = (s, d) => {
+    val stats = dims(s, d).groupBy("pos")
+      .agg(min("val").as("mn"), max("val").as("mx"))
+    dims(s, d).join(broadcast(stats), Seq("pos"))
+      .withColumn("qv",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(floor((col("val") - col("mn"))
+            / (col("mx") - col("mn")) * 254.0 + 0.5).cast("int") - 127))
+      .groupBy("vec_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, qv))), x -> cast(x.qv AS string)), ' ')").as("qvec"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
     "q_dedup_embed" -> dedupEmbed,
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
@@ -212,6 +237,24 @@ object VectorOps {
     "q_ann_ivf" -> annIvf)
 
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, len(embedding)))
+                    AS INTEGER) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         st AS (SELECT pos, min(val) AS mn, max(val) AS mx
+                FROM e GROUP BY pos),
+         q AS (SELECT vec_id, pos,
+                      CASE WHEN mx = mn THEN 0
+                           ELSE CAST(floor((val - mn) / (mx - mn) * 254.0
+                                           + 0.5) AS INTEGER) - 127
+                      END AS qv
+               FROM e JOIN st USING (pos))
+         SELECT vec_id,
+                string_agg(CAST(qv AS VARCHAR), ' ' ORDER BY pos) AS qvec
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
     "q_sim_cosine_topk" ->
       """SELECT va, vb, sim_r FROM (
            SELECT a.vec_id AS va, b.vec_id AS vb,

@@ -183,4 +183,55 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(lsh.size >= (exact.size * 0.25).toInt, "LSH recall below 25%")
     assert(lsh.nonEmpty, "LSH found no pairs at all")
   }
+
+  test("bloom prefilter join equals the plain join (no false negatives)") {
+    val bloomed = SparkEntry.queries("q_join_bloom")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir).filter(col("s_nationkey") < 5)
+        .select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"),
+        Par.r2(sum("l_quantity")).as("qty"))
+      .orderBy("l_suppkey").collect().map(_.toSeq).toSeq
+    assert(bloomed === plain)
+  }
+
+  test("decontamination: benchmark docs excluded, flags match shingle truth") {
+    val out = SparkEntry.queries("q_text_decontaminate")(spark, sfDir)
+    // no benchmark doc (md5 first hex digit '0') appears in the output
+    val benchIds = out
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+    assert(benchIds.count() === 0)
+    // flag is exactly n_hits > 0
+    assert(out.filter(
+      (col("contaminated") === 1) =!= (col("n_hits") > 0)).count() === 0)
+  }
+
+  test("pii mask leaves no email/url/phone pattern behind") {
+    val out = SparkEntry.queries("q_text_pii_mask")(spark, sfDir)
+    assert(out.filter(col("masked").rlike("@")
+      or col("masked").rlike("https?://")
+      or col("masked").rlike("\\b555-[0-9]{4}\\b")).count() === 0)
+    // and every row actually had something to mask
+    assert(out.filter(!col("masked").contains("<EMAIL>")).count() === 0)
+  }
+
+  test("int8 quantization codes stay in [-127, 127] and span the range") {
+    val codes = SparkEntry.queries("q_embed_quantize")(spark, sfDir)
+      .select(explode(split(col("qvec"), " ")).as("qs"))
+      .select(col("qs").cast("int").as("q"))
+    assert(codes.filter(col("q") < -127 || col("q") > 127).count() === 0)
+    // per-dimension min/max map to the extremes, so both ends must occur
+    val mm = codes.agg(min("q"), max("q")).head()
+    assert(mm.getInt(0) === -127 && mm.getInt(1) === 127)
+  }
+
+  test("subquery mix: every returned customer beats the average order count") {
+    val avgCnt = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").count()
+      .agg(avg("count")).head().getDouble(0)
+    val out = SparkEntry.queries("q_subquery_mix")(spark, sfDir)
+    assert(out.filter(col("n_orders") <= avgCnt).count() === 0)
+  }
 }
