@@ -303,7 +303,14 @@ object DedupOps {
   private val dedupClusters: Q = (s, d) =>
     clusterReps(s, d).orderBy("doc_id")
 
-  private def clusterRepsUncached(s: SparkSession, d: String): DataFrame = {
+  /** Edge-count ceiling for the driver-side union-find path (≈8 MB of
+    * packed longs at the cap — same order as the broadcast-join
+    * threshold, the established "small enough for the driver" line).
+    * `var` only as a test seam: the equivalence spec pins loop ≡
+    * union-find by forcing the distributed path on the same graph. */
+  private[graft] var DriverCcEdgeThreshold = 500000L
+
+  private[graft] def clusterRepsUncached(s: SparkSession, d: String): DataFrame = {
     val edges = dedupSimhashPairs(s, d).select("a", "b")
     // localCheckpoint (eager) — THE iterative-algorithm pattern: it
     // materializes AND truncates lineage. persist()/unpersist() pairs are
@@ -323,6 +330,46 @@ object DedupOps {
     // two references to the same uncached subtree would execute it twice.
     val pairs = edges.persist()
     val edgeCount = pairs.count()
+    // ADAPTIVE STRATEGY CHOICE (the broadcast-join-threshold idea applied
+    // to connected components): a materialized pair graph below ~500k
+    // edges (≈ 8 MB of longs — same order as Spark's own 10 MB broadcast
+    // threshold, which also collects to the driver) is solved by a single
+    // driver-side union-find pass — microseconds of compute vs ~0.7 s of
+    // job-scheduling floor PER ROUND for the distributed loop. Near-dup
+    // graphs are sparse by construction (dedup output ≪ corpus), so in
+    // practice even 100 TB corpora produce pair graphs on this side of
+    // the threshold; the distributed min-label loop below remains the
+    // unbounded-scale path and is what runs past it.
+    if (edgeCount <= DriverCcEdgeThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      val it = pairs.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // union with MIN representative — same fixpoint the min-label
+        // propagation converges to, so both paths are oracle-identical
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      pairs.unpersist()
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        parent.size())
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) { val v = keys.next(); out += ((v, find(v))) }
+      import s.implicits._
+      return out.toSeq.toDF("doc_id", "cluster_rep")
+    }
     // The iteration stages run through the RDD path (localCheckpoint), so
     // AQE never coalesces their shuffles: the loop's shuffle width must be
     // set statically. Right-size it to the MATERIALIZED edge count (~64k

@@ -113,4 +113,20 @@ class ScaleTechniqueSpec extends SparkSpec {
       assert(joined.count() === Tables.lineitem(spark, sfDir).count())
     } finally spark.conf.set(thresholdKey, old)
   }
+
+  test("connected components: distributed min-label loop ≡ driver union-find") {
+    import graft.operators.DedupOps
+    // small-graph path (threshold default covers the test corpus)
+    val viaUnionFind = DedupOps.clusterRepsUncached(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the distributed label-propagation path on the SAME graph
+    val saved = DedupOps.DriverCcEdgeThreshold
+    DedupOps.DriverCcEdgeThreshold = -1L
+    try {
+      val viaLoop = DedupOps.clusterRepsUncached(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaLoop === viaUnionFind)
+      assert(viaUnionFind.nonEmpty)
+    } finally DedupOps.DriverCcEdgeThreshold = saved
+  }
 }
