@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Par.r2
+import graft.Par.{r2, r6}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,7 +97,57 @@ object EventOps {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Ordered conversion funnel view → click → purchase: for each user the
+    * first view, the first click AFTER that view, the first purchase AFTER
+    * that click — order-sensitive, so it is NOT three independent
+    * existence checks. ONE shuffle: the three stage timestamps are chained
+    * window minima over the same user_id partitioning (Catalyst plans one
+    * Exchange and stacks the Window ops), then a per-user collapse and a
+    * global 1-row summary. Exact integer µs arithmetic. At 100 TB this is
+    * the same single hash partition pass — per-user state is three longs. */
+  private val funnel: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+    val perUser = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    perUser.agg(
+      count(col("t1")).as("users_view"),
+      count(col("t2")).as("users_click_after_view"),
+      count(col("t3")).as("users_purchase_after_click"),
+      r6(count(col("t2")) / count(col("t1"))).as("conv_click"),
+      r6(count(col("t3")) / count(col("t2"))).as("conv_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on each
+    * of the following 7 days they return. Two shuffles (user-day distinct,
+    * cohort join is co-partitioned on user_id) + the final small agg —
+    * the (cohort, offset) matrix is bounded (days × 8) regardless of
+    * input size, so the output never needs a scale path. */
+  private val retention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> funnel,
+    "q_events_retention" -> retention,
     "q_stream_tumbling" -> tumbling,
     "q_stream_sliding" -> sliding,
     "q_stream_session" -> session,
@@ -105,6 +155,43 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_us(ts) END) AS t1
+           FROM events GROUP BY user_id),
+         c AS (SELECT e.user_id, min(epoch_us(ts)) AS t2
+               FROM events e JOIN u USING (user_id)
+               WHERE event_type = 'click' AND epoch_us(ts) > t1
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(epoch_us(ts)) AS t3
+               FROM events e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+               GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM u WHERE t1 IS NOT NULL) AS nv,
+                      (SELECT count(*) FROM c) AS nc,
+                      (SELECT count(*) FROM p) AS np)
+         SELECT nv AS users_view, nc AS users_click_after_view,
+                np AS users_purchase_after_click,
+                floor((nc / nv) * 1000000 + 0.5) / 1000000.0 AS conv_click,
+                floor((np / nc) * 1000000 + 0.5) / 1000000.0 AS conv_purchase
+         FROM n""",
+    "q_events_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day
+                    FROM days GROUP BY user_id)
+         SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS INTEGER)
+                  AS day_offset,
+                count(DISTINCT d.user_id) AS users
+         FROM days d JOIN cohort USING (user_id)
+         WHERE date_diff('day', cohort_day, day) <= 7
+         GROUP BY cohort_day, day_offset
+         ORDER BY cohort_day, day_offset""",
     "q_agg_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                 count(*) FILTER (WHERE event_type = 'click') AS click,

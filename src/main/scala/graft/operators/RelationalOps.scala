@@ -437,6 +437,25 @@ object RelationalOps {
       ORDER BY c_custkey""")
   }
 
+  /** Correlated LATERAL subquery — top-2 customers per nation, the
+    * "for each row of the outer, a dependent sub-result" SQL surface.
+    * Catalyst decorrelates the LATERAL (ORDER BY … LIMIT inside) into a
+    * per-nation window top-k — same physical shape as q_win_topk_group,
+    * reached from the SQL front door instead of the DataFrame one. */
+  private val lateralTopk: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nat_lat")
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat")
+    s.sql("""
+      SELECT n_name, t.c_custkey, t.bal
+      FROM graft_nat_lat,
+      LATERAL (SELECT c_custkey,
+                      floor(c_acctbal * 100 + 0.5) / 100 AS bal
+               FROM graft_cust_lat
+               WHERE c_nationkey = n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n_name, bal DESC, c_custkey""")
+  }
+
   /** Wide→long reshape (unpivot/melt) + aggregate over the melted rows.
     * Dataset.unpivot is a zero-shuffle generator (each input row emits one
     * row per measure in place); the only exchange is the 4-group
@@ -539,6 +558,7 @@ object RelationalOps {
     "q_win_range_frame" -> winRangeFrame,
     "q_win_topk_group" -> winTopkGroup,
     "q_subquery_mix" -> subqueryMix,
+    "q_lateral_topk" -> lateralTopk,
     "q_unpivot_metrics" -> unpivotMetrics,
     "q_join_bloom" -> joinBloom,
     "q_sort_limit" -> sortLimit,
@@ -769,6 +789,15 @@ object RelationalOps {
                > (SELECT avg(cnt) FROM (SELECT count(*) AS cnt
                   FROM orders GROUP BY o_custkey))
          ORDER BY c_custkey""",
+    "q_lateral_topk" ->
+      """SELECT n_name, t.c_custkey, t.bal
+         FROM nation,
+         LATERAL (SELECT c_custkey,
+                         floor(c_acctbal * 100 + 0.5) / 100 AS bal
+                  FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n_name, bal DESC, c_custkey""",
     "q_unpivot_metrics" ->
       """SELECT metric, count(*) AS cnt,
                 floor(sum(val) * 100 + 0.5) / 100.0 AS total

@@ -227,6 +227,31 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(mm.getInt(0) === -127 && mm.getInt(1) === 127)
   }
 
+  test("funnel stages are monotone non-increasing") {
+    val r = SparkEntry.queries("q_events_funnel")(spark, sfDir).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0)
+  }
+
+  test("retention: day-0 count equals cohort size, offsets within [0,7]") {
+    val out = SparkEntry.queries("q_events_retention")(spark, sfDir)
+    assert(out.filter(col("day_offset") < 0 || col("day_offset") > 7)
+      .count() === 0)
+    // every user appears in their own cohort on day 0
+    val day0 = out.filter(col("day_offset") === 0)
+      .agg(sum("users")).head().getLong(0)
+    val nUsers = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(day0 === nUsers)
+  }
+
+  test("lateral top-k: at most 2 rows per nation, ordered within nation") {
+    val out = SparkEntry.queries("q_lateral_topk")(spark, sfDir)
+    val over = out.groupBy("n_name").count().filter(col("count") > 2)
+    assert(over.count() === 0)
+  }
+
   test("subquery mix: every returned customer beats the average order count") {
     val avgCnt = Tables.orders(spark, sfDir)
       .groupBy("o_custkey").count()
