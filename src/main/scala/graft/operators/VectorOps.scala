@@ -203,6 +203,57 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Spherical k-means assignment: nearest centroid by (rounded) dot
+    * product, ties to the lowest cid — the argmax is a K-row broadcast
+    * against the vector stream, one window per vector, no shuffle of the
+    * vectors themselves. */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val sims = e.crossJoin(broadcast(cents))
+      .withColumn("sim_r", r6(expr(centDotExpr)))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim_r").desc, col("cid"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** K rounds of Lloyd: assign → per-(cid, dim) mean → re-pack centroid
+    * arrays. Deterministic: seeds are the first K vectors by id, every
+    * similarity is r6-rounded before the argmax, means are r6-insensitive
+    * (only consumed through rounded sims). Each round is one broadcast
+    * assignment + one (cid, dim)-keyed aggregation — the standard
+    * distributed k-means shape that holds at any vector count (K×dims is
+    * tiny; the data-sized side only ever streams). */
+  private def kmeansCentroids(s: SparkSession, d: String,
+      k: Int, rounds: Int): DataFrame = {
+    val e = vecs(s, d)
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        expr("transform(v, x -> cast(x AS double))").as("carr"))
+    for (_ <- 1 to rounds) {
+      val assign = assignTo(e, cents)
+      cents = dims(s, d).join(assign, Seq("vec_id"))
+        .groupBy("cid", "pos").agg(avg("val").as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
+          "x -> x.c)").as("carr"))
+    }
+    cents
+  }
+
+  /** The IVF coarse quantizer TRAINED, not stood in for by labels:
+    * 2 Lloyd rounds from deterministic seeds, then the final partition
+    * assignment — output is the cluster population plus a centroid
+    * signature component, i.e. the artifact a 100 TB ANN pipeline would
+    * persist as its partitioning function. The DuckDB oracle replays the
+    * identical rounds as chained CTEs, pinning every assignment. */
+  private val annKmeans: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d, k = 4, rounds = 2)
+    assignTo(vecs(s, d), cents)
+      .groupBy("cid").agg(count(lit(1)).as("members"))
+      .join(cents.select(col("cid"), r6(expr("carr[0]")).as("c0_r")),
+        Seq("cid"))
+      .orderBy("cid")
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage/
     * bandwidth operator of a 100 TB vector pipeline (float32 → int8 is a
     * 4× cut in scan bytes; rerank against the float originals restores
@@ -228,6 +279,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_ann_kmeans" -> annKmeans,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
     "q_dedup_embed" -> dedupEmbed,
@@ -237,6 +289,47 @@ object VectorOps {
     "q_ann_ivf" -> annIvf)
 
   val oracle: Map[String, String] = Map(
+    "q_ann_kmeans" ->
+      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
+                     FROM embeddings),
+           el AS (SELECT vec_id,
+                         CAST(unnest(generate_series(1, len(embedding)))
+                           AS INTEGER) - 1 AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS val
+                  FROM embeddings),
+           c0 AS (SELECT vec_id AS cid, varr AS carr FROM ev
+                  WHERE vec_id < 4),
+           a1 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c0 c) t WHERE rn = 1),
+           c1 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
+                    SELECT cid, pos, avg(val) AS c
+                    FROM el JOIN a1 USING (vec_id)
+                    GROUP BY cid, pos) t GROUP BY cid),
+           a2 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c1 c) t WHERE rn = 1),
+           c2 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
+                    SELECT cid, pos, avg(val) AS c
+                    FROM el JOIN a2 USING (vec_id)
+                    GROUP BY cid, pos) t GROUP BY cid),
+           a3 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c2 c) t WHERE rn = 1)
+         SELECT a3.cid, count(*) AS members,
+                floor((c2.carr[1]) * 1000000 + 0.5) / 1000000.0 AS c0_r
+         FROM a3 JOIN c2 ON a3.cid = c2.cid
+         GROUP BY a3.cid, c2.carr
+         ORDER BY a3.cid""",
     "q_embed_quantize" ->
       """WITH e AS (
            SELECT vec_id,

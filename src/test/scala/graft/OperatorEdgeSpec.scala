@@ -252,6 +252,14 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(over.count() === 0)
   }
 
+  test("k-means partitions cover every vector exactly once") {
+    val out = SparkEntry.queries("q_ann_kmeans")(spark, sfDir)
+    val total = out.agg(sum("members")).head().getLong(0)
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(total === nVecs, "every vector must land in exactly one cluster")
+    assert(out.count() <= 4)
+  }
+
   test("subquery mix: every returned customer beats the average order count") {
     val avgCnt = Tables.orders(spark, sfDir)
       .groupBy("o_custkey").count()
