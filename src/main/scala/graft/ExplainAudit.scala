@@ -25,7 +25,13 @@ object ExplainAudit {
     // construction; accepted here so their band-join physical plans,
     // the scale-relevant part, stay in the audit.)
     "q_dedup_simhash_pairs", "q_text_chunk_dedup",
-    "q_stream_interval_join")
+    "q_stream_interval_join",
+    // round 3: subquery decorrelation, bloom prefilter (builds the bloom
+    // during plan construction — same accepted caveat as the vocab
+    // builds above), broadcast-set decontamination, chained-window
+    // funnel, lateral top-k, quantization
+    "q_subquery_mix", "q_lateral_topk", "q_join_bloom",
+    "q_text_decontaminate", "q_events_funnel", "q_embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
