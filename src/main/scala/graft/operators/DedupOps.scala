@@ -287,11 +287,15 @@ object DedupOps {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  // cluster frames are localCheckpointed; unpersist releases the
-  // checkpoint blocks (no-op if already released by GC)
+  // Cluster frames are either a LocalRelation (driver union-find path —
+  // no executor memory at all) or backed by localCheckpoint blocks that
+  // DataFrame.unpersist() cannot reach (they are not CacheManager
+  // entries). Invalidation therefore just drops the reference; the
+  // ContextCleaner frees any checkpoint blocks asynchronously once the
+  // RDD chain is unreachable. Staleness behavior is exact either way.
   graft.Caches.registerMap(clusterCache,
     (k: (SparkSession, String)) => k._2,
-    (v: DataFrame) => v.unpersist())
+    (_: DataFrame) => ())
 
   /** (doc_id, cluster_rep) for every doc that appears in a near-dup pair
     * — cached per (session, dir) so the cluster query and the curation
@@ -350,9 +354,12 @@ object DedupOps {
         }
         x
       }
-      val it = pairs.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
+      // one fetch job — the threshold just proved the rows fit the driver
+      // (toLocalIterator would schedule a sequential job per partition)
+      val rows = pairs.collect()
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i); i += 1
         val a = r.getLong(0); val b = r.getLong(1)
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)

@@ -119,12 +119,18 @@ object EventOps {
           col("ts_us"))).over(w))
       .groupBy("user_id")
       .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    // Ratios are NULL when the denominator stage is empty: Spark's 0/0
+    // would be NaN and r6's floor-cast would silently turn it into 0.0,
+    // while DuckDB keeps NaN — NULL-on-empty is both the saner answer
+    // and exact cross-engine parity on arbitrary inputs.
     perUser.agg(
       count(col("t1")).as("users_view"),
       count(col("t2")).as("users_click_after_view"),
       count(col("t3")).as("users_purchase_after_click"),
-      r6(count(col("t2")) / count(col("t1"))).as("conv_click"),
-      r6(count(col("t3")) / count(col("t2"))).as("conv_purchase"))
+      when(count(col("t1")) > 0,
+        r6(count(col("t2")) / count(col("t1")))).as("conv_click"),
+      when(count(col("t2")) > 0,
+        r6(count(col("t3")) / count(col("t2")))).as("conv_purchase"))
   }
 
   /** Cohort retention: users grouped by first-active day, counted on each
@@ -174,8 +180,12 @@ object EventOps {
                       (SELECT count(*) FROM p) AS np)
          SELECT nv AS users_view, nc AS users_click_after_view,
                 np AS users_purchase_after_click,
-                floor((nc / nv) * 1000000 + 0.5) / 1000000.0 AS conv_click,
-                floor((np / nc) * 1000000 + 0.5) / 1000000.0 AS conv_purchase
+                CASE WHEN nv > 0 THEN
+                  floor((nc / nv) * 1000000 + 0.5) / 1000000.0 END
+                  AS conv_click,
+                CASE WHEN nc > 0 THEN
+                  floor((np / nc) * 1000000 + 0.5) / 1000000.0 END
+                  AS conv_purchase
          FROM n""",
     "q_events_retention" ->
       """WITH days AS (
