@@ -246,6 +246,24 @@ object RelationalOps {
         .as("est_users"))
       .orderBy("event_type")
 
+  /** Mode + median per group. Mode is made DETERMINISTIC by construction
+    * (count per value → top-1 by (cnt DESC, value)) — both engines'
+    * native mode() leave ties unspecified, which would be a coin-flip
+    * under the hash comparator. Median interpolates identically to
+    * DuckDB's quantile_cont(0.5) (same as q_agg_percentile). */
+  private val aggModeMedian: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    val modes = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    val med = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(r6(expr("median(l_quantity)")).as("median_qty"))
+    modes.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
   /** Conditional aggregation: sum(CASE WHEN), count FILTER equivalent. */
   private val aggFiltered: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -368,6 +386,22 @@ object RelationalOps {
         (lead(expr("ts_ns div 1000"), 1).over(w) - expr("ts_ns div 1000"))
           .as("next_us"))
       .orderBy("event_id")
+  }
+
+  /** Navigation window functions: first/last/nth order value per
+    * customer over the full-partition frame. The ordering tuple is
+    * unique (date, key), so every navigation target is deterministic —
+    * with ties these functions are engine-coin-flips. */
+  private val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Running revenue per customer (rows frame). Sequential accumulation
@@ -546,6 +580,8 @@ object RelationalOps {
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_filtered" -> aggFiltered,
+    "q_agg_mode_median" -> aggModeMedian,
+    "q_win_first_last" -> winFirstLast,
     "q_agg_stats" -> aggStats,
     "q_agg_percentile" -> aggPercentile,
     "q_agg_grouping_sets" -> aggGroupingSets,
@@ -696,6 +732,32 @@ object RelationalOps {
                 count(*) FILTER (WHERE l_tax > 0.04) AS cnt_hi_tax,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_mode_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+                    FROM lineitem GROUP BY l_returnflag, l_quantity),
+            m AS (SELECT l_returnflag, l_quantity AS mode_qty FROM (
+                    SELECT c.*, row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY cnt DESC, l_quantity) AS rn FROM c) t
+                  WHERE rn = 1),
+            md AS (SELECT l_returnflag,
+                          floor(median(l_quantity) * 1000000 + 0.5)
+                            / 1000000.0 AS median_qty
+                   FROM lineitem GROUP BY l_returnflag)
+         SELECT m.l_returnflag, m.mode_qty, md.median_qty
+         FROM m JOIN md USING (l_returnflag)
+         ORDER BY l_returnflag""",
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_orderkey) OVER w AS first_ok,
+                last_value(o_orderkey) OVER w AS last_ok,
+                nth_value(o_orderkey, 2) OVER w AS second_ok
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     "q_agg_stats" ->
       """SELECT event_type, floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000.0 AS sd,
                 floor((var_samp(value)) * 1000000 + 0.5) / 1000000.0 AS vr,
