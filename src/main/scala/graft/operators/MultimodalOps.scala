@@ -35,10 +35,46 @@ object MultimodalOps {
         md5(col("text")).as("sig"))
       .orderBy("doc_id")
 
+  /** Fixed-size block-level dedup over the opaque asset bytes — the
+    * storage-dedup primitive for media columns (complementing
+    * q_text_chunk_dedup's content-defined chunking): split each asset
+    * into 64-byte blocks, fingerprint each block, inventory the blocks
+    * shared across assets. Linear (explode → hash-agg on the block
+    * signature); at 100 TB the signature groupBy is the only shuffle and
+    * blocks dedup-compress media storage exactly like a CAS store. The
+    * asset here is the utf-8 text bytes (ASCII ⟹ chars == bytes, so
+    * DuckDB's VARCHAR substring sees identical blocks). */
+  private val multimodalChunkDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 1) div 64)")).as("blk"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, blk * 64 + 1, 64)")).as("bsig"))
+      .groupBy("bsig")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_assets"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_assets") > 1)
+      .orderBy("bsig")
+
   val queries: Map[String, Q] = Map(
-    "q_multimodal_features" -> multimodalFeatures)
+    "q_multimodal_features" -> multimodalFeatures,
+    "q_multimodal_chunk_dedup" -> multimodalChunkDedup)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_chunk_dedup" ->
+      """SELECT bsig, count(*) AS occurrences,
+                count(DISTINCT doc_id) AS n_assets,
+                min(doc_id) AS first_doc
+         FROM (SELECT doc_id,
+                      md5(substring(text, blk * 64 + 1, 64)) AS bsig
+               FROM (SELECT doc_id, text,
+                            unnest(generate_series(0,
+                              (length(text) - 1) // 64)) AS blk
+                     FROM documents WHERE length(text) > 0) t) u
+         GROUP BY bsig HAVING count(DISTINCT doc_id) > 1
+         ORDER BY bsig""",
     "q_multimodal_features" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
