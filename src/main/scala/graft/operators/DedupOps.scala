@@ -314,6 +314,39 @@ object DedupOps {
     * union-find by forcing the distributed path on the same graph. */
   private[graft] var DriverCcEdgeThreshold = 500000L
 
+  /** Union-find with MIN representative — the same fixpoint the
+    * distributed min-label propagation converges to, so the two paths
+    * are oracle-identical (pinned by ScaleTechniqueSpec's equivalence
+    * test on the corpus graph and a scalacheck property on random
+    * graphs). Returns (node, min node id of its component) for every
+    * node that appears in an edge, sorted order unspecified. */
+  private[graft] def unionFindMinReps(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        parent.put(x, parent.get(parent.get(x))) // path halving
+        x = parent.get(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < edges.length) {
+      val (a, b) = edges(i); i += 1
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size())
+    val keys = parent.keySet().iterator()
+    while (keys.hasNext) { val v = keys.next(); out += ((v, find(v))) }
+    out.toSeq
+  }
+
   private[graft] def clusterRepsUncached(s: SparkSession, d: String): DataFrame = {
     val edges = dedupSimhashPairs(s, d).select("a", "b")
     // localCheckpoint (eager) — THE iterative-algorithm pattern: it
@@ -345,37 +378,12 @@ object DedupOps {
     // the threshold; the distributed min-label loop below remains the
     // unbounded-scale path and is what runs past it.
     if (edgeCount <= DriverCcEdgeThreshold) {
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.get(x) != x) {
-          parent.put(x, parent.get(parent.get(x))) // path halving
-          x = parent.get(x)
-        }
-        x
-      }
       // one fetch job — the threshold just proved the rows fit the driver
       // (toLocalIterator would schedule a sequential job per partition)
-      val rows = pairs.collect()
-      var i = 0
-      while (i < rows.length) {
-        val r = rows(i); i += 1
-        val a = r.getLong(0); val b = r.getLong(1)
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val ra = find(a); val rb = find(b)
-        // union with MIN representative — same fixpoint the min-label
-        // propagation converges to, so both paths are oracle-identical
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
+      val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist()
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-        parent.size())
-      val keys = parent.keySet().iterator()
-      while (keys.hasNext) { val v = keys.next(); out += ((v, find(v))) }
       import s.implicits._
-      return out.toSeq.toDF("doc_id", "cluster_rep")
+      return unionFindMinReps(rows).toDF("doc_id", "cluster_rep")
     }
     // The iteration stages run through the RDD path (localCheckpoint), so
     // AQE never coalesces their shuffles: the loop's shuffle width must be

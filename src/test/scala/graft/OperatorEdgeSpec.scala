@@ -142,6 +142,31 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("union-find min-reps equal brute-force closure on random graphs (property)") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+    (0 until 10).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(7L + i)).get
+        .filter { case (a, b) => a != b }.toArray
+      val got = operators.DedupOps.unionFindMinReps(edges).toMap
+      // brute force: repeat min-neighbor relaxation to fixpoint
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var lbl = nodes.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl += a -> m; changed = true }
+          if (lbl(b) != m) { lbl += b -> m; changed = true }
+        }
+      }
+      // at the fixpoint every edge's endpoints share a label, so each
+      // component carries exactly its global-min node id
+      assert(got === lbl, s"seed ${7 + i}")
+    }
+  }
+
   test("minhash LSH finds only true near-dup pairs (precision 1.0)") {
     val lsh = operators.DedupOps.queries("q_dedup_minhash")(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
