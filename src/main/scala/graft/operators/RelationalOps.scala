@@ -246,6 +246,43 @@ object RelationalOps {
         .as("est_users"))
       .orderBy("event_type")
 
+  /** Bivariate statistics per group: Pearson correlation and sample
+    * covariance between quantity and price — the feature-engineering
+    * aggregates. Same map-side-partial shape (and the same r6 float
+    * discipline) as q_agg_stats. */
+  private val aggCorr: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r6(covar_samp(col("l_quantity"), col("l_extendedprice")) / 1000.0)
+          .as("covar_qp_k"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Date-spine gap fill — the time-series primitive: generate the full
+    * day spine between the corpus' min and max order dates (sequence +
+    * explode, no data-sized shuffle to build it), left-join daily order
+    * counts, zero-fill missing days. At 100 TB the spine stays |days|
+    * rows (broadcastable) while the daily aggregate is the only
+    * data-sized pass. */
+  private val dateSpine: Q = (s, d) => {
+    val bounds = Tables.orders(s, d)
+      .agg(min(date_trunc("day", col("o_orderdate"))).as("lo"),
+        max(date_trunc("day", col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("revenue"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("day")
+  }
+
   /** Mode + median per group. Mode is made DETERMINISTIC by construction
     * (count per value → top-1 by (cnt DESC, value)) — both engines'
     * native mode() leave ties unspecified, which would be a coin-flip
@@ -581,6 +618,8 @@ object RelationalOps {
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_filtered" -> aggFiltered,
     "q_agg_mode_median" -> aggModeMedian,
+    "q_agg_corr" -> aggCorr,
+    "q_date_spine" -> dateSpine,
     "q_win_first_last" -> winFirstLast,
     "q_agg_stats" -> aggStats,
     "q_agg_percentile" -> aggPercentile,
@@ -747,6 +786,30 @@ object RelationalOps {
          SELECT m.l_returnflag, m.mode_qty, md.median_qty
          FROM m JOIN md USING (l_returnflag)
          ORDER BY l_returnflag""",
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+                floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5)
+                  / 1000000.0 AS corr_qp,
+                floor((covar_samp(l_quantity, l_extendedprice) / 1000.0)
+                      * 1000000 + 0.5) / 1000000.0 AS covar_qp_k,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_date_spine" ->
+      """WITH b AS (SELECT CAST(min(date_trunc('day', o_orderdate))
+                             AS TIMESTAMP) AS lo,
+                           CAST(max(date_trunc('day', o_orderdate))
+                             AS TIMESTAMP) AS hi FROM orders),
+            spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+                             INTERVAL 1 DAY)) AS TIMESTAMP) AS day FROM b),
+            daily AS (SELECT CAST(date_trunc('day', o_orderdate)
+                               AS TIMESTAMP) AS day,
+                             count(*) AS n_orders,
+                             floor(sum(o_totalprice) * 100 + 0.5) / 100.0
+                               AS revenue
+                      FROM orders GROUP BY day)
+         SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+                coalesce(d.revenue, 0.0) AS revenue
+         FROM spine s LEFT JOIN daily d USING (day) ORDER BY day""",
     "q_win_first_last" ->
       """SELECT o_custkey, o_orderkey,
                 first_value(o_orderkey) OVER w AS first_ok,
