@@ -397,6 +397,30 @@ object TextOps {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split — the dataset-assignment
+    * primitive: the first md5 hex digit of the row key partitions the
+    * hash space 12/2/2 (75% train, 12.5% val, 12.5% test). Assignment is
+    * a pure function of doc_id, so it is stable across re-runs, retries,
+    * cluster layouts, AND incremental ingestion (new docs never move old
+    * docs between splits — the property random splits lose). Output is
+    * the per-(split, lang) census plus the resulting fractions. */
+  private val sampleSplit: Q = (s, d) => {
+    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split = when(digit.isin("c", "d"), "val")
+      .when(digit.isin("e", "f"), "test")
+      .otherwise("train")
+    val totals = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("double").as("total"))
+    Tables.documents(s, d)
+      .withColumn("split", split)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .withColumn("frac", r6(col("n") / col("total")))
+      .drop("total")
+      .orderBy("split", "lang")
+  }
+
   /** Benchmark membership for decontamination: 1/16 of docs by first md5
     * hex digit — the same deterministic hash-Bernoulli primitive as the
     * sampling queries, standing in for a real eval-set manifest. */
@@ -461,6 +485,7 @@ object TextOps {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q_sample_split" -> sampleSplit,
     "q_text_decontaminate" -> decontaminate,
     "q_text_pii_mask" -> piiMask,
     "q_text_search_tfidf" -> searchTfidf,
@@ -485,6 +510,20 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total
+                    FROM documents),
+            g AS (SELECT CASE
+                           WHEN substring(md5(CAST(doc_id AS VARCHAR)),
+                                1, 1) IN ('c', 'd') THEN 'val'
+                           WHEN substring(md5(CAST(doc_id AS VARCHAR)),
+                                1, 1) IN ('e', 'f') THEN 'test'
+                           ELSE 'train' END AS split,
+                         lang, count(*) AS n
+                  FROM documents GROUP BY split, lang)
+         SELECT split, lang, n,
+                floor((n / total) * 1000000 + 0.5) / 1000000.0 AS frac
+         FROM g, t ORDER BY split, lang""",
     "q_text_decontaminate" ->
       s"""WITH tok AS (
             SELECT doc_id,
