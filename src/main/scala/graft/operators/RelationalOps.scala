@@ -267,15 +267,15 @@ object RelationalOps {
     * rows (broadcastable) while the daily aggregate is the only
     * data-sized pass. */
   private val dateSpine: Q = (s, d) => {
-    val bounds = Tables.orders(s, d)
-      .agg(min(date_trunc("day", col("o_orderdate"))).as("lo"),
-        max(date_trunc("day", col("o_orderdate"))).as("hi"))
-    val spine = bounds.select(
-      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     val daily = Tables.orders(s, d)
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"),
         r2(sum(col("o_totalprice"))).as("revenue"))
+    // bounds come from the |days|-row aggregate, not a second scan of
+    // orders — the daily aggregate stays the only data-sized pass
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     spine.join(daily, Seq("day"), "left")
       .select(col("day"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),

@@ -409,15 +409,17 @@ object TextOps {
     val split = when(digit.isin("c", "d"), "val")
       .when(digit.isin("e", "f"), "test")
       .otherwise("train")
-    val totals = Tables.documents(s, d)
-      .agg(count(lit(1)).cast("double").as("total"))
+    // total = sum over the census itself (a bounded few-row frame), so
+    // the corpus is scanned exactly once; the global window runs on
+    // |splits×langs| rows, never on data
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.documents(s, d)
       .withColumn("split", split)
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(totals))
-      .withColumn("frac", r6(col("n") / col("total")))
-      .drop("total")
+      .withColumn("frac",
+        r6(col("n") / sum(col("n")).over(w).cast("double")))
       .orderBy("split", "lang")
   }
 

@@ -216,12 +216,15 @@ object VectorOps {
   }
 
   /** K rounds of Lloyd: assign → per-(cid, dim) mean → re-pack centroid
-    * arrays. Deterministic: seeds are the first K vectors by id, every
-    * similarity is r6-rounded before the argmax, means are r6-insensitive
-    * (only consumed through rounded sims). Each round is one broadcast
-    * assignment + one (cid, dim)-keyed aggregation — the standard
-    * distributed k-means shape that holds at any vector count (K×dims is
-    * tiny; the data-sized side only ever streams). */
+    * arrays. Deterministic: seeds are the first K vectors by id and every
+    * similarity is r6-rounded before the argmax; the means themselves are
+    * order-dependent double sums, carried to the output (c0_r) and the
+    * next round's argmax only through the same r6 discipline as every
+    * other aggregated-double output (q_agg_stats & co). Each round's
+    * K×dims centroid table is MATERIALIZED to the driver (a bounded
+    * index artifact, 4×64 doubles — same rule as the vocab dictionary),
+    * so round N+1's plan starts from a LocalRelation instead of
+    * re-deriving every earlier round's crossJoin per reference. */
   private def kmeansCentroids(s: SparkSession, d: String,
       k: Int, rounds: Int): DataFrame = {
     val e = vecs(s, d)
@@ -230,11 +233,13 @@ object VectorOps {
         expr("transform(v, x -> cast(x AS double))").as("carr"))
     for (_ <- 1 to rounds) {
       val assign = assignTo(e, cents)
-      cents = dims(s, d).join(assign, Seq("vec_id"))
+      val next = dims(s, d).join(assign, Seq("vec_id"))
         .groupBy("cid", "pos").agg(avg("val").as("c"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
           "x -> x.c)").as("carr"))
+      cents = s.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }
