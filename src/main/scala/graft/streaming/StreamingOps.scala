@@ -118,6 +118,49 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Output row of [[funnel]]: the user's stage timestamps (µs), null
+    * until the stage is reached in order. */
+  case class FunnelStage(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long])
+
+  /** Streaming twin of the batch conversion funnel (EventOps
+    * q_events_funnel): a per-user state machine — first view, first
+    * click AFTER it, first purchase AFTER that — kept in
+    * flatMapGroupsWithState and updated as events arrive. Rows are
+    * sorted by ts within each micro-batch; cross-batch the machine
+    * assumes event-time order per user (the standard funnel-tracker
+    * assumption — an out-of-order view older than an already-latched t1
+    * cannot retroactively re-derive t2; bounded reordering is the
+    * watermark's job upstream). State per user is three longs —
+    * unbounded user counts shard on user_id exactly like sessionization.
+    * Parity with the batch funnel's stage counts is spec-tested. */
+  def funnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        FunnelStage](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, us) =>
+            if (typ == "view" && t1.isEmpty) t1 = Some(us)
+            else if (typ == "click" && t2.isEmpty &&
+              t1.exists(us > _)) t2 = Some(us)
+            else if (typ == "purchase" && t3.isEmpty &&
+              t2.exists(us > _)) t3 = Some(us)
+          }
+          state.update((t1, t2, t3))
+          Iterator(FunnelStage(uid, t1, t2, t3))
+      }
+      .toDF()
+  }
+
   /** Custom stateful op: running per-user event count + value total via
     * flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express. */

@@ -190,4 +190,34 @@ class StreamingSpec extends SparkSpec {
       assert(last.getDouble(1) === 5.0)
     } finally q.stop()
   }
+
+  test("streaming funnel stage counts match the batch funnel") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.funnel(ms.toDF())
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").start()
+    try {
+      // replay the whole sf0.001 corpus in event-time order, two batches
+      val evs = Tables.events(spark, sfDir)
+        .orderBy("ts_ns", "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+        .map(r => Ev(r.getLong(0),
+          java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      // stages only latch, so the final per-user state is the max over
+      // the emitted updates
+      val fin = spark.table("t_funnel").groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      val got = (fin.filter(col("t1").isNotNull).count(),
+        fin.filter(col("t2").isNotNull).count(),
+        fin.filter(col("t3").isNotNull).count())
+      val exp = SparkEntry.queries("q_events_funnel")(spark, sfDir).head()
+      assert(got === ((exp.getLong(0), exp.getLong(1), exp.getLong(2))))
+    } finally q.stop()
+  }
 }
