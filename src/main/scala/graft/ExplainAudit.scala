@@ -31,7 +31,11 @@ object ExplainAudit {
     // builds above), broadcast-set decontamination, chained-window
     // funnel, lateral top-k, quantization
     "q_subquery_mix", "q_lateral_topk", "q_join_bloom",
-    "q_text_decontaminate", "q_events_funnel", "q_embed_quantize")
+    "q_text_decontaminate", "q_events_funnel", "q_embed_quantize",
+    // round-3 late: k-means (per-round centroid LocalRelations — the
+    // collect is part of plan construction, same caveat as the bloom),
+    // single-scan date spine, window-total split census
+    "q_ann_kmeans", "q_date_spine", "q_sample_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

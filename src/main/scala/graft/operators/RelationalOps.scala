@@ -271,8 +271,10 @@ object RelationalOps {
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"),
         r2(sum(col("o_totalprice"))).as("revenue"))
-    // bounds come from the |days|-row aggregate, not a second scan of
-    // orders — the daily aggregate stays the only data-sized pass
+    // bounds are declared over the |days|-row aggregate; Catalyst then
+    // proves min-over-group-keys = min-over-rows and rewrites this to a
+    // direct min/max over the single pruned o_orderdate column (see
+    // docs/PLANS.txt) — either way the full-width table is read once
     val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
     val spine = bounds.select(
       explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
