@@ -287,15 +287,22 @@ object DedupOps {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  // Cluster frames are either a LocalRelation (driver union-find path —
-  // no executor memory at all) or backed by localCheckpoint blocks that
-  // DataFrame.unpersist() cannot reach (they are not CacheManager
-  // entries). Invalidation therefore just drops the reference; the
-  // ContextCleaner frees any checkpoint blocks asynchronously once the
-  // RDD chain is unreachable. Staleness behavior is exact either way.
+  /** Persisted result-RDD handles for the distributed loop path —
+    * DataFrame.unpersist() cannot reach RDD-level persistence (it is not
+    * a CacheManager entry), so the cache owns the RDD and releases it
+    * directly. The union-find path returns a LocalRelation (no executor
+    * memory) and stores no handle. */
+  private val clusterRddHandles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
   graft.Caches.registerMap(clusterCache,
     (k: (SparkSession, String)) => k._2,
     (_: DataFrame) => ())
+  graft.Caches.registerMap(clusterRddHandles,
+    (k: (SparkSession, String)) => k._2,
+    (rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =>
+      rdd.unpersist(blocking = false))
 
   /** (doc_id, cluster_rep) for every doc that appears in a near-dup pair
     * — cached per (session, dir) so the cluster query and the curation
@@ -440,12 +447,22 @@ object DedupOps {
       throw new IllegalStateException(
         s"cluster label propagation did not converge after $iter rounds " +
           s"($changed labels still changing, $edgeCount edges)")
+    // (no localCheckpoint here — the persisted handle below IS the
+    // result's materialization; lab is already checkpointed, so the
+    // lineage being persisted is one projection deep)
     val res = lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
-      .localCheckpoint()
     // Hand the result back on the CALLER's session so downstream plans
     // (cluster query, curation joins) compile with its conf, not the
-    // loop's: same re-read-from-checkpoint-blocks trick as the lift in.
-    s.createDataFrame(res.toDF().rdd, res.schema)
+    // loop's — via an RDD handle WE persist and keep, so invalidation
+    // can release the blocks promptly instead of waiting for the
+    // ContextCleaner to collect a dropped reference. (The intermediate
+    // per-round checkpoints are dropped references and are GC-cleaned;
+    // only the session-lifetime result needs an owned handle.)
+    val matRdd = res.toDF().rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    matRdd.count()
+    clusterRddHandles.put((s, d), matRdd)
+    s.createDataFrame(matRdd, res.schema)
   }
 
   /** END-TO-END corpus curation — the composition a training-data user
