@@ -14,9 +14,10 @@ import java.util.concurrent.CopyOnWriteArrayList
   * Pipeline.curateCorpus / publishCurated entry points) serve the
   * snapshot they first read until `invalidate(dir)` (or `clearAll()`) is
   * called — which unpersists the cached frames and releases their
-  * executor memory (checkpoint-backed entries, e.g. cluster labels,
-  * release their blocks asynchronously via the ContextCleaner once the
-  * dropped reference is collected). This mirrors Spark's own `spark.catalog.
+  * executor memory (cluster results are persisted through an RDD handle
+  * the cache owns, so their blocks release promptly too; only the
+  * loop's INTERMEDIATE per-round checkpoints are left to the
+  * ContextCleaner). This mirrors Spark's own `spark.catalog.
   * refreshTable` contract for cached file-backed tables: explicit
   * refresh, never mid-query invalidation (a query planned against a
   * half-invalidated snapshot would be worse than a stale-but-consistent
