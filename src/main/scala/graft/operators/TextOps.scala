@@ -423,6 +423,28 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Unigram-LM perplexity proxy — the language-model quality filter of
+    * LLM data pipelines (the KenLM-scoring shape, with the corpus itself
+    * as the LM): per-doc mean negative log-probability of its tokens
+    * under the corpus unigram distribution. High values flag gibberish /
+    * rare-token soup; low values flag boilerplate. Plan: ONE token pass
+    * builds the |vocab|-row model (broadcast — vocabularies are bounded;
+    * at 100 TB the LM is trained offline and broadcast the same way),
+    * then scoring is a broadcast join + per-doc mean with no extra
+    * shuffle of the corpus. */
+  private val perplexity: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+    val vocabLm = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocabLm.agg(sum("cnt").cast("double").as("total"))
+    tok.join(broadcast(vocabLm), Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("nll", -log(col("cnt") / col("total")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), r6(avg(col("nll"))).as("ppl_proxy"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark membership for decontamination: 1/16 of docs by first md5
     * hex digit — the same deterministic hash-Bernoulli primitive as the
     * sampling queries, standing in for a real eval-set manifest. */
@@ -488,6 +510,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> sampleSplit,
+    "q_text_perplexity" -> perplexity,
     "q_text_decontaminate" -> decontaminate,
     "q_text_pii_mask" -> piiMask,
     "q_text_search_tfidf" -> searchTfidf,
@@ -512,6 +535,17 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            vc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vc),
+            sc AS (SELECT t.doc_id, -ln(vc.cnt / tot.total) AS nll
+                   FROM tok t JOIN vc USING (tok) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tok,
+                floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS ppl_proxy
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_sample_split" ->
       """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total
                     FROM documents),
