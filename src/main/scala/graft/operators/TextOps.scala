@@ -445,6 +445,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the context-window packing step of LLM training
+    * pipelines: documents are laid out in deterministic doc_id order and
+    * assigned to fixed-size token bins by their START offset in the
+    * concatenated stream. The global running offset is a DISTRIBUTED
+    * prefix sum (the one pattern a naive global window gets wrong at
+    * scale): range-partition by doc_id → per-partition window cumsum in
+    * parallel → per-partition totals (one bounded row each) collected
+    * and turned into broadcast offsets. No single-partition window
+    * anywhere; the corpus is scanned once (localCheckpoint pins the
+    * partition layout between the offsets pass and the scoring pass). */
+  private val textPack: Q = (s, d) => {
+    val binTokens = 2048L
+    val withPid = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks()).cast("long").as("n_tok"))
+      .repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val ptots = withPid.groupBy("pid").agg(sum("n_tok").as("ptot"))
+      .orderBy("pid").collect()
+    var acc = 0L
+    val offMap: Map[Int, Long] = ptots.map { r =>
+      val entry = r.getInt(0) -> acc; acc += r.getLong(1); entry
+    }.toMap
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok") +
+        element_at(typedLit(offMap), col("pid")))
+      .withColumn("bin", expr(s"start div $binTokens"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+      .orderBy("bin")
+  }
+
   /** Benchmark membership for decontamination: 1/16 of docs by first md5
     * hex digit — the same deterministic hash-Bernoulli primitive as the
     * sampling queries, standing in for a real eval-set manifest. */
@@ -511,6 +545,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> sampleSplit,
     "q_text_perplexity" -> perplexity,
+    "q_text_pack" -> textPack,
     "q_text_decontaminate" -> decontaminate,
     "q_text_pii_mask" -> piiMask,
     "q_text_search_tfidf" -> searchTfidf,
@@ -546,6 +581,20 @@ object TextOps {
          SELECT doc_id, count(*) AS n_tok,
                 floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS ppl_proxy
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_pack" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+            c AS (SELECT doc_id, n_tok,
+                         CAST(sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) - n_tok
+                           AS start
+                  FROM d)
+         SELECT start // 2048 AS bin, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         FROM c GROUP BY bin ORDER BY bin""",
     "q_sample_split" ->
       """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total
                     FROM documents),
