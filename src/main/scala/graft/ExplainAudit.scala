@@ -35,7 +35,12 @@ object ExplainAudit {
     // round-3 late: k-means (per-round centroid LocalRelations — the
     // collect is part of plan construction, same caveat as the bloom),
     // single-scan date spine, window-total split census
-    "q_ann_kmeans", "q_date_spine", "q_sample_split")
+    "q_ann_kmeans", "q_date_spine", "q_sample_split",
+    // pin the advertised plan shapes: packing = NO single-partition
+    // window (distributed prefix sum; its offsets collect runs during
+    // plan construction, same caveat as kmeans/bloom), perplexity =
+    // broadcast LM join, no corpus re-shuffle
+    "q_text_pack", "q_text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -404,18 +404,34 @@ object DedupOps {
     val np = math.max(4L, edgeCount / 65536L).toInt
     val loopS = s.newSession()
     loopS.conf.set("spark.sql.shuffle.partitions", np.toString)
+    // Every materialization in the loop goes through an RDD handle WE
+    // persist, so block lifetimes are deterministic: each round frees
+    // the previous round's blocks as soon as its own are materialized,
+    // and the final result's handle is owned by the cache (released on
+    // Caches.invalidate) instead of waiting on GC + ContextCleaner.
+    // (localCheckpoint was the previous mechanism; its blocks are not
+    // reachable from DataFrame.unpersist, so nothing could be freed
+    // eagerly.)
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    import org.apache.spark.storage.StorageLevel
+    def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      (loopS.createDataFrame(rdd, df.schema), rdd)
+    }
     // Lift the materialized pairs into the child session: the rows come
     // from the persisted blocks, so this is a re-read, not a re-compute.
     val pairsL = loopS.createDataFrame(pairs.toDF().rdd, pairs.schema)
-    val und = pairsL
+    val (und, undRdd) = materialize(pairsL
       .union(pairsL.select(col("b").as("a"), col("a").as("b")))
-      .repartition(np, col("a"))
-      .localCheckpoint()
-    // the checkpointed edge list is self-contained — release the cached
+      .repartition(np, col("a")))
+    // the materialized edge list is self-contained — release the cached
     // pairs blocks instead of pinning them for the session lifetime
     pairs.unpersist()
     val nodes = und.select(col("a").as("v")).distinct()
-    var lab = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var (lab, labRdd) = materialize(
+      nodes.select(col("v"), col("v").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
@@ -429,13 +445,15 @@ object DedupOps {
       // the label table (pointer jumping) — long chains collapse in
       // O(log diameter) rounds instead of O(diameter).
       val jump = stepped.select(col("v").as("jv"), col("mid").as("jl"))
-      val upd = stepped.join(jump, stepped("mid") === jump("jv"), "left")
-        .select(stepped("v"), col("prev"),
-          least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
-        .repartition(np, col("v"))
-        .localCheckpoint()
+      val (upd, updRdd) = materialize(
+        stepped.join(jump, stepped("mid") === jump("jv"), "left")
+          .select(stepped("v"), col("prev"),
+            least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
+          .repartition(np, col("v")))
       changed = upd.filter(col("nlbl") < col("prev")).count()
+      labRdd.unpersist(blocking = false) // round k-1 freed eagerly
       lab = upd.select(col("v"), col("nlbl").as("lbl"))
+      labRdd = updRdd
       iter += 1
     }
     // Min-label + pointer-jumping converges in O(log diameter) rounds —
@@ -447,21 +465,17 @@ object DedupOps {
       throw new IllegalStateException(
         s"cluster label propagation did not converge after $iter rounds " +
           s"($changed labels still changing, $edgeCount edges)")
-    // (no localCheckpoint here — the persisted handle below IS the
-    // result's materialization; lab is already checkpointed, so the
-    // lineage being persisted is one projection deep)
     val res = lab.select(col("v").as("doc_id"), col("lbl").as("cluster_rep"))
     // Hand the result back on the CALLER's session so downstream plans
     // (cluster query, curation joins) compile with its conf, not the
-    // loop's — via an RDD handle WE persist and keep, so invalidation
-    // can release the blocks promptly instead of waiting for the
-    // ContextCleaner to collect a dropped reference. (The intermediate
-    // per-round checkpoints are dropped references and are GC-cleaned;
-    // only the session-lifetime result needs an owned handle.)
-    val matRdd = res.toDF().rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loop's. The cache owns the handle; a displaced predecessor (repeat
+    // uncached build for the same key) is unpersisted, not leaked.
+    val matRdd = res.toDF().rdd.persist(StorageLevel.MEMORY_AND_DISK)
     matRdd.count()
-    clusterRddHandles.put((s, d), matRdd)
+    undRdd.unpersist(blocking = false)
+    labRdd.unpersist(blocking = false)
+    Option(clusterRddHandles.put((s, d), matRdd))
+      .foreach(_.unpersist(blocking = false))
     s.createDataFrame(matRdd, res.schema)
   }
 

@@ -24,11 +24,9 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("bench warmup keys exist in the query registry") {
-    // mirror of Bench.scala's warmup list — a renamed key would silently
-    // skip its warmup and re-randomize which query pays one-time costs
-    val warmup = Seq("q_agg_pricing_summary", "q_text_tokencount",
-      "q_sim_cosine_topk", "q_dedup_simhash")
-    warmup.foreach(k =>
+    // shared val, not a copy — a renamed key would silently skip its
+    // warmup and re-randomize which query pays one-time costs
+    Bench.warmupKeys.foreach(k =>
       assert(SparkEntry.queries.contains(k), s"warmup key $k missing"))
   }
 

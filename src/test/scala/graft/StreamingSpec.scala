@@ -204,7 +204,11 @@ class StreamingSpec extends SparkSpec {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .collect()
         .map(r => Ev(r.getLong(0),
-          java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+          // pin the NTZ wall time to UTC explicitly — Timestamp.valueOf
+          // would interpret it in the host JVM's default zone, making
+          // event order DST-dependent on non-UTC hosts
+          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+            .toInstant(java.time.ZoneOffset.UTC)),
           r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
       val (b1, b2) = evs.splitAt(evs.length / 2)
       ms.addData(b1.toSeq: _*); q.processAllAvailable()
