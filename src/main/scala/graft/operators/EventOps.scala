@@ -151,7 +151,27 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** First-order event-transition matrix (the Markov-chain view of user
+    * behavior): count and probability of each (current → next) event-type
+    * transition within a user's stream. One shuffle on user_id for the
+    * lead(); the transition matrix itself is |types|² rows — bounded at
+    * any scale, so the normalizing window runs on a handful of rows. */
+  private val markov: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val wSrc = Window.partitionBy("cur")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("cur"),
+        col("ts_ns"), col("event_id"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n") / sum(col("n")).over(wSrc)))
+      .orderBy("cur", "nxt")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_markov" -> markov,
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
     "q_stream_tumbling" -> tumbling,
@@ -161,6 +181,18 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_markov" ->
+      """WITH seq AS (
+           SELECT event_type AS cur,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+         g AS (SELECT cur, nxt, count(*) AS n FROM seq
+               WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+         SELECT cur, nxt, n,
+                floor((n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE))
+                      * 1000000 + 0.5) / 1000000.0 AS p
+         FROM g ORDER BY cur, nxt""",
     "q_events_funnel" ->
       """WITH u AS (
            SELECT user_id,

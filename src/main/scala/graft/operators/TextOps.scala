@@ -479,6 +479,38 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** PMI collocations — pointwise mutual information over adjacent token
+    * pairs: ln(p(ab) / (p(a)·p(b))), the classic keyphrase/collocation
+    * extractor. The unigram and bigram models are |vocab|- and
+    * |vocab|²-bounded aggregates (broadcast); the corpus contributes one
+    * token pass + one lead() window per doc partition. Top-k by rounded
+    * PMI with lexicographic tie-break keeps the frontier deterministic. */
+  private val pmiCollocations: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val uniTot = uni.agg(sum("cnt").cast("double").as("t1"))
+    val big = tok.withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("token").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val bigTot = big.agg(sum("cab").cast("double").as("t2"))
+    big
+      .join(broadcast(uni.select(col("token").as("a"), col("cnt").as("ca"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("token").as("b"), col("cnt").as("cb"))),
+        Seq("b"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bigTot))
+      .filter(col("cab") >= 5)
+      .withColumn("pmi", r6(log((col("cab") / col("t2")) /
+        ((col("ca") / col("t1")) * (col("cb") / col("t1"))))))
+      .select("a", "b", "cab", "pmi")
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
   /** Benchmark membership for decontamination: 1/16 of docs by first md5
     * hex digit — the same deterministic hash-Bernoulli primitive as the
     * sampling queries, standing in for a real eval-set manifest. */
@@ -545,6 +577,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> sampleSplit,
     "q_text_perplexity" -> perplexity,
+    "q_text_pmi" -> pmiCollocations,
     "q_text_pack" -> textPack,
     "q_text_decontaminate" -> decontaminate,
     "q_text_pii_mask" -> piiMask,
@@ -581,6 +614,30 @@ object TextOps {
          SELECT doc_id, count(*) AS n_tok,
                 floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS ppl_proxy
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_pmi" ->
+      """WITH tokp AS (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1,
+                    len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         uni AS (SELECT token, count(*) AS cnt FROM tokp GROUP BY token),
+         t1 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t1 FROM uni),
+         seq AS (SELECT token AS a,
+                        lead(token, 1) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS b
+                 FROM tokp),
+         big AS (SELECT a, b, count(*) AS cab FROM seq
+                 WHERE b IS NOT NULL GROUP BY a, b),
+         t2 AS (SELECT CAST(sum(cab) AS DOUBLE) AS t2 FROM big)
+         SELECT big.a, big.b, big.cab,
+                floor((ln((cab / t2) / ((ua.cnt / t1) * (ub.cnt / t1))))
+                      * 1000000 + 0.5) / 1000000.0 AS pmi
+         FROM big JOIN uni ua ON big.a = ua.token
+                  JOIN uni ub ON big.b = ub.token
+                  CROSS JOIN t1 CROSS JOIN t2
+         WHERE cab >= 5
+         ORDER BY pmi DESC, a, b LIMIT 15""",
     "q_text_pack" ->
       """WITH d AS (SELECT doc_id,
                            CAST(len(string_split(text, ' ')) AS BIGINT)
