@@ -246,6 +246,50 @@ object RelationalOps {
         .as("est_users"))
       .orderBy("event_type")
 
+  /** Fixed-width histogram of order totals — the profiling/skew-
+    * diagnosis primitive: bin = floor((x − lo) / width) over a STATIC
+    * range, so binning needs no data-dependent pass and the aggregation
+    * is a plain |bins|-bounded groupBy (width_bucket semantics without
+    * relying on either engine's builtin). */
+  private val aggHistogram: Q = (s, d) => {
+    val lo = 0.0; val width = 50000.0
+    Tables.orders(s, d)
+      .withColumn("bin",
+        floor((col("o_totalprice") - lo) / width).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        r2(min(col("o_totalprice"))).as("bin_min"),
+        r2(max(col("o_totalprice"))).as("bin_max"))
+      .orderBy("bin")
+  }
+
+  /** Per-column data profile of the orders table — the data-validation
+    * operator every ingest pipeline runs first: null count, exact
+    * distinct count, min/max (as strings so one schema fits all column
+    * types). One scan computes every column's aggregates in a single
+    * wide aggregation (no per-column passes); the output is |columns|
+    * rows at any data size. */
+  private val dataProfile: Q = (s, d) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority")
+    val o = Tables.orders(s, d)
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      wide.select(lit(c).as("column"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_s"),
+        col(s"${c}_max").as("max_s"))
+    }.reduce(_.unionAll(_))
+    stacked.orderBy("column")
+  }
+
   /** Bivariate statistics per group: Pearson correlation and sample
     * covariance between quantity and price — the feature-engineering
     * aggregates. Same map-side-partial shape (and the same r6 float
@@ -621,6 +665,8 @@ object RelationalOps {
     "q_agg_filtered" -> aggFiltered,
     "q_agg_mode_median" -> aggModeMedian,
     "q_agg_corr" -> aggCorr,
+    "q_agg_histogram" -> aggHistogram,
+    "q_data_profile" -> dataProfile,
     "q_date_spine" -> dateSpine,
     "q_win_first_last" -> winFirstLast,
     "q_agg_stats" -> aggStats,
@@ -788,6 +834,24 @@ object RelationalOps {
          SELECT m.l_returnflag, m.mode_qty, md.median_qty
          FROM m JOIN md USING (l_returnflag)
          ORDER BY l_returnflag""",
+    "q_agg_histogram" ->
+      """SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT)
+                  AS bin,
+                count(*) AS cnt,
+                floor(min(o_totalprice) * 100 + 0.5) / 100.0 AS bin_min,
+                floor(max(o_totalprice) * 100 + 0.5) / 100.0 AS bin_max
+         FROM orders GROUP BY bin ORDER BY bin""",
+    "q_data_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS "column",
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_s,
+                   CAST(max($c) AS VARCHAR) AS max_s
+            FROM orders"""
+      }.mkString("", " UNION ALL ", """ ORDER BY "column""""),
     "q_agg_corr" ->
       """SELECT l_returnflag,
                 floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5)
