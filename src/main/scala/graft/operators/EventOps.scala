@@ -170,7 +170,54 @@ object EventOps {
       .orderBy("cur", "nxt")
   }
 
+  /** Z-score outlier flagging: per-type mean/stddev (5-row aggregate,
+    * broadcast back) → events with |z| > 2.5. Two linear passes, no
+    * window over the low-cardinality event_type (a 5-partition window
+    * would serialize 100 TB through 5 tasks — the groupBy+broadcast
+    * shape is the one that scales). z is r6-rounded on BOTH sides and
+    * the filter tests the rounded value, so the threshold crossing is
+    * decided on identical doubles in both engines. */
+  private val anomaly: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val stats = e.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", r6((col("value") - col("mu")) / col("sigma")))
+      .filter(abs(col("z")) > 2.5)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  /** SCD2 interval build: collapse each user's consecutive same-type run
+    * into one [valid_from, valid_to) row — the slowly-changing-dimension
+    * form a warehouse keeps per entity. Gaps-and-islands (lag → change
+    * flag → running sum = run id) then lead() for the closing edge; all
+    * windows share the user_id partitioning, so Catalyst plans ONE
+    * Exchange — per-entity history builds are a single shuffle at any
+    * scale. Exact integer µs ordering (ts_ns div 1000, event_id). */
+  private val scd2: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRun = Window.partitionBy("user_id").orderBy("run")
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(runW))
+      .groupBy("user_id", "run")
+      .agg(min(col("event_type")).as("status"),
+        min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .select("user_id", "run", "status", "valid_from", "valid_to",
+        "n_events")
+      .orderBy("user_id", "run")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_anomaly" -> anomaly,
+    "q_events_scd2" -> scd2,
     "q_events_markov" -> markov,
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
@@ -181,6 +228,41 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                            stddev_samp(value) AS sigma
+                     FROM events GROUP BY event_type)
+         SELECT event_id, event_type, value,
+                floor(((value - mu) / sigma) * 1000000 + 0.5) / 1000000.0
+                  AS z
+         FROM events JOIN st USING (event_type)
+         WHERE abs(floor(((value - mu) / sigma) * 1000000 + 0.5)
+                   / 1000000.0) > 2.5
+         ORDER BY event_id""",
+    "q_events_scd2" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, event_type, ts,
+                  epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(event_type, 1) OVER w IS NULL
+                         OR lag(event_type, 1) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ), runs AS (
+           SELECT *, CAST(sum(chg) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run
+           FROM flagged
+         ), collapsed AS (
+           SELECT user_id, run, min(event_type) AS status,
+                  min(ts) AS valid_from, count(*) AS n_events
+           FROM runs GROUP BY user_id, run)
+         SELECT user_id, run, status, valid_from,
+                lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY run)
+                  AS valid_to,
+                n_events
+         FROM collapsed ORDER BY user_id, run""",
     "q_events_markov" ->
       """WITH seq AS (
            SELECT event_type AS cur,

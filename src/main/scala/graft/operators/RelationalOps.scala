@@ -176,6 +176,75 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Salted fact⋈dim join (the explicit skew remediation of Skew.scala,
+    * surfaced as an oracle-checked key): lineitem rows get a deterministic
+    * salt derived from (l_orderkey, l_linenumber), orders is replicated
+    * once per salt bucket, and the join key becomes (key, salt) — a hot
+    * orderkey's rows land on `buckets` reducers instead of one. Output is
+    * row-for-row identical to the unsalted join (the oracle IS the plain
+    * join), aggregated to a bounded 5-row summary. */
+  private val joinSalted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+        col("l_linenumber"), buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bucketed interval blocking — the scale path for range joins: floor
+    * each timestamp to a 10-minute bucket, replicate the left side into
+    * its own and the following bucket, and equi-join on (user_id, bucket)
+    * with the exact range as a residual predicate. Each qualifying pair is
+    * produced exactly once (b's bucket is either a's or a's+1) and the
+    * join never compares events further than one bucket apart, so the
+    * per-key fan-out is bounded by bucket width × event rate, not by the
+    * whole history of a hot user — this is what keeps the range join a
+    * pure hash join at 100 TB. Same output contract as q_join_theta_range
+    * (the oracle is the plain inequality join). */
+  private val joinRangeBucket: Q = (s, d) => {
+    val bandUs = 600000000L // 10 minutes in µs
+    val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val a = e.select(col("user_id"), col("ts_us").as("us_a"))
+      .withColumn("bkt", explode(array(
+        expr(s"us_a div $bandUs"), expr(s"us_a div $bandUs + 1"))))
+    val b = e.select(col("user_id").as("uid_b"), col("ts_us").as("us_b"))
+      .withColumn("bkt_b", expr(s"us_b div $bandUs"))
+    a.join(b,
+        col("user_id") === col("uid_b") && col("bkt") === col("bkt_b") &&
+        col("us_b") > col("us_a") && col("us_b") <= col("us_a") + bandUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  /** TPC-H Q3-style shipping-priority composite: 3-way join (selective
+    * dimension broadcast, fact-fact SMJ co-keyed on orderkey) → hash agg
+    * on the join key → global top-10 via TakeOrderedAndProject. All three
+    * filters push to the parquet scans; the ORDER BY key is the rounded
+    * revenue with l_orderkey as the unique tie-break. */
+  private val tpchShipping: Q = (s, d) => {
+    val cutoff = to_timestamp_ntz(lit("1998-01-01"))
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** FLAGSHIP — TPC-H Q1-style pricing summary. Hash aggregate with
@@ -658,6 +727,9 @@ object RelationalOps {
     "q_join_anti" -> joinAnti,
     "q_join_theta_range" -> joinThetaRange,
     "q_join_asof" -> joinAsof,
+    "q_join_salted" -> joinSalted,
+    "q_join_range_bucket" -> joinRangeBucket,
+    "q_tpch_shipping" -> tpchShipping,
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
@@ -769,6 +841,34 @@ object RelationalOps {
          FROM events e ASOF JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id""",
+    // The salted plan must equal the PLAIN join — the oracle deliberately
+    // knows nothing about salting.
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Bucketed blocking must equal the plain inequality join.
+    "q_join_range_bucket" ->
+      """SELECT a.user_id, count(*) AS pairs
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_tpch_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
