@@ -40,7 +40,13 @@ object ExplainAudit {
     // window (distributed prefix sum; its offsets collect runs during
     // plan construction, same caveat as kmeans/bloom), perplexity =
     // broadcast LM join, no corpus re-shuffle
-    "q_text_pack", "q_text_perplexity")
+    "q_text_pack", "q_text_perplexity",
+    // round-3 late: skew-salted join (replicated dim, no hot reducer),
+    // bucketed interval blocking (equi-join + residual, not BNLJ),
+    // TPC-H Q3 composite (broadcast dim + pushed filters + top-k),
+    // SCD2 (all windows share ONE user_id Exchange)
+    "q_join_salted", "q_join_range_bucket", "q_tpch_shipping",
+    "q_events_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
