@@ -5,7 +5,11 @@ object Bench {
     * simhash index build. Referenced by RegistrySpec so a rename here
     * can't silently drop a warmup. */
   val warmupKeys: Seq[String] = Seq("q_agg_pricing_summary",
-    "q_text_tokencount", "q_sim_cosine_topk", "q_dedup_simhash")
+    "q_text_tokencount", "q_sim_cosine_topk", "q_dedup_simhash",
+    // graph index artifacts (bipartite + co-purchase edge caches) — like
+    // the simhash fingerprints, which query pays the one-time build is
+    // otherwise an accident of key order
+    "q_graph_pagerank", "q_graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

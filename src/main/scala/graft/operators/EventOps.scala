@@ -215,7 +215,27 @@ object EventOps {
       .orderBy("user_id", "run")
   }
 
+  /** CDC/changelog apply (the SCD1 upsert-merge complement to q_events_scd2):
+    * the event stream is read as a keyed changelog — the latest operation
+    * per user wins ('purchase' acts as the delete marker, anything else
+    * upserts `value`). One row_number window over the natural user_id
+    * partitioning picks the survivor, then tombstones are dropped; this is
+    * exactly how a 100 TB snapshot-from-changelog materialization runs
+    * (shuffle once on the merge key, no global state). Exact integer µs
+    * ordering with event_id as the unique tie-break. */
+  private val cdcApply: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_cdc_apply" -> cdcApply,
     "q_events_anomaly" -> anomaly,
     "q_events_scd2" -> scd2,
     "q_events_markov" -> markov,
@@ -228,6 +248,15 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_cdc_apply" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, event_id, event_type, value
+         FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+         ORDER BY user_id""",
     "q_events_anomaly" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
                             stddev_samp(value) AS sigma

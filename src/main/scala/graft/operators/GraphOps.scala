@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the purchase-derived graphs (SURVEY.md §2
+  * north-star extensions): PageRank on the bipartite customer↔part
+  * co-purchase graph and triangle counting on the min-support part
+  * co-occurrence graph.
+  *
+  * Scale design: both operators are pure join/aggregate pipelines keyed
+  * on node ids — the shape Pregel-style systems compile to anyway. No
+  * adjacency structure is ever collected; each PageRank iteration is one
+  * shuffle (edges ⋈ ranks on src, groupBy dst), so a 1000-executor run
+  * is iterations × one-pass-over-edges. Edge lists are session-cached
+  * per (session, dir) like the dedup index artifacts (graft.Caches owns
+  * invalidation).
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bipartite customer↔part edges, BOTH directions (undirected
+    * PageRank), cached per (session, dir) — the index artifact shared
+    * across graph queries and iterations. */
+  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(edgeCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
+  private def biEdges(s: SparkSession, d: String): DataFrame =
+    edgeCache.computeIfAbsent((s, d), _ => {
+      val e = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+    })
+
+  /** Part co-occurrence edges with min support 2 (parts bought together
+    * in ≥2 distinct orders — the frequent-pair/A-priori thinning that
+    * keeps a co-occurrence graph sparse at any scale: raw co-purchase is
+    * ~|order|² per basket, support-2 drops 97% of it on this data).
+    * Oriented x < y, so each undirected edge exists exactly once. */
+  private val copurchaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(copurchaseCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    copurchaseCache.computeIfAbsent((s, d), _ => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select("x", "y")
+        .persist()
+    })
+
+  private val PrIterations = 2
+
+  /** Distributed PageRank (damping 0.85, 2 fixed iterations) over the
+    * bipartite co-purchase graph. Every iteration is edges ⋈ ranks on
+    * src → groupBy dst — ONE shuffle per iteration, never an adjacency
+    * collect, so the plan is iterations × linear-in-edges at any scale.
+    * Undirected graph → no dangling mass (every node has out-degree ≥1).
+    * Ranks are r6-rounded each iteration on BOTH sides (the kmeans
+    * round-replay discipline), so iteration k+1 starts from identical
+    * doubles in both engines; the oracle replays the iterations as
+    * chained CTEs. Top-50 by (rank, node) via TakeOrderedAndProject. */
+  private val pagerank: Q = (s, d) => {
+    val edges = biEdges(s, d)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"),
+      lit(1.0).as("pr"))
+    for (_ <- 1 to PrIterations) {
+      ranks = e.join(ranks, col("src") === col("node"))
+        .groupBy("dst")
+        .agg(sum(col("pr") / col("deg")).as("m"))
+        .select(col("dst").as("node"),
+          r6(lit(0.15) + lit(0.85) * col("m")).as("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+  }
+
+  /** Exact triangle enumeration on the support-2 co-purchase graph: the
+    * classic oriented wedge join — e(a,b) ⋈ e(b,c) builds wedges, a
+    * second join against e(a,c) closes them. Orientation (x < y) makes
+    * each triangle appear exactly once and bounds the wedge count; at
+    * 100 TB orient by (degree, id) instead so no wedge center fans out
+    * more than O(sqrt(m)) — same plan, different sort key. */
+  private val triangles: Q = (s, d) => {
+    val e = copurchaseEdges(s, d)
+    e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("b2"), col("y").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("x").as("a3"), col("y").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+      .orderBy("a", "b", "c")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> pagerank,
+    "q_graph_triangles" -> triangles)
+
+  private val prIterSql: String => String = prev =>
+    s"""SELECT dst AS node,
+               floor((0.15 + 0.85 * sum(pr / deg)) * 1000000 + 0.5)
+                 / 1000000.0 AS pr
+        FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""WITH ed AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           'p' || CAST(l_partkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         bi AS (SELECT src, dst FROM ed
+                UNION ALL SELECT dst, src FROM ed),
+         deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+         e AS (SELECT bi.src, bi.dst, deg.deg FROM bi JOIN deg USING (src)),
+         r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+         r1 AS (${prIterSql("r0")}),
+         r2 AS (${prIterSql("r1")})
+         SELECT node, pr FROM r2 ORDER BY pr DESC, node LIMIT 50""",
+    "q_graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT e1.x AS a, e1.y AS b, e2.y AS c
+         FROM e e1
+         JOIN e e2 ON e1.y = e2.x
+         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+         ORDER BY a, b, c""")
+}

@@ -245,6 +245,36 @@ object RelationalOps {
       .limit(10)
   }
 
+  /** Salted two-phase aggregation — Skew.saltedAgg surfaced as an
+    * oracle-checked key (the aggregate twin of q_join_salted): partial
+    * count/sum on (l_returnflag, salt) spread each hot flag over 8
+    * reducers; the final pass combines 8 partial rows per flag. Exact
+    * parity holds because counts are integral and l_quantity is integral
+    * 1–50 (partial double sums are exact), so the two-phase result is
+    * bit-identical to the oracle's single-phase aggregate. */
+  private val aggSalted: Q = (s, d) =>
+    Skew.saltedAgg(Tables.lineitem(s, d),
+        col("l_returnflag"), "l_returnflag", col("l_orderkey"), buckets = 8,
+        partial = Seq("n" -> count(lit(1)), "qty" -> sum(col("l_quantity"))),
+        fin = Seq("n_items" -> sum(col("n")),
+          "sum_qty" -> r2(sum(col("qty")))))
+      .orderBy("l_returnflag")
+
+  /** NTILE quantile binning — the feature-quantization primitive (equal-
+    * frequency bucketing of a numeric feature per class). Ordering is
+    * made unique with the key tie-break so bin edges are deterministic;
+    * the window partitions on o_orderpriority (5 strata — acceptable
+    * because ntile is rank-based and cannot pre-aggregate; at 100 TB the
+    * same binning is done against percentile cut points computed once,
+    * q_agg_percentile's shape). */
+  private val winNtile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bin", ntile(4).over(Window
+        .partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "bin")
+      .orderBy("o_orderkey")
+
   // ----------------------------------------------------------- aggregates
 
   /** FLAGSHIP — TPC-H Q1-style pricing summary. Hash aggregate with
@@ -730,6 +760,8 @@ object RelationalOps {
     "q_join_salted" -> joinSalted,
     "q_join_range_bucket" -> joinRangeBucket,
     "q_tpch_shipping" -> tpchShipping,
+    "q_agg_salted" -> aggSalted,
+    "q_win_ntile" -> winNtile,
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
@@ -869,6 +901,17 @@ object RelationalOps {
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    // The salted two-phase plan must equal the PLAIN single-phase
+    // aggregate — the oracle deliberately knows nothing about salting.
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bin
+         FROM orders ORDER BY o_orderkey""",
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,

@@ -379,6 +379,46 @@ object TextOps {
   private[operators] val halfDigits =
     Seq("0", "1", "2", "3", "4", "5", "6", "7")
 
+  /** Deterministic per-stratum reservoir: the 10 "randomly" kept docs per
+    * language are the 10 smallest md5(doc_id) — a pure function of the key
+    * set, so the reservoir is identical across re-runs, retries, and any
+    * cluster layout, and each newly ingested doc displaces at most one row
+    * (a heap/RNG reservoir loses both properties). The window partitions
+    * on lang (5 strata); at 100 TB prepend the cheap prefilter
+    * `md5 < bound` (bound from a tiny per-stratum quantile probe) so the
+    * rank only ever runs over ~k·strata candidate rows. */
+  private val sampleReservoir: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  private val normStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Token-normalization pipeline (the preprocessing step every training-
+    * data pipeline runs before counting/hashing): lowercase → split →
+    * stopword drop → light suffix strip (s/ed/ing), re-joined. Pure
+    * per-row projection over codegen'd higher-order array functions — no
+    * shuffle, no UDF; the stopword set is a literal in the plan (a real
+    * lexicon would broadcast, q_text_langid's shape). The anchored
+    * suffix regex matches at most once, so Spark's replace-all and
+    * DuckDB's replace-first agree by construction. */
+  private val textNormalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("norm", array_join(
+        transform(
+          filter(split(lower(col("text")), " "),
+            t => !t.isInCollection(normStopwords)),
+          t => regexp_replace(t, "(ing|ed|s)$", "")),
+        " "))
+      .select("doc_id", "norm")
+      .orderBy("doc_id")
+
   /** ~25% deterministic sample. */
   private val sampleHash: Q = (s, d) =>
     Tables.documents(s, d)
@@ -585,6 +625,8 @@ object TextOps {
     "q_text_search_bm25" -> searchBm25,
     "q_sample_hash" -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_reservoir" -> sampleReservoir,
+    "q_text_normalize" -> textNormalize,
     "q_text_wordcount" -> wordcount,
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
@@ -716,6 +758,24 @@ object TextOps {
          WHERE (lang = 'en' AND ${hashSampleSql("doc_id", quarterDigits)})
             OR lang != 'en'
          ORDER BY doc_id""",
+    "q_sample_reservoir" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS INTEGER) AS rk
+           FROM documents) t
+         WHERE rk <= 10 ORDER BY lang, rk""",
+    "q_text_normalize" ->
+      """SELECT doc_id,
+                array_to_string(
+                  list_transform(
+                    list_filter(string_split(lower(text), ' '),
+                      t -> t NOT IN ('the', 'a', 'an', 'and', 'or', 'of',
+                                     'to', 'in', 'is', 'it')),
+                    t -> regexp_replace(t, '(ing|ed|s)$', '')),
+                  ' ') AS norm
+         FROM documents ORDER BY doc_id""",
     "q_text_fuzzy_suggest" ->
       s"""WITH v AS (
            SELECT tok AS token, count(*) AS cnt
