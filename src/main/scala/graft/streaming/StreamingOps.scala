@@ -161,6 +161,46 @@ object StreamingOps {
       .toDF()
   }
 
+  case class CdcRow(user_id: Long, ts_us: Long, event_id: Long,
+    event_type: String, value: Double, deleted: Boolean)
+
+  /** Streaming twin of the batch CDC apply (EventOps q_events_cdc_apply):
+    * the per-key latest-op-wins upsert view. State per key is ONE row
+    * (the current survivor by (ts_us, event_id)); every micro-batch
+    * emits the running snapshot row, with 'purchase' acting as the
+    * delete marker exactly as in the batch form. Out-of-order rows are
+    * handled correctly (the comparison is on event time, not arrival
+    * order) — unlike the funnel, CDC apply needs no ordering assumption
+    * because max is commutative. Shards on user_id; state is O(keys),
+    * the same bound a RocksDB-backed MERGE materialization has. Final-
+    * snapshot parity with the batch query is spec-tested. */
+  def cdcApply(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("value").cast("double"),
+        unix_micros(col("ts")))
+      .as[(Long, Long, String, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String, Double), CdcRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String, Double, Long)],
+         state: GroupState[(Long, Long, String, Double)]) =>
+          // state = (ts_us, event_id, event_type, value) of the survivor
+          var cur = state.getOption
+          rows.foreach { case (_, eid, typ, v, us) =>
+            if (cur.forall(c => us > c._1 || (us == c._1 && eid > c._2)))
+              cur = Some((us, eid, typ, v))
+          }
+          val c = cur.get // rows was non-empty, so cur is defined
+          state.update(c)
+          Iterator(CdcRow(uid, c._1, c._2, c._3, c._4,
+            deleted = c._3 == "purchase"))
+      }
+      .toDF()
+  }
+
   /** Custom stateful op: running per-user event count + value total via
     * flatMapGroupsWithState — the escape hatch for state machines the
     * built-in windows can't express. */

@@ -191,6 +191,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply final snapshot matches the batch query") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.cdcApply(ms.toDF())
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode("update").start()
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+        .map(r => Ev(r.getLong(0),
+          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+            .toInstant(java.time.ZoneOffset.UTC)),
+          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      // deliberately OUT of event-time order across batches (evens then
+      // odds): latest-op-wins is commutative, so arrival order must not
+      // matter — unlike the funnel, which latches in order
+      val (b1, b2) = evs.partition(_.event_id % 2 == 0)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      // final snapshot = per user, the emitted update with the max
+      // (ts_us, event_id), tombstones dropped
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val got = spark.table("t_cdc")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && !col("deleted"))
+        .select("user_id", "event_id", "event_type", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      val exp = SparkEntry.queries("q_events_cdc_apply")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      assert(got === exp)
+    } finally q.stop()
+  }
+
   test("streaming funnel stage counts match the batch funnel") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
