@@ -379,6 +379,47 @@ object TextOps {
   private[operators] val halfDigits =
     Seq("0", "1", "2", "3", "4", "5", "6", "7")
 
+  /** "More-like-this" sparse similarity: doc→doc cosine over TF-IDF
+    * weights computed THROUGH the inverted index (weights join on token,
+    * never a doc×doc product) — the sparse complement to the dense
+    * q_sim_cosine_topk. Candidate pairs are generated only where tokens
+    * are shared, so the cost is Σ_tok df(tok)·|queries|, not |docs|²;
+    * at 100 TB the standard refinements (drop idf≈0 terms, doc-id
+    * blocking) compose with the same plan. Ranking uses the r6-ROUNDED
+    * score (sub-ulp dot-product sum-order differences must not flip
+    * ranks cross-engine) with doc_id as the unique tie-break. */
+  private val simSparseTopk: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .as("w"))
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val q = w.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_doc"), col("tok"), col("w").as("wq"))
+    val dot = q.join(w, Seq("tok"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .groupBy("q_doc", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+    val scored = dot
+      .join(nrm.select(col("doc_id").as("q_doc"), col("nrm").as("nq")),
+        Seq("q_doc"))
+      .join(nrm.select(col("doc_id"), col("nrm").as("nd")), Seq("doc_id"))
+      .select(col("q_doc"), col("doc_id"),
+        graft.Par.r6(col("dot") / (col("nq") * col("nd"))).as("score"))
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy("q_doc")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select("q_doc", "doc_id", "score")
+      .orderBy(col("q_doc"), col("score").desc, col("doc_id"))
+  }
+
   /** Deterministic per-stratum reservoir: the 10 "randomly" kept docs per
     * language are the 10 smallest md5(doc_id) — a pure function of the key
     * set, so the reservoir is identical across re-runs, retries, and any
@@ -627,6 +668,7 @@ object TextOps {
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
     "q_text_normalize" -> textNormalize,
+    "q_sim_sparse_topk" -> simSparseTopk,
     "q_text_wordcount" -> wordcount,
     "q_text_tf_top" -> tfTop,
     "q_text_ngram" -> ngram,
@@ -758,6 +800,36 @@ object TextOps {
          WHERE (lang = 'en' AND ${hashSampleSql("doc_id", quarterDigits)})
             OR lang != 'en'
          ORDER BY doc_id""",
+    "q_sim_sparse_topk" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (SELECT doc_id, tok,
+                      tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+               FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                 FROM w GROUP BY doc_id),
+         dt AS (SELECT q.doc_id AS q_doc, d.doc_id AS doc_id,
+                       sum(q.w * d.w) AS dot
+                FROM w q JOIN w d ON q.tok = d.tok
+                WHERE q.doc_id < 5 AND d.doc_id <> q.doc_id
+                GROUP BY 1, 2),
+         scored AS (SELECT q_doc, dt.doc_id,
+                           floor((dot / (nq.nrm * nd.nrm)) * 1000000 + 0.5)
+                             / 1000000.0 AS score
+                    FROM dt
+                    JOIN nrm nq ON nq.doc_id = dt.q_doc
+                    JOIN nrm nd ON nd.doc_id = dt.doc_id)
+         SELECT q_doc, doc_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_doc
+             ORDER BY score DESC, doc_id) AS rk
+           FROM scored) t
+         WHERE rk <= 3 ORDER BY q_doc, score DESC, doc_id""",
     "q_sample_reservoir" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,
