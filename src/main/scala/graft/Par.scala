@@ -19,6 +19,7 @@ object Par {
   def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
   def r6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000
+  def r8(c: Column): Column = floor(c * 100000000L + 0.5) / 100000000L
 
   /** The matching SQL fragment for oracle queries. */
   def sql(expr: String, scale: Long): String =

@@ -58,11 +58,61 @@ object MultimodalOps {
       .filter(col("n_assets") > 1)
       .orderBy("bsig")
 
+  /** Asset↔asset near-dup by block-fingerprint Jaccard — the CAS-store
+    * similarity view over q_multimodal_chunk_dedup's inventory: two
+    * assets are near-dups when ≥50% of their distinct 64-byte block
+    * signatures coincide. Pairs are generated THROUGH the inverted block
+    * index (join on bsig — cost Σ per-block k², bounded by block
+    * cardinality, never |assets|²; a hot-block cap or minhash-banding
+    * composes if a constant block ever dominates). All Jaccard inputs
+    * are exact integers, so the double division is bit-identical
+    * cross-engine with no rounding step. */
+  private val multimodalBlockJaccard: Q = (s, d) => {
+    val blocks = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 1) div 64)")).as("blk"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, blk * 64 + 1, 64)")).as("bsig"))
+      .distinct()
+    val nb = blocks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    blocks.select(col("doc_id").as("a"), col("bsig"))
+      .join(blocks.select(col("doc_id").as("b"), col("bsig")), Seq("bsig"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(nb.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(nb.select(col("doc_id").as("b"), col("n").as("nbb")), Seq("b"))
+      .withColumn("jacc",
+        col("inter") / (col("na") + col("nbb") - col("inter")))
+      .filter(col("jacc") >= 0.5)
+      .select("a", "b", "jacc")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> multimodalFeatures,
-    "q_multimodal_chunk_dedup" -> multimodalChunkDedup)
+    "q_multimodal_chunk_dedup" -> multimodalChunkDedup,
+    "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_block_jaccard" ->
+      """WITH b AS (
+           SELECT DISTINCT doc_id,
+                  md5(substring(text, blk * 64 + 1, 64)) AS bsig
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(0,
+                          (length(text) - 1) // 64)) AS blk
+                 FROM documents WHERE length(text) > 0) t),
+         nb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+         pr AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM b x JOIN b y ON x.bsig = y.bsig AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+         SELECT a, b, inter / (na.n + nbb.n - inter) AS jacc
+         FROM pr
+         JOIN nb na ON na.doc_id = pr.a
+         JOIN nb nbb ON nbb.doc_id = pr.b
+         WHERE inter / (na.n + nbb.n - inter) >= 0.5
+         ORDER BY a, b""",
     "q_multimodal_chunk_dedup" ->
       """SELECT bsig, count(*) AS occurrences,
                 count(DISTINCT doc_id) AS n_assets,

@@ -318,7 +318,7 @@ object RelationalOps {
     * column `h` as an exact BIGINT in [0, 16^15) — pure integer
     * arithmetic (16^15 = 2^60 fits a long; no double in the decode
     * path), mirroring KmvDistinct.eval's decode digit for digit. */
-  private val hexValSql: String =
+  private[operators] val hexValSql: String =
     (0 until 15).map { i =>
       val weight = 1L << (4 * (14 - i))
       s"(CAST(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) AS BIGINT) - 1) * $weight"

@@ -460,6 +460,27 @@ object TextOps {
       .select("doc_id", "norm")
       .orderBy("doc_id")
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis exponential
+    * race, the A-ES algorithm): each doc draws u ∈ (0,1] from its own
+    * md5 — decoded as an exact 60-bit integer, the KMV discipline, so
+    * no float enters until one division — and the 10 kept docs are those
+    * with the smallest exponential key -ln(u)/w, w = n_chars+1 (longer
+    * docs proportionally likelier). Pure projection + TakeOrderedAnd-
+    * Project: no shuffle beyond top-k merge at any scale, and the draw
+    * is a function of the key so re-runs/retries/ingestion keep it
+    * stable. The key is r8-rounded on BOTH sides (ln/pow may differ by
+    * an ulp across engines) with doc_id as the unique tie-break. */
+  private val sampleWeighted: Q = (s, d) => {
+    val v = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val u = (v + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+    Tables.documents(s, d)
+      .withColumn("ekey", graft.Par.r8(-log(u) / (col("n_chars") + lit(1))))
+      .select("doc_id", "n_chars", "ekey")
+      .orderBy("ekey", "doc_id")
+      .limit(10)
+  }
+
   /** ~25% deterministic sample. */
   private val sampleHash: Q = (s, d) =>
     Tables.documents(s, d)
@@ -667,6 +688,7 @@ object TextOps {
     "q_sample_hash" -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
+    "q_sample_weighted" -> sampleWeighted,
     "q_text_normalize" -> textNormalize,
     "q_sim_sparse_topk" -> simSparseTopk,
     "q_text_wordcount" -> wordcount,
@@ -830,6 +852,18 @@ object TextOps {
              ORDER BY score DESC, doc_id) AS rk
            FROM scored) t
          WHERE rk <= 3 ORDER BY q_doc, score DESC, doc_id""",
+    "q_sample_weighted" ->
+      s"""WITH hx AS (SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         k AS (SELECT doc_id, n_chars,
+                 floor((-ln(CAST((${RelationalOps.hexValSql}) + 1 AS DOUBLE)
+                            / 1152921504606846976.0)
+                        / (n_chars + 1)) * 100000000 + 0.5)
+                   / 100000000.0 AS ekey
+               FROM hx)
+         SELECT doc_id, n_chars, ekey FROM k
+         ORDER BY ekey, doc_id LIMIT 10""",
     "q_sample_reservoir" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,

@@ -191,6 +191,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anomaly join flags the same events as the batch query") {
+    implicit val sc = spark.sqlContext
+    // the static side: per-type stats computed batch-side, exactly as an
+    // offline stats-refresh job would publish them
+    val stats = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.anomaly(ms.toDF(), stats)
+      .writeStream.format("memory").queryName("t_anomaly")
+      .outputMode("append").start()
+    try {
+      val evs = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+        .map(r => Ev(r.getLong(0),
+          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+            .toInstant(java.time.ZoneOffset.UTC)),
+          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      ms.addData(evs.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("t_anomaly").select("event_id").collect()
+        .map(_.getLong(0)).toSet
+      val exp = SparkEntry.queries("q_events_anomaly")(spark, sfDir)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got === exp)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CDC apply final snapshot matches the batch query") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
