@@ -177,15 +177,22 @@ object EventOps {
     * shape is the one that scales). z is r6-rounded on BOTH sides and
     * the filter tests the rounded value, so the threshold crossing is
     * decided on identical doubles in both engines. */
+  /** Scoring core shared with the stream-static twin (graft.streaming
+    * StreamingOps.anomaly): threshold and rounding live HERE only, so
+    * the batch query and the streaming twin cannot desynchronize —
+    * their parity is the property StreamingSpec tests. */
+  private[graft] def anomalyScore(events: DataFrame,
+      stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", r6((col("value") - col("mu")) / col("sigma")))
+      .filter(abs(col("z")) > 2.5)
+      .select("event_id", "event_type", "value", "z")
+
   private val anomaly: Q = (s, d) => {
     val e = Tables.events(s, d)
     val stats = e.groupBy("event_type")
       .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
-    e.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", r6((col("value") - col("mu")) / col("sigma")))
-      .filter(abs(col("z")) > 2.5)
-      .select("event_id", "event_type", "value", "z")
-      .orderBy("event_id")
+    anomalyScore(e, stats).orderBy("event_id")
   }
 
   /** SCD2 interval build: collapse each user's consecutive same-type run

@@ -166,15 +166,10 @@ object StreamingOps {
     * batch frame — the offline-recomputed stats artifact every streaming
     * anomaly detector scores against — broadcast to every task, so the
     * stream needs no shuffle at all (stateless projection + filter).
-    * Same r6-rounded z and threshold as the batch form; parity is
-    * spec-tested. */
+    * The scoring core (rounding, threshold) is EventOps.anomalyScore —
+    * one implementation for both twins, so they cannot desynchronize. */
   def anomaly(events: DataFrame, stats: DataFrame): DataFrame =
-    events.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z",
-        floor(((col("value") - col("mu")) / col("sigma")) * 1000000 + 0.5)
-          / 1000000)
-      .filter(abs(col("z")) > 2.5)
-      .select("event_id", "event_type", "value", "z")
+    graft.operators.EventOps.anomalyScore(events, stats)
 
   case class CdcRow(user_id: Long, ts_us: Long, event_id: Long,
     event_type: String, value: Double, deleted: Boolean)

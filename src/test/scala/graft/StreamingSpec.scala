@@ -11,6 +11,20 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The sf0.001 events corpus as Ev rows, in event-time order. The NTZ
+    * wall time is pinned to UTC explicitly — Timestamp.valueOf would
+    * interpret it in the host JVM's default zone, making event order
+    * DST-dependent on non-UTC hosts. */
+  private def loadEvs(): Seq[Ev] = Tables.events(spark, sfDir)
+    .orderBy("ts_ns", "event_id")
+    .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    .collect()
+    .map(r => Ev(r.getLong(0),
+      java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+        .toInstant(java.time.ZoneOffset.UTC)),
+      r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+    .toSeq
+
   private def t(s: String) = Timestamp.valueOf(s)
   private def ev(id: Long, ts: String, uid: Long = 1, typ: String = "click",
       v: Double = 1.0) = Ev(id, t(ts), uid, typ, v, "{\"k\": 1}")
@@ -202,14 +216,8 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_anomaly")
       .outputMode("append").start()
     try {
-      val evs = Tables.events(spark, sfDir)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .collect()
-        .map(r => Ev(r.getLong(0),
-          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
-            .toInstant(java.time.ZoneOffset.UTC)),
-          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
-      ms.addData(evs.toSeq: _*); q.processAllAvailable()
+      val evs = loadEvs()
+      ms.addData(evs: _*); q.processAllAvailable()
       val got = spark.table("t_anomaly").select("event_id").collect()
         .map(_.getLong(0)).toSet
       val exp = SparkEntry.queries("q_events_anomaly")(spark, sfDir)
@@ -226,13 +234,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_cdc")
       .outputMode("update").start()
     try {
-      val evs = Tables.events(spark, sfDir)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .collect()
-        .map(r => Ev(r.getLong(0),
-          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
-            .toInstant(java.time.ZoneOffset.UTC)),
-          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val evs = loadEvs()
       // deliberately OUT of event-time order across batches (evens then
       // odds): latest-op-wins is commutative, so arrival order must not
       // matter — unlike the funnel, which latches in order
@@ -267,17 +269,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       // replay the whole sf0.001 corpus in event-time order, two batches
-      val evs = Tables.events(spark, sfDir)
-        .orderBy("ts_ns", "event_id")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .collect()
-        .map(r => Ev(r.getLong(0),
-          // pin the NTZ wall time to UTC explicitly — Timestamp.valueOf
-          // would interpret it in the host JVM's default zone, making
-          // event order DST-dependent on non-UTC hosts
-          java.sql.Timestamp.from(r.getAs[java.time.LocalDateTime](1)
-            .toInstant(java.time.ZoneOffset.UTC)),
-          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))
+      val evs = loadEvs()
       val (b1, b2) = evs.splitAt(evs.length / 2)
       ms.addData(b1.toSeq: _*); q.processAllAvailable()
       ms.addData(b2.toSeq: _*); q.processAllAvailable()
