@@ -241,7 +241,31 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** DAU/MAU engagement: exact distinct actives per day and per calendar
+    * month, stickiness = dau/mau. Two hash aggregates (day- and
+    * month-keyed — both high-cardinality-safe) and a broadcast of the
+    * |months|-row frame back onto days; at 100 TB the exact
+    * countDistinct pre-aggregates per (day, user) map-side, and the
+    * sketch variant is q_agg_approx_distinct's shape. date_trunc keeps
+    * TIMESTAMP dtype on both sides (DATE would change the comparator
+    * dtype). dau ≤ mau by construction, so stickiness is in (0,1];
+    * exact-integer division → no rounding step. */
+  private val dauMau: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"), col("user_id"))
+    val dau = e.groupBy("day", "month")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy("month")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), Seq("month"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau") / col("mau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_dau_mau" -> dauMau,
     "q_events_cdc_apply" -> cdcApply,
     "q_events_anomaly" -> anomaly,
     "q_events_scd2" -> scd2,
@@ -255,6 +279,17 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_dau_mau" ->
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                           date_trunc('month', ts) AS month, user_id
+                    FROM events),
+         dau AS (SELECT day, month, count(DISTINCT user_id) AS dau
+                 FROM e GROUP BY day, month),
+         mau AS (SELECT month, count(DISTINCT user_id) AS mau
+                 FROM e GROUP BY month)
+         SELECT day, dau.dau, mau.mau, dau.dau / mau.mau AS stickiness
+         FROM dau JOIN mau USING (month)
+         ORDER BY day""",
     "q_events_cdc_apply" ->
       """WITH ranked AS (
            SELECT user_id, event_id, event_type, value,

@@ -42,11 +42,13 @@ object GraphOps {
         .persist()
     })
 
-  /** Part co-occurrence edges with min support 2 (parts bought together
-    * in ≥2 distinct orders — the frequent-pair/A-priori thinning that
-    * keeps a co-occurrence graph sparse at any scale: raw co-purchase is
-    * ~|order|² per basket, support-2 drops 97% of it on this data).
-    * Oriented x < y, so each undirected edge exists exactly once. */
+  /** Part co-occurrence edges (x, y, sup) with min support 2 (parts
+    * bought together in ≥2 distinct orders — the frequent-pair/A-priori
+    * thinning that keeps a co-occurrence graph sparse at any scale: raw
+    * co-purchase is ~|order|² per basket, support-2 drops 97% of it on
+    * this data). Oriented x < y, so each undirected edge exists exactly
+    * once; sup rides along so triangle counting and rule mining share
+    * one build. */
   private val copurchaseCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   graft.Caches.registerMap(copurchaseCache,
@@ -63,7 +65,6 @@ object GraphOps {
         .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
         .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
-        .select("x", "y")
         .persist()
     })
 
@@ -101,7 +102,7 @@ object GraphOps {
     * 100 TB orient by (degree, id) instead so no wedge center fans out
     * more than O(sqrt(m)) — same plan, different sort key. */
   private val triangles: Q = (s, d) => {
-    val e = copurchaseEdges(s, d)
+    val e = copurchaseEdges(s, d).select("x", "y")
     e.select(col("x").as("a"), col("y").as("b"))
       .join(e.select(col("x").as("b2"), col("y").as("c")),
         col("b") === col("b2"))
@@ -111,9 +112,41 @@ object GraphOps {
       .orderBy("a", "b", "c")
   }
 
+  /** Market-basket association rules (A-priori 2-itemsets): directed
+    * rules x→y over the support-2 co-purchase pairs, scored by lift =
+    * (sup_xy · n_orders) / (sup_x · sup_y). Pair supports come from the
+    * shared co-purchase cache (one build serves triangles and rules);
+    * item supports are one hash aggregate over the distinct (order,
+    * part) frame. Supports are exact integers multiplied BEFORE the
+    * single division,
+    * so lift is bit-identical cross-engine with no rounding step.
+    * Top-20 by (lift, x, y) via TakeOrderedAndProject. */
+  private val basketRules: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = op.agg(countDistinct(col("ok")).as("n_orders"))
+    val isup = op.groupBy("pk").agg(count(lit(1)).as("isup"))
+    val pairs = copurchaseEdges(s, d)
+    val directed = pairs.select(col("x"), col("y"), col("sup"))
+      .union(pairs.select(col("y").as("x"), col("x").as("y"), col("sup")))
+    directed
+      .join(broadcast(isup.select(col("pk").as("x"), col("isup").as("sx"))),
+        Seq("x"))
+      .join(broadcast(isup.select(col("pk").as("y"), col("isup").as("sy"))),
+        Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("sup"),
+        ((col("sup") * col("n_orders")) / (col("sx") * col("sy")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
-    "q_graph_triangles" -> triangles)
+    "q_graph_triangles" -> triangles,
+    "q_basket_rules" -> basketRules)
 
   private val prIterSql: String => String = prev =>
     s"""SELECT dst AS node,
@@ -135,6 +168,23 @@ object GraphOps {
          r1 AS (${prIterSql("r0")}),
          r2 AS (${prIterSql("r1")})
          SELECT node, pr FROM r2 ORDER BY pr DESC, node LIMIT 50""",
+    "q_basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         isup AS (SELECT pk, count(*) AS isup FROM op GROUP BY pk),
+         pairs AS (SELECT a.pk AS x, b.pk AS y, count(*) AS sup
+                   FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+         directed AS (SELECT x, y, sup FROM pairs
+                      UNION ALL SELECT y, x, sup FROM pairs)
+         SELECT x, y, sup,
+                (sup * n_orders) / (sx.isup * sy.isup) AS lift
+         FROM directed
+         JOIN isup sx ON sx.pk = directed.x
+         JOIN isup sy ON sy.pk = directed.y
+         CROSS JOIN n
+         ORDER BY lift DESC, x, y LIMIT 20""",
     "q_graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
