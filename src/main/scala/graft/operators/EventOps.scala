@@ -264,7 +264,47 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Journey mining: the 10 most common 3-step event-type paths over
+    * consecutive events per user. One window shuffle on user_id (two
+    * leads over the same exact-µs ordering share the Exchange), then a
+    * |types|³-bounded hash agg — path mining is a linear scan at any
+    * scale because the aggregate key space is the type alphabet, not
+    * the user count. */
+  private val pathTopk: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  /** Rolling 7-day engagement over the daily series: daily counts+sums,
+    * then a RANGE frame over the day ordinal. The window runs on the
+    * |days|-row aggregate (bounded — one row per calendar day), never
+    * on events, so the unpartitioned frame is safe at any scale — the
+    * same census-window argument as q_sample_split. */
+  private val rolling7d: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    daily
+      .select(col("day"), col("n"),
+        sum(col("n")).over(w).as("n_7d"),
+        r2(sum(col("v")).over(w)).as("v_7d"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_path_topk" -> pathTopk,
+    "q_events_rolling_7d" -> rolling7d,
     "q_events_dau_mau" -> dauMau,
     "q_events_cdc_apply" -> cdcApply,
     "q_events_anomaly" -> anomaly,
@@ -279,6 +319,35 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_path_topk" ->
+      """WITH seq AS (
+           SELECT event_type AS t1,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id))
+         SELECT t1, t2, t3, count(*) AS cnt
+         FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+         GROUP BY t1, t2, t3
+         ORDER BY cnt DESC, t1, t2, t3 LIMIT 10""",
+    "q_events_rolling_7d" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n, sum(value) AS v
+           FROM events GROUP BY 1),
+         dd AS (SELECT day, n, v,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(day AS DATE)) AS dnum
+                FROM daily)
+         SELECT day, n,
+                CAST(sum(n) OVER (ORDER BY dnum
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_7d,
+                floor((sum(v) OVER (ORDER BY dnum
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) * 100 + 0.5)
+                  / 100.0 AS v_7d
+         FROM dd ORDER BY day""",
     "q_events_dau_mau" ->
       """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                            date_trunc('month', ts) AS month, user_id
