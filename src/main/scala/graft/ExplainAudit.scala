@@ -46,7 +46,11 @@ object ExplainAudit {
     // TPC-H Q3 composite (broadcast dim + pushed filters + top-k),
     // SCD2 (all windows share ONE user_id Exchange)
     "q_join_salted", "q_join_range_bucket", "q_tpch_shipping",
-    "q_events_scd2")
+    "q_events_scd2",
+    // round-3 close: inverted-index pair generation (sparse MLT), the
+    // PageRank iteration shape, lift-ranked rule mining over the shared
+    // co-purchase cache (cache persists are lazy — explain-only safe)
+    "q_sim_sparse_topk", "q_graph_pagerank", "q_basket_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
