@@ -16,6 +16,7 @@ object SparkEntry {
     operators.FunctionOps.queries -> operators.FunctionOps.oracle,
     operators.DedupOps.queries -> operators.DedupOps.oracle,
     operators.GraphOps.queries -> operators.GraphOps.oracle,
+    operators.StatsOps.queries -> operators.StatsOps.oracle,
     operators.MultimodalOps.queries -> operators.MultimodalOps.oracle)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

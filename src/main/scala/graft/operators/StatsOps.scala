@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import graft.Par.{r2, r6, sql => rsql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical analytics over the star schema and event stream —
+  * hypothesis tests, information measures, and robust outlier scoring
+  * (SURVEY.md §2 north-star extensions: the "is this difference real /
+  * is this value anomalous" layer every experimentation + data-quality
+  * pipeline needs).
+  *
+  * Scale design: every operator here is a single hash-aggregate pass
+  * (map-side partial) over the fact table, optionally followed by a
+  * broadcast join of a bounded per-group statistics frame back onto the
+  * facts. Nothing materializes per-row state on the driver and nothing
+  * shuffles more than one round, so each plan is linear in the fact
+  * table at any scale. Cross-engine float parity uses the Par rounding
+  * discipline (SURVEY.md §5.3): integer counts stay exact, every
+  * derived double is floor-parity-rounded at the declared boundary.
+  */
+object StatsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Welch's unequal-variance t-test: F-status vs O-status order values
+    * per market segment. One shuffle join (orders ⋈ customer on the FK)
+    * + one hash aggregate with FILTERed moments — the two "samples"
+    * never materialize separately, so the test costs one pass no matter
+    * how many groups or rows. t and the Welch–Satterthwaite dof are
+    * derived on the 5-row aggregate. */
+  private val ttest: Q = (s, d) => {
+    val vfn = col("v_f") / col("n_f")
+    val von = col("v_o") / col("n_o")
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        avg(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("m_f"),
+        avg(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("m_o"),
+        var_samp(when(col("o_orderstatus") === "F", col("o_totalprice")))
+          .as("v_f"),
+        var_samp(when(col("o_orderstatus") === "O", col("o_totalprice")))
+          .as("v_o"))
+      .select(col("c_mktsegment"), col("n_f"), col("n_o"),
+        r6((col("m_f") - col("m_o")) / sqrt(vfn + von)).as("t_welch"),
+        r2(pow(vfn + von, 2) /
+          (pow(vfn, 2) / (col("n_f") - 1) + pow(von, 2) / (col("n_o") - 1)))
+          .as("df_welch"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Pearson chi-square test of independence between market segment and
+    * order priority. Observed counts are one hash aggregate; expected
+    * counts come from the row/column marginals (bounded: |segments| ×
+    * |priorities| cells), built with a cross join of two tiny aggregate
+    * frames so absent observed cells still contribute their expected
+    * mass. All counts stay integers until the single (obs−exp)²/exp
+    * division. */
+  private val chisq: Q = (s, d) => {
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val obs = j.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
+    val rt = j.groupBy("seg").agg(count(lit(1)).as("rt"))
+    val ct = j.groupBy("pri").agg(count(lit(1)).as("ct"))
+    val n = j.agg(count(lit(1)).as("n"))
+    val exp = (col("rt") * col("ct")).cast("double") / col("n")
+    broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(obs, Seq("seg", "pri"), "left")
+      .na.fill(0L, Seq("obs"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        r6(sum(pow(col("obs") - exp, 2) / exp)).as("chi2"),
+        ((countDistinct(col("seg")) - 1) * (countDistinct(col("pri")) - 1))
+          .as("dof"))
+  }
+
+  /** Shannon entropy of each user's event-type mix (plus the distinct
+    * type count) — the information-theoretic engagement-diversity
+    * measure. Two chained hash aggregates on (user, type) → (user);
+    * both shuffle on user_id only, p·ln p runs inside codegen on the
+    * aggregate frame. */
+  private val entropy: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val t = c.groupBy("user_id")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("n_types"))
+    c.join(t, "user_id")
+      .groupBy("user_id")
+      .agg(first(col("n_types")).as("n_types"),
+        r6(-sum((col("c").cast("double") / col("t")) *
+          log(col("c").cast("double") / col("t")))).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  /** Median/MAD robust outlier scoring per event type: the
+    * median-absolute-deviation z-score (x−med)/(1.4826·MAD) flags heavy
+    * tails without the mean/stddev masking that q_events_anomaly's
+    * plain z-score suffers under contamination. Both quantile passes
+    * aggregate per type (bounded output), the rounded statistics
+    * broadcast back onto events, and the outlier comparison is pure
+    * IEEE arithmetic on identical doubles in both engines. */
+  private val mad: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val med = ev.groupBy("event_type")
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"),
+        count(lit(1)).as("n"))
+    val dev = ev.select(col("event_type"), col("value"))
+      .join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val madf = dev.groupBy("event_type")
+      .agg(r6(expr("percentile(adev, 0.5)")).as("mad"))
+    dev.join(broadcast(madf), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stats_ttest" -> ttest,
+    "q_stats_chisq" -> chisq,
+    "q_stats_entropy" -> entropy,
+    "q_stats_mad" -> mad)
+
+  val oracle: Map[String, String] = Map(
+    "q_stats_ttest" ->
+      s"""WITH j AS (
+           SELECT c_mktsegment, o_orderstatus AS st, o_totalprice AS p
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderstatus IN ('F', 'O')),
+         g AS (
+           SELECT c_mktsegment,
+                  count(*) FILTER (st = 'F') AS n_f,
+                  count(*) FILTER (st = 'O') AS n_o,
+                  avg(p) FILTER (st = 'F') AS m_f,
+                  avg(p) FILTER (st = 'O') AS m_o,
+                  var_samp(p) FILTER (st = 'F') AS v_f,
+                  var_samp(p) FILTER (st = 'O') AS v_o
+           FROM j GROUP BY c_mktsegment)
+         SELECT c_mktsegment, n_f, n_o,
+                ${rsql("(m_f - m_o) / sqrt(v_f/n_f + v_o/n_o)", 1000000)}
+                  AS t_welch,
+                ${rsql("pow(v_f/n_f + v_o/n_o, 2) / " +
+                  "(pow(v_f/n_f, 2)/(n_f - 1) + pow(v_o/n_o, 2)/(n_o - 1))",
+                  100)} AS df_welch
+         FROM g ORDER BY c_mktsegment""",
+    "q_stats_chisq" ->
+      s"""WITH j AS (
+           SELECT c_mktsegment AS seg, o_orderpriority AS pri
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         obs AS (SELECT seg, pri, count(*) AS obs FROM j GROUP BY seg, pri),
+         rt AS (SELECT seg, count(*) AS rt FROM j GROUP BY seg),
+         ct AS (SELECT pri, count(*) AS ct FROM j GROUP BY pri),
+         n AS (SELECT count(*) AS n FROM j),
+         cells AS (
+           SELECT rt.seg, ct.pri, rt.rt, ct.ct, n.n,
+                  coalesce(obs.obs, 0) AS obs
+           FROM rt CROSS JOIN ct CROSS JOIN n
+           LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri)
+         SELECT count(*) AS n_cells,
+                ${rsql("sum(pow(obs - CAST(rt * ct AS DOUBLE) / n, 2) / " +
+                  "(CAST(rt * ct AS DOUBLE) / n))", 1000000)} AS chi2,
+                (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof
+         FROM cells""",
+    "q_stats_entropy" ->
+      s"""WITH c AS (
+           SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY user_id, event_type),
+         t AS (SELECT user_id, sum(c) AS t, count(*) AS n_types
+               FROM c GROUP BY user_id)
+         SELECT c.user_id, n_types,
+                ${rsql("-sum((CAST(c AS DOUBLE) / t) * " +
+                  "ln(CAST(c AS DOUBLE) / t))", 1000000)} AS entropy
+         FROM c JOIN t ON c.user_id = t.user_id
+         GROUP BY c.user_id, n_types
+         ORDER BY c.user_id""",
+    "q_stats_mad" ->
+      s"""WITH med AS (
+           SELECT event_type,
+                  ${rsql("quantile_cont(value, 0.5)", 1000000)} AS med,
+                  count(*) AS n
+           FROM events GROUP BY event_type),
+         dev AS (
+           SELECT events.event_type, abs(value - med) AS adev, med, n
+           FROM events JOIN med ON events.event_type = med.event_type),
+         madf AS (
+           SELECT event_type,
+                  ${rsql("quantile_cont(adev, 0.5)", 1000000)} AS mad
+           FROM dev GROUP BY event_type)
+         SELECT dev.event_type, any_value(n) AS n, any_value(med) AS med,
+                any_value(mad) AS mad,
+                count(*) FILTER (adev > 3.0 * 1.4826 * mad) AS n_outliers
+         FROM dev JOIN madf ON dev.event_type = madf.event_type
+         GROUP BY dev.event_type
+         ORDER BY dev.event_type""")
+}

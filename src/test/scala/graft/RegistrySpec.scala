@@ -16,6 +16,7 @@ class RegistrySpec extends SparkSpec {
       "FunctionOps" -> operators.FunctionOps.queries.keySet,
       "DedupOps" -> operators.DedupOps.queries.keySet,
       "GraphOps" -> operators.GraphOps.queries.keySet,
+      "StatsOps" -> operators.StatsOps.queries.keySet,
       "MultimodalOps" -> operators.MultimodalOps.queries.keySet)
     val all = packs.flatMap { case (p, ks) => ks.map(_ -> p) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
