@@ -676,7 +676,100 @@ object TextOps {
       .select("doc_id", "raw", "masked")
       .orderBy("doc_id")
 
+  /** Gopher-style repetition scoring — the training-data quality rules
+    * that catch boilerplate/spam: per-doc duplicate-token ratio
+    * (1 − |distinct|/|tokens|) and the fraction of tokens covered by the
+    * single most frequent bigram, plus an integer keep flag at the
+    * thresholds (0.55, 0.10) the corpus distribution motivates (median
+    * dup 0.54, p90 bigram-frac 0.13). Plan: one posexplode + lead per
+    * doc partition for bigrams, one scalar pass for token counts — both
+    * linear, shuffled on doc_id only. The keep comparison runs on the
+    * raw doubles (identical IEEE values cross-engine); only the
+    * *reported* ratios are parity-rounded. */
+  private val repetition: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val maxBigram = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+      .withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"),
+        concat_ws(" ", col("token"), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxbc"))
+    val dup = lit(1.0) - col("n_uniq").cast("double") / col("n_tok")
+    val frac = col("maxbc") * lit(2.0) / col("n_tok")
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks()).cast("long").as("n_tok"),
+        size(array_distinct(toks())).cast("long").as("n_uniq"))
+      .join(maxBigram, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("maxbc"))
+      .select(col("doc_id"), col("n_tok"),
+        r6(dup).as("dup_ratio"),
+        r6(frac).as("top_bigram_frac"),
+        when(dup <= 0.55 && frac <= 0.10, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc top-3 TF-IDF keyword extraction (the tagging/labeling
+    * primitive, distinct from q_text_search_tfidf's query-side ranking):
+    * full tf ⋈ broadcast df/N → idf weights, then a doc-partitioned
+    * row_number window takes 3 keywords per doc. Weights are exact
+    * doubles from integer counts (tf·ln(N/df)), so the rank tie-break
+    * (weight desc, token) is cross-engine stable pre-rounding. */
+  private val keywords: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val wt = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val rk = Window.partitionBy("doc_id").orderBy(col("w").desc, col("tok"))
+    wt.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), r6(col("w")).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Per-doc subsumption profile via directional token-set containment
+    * (|A∩B| / |A| — the near-dup signal Jaccard misses when a short doc
+    * is swallowed by a longer one). All arithmetic is INTEGER
+    * (inter·10 ≥ |A|·9 ⟺ containment ≥ 0.9), so there is no float
+    * parity surface. The pair join carries the one valid one-sided
+    * prefilter (|B| ≥ 0.9·|A|) plus a min-size floor (|A| ≥ 5 — tiny
+    * sets are trivially contained); pairs use the dictionary-bitmap
+    * intersect like q_dedup_near. This brute-force form is the exact
+    * baseline; the linear scale path is rare-token prefix filtering
+    * (index each doc under its lowest-df token only), same shape as the
+    * MinHash banding beside it. */
+  private val dedupContainment: Q = (s, d) => {
+    val base = TokenBitmap.bitmaps(s, d)
+    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
+      col("sz").as("sa"))
+    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
+      col("sz").as("sb"))
+    val sup = a.join(b, col("a") =!= col("b") &&
+        col("sa") >= 5 && col("sb") * 10 >= col("sa") * 9)
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
+      .filter(col("inter") * 10 >= col("sa") * 9)
+      .groupBy(col("a")).agg(count(lit(1)).as("n_super"))
+    TokenBitmap.bitmaps(s, d)
+      .select(col("doc_id"), col("sz").cast("long").as("n_distinct"))
+      .join(sup.select(col("a").as("doc_id"), col("n_super")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_super"))
+      .select(col("doc_id"), col("n_distinct"), col("n_super"),
+        when(col("n_super") > 0, 1).otherwise(0).as("subsumed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_repetition" -> repetition,
+    "q_text_keywords" -> keywords,
+    "q_dedup_containment" -> dedupContainment,
     "q_sample_split" -> sampleSplit,
     "q_text_perplexity" -> perplexity,
     "q_text_pmi" -> pmiCollocations,
@@ -709,6 +802,85 @@ object TextOps {
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1,
+                    len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         bg AS (
+           SELECT doc_id, token || ' ' || lead(token) OVER (
+             PARTITION BY doc_id ORDER BY pos) AS bigram
+           FROM tk),
+         bc AS (
+           SELECT doc_id, max(c) AS maxbc FROM (
+             SELECT doc_id, bigram, count(*) AS c FROM bg
+             WHERE bigram IS NOT NULL GROUP BY doc_id, bigram)
+           GROUP BY doc_id),
+         st AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_uniq
+           FROM documents)
+         SELECT st.doc_id, n_tok,
+                floor((1.0 - CAST(n_uniq AS DOUBLE) / n_tok) * 1000000
+                  + 0.5) / 1000000.0 AS dup_ratio,
+                floor((coalesce(maxbc, 0) * 2.0 / n_tok) * 1000000
+                  + 0.5) / 1000000.0 AS top_bigram_frac,
+                CAST(CASE WHEN (1.0 - CAST(n_uniq AS DOUBLE) / n_tok)
+                            <= 0.55
+                           AND (coalesce(maxbc, 0) * 2.0 / n_tok) <= 0.10
+                     THEN 1 ELSE 0 END AS INTEGER) AS keep
+         FROM st LEFT JOIN bc ON st.doc_id = bc.doc_id
+         ORDER BY st.doc_id""",
+    "q_text_keywords" ->
+      """WITH tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         wt AS (
+           SELECT doc_id, tf.tok,
+                  tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+         rk AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY w DESC, tok) AS INTEGER) AS rk,
+                  tok, w
+           FROM wt)
+         SELECT doc_id, rk, tok,
+                floor(w * 1000000 + 0.5) / 1000000.0 AS score
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q_dedup_containment" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+           GROUP BY 1, 2),
+         sup AS (
+           SELECT a, count(*) AS n_super
+           FROM pairs
+           JOIN sz sa ON sa.doc_id = pairs.a
+           JOIN sz sb ON sb.doc_id = pairs.b
+           WHERE sa.n >= 5 AND sb.n * 10 >= sa.n * 9
+             AND i * 10 >= sa.n * 9
+           GROUP BY a)
+         SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_distinct,
+                coalesce(n_super, 0) AS n_super,
+                CAST(CASE WHEN coalesce(n_super, 0) > 0 THEN 1 ELSE 0 END
+                  AS INTEGER) AS subsumed
+         FROM sz LEFT JOIN sup ON sup.a = sz.doc_id
+         ORDER BY sz.doc_id""",
     "q_text_perplexity" ->
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS tok

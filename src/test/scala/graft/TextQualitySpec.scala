@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 text-quality additions (repetition
+  * scoring, keyword extraction, containment subsumption). */
+class TextQualitySpec extends SparkSpec {
+
+  test("repetition ratios are in [0,1] and keep is a real split") {
+    val df = operators.TextOps.queries("q_text_repetition")(spark, sfDir)
+    assert(df.filter(col("dup_ratio") < -1e-9 || col("dup_ratio") > 1.0 ||
+      col("top_bigram_frac") < -1e-9 || col("top_bigram_frac") > 1.0)
+      .count() == 0)
+    val keeps = df.groupBy("keep").count().collect().map(_.getInt(0)).toSet
+    assert(keeps == Set(0, 1), s"keep flag is degenerate: $keeps")
+  }
+
+  test("keywords: exactly <=3 per doc, rank contiguous, score nonneg") {
+    val df = operators.TextOps.queries("q_text_keywords")(spark, sfDir)
+    val byDoc = df.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max(col("rk")).as("mx"))
+    assert(byDoc.filter(col("k") =!= col("mx") || col("k") > 3).count() == 0)
+    assert(df.filter(col("score") < 0).count() == 0)
+  }
+
+  test("containment: subsumed iff n_super>0; engineered near-dups exist") {
+    val df = operators.TextOps.queries("q_dedup_containment")(spark, sfDir)
+    assert(df.filter((col("subsumed") === 1) =!= (col("n_super") > 0))
+      .count() == 0)
+    // the corpus has engineered near-duplicates → some doc is subsumed
+    assert(df.filter(col("subsumed") === 1).count() > 0)
+  }
+}
