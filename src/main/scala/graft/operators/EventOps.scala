@@ -302,7 +302,38 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Per-day session quality rollup on top of the 30-min-gap islands:
+    * session count, bounce rate (single-event sessions), mean duration.
+    * Sessions shuffle on user_id exactly like q_stream_session; the
+    * daily rollup is a second aggregate on the bounded per-session frame
+    * keyed by integer day ordinal (start_us div 86.4e9 — no calendar
+    * arithmetic to drift cross-engine). */
+  private val sessionStats: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(runW))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .groupBy(expr("start_us div 86400000000").as("day_num"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounce"),
+        r6(count(when(col("n_events") === 1, 1)).cast("double") /
+          count(lit(1))).as("bounce_rate"),
+        r2(avg((col("end_us") - col("start_us")) / lit(1000000.0)))
+          .as("avg_dur_s"))
+      .orderBy("day_num")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_session_stats" -> sessionStats,
     "q_events_path_topk" -> pathTopk,
     "q_events_rolling_7d" -> rolling7d,
     "q_events_dau_mau" -> dauMau,
@@ -319,6 +350,32 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_session_stats" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                            > 1800000000 THEN 1
+                       WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+                       ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ), sessed AS (
+           SELECT *, sum(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM flagged
+         ), sess AS (
+           SELECT user_id, sess, min(ts_us) AS start_us,
+                  max(ts_us) AS end_us, count(*) AS n_events
+           FROM sessed GROUP BY user_id, sess)
+         SELECT start_us // 86400000000 AS day_num,
+                count(*) AS n_sessions,
+                count(*) FILTER (n_events = 1) AS n_bounce,
+                floor((CAST(count(*) FILTER (n_events = 1) AS DOUBLE)
+                  / count(*)) * 1000000 + 0.5) / 1000000.0 AS bounce_rate,
+                floor((avg((end_us - start_us) / 1000000.0)) * 100 + 0.5)
+                  / 100.0 AS avg_dur_s
+         FROM sess GROUP BY day_num ORDER BY day_num""",
     "q_events_path_topk" ->
       """WITH seq AS (
            SELECT event_type AS t1,

@@ -143,7 +143,36 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Link prediction by neighbor-set Jaccard over the support-2
+    * co-purchase graph: score non-adjacent part pairs by
+    * |N(a)∩N(c)| / |N(a)∪N(c)|. Common-neighbor counts come from the
+    * oriented wedge join (same shape as triangles — one shuffle on the
+    * wedge center), existing edges drop via a left-anti join, and the
+    * union size is inclusion–exclusion on integer degrees, so the score
+    * is an exact rational. At scale the wedge fan-out is bounded the
+    * same way as triangle counting: orient by (degree, id) so no center
+    * explodes. Top-20 by (jacc, a, c) via TakeOrderedAndProject. */
+  private val linkJaccard: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
+    val cn = und.select(col("x").as("a"), col("y").as("b"))
+      .join(und.select(col("x").as("b"), col("y").as("c")), Seq("b"))
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+    cn.join(e.select(col("x").as("a"), col("y").as("c")),
+        Seq("a", "c"), "left_anti")
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("c"), col("deg").as("dc")), Seq("c"))
+      .select(col("a"), col("c"), col("cn"),
+        r6(col("cn").cast("double") / (col("da") + col("dc") - col("cn")))
+          .as("jacc"))
+      .orderBy(col("jacc").desc, col("a"), col("c"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_link_jaccard" -> linkJaccard,
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_basket_rules" -> basketRules)
@@ -155,6 +184,27 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_link_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         deg AS (SELECT x, count(*) AS deg FROM und GROUP BY x),
+         cn AS (SELECT u1.x AS a, u2.y AS c, count(*) AS cn
+                FROM und u1 JOIN und u2 ON u1.y = u2.x AND u1.x < u2.y
+                GROUP BY 1, 2),
+         cand AS (SELECT a, c, cn FROM cn
+                  WHERE NOT EXISTS (SELECT 1 FROM e
+                                    WHERE e.x = cn.a AND e.y = cn.c))
+         SELECT a, c, cn,
+                floor((CAST(cn AS DOUBLE) / (da.deg + dc.deg - cn))
+                  * 1000000 + 0.5) / 1000000.0 AS jacc
+         FROM cand
+         JOIN deg da ON da.x = cand.a
+         JOIN deg dc ON dc.x = cand.c
+         ORDER BY jacc DESC, a, c LIMIT 20""",
     "q_graph_pagerank" ->
       s"""WITH ed AS (
            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

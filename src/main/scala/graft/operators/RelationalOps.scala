@@ -744,7 +744,33 @@ object RelationalOps {
 
   // ------------------------------------------------------------ registry
 
+  /** 2-D skyline (Pareto frontier: cheapest price for its size class or
+    * better — minimize p_retailprice, maximize p_size). NOT the naive
+    * O(n²) dominance anti-join: 2-D skyline reduces to sort + cumulative
+    * min — a point survives iff its price beats the min price of every
+    * strictly-larger size (RANGE frame ending 1 PRECEDING on size DESC)
+    * and is the min price within its own size. O(n log n), and at scale
+    * the frontier-only property means a partition-local skyline
+    * prefilter (same two windows per partition) shrinks input to ~|sky|
+    * per partition before one final merge pass — the classic
+    * divide-and-conquer skyline mapped onto Spark windows. */
+  private val skyline: Q = (s, d) => {
+    val larger = Window.orderBy(col("p_size").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy("p_size")
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .withColumn("mprice", min(col("p_retailprice")).over(larger))
+      .withColumn("sprice", min(col("p_retailprice")).over(same))
+      .filter((col("mprice").isNull ||
+        col("p_retailprice") < col("mprice")) &&
+        col("p_retailprice") === col("sprice"))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy(col("p_size").desc, col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_skyline" -> skyline,
     "q_scan_project" -> scanProject,
     "q_scan_events_ts" -> scanEventsTs,
     "q_filter_pred" -> filterPred,
@@ -797,6 +823,20 @@ object RelationalOps {
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
     * sum(BIGINT) is HUGEINT); window-fn ints cast to match Spark widths. */
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH w AS (
+           SELECT p_partkey, p_retailprice, p_size,
+                  min(p_retailprice) OVER (
+                    ORDER BY p_size DESC
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS mprice,
+                  min(p_retailprice) OVER (PARTITION BY p_size) AS sprice
+           FROM part)
+         SELECT p_partkey, p_retailprice, p_size
+         FROM w
+         WHERE (mprice IS NULL OR p_retailprice < mprice)
+           AND p_retailprice = sprice
+         ORDER BY p_size DESC, p_partkey""",
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
          FROM lineitem
