@@ -283,7 +283,62 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Top principal component by distributed power iteration. The heavy,
+    * data-proportional work is the Gram matrix C = Σ v·vᵀ — one explode
+    * + self-join per vec_id, partially aggregated map-side into exactly
+    * d² = 4096 cells (the bounded index artifact; at 100 TB this is the
+    * only pass that touches the data, and it is one shuffle of d²
+    * groups). The 64-vector power iteration then runs on the collected
+    * 64×64 cells — same bounded-driver-artifact rationale as the IVF
+    * centroids and the union-find edge list. Parity discipline: C cells
+    * are r6-rounded (summation-order-independent), each iterate is
+    * r6-rounded after normalization, and the oracle replays the three
+    * iterations as chained CTEs on the same rounded cells. */
+  private val pcaTop1: Q = (s, d) => {
+    import s.implicits._
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        col("col").cast("double").as("v"))
+    val gram = el.as("a")
+      .join(el.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(r6(sum(col("a.v") * col("b.v"))).as("c"))
+    val cells = gram.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val dim = 64
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cells((i, j)) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => math.floor(x / n * 1000000 + 0.5) / 1000000)
+    }
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("i", "loading").orderBy("i")
+  }
+
+  /** Recall audit of the LSH scale path against the exact baseline —
+    * the evaluation harness a production dedup pipeline ships with: how
+    * many true ≥0.3 pairs does banding keep? Pure composition of the
+    * two existing plans (exact all-pairs, banded LSH) joined on the
+    * pair key; counts are integers, recall one rounded division. The
+    * oracle replays both plans as CTEs, so the *measured recall itself*
+    * is cross-engine-pinned. */
+  private val lshRecall: Q = (s, d) => {
+    val exact = dedupEmbed(s, d).select(col("va"), col("vb"))
+    val lsh = dedupEmbedLsh(s, d).select(col("va"), col("vb"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(lsh.join(exact, Seq("va", "vb"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_pca_top1" -> pcaTop1,
+    "q_eval_lsh_recall" -> lshRecall,
     "q_ann_kmeans" -> annKmeans,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
@@ -292,6 +347,82 @@ object VectorOps {
     "q_vec_norm" -> vecNorm,
     "q_sim_knn_label" -> knnLabel,
     "q_ann_ivf" -> annIvf)
+
+  /** Shared oracle fragments: the exact and LSH embedding-pair plans are
+    * referenced both standalone and composed by q_eval_lsh_recall. */
+  private val embedExactSql =
+    """SELECT va, vb, sim_r FROM (
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                floor((list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])))
+                      * 1000000 + 0.5) / 1000000.0 AS sim_r
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+       WHERE sim_r >= 0.3 ORDER BY va, vb"""
+
+  private val embedLshSql =
+    """WITH pc AS (
+         SELECT p, j,
+                CASE WHEN (strpos('0123456789abcdef',
+                       substring(md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))
+                       - 1) % 2 = 1
+                     THEN 1.0 ELSE -1.0 END AS sgn
+         FROM UNNEST(generate_series(0, 15)) AS tp(p),
+              UNNEST(generate_series(0, 63)) AS tj(j)),
+       pl AS (SELECT p, list(CAST(sgn AS DOUBLE) ORDER BY j) AS parr
+              FROM pc GROUP BY p),
+       bits AS (
+         SELECT e.vec_id, pl.p,
+                CASE WHEN list_inner_product(
+                       CAST(e.embedding AS DOUBLE[]), parr) >= 0
+                     THEN '1' ELSE '0' END AS bit
+         FROM embeddings e, pl),
+       ks AS (
+         SELECT vec_id, p // 4 AS band,
+                string_agg(bit, '' ORDER BY p) AS bkey
+         FROM bits GROUP BY vec_id, p // 4),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM ks x JOIN ks y
+           ON x.band = y.band AND x.bkey = y.bkey
+          AND x.vec_id < y.vec_id)
+       SELECT va, vb, sim_r FROM (
+         SELECT c.a AS va, c.b AS vb,
+                floor((list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])))
+                      * 1000000 + 0.5) / 1000000.0 AS sim_r
+         FROM cand c
+         JOIN embeddings ea ON ea.vec_id = c.a
+         JOIN embeddings eb ON eb.vec_id = c.b) t
+       WHERE sim_r >= 0.3 ORDER BY va, vb"""
+
+  /** Chained-CTE power iteration on the r6-rounded Gram cells — the
+    * same round-then-replay discipline as q_graph_pagerank. */
+  private val pcaIterSql: String => String = prev =>
+    s"""SELECT w.i,
+              floor(w.w / n.n * 1000000 + 0.5) / 1000000.0 AS x
+        FROM (SELECT gram.i, sum(c * $prev.x) AS w
+              FROM gram JOIN $prev ON gram.j = $prev.i GROUP BY gram.i) w
+        CROSS JOIN (SELECT sqrt(sum(w * w)) AS n FROM (
+              SELECT gram.i, sum(c * $prev.x) AS w
+              FROM gram JOIN $prev ON gram.j = $prev.i GROUP BY gram.i)) n"""
+
+  private val pcaSql =
+    s"""WITH el AS (
+         SELECT vec_id,
+                CAST(unnest(generate_series(1, len(embedding)))
+                  AS INTEGER) - 1 AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM embeddings),
+       gram AS (
+         SELECT a.i AS i, b.i AS j,
+                floor(sum(a.v * b.v) * 1000000 + 0.5) / 1000000.0 AS c
+         FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       v0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS i,
+                     0.125 AS x),
+       v1 AS (${pcaIterSql("v0")}),
+       v2 AS (${pcaIterSql("v1")}),
+       v3 AS (${pcaIterSql("v2")})
+       SELECT i, x AS loading FROM v3 ORDER BY i"""
 
   val oracle: Map[String, String] = Map(
     "q_ann_kmeans" ->
@@ -361,14 +492,17 @@ object VectorOps {
                         * 1000000 + 0.5) / 1000000.0 AS sim_r
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
          ORDER BY sim_r DESC, va, vb LIMIT 10""",
-    "q_dedup_embed" ->
-      """SELECT va, vb, sim_r FROM (
-           SELECT a.vec_id AS va, b.vec_id AS vb,
-                  floor((list_inner_product(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])))
-                        * 1000000 + 0.5) / 1000000.0 AS sim_r
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
-         WHERE sim_r >= 0.3 ORDER BY va, vb""",
+    "q_dedup_embed" -> embedExactSql,
+    "q_eval_lsh_recall" ->
+      s"""WITH exact AS ($embedExactSql),
+         lsh AS ($embedLshSql)
+         SELECT ne.n_exact, nl.n_lsh, h.n_hit,
+                floor((CAST(n_hit AS DOUBLE) / n_exact) * 1000000 + 0.5)
+                  / 1000000.0 AS recall
+         FROM (SELECT count(*) AS n_exact FROM exact) ne
+         CROSS JOIN (SELECT count(*) AS n_lsh FROM lsh) nl
+         CROSS JOIN (SELECT count(*) AS n_hit
+                     FROM lsh JOIN exact USING (va, vb)) h""",
     "q_vec_norm" ->
       """SELECT vec_id,
                 floor((sqrt(list_inner_product(
@@ -381,41 +515,8 @@ object VectorOps {
                            CAST(embedding AS DOUBLE[]))))
                       * 1000000 + 0.5) / 1000000.0 AS c0_r
          FROM embeddings ORDER BY vec_id""",
-    "q_dedup_embed_lsh" ->
-      """WITH pc AS (
-           SELECT p, j,
-                  CASE WHEN (strpos('0123456789abcdef',
-                         substring(md5(p::VARCHAR || ':' || j::VARCHAR), 1, 1))
-                         - 1) % 2 = 1
-                       THEN 1.0 ELSE -1.0 END AS sgn
-           FROM UNNEST(generate_series(0, 15)) AS tp(p),
-                UNNEST(generate_series(0, 63)) AS tj(j)),
-         pl AS (SELECT p, list(CAST(sgn AS DOUBLE) ORDER BY j) AS parr
-                FROM pc GROUP BY p),
-         bits AS (
-           SELECT e.vec_id, pl.p,
-                  CASE WHEN list_inner_product(
-                         CAST(e.embedding AS DOUBLE[]), parr) >= 0
-                       THEN '1' ELSE '0' END AS bit
-           FROM embeddings e, pl),
-         ks AS (
-           SELECT vec_id, p // 4 AS band,
-                  string_agg(bit, '' ORDER BY p) AS bkey
-           FROM bits GROUP BY vec_id, p // 4),
-         cand AS (
-           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           FROM ks x JOIN ks y
-             ON x.band = y.band AND x.bkey = y.bkey
-            AND x.vec_id < y.vec_id)
-         SELECT va, vb, sim_r FROM (
-           SELECT c.a AS va, c.b AS vb,
-                  floor((list_inner_product(CAST(ea.embedding AS DOUBLE[]),
-                                            CAST(eb.embedding AS DOUBLE[])))
-                        * 1000000 + 0.5) / 1000000.0 AS sim_r
-           FROM cand c
-           JOIN embeddings ea ON ea.vec_id = c.a
-           JOIN embeddings eb ON eb.vec_id = c.b) t
-         WHERE sim_r >= 0.3 ORDER BY va, vb""",
+    "q_dedup_embed_lsh" -> embedLshSql,
+    "q_embed_pca_top1" -> pcaSql,
     "q_sim_knn_label" ->
       """WITH dm AS (
            SELECT vec_id, label,

@@ -30,6 +30,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pca top-1 loading is unit-norm after rounding") {
+    val v = operators.VectorOps.queries("q_embed_pca_top1")(spark, sfDir)
+      .collect().map(r => r.getDouble(r.fieldIndex("loading")))
+    assert(v.length == 64)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm was $norm")
+  }
+
+  test("lsh recall is a valid fraction and hits never exceed either side") {
+    val r = operators.VectorOps.queries("q_eval_lsh_recall")(spark, sfDir)
+      .collect().head
+    val (ne, nl, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= ne && nh <= nl)
+    val rec = r.getDouble(r.fieldIndex("recall"))
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
+
   test("session stats: bounces never exceed sessions, durations nonneg") {
     val df = operators.EventOps.queries("q_events_session_stats")(spark, sfDir)
     assert(df.filter(col("n_bounce") > col("n_sessions") ||
