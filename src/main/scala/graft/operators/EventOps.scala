@@ -332,7 +332,39 @@ object EventOps {
       .orderBy("day_num")
   }
 
+  /** Linear multi-touch attribution: each purchase's value is split
+    * evenly across the user's click/view touches in the preceding 7
+    * days, then credited revenue rolls up per touch channel. The
+    * touch↔purchase pairing is the same user-keyed band join as
+    * q_stream_interval_join (equi on user_id, time band as residual —
+    * never a cartesian); the per-purchase touch count comes from the
+    * pair aggregate, and credit = value/n splits exactly (one division
+    * per pair, identical doubles cross-engine, r2 only at the final
+    * rollup). */
+  private val attribution: Q = (s, d) => {
+    val bandUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts_us").as("p_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_us").as("t_us"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - bandUs)
+    val perPurchase = pairs.groupBy("p_id")
+      .agg(count(lit(1)).as("n_touch"), first(col("value")).as("v"))
+    pairs.join(perPurchase.select(col("p_id"), col("n_touch"), col("v")),
+        Seq("p_id"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        r2(sum(col("v") / col("n_touch"))).as("credited"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_attribution" -> attribution,
     "q_events_session_stats" -> sessionStats,
     "q_events_path_topk" -> pathTopk,
     "q_events_rolling_7d" -> rolling7d,
@@ -350,6 +382,23 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+                            epoch_us(ts) AS ts_us FROM events),
+         p AS (SELECT user_id, event_id AS p_id, ts_us AS p_us, value
+               FROM ev WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_type AS channel, ts_us AS t_us
+               FROM ev WHERE event_type IN ('click', 'view')),
+         pairs AS (
+           SELECT p.p_id, p.value AS v, t.channel
+           FROM p JOIN t ON p.user_id = t.user_id
+           WHERE t.t_us < p.p_us
+             AND t.t_us >= p.p_us - 604800000000),
+         np AS (SELECT p_id, count(*) AS n_touch FROM pairs GROUP BY p_id)
+         SELECT channel, count(*) AS n_credits,
+                floor(sum(v / n_touch) * 100 + 0.5) / 100.0 AS credited
+         FROM pairs JOIN np USING (p_id)
+         GROUP BY channel ORDER BY channel""",
     "q_events_session_stats" ->
       """WITH flagged AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

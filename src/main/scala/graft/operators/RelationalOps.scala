@@ -769,7 +769,85 @@ object RelationalOps {
       .orderBy(col("p_size").desc, col("p_partkey"))
   }
 
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 250, with customer context and the per-order quantity. The
+    * HAVING subquery compiles to aggregate → semi join; the outer
+    * 3-table join shuffles on the FK chain and TakeOrderedAndProject
+    * caps the output. A second composite benchmark beside q_tpch_q3. */
+  private val tpchQ18: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 250)
+      .select(col("l_orderkey").as("bok"))
+    Tables.lineitem(s, d)
+      .join(big, col("l_orderkey") === col("bok"), "left_semi")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice")
+      .agg(r2(sum(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** ABC (Pareto 80/15/5) inventory analysis: parts ranked by revenue,
+    * cumulative revenue share, class A ≤ 80 % ≤ B ≤ 95 % ≤ C. Per-part
+    * revenue is r2-rounded BEFORE the running sum, so the cumulative
+    * share is arithmetic on identical doubles in both engines (the
+    * round-then-replay discipline applied to a prefix sum). The window
+    * runs over the |parts|-bounded aggregate, never over lineitem —
+    * the census-window argument — and at 100 TB the rank would come
+    * from a two-pass range-partitioned sort instead. */
+  private val abcAnalysis: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    rev
+      .crossJoin(broadcast(rev.agg(sum(col("rev")).as("tot"))))
+      .withColumn("cum", sum(col("rev")).over(
+        Window.orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_partkey"), col("rev"),
+        r6(col("cum") / col("tot")).as("cum_share"),
+        when(col("cum") / col("tot") <= 0.80, "A")
+          .when(col("cum") / col("tot") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .limit(500)
+  }
+
+  /** RFM customer segmentation: recency (last order date), frequency
+    * (order count), monetary (total spend), each cut into quintiles by
+    * ntile over a fully tie-broken order (metric, custkey) so bucket
+    * boundaries are deterministic cross-engine. Aggregation shuffles on
+    * custkey; the three ntile windows run over the bounded per-customer
+    * frame (at 100 TB: percentile cut-points from one quantile pass,
+    * then a broadcast bin join — q_agg_percentile's shape — replace the
+    * global windows). */
+  private val customerRfm: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        r2(sum(col("o_totalprice"))).as("monetary"))
+    base
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("last_order"), col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("monetary"), col("o_custkey"))))
+      .select(col("o_custkey"), col("last_order"), col("freq"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q18" -> tpchQ18,
+    "q_abc_analysis" -> abcAnalysis,
+    "q_customer_rfm" -> customerRfm,
     "q_skyline" -> skyline,
     "q_scan_project" -> scanProject,
     "q_scan_events_ts" -> scanEventsTs,
@@ -823,6 +901,55 @@ object RelationalOps {
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
     * sum(BIGINT) is HUGEINT); window-fn ints cast to match Spark widths. */
   val oracle: Map[String, String] = Map(
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_abc_analysis" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+                  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100
+                    + 0.5) / 100.0 AS rev
+           FROM lineitem GROUP BY l_partkey),
+         tot AS (SELECT sum(rev) AS tot FROM rev),
+         c AS (
+           SELECT l_partkey, rev,
+                  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  tot
+           FROM rev CROSS JOIN tot)
+         SELECT l_partkey, rev,
+                floor((cum / tot) * 1000000 + 0.5) / 1000000.0 AS cum_share,
+                CASE WHEN cum / tot <= 0.80 THEN 'A'
+                     WHEN cum / tot <= 0.95 THEN 'B'
+                     ELSE 'C' END AS abc_class
+         FROM c ORDER BY rev DESC, l_partkey LIMIT 500""",
+    "q_customer_rfm" ->
+      """WITH base AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+                  count(*) AS freq,
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS monetary
+           FROM orders GROUP BY o_custkey),
+         q AS (
+           SELECT *,
+                  CAST(ntile(5) OVER (ORDER BY last_order, o_custkey)
+                    AS INTEGER) AS r_q,
+                  CAST(ntile(5) OVER (ORDER BY freq, o_custkey)
+                    AS INTEGER) AS f_q,
+                  CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                    AS INTEGER) AS m_q
+           FROM base)
+         SELECT o_custkey, last_order, freq, monetary, r_q, f_q, m_q,
+                r_q * 100 + f_q * 10 + m_q AS rfm
+         FROM q ORDER BY o_custkey""",
     "q_skyline" ->
       """WITH w AS (
            SELECT p_partkey, p_retailprice, p_size,

@@ -125,13 +125,38 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Least-squares regression diagnostics per return flag: slope,
+    * intercept, and R² of extendedprice ~ quantity via the SQL-standard
+    * regr_* aggregates (one hash-aggregate pass, map-side partial — the
+    * moments merge associatively at any scale). Both engines compute
+    * the same closed-form moments; outputs are parity-rounded. */
+  private val regression: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r6(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        r2(expr("regr_intercept(l_extendedprice, l_quantity)"))
+          .as("intercept"),
+        r6(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q_stats_regression" -> regression,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
     "q_stats_entropy" -> entropy,
     "q_stats_mad" -> mad)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_regression" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                ${rsql("regr_slope(l_extendedprice, l_quantity)", 1000000)}
+                  AS slope,
+                ${rsql("regr_intercept(l_extendedprice, l_quantity)", 100)}
+                  AS intercept,
+                ${rsql("regr_r2(l_extendedprice, l_quantity)", 1000000)}
+                  AS r2
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_stats_ttest" ->
       s"""WITH j AS (
            SELECT c_mktsegment, o_orderstatus AS st, o_totalprice AS p

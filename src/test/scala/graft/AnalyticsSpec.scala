@@ -30,6 +30,50 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tpch q18: every emitted order really exceeds the quantity bar") {
+    val df = operators.RelationalOps.queries("q_tpch_q18")(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter(col("total_qty") <= 250).count() == 0)
+  }
+
+  test("abc analysis: cumulative share is monotone and classes ordered") {
+    val rows = operators.RelationalOps.queries("q_abc_analysis")(
+      spark, sfDir).collect()
+    val shares = rows.map(r => r.getDouble(r.fieldIndex("cum_share")))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 })
+    val classes = rows.map(_.getString(rows.head.fieldIndex("abc_class")))
+    assert(classes.mkString.matches("A*B*C*"), "classes interleaved")
+  }
+
+  test("rfm quintiles are 1..5 and roughly balanced") {
+    val df = operators.RelationalOps.queries("q_customer_rfm")(spark, sfDir)
+    val n = df.count()
+    Seq("r_q", "f_q", "m_q").foreach { c =>
+      val counts = df.groupBy(c).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == Set(1, 2, 3, 4, 5), s"$c buckets: $counts")
+      counts.values.foreach(v => assert(math.abs(v - n / 5.0) <= 1))
+    }
+  }
+
+  test("attribution credits both channels with nonnegative revenue") {
+    val rows = operators.EventOps.queries("q_events_attribution")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("click", "view"))
+    rows.foreach(r =>
+      assert(r.getDouble(r.fieldIndex("credited")) >= 0.0))
+  }
+
+  test("regression r2 is a valid fraction for every flag") {
+    val rows = operators.StatsOps.queries("q_stats_regression")(
+      spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val r2v = r.getDouble(r.fieldIndex("r2"))
+      assert(r2v >= 0.0 && r2v <= 1.0)
+    }
+  }
+
   test("pca top-1 loading is unit-norm after rounding") {
     val v = operators.VectorOps.queries("q_embed_pca_top1")(spark, sfDir)
       .collect().map(r => r.getDouble(r.fieldIndex("loading")))
