@@ -300,7 +300,9 @@ object DedupOps {
     (k: (SparkSession, String)) => k._2,
     (_: DataFrame) => ())
   graft.Caches.registerMap(clusterRddHandles,
-    (k: (SparkSession, String)) => k._2,
+    // handle keys may carry a "<tag>::" prefix (the graph pack shares
+    // this machinery); invalidation matches on the dir suffix
+    (k: (SparkSession, String)) => k._2.split("::").last,
     (rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =>
       rdd.unpersist(blocking = false))
 
@@ -354,8 +356,18 @@ object DedupOps {
     out.toSeq
   }
 
-  private[graft] def clusterRepsUncached(s: SparkSession, d: String): DataFrame = {
-    val edges = dedupSimhashPairs(s, d).select("a", "b")
+  private[graft] def clusterRepsUncached(s: SparkSession, d: String): DataFrame =
+    connectedComponents(s, dedupSimhashPairs(s, d).select("a", "b"), d)
+
+  /** Generic connected components over an (a, b) long edge list —
+    * extracted so the graph pack (q_graph_components) and the dedup
+    * cluster path share one implementation. Returns (doc_id,
+    * cluster_rep) = (node, min node id of its component) for every node
+    * appearing in an edge. Strategy is adaptive: driver union-find below
+    * the broadcast-sized edge threshold, distributed min-label +
+    * pointer-jumping loop above it. */
+  private[graft] def connectedComponents(
+      s: SparkSession, edges: DataFrame, handleKey: String): DataFrame = {
     // localCheckpoint (eager) — THE iterative-algorithm pattern: it
     // materializes AND truncates lineage. persist()/unpersist() pairs are
     // a trap here: unpersisting round k's frame invalidates the cache of
@@ -474,7 +486,7 @@ object DedupOps {
     matRdd.count()
     undRdd.unpersist(blocking = false)
     labRdd.unpersist(blocking = false)
-    Option(clusterRddHandles.put((s, d), matRdd))
+    Option(clusterRddHandles.put((s, handleKey), matRdd))
       .foreach(_.unpersist(blocking = false))
     s.createDataFrame(matRdd, res.schema)
   }

@@ -363,7 +363,54 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Rolling 7-day distinct actives per day — the DISTINCT twin of
+    * q_events_rolling_7d (a running sum can slide; a distinct count
+    * cannot, so the correct distributed shape is day×user dedup → day
+    * spine band join → re-count). The (day, user) frame is bounded by
+    * |days|·|users|; the spine side is |days| rows and broadcasts; the
+    * final countDistinct shuffles on the spine day. Integer day
+    * ordinals only — no calendar arithmetic. */
+  private val rollingUniques: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day_num"),
+        col("user_id"))
+      .distinct()
+    val spine = du.select(col("day_num").as("day")).distinct()
+    du.join(broadcast(spine),
+        col("day_num") >= col("day") - 6 && col("day_num") <= col("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("uniques_7d"),
+        countDistinct(when(col("day_num") === col("day"),
+          col("user_id"))).as("uniques_1d"))
+      .orderBy("day")
+  }
+
+  /** Funnel latency profile: per user, first signup → first subsequent
+    * purchase; reports conversion count and the latency distribution
+    * (mean/median/p90 seconds). Two per-user min-aggregates (shuffle on
+    * user_id, the natural key) and one bounded final aggregate — no
+    * windows over the event stream. */
+  private val funnelTime: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("s_us"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(signup, Seq("user_id"))
+      .filter(col("ts_us") > col("s_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("p_us"),
+        first(col("s_us")).as("s_us2"))
+    firstPurchase
+      .select(((col("p_us") - col("s_us2")) / lit(1000000.0)).as("lat_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        r2(avg(col("lat_s"))).as("mean_s"),
+        r2(expr("percentile(lat_s, 0.5)")).as("p50_s"),
+        r2(expr("percentile(lat_s, 0.9)")).as("p90_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_rolling_uniques" -> rollingUniques,
+    "q_events_funnel_time" -> funnelTime,
     "q_events_attribution" -> attribution,
     "q_events_session_stats" -> sessionStats,
     "q_events_path_topk" -> pathTopk,
@@ -382,6 +429,35 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_rolling_uniques" ->
+      """WITH du AS (
+           SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_num, user_id
+           FROM events),
+         spine AS (SELECT DISTINCT day_num AS day FROM du)
+         SELECT day,
+                count(DISTINCT user_id) AS uniques_7d,
+                count(DISTINCT user_id)
+                  FILTER (day_num = day) AS uniques_1d
+         FROM du JOIN spine ON day_num >= day - 6 AND day_num <= day
+         GROUP BY day ORDER BY day""",
+    "q_events_funnel_time" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                     FROM events),
+         signup AS (SELECT user_id, min(ts_us) AS s_us
+                    FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+         fp AS (SELECT ev.user_id, min(ts_us) AS p_us, any_value(s_us)
+                         AS s_us2
+                FROM ev JOIN signup USING (user_id)
+                WHERE event_type = 'purchase' AND ts_us > s_us
+                GROUP BY ev.user_id),
+         lat AS (SELECT (p_us - s_us2) / 1000000.0 AS lat_s FROM fp)
+         SELECT count(*) AS n_converted,
+                floor(avg(lat_s) * 100 + 0.5) / 100.0 AS mean_s,
+                floor(quantile_cont(lat_s, 0.5) * 100 + 0.5) / 100.0
+                  AS p50_s,
+                floor(quantile_cont(lat_s, 0.9) * 100 + 0.5) / 100.0
+                  AS p90_s
+         FROM lat""",
     "q_events_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, value,
                             epoch_us(ts) AS ts_us FROM events),

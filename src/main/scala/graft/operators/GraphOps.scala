@@ -171,7 +171,22 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Connected components of the support-2 co-purchase graph (the
+    * "product families" view): shares the adaptive union-find /
+    * min-label implementation with the dedup cluster path
+    * (DedupOps.connectedComponents — driver union-find below the
+    * broadcast-sized edge threshold, distributed pointer-jumping loop
+    * above). Components are labeled by their minimum part key; the
+    * oracle replays the same fixpoint as a recursive min-label CTE. */
+  private val components: Q = (s, d) =>
+    DedupOps.connectedComponents(s,
+        copurchaseEdges(s, d).select(col("x").as("a"), col("y").as("b")),
+        s"graph::$d")
+      .select(col("doc_id").as("part"), col("cluster_rep").as("component"))
+      .orderBy("part")
+
   val queries: Map[String, Q] = Map(
+    "q_graph_components" -> components,
     "q_graph_link_jaccard" -> linkJaccard,
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
@@ -184,6 +199,20 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_components" ->
+      """WITH RECURSIVE op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x AS a, y AS b FROM e
+                 UNION ALL SELECT y AS a, x AS b FROM e),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst)
+         SELECT src AS part, least(src, min(dst)) AS component
+         FROM reach GROUP BY src ORDER BY part""",
     "q_graph_link_jaccard" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),

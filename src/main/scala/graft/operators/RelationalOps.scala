@@ -844,7 +844,27 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** Year-over-year revenue growth: yearly revenue (r2-rounded before
+    * the lag, so the growth division runs on identical doubles in both
+    * engines), previous year via lag over the |years|-bounded frame,
+    * growth as a rounded fraction. The census-window argument again —
+    * the window never touches lineitem, only the 7-row yearly
+    * aggregate. */
+  private val yoyGrowth: Q = (s, d) => {
+    val yearly = Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val w = Window.orderBy("yr")
+    yearly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("yr"), col("rev"),
+        r6((col("rev") - col("prev")) / col("prev")).as("yoy"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_yoy_growth" -> yoyGrowth,
     "q_tpch_q18" -> tpchQ18,
     "q_abc_analysis" -> abcAnalysis,
     "q_customer_rfm" -> customerRfm,
@@ -901,6 +921,18 @@ object RelationalOps {
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
     * sum(BIGINT) is HUGEINT); window-fn ints cast to match Spark widths. */
   val oracle: Map[String, String] = Map(
+    "q_yoy_growth" ->
+      """WITH yearly AS (
+           SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+                  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100
+                    + 0.5) / 100.0 AS rev
+           FROM lineitem GROUP BY year(l_shipdate)),
+         l AS (SELECT yr, rev, lag(rev, 1) OVER (ORDER BY yr) AS prev
+               FROM yearly)
+         SELECT yr, rev,
+                floor(((rev - prev) / prev) * 1000000 + 0.5) / 1000000.0
+                  AS yoy
+         FROM l ORDER BY yr""",
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
                 floor(sum(l_quantity) * 100 + 0.5) / 100.0 AS total_qty

