@@ -408,7 +408,48 @@ object EventOps {
         r2(expr("percentile(lat_s, 0.9)")).as("p90_s"))
   }
 
+  /** Hour-of-day × day-of-week seasonality matrix with activity share —
+    * the load-shaping profile behind capacity planning and anomaly
+    * baselines. Bucketing is PURE INTEGER epoch arithmetic (hour = µs
+    * div 3.6e9 mod 24; dow = epoch-day + 4 mod 7, 0 = Monday — no
+    * calendar/timezone functions to drift cross-engine); one hash
+    * aggregate into ≤168 cells, share against a broadcast 1-row total. */
+  private val seasonality: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(
+        expr("((ts_ns div 1000) div 86400000000 + 4) % 7").as("dow"),
+        expr("((ts_ns div 1000) div 3600000000 ) % 24").as("hod"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        Tables.events(s, d).agg(count(lit(1)).as("tot"))))
+      .select(col("dow"), col("hod"), col("n"),
+        r6(col("n").cast("double") / col("tot")).as("share"))
+      .orderBy("dow", "hod")
+  }
+
+  /** Inter-order gap profile: per-customer day gaps between consecutive
+    * orders (lag over the custkey partition — the natural shuffle key),
+    * rolled up to one distribution row (mean/median/p90 days). Integer
+    * epoch-day arithmetic end to end. */
+  private val orderGaps: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("day_num", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("day_num"))
+      .withColumn("gap", col("day_num") - lag(col("day_num"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        r2(avg(col("gap"))).as("mean_days"),
+        r2(expr("percentile(gap, 0.5)")).as("p50_days"),
+        r2(expr("percentile(gap, 0.9)")).as("p90_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_seasonality" -> seasonality,
+    "q_orders_gap" -> orderGaps,
     "q_events_rolling_uniques" -> rollingUniques,
     "q_events_funnel_time" -> funnelTime,
     "q_events_attribution" -> attribution,
@@ -429,6 +470,33 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_seasonality" ->
+      """WITH b AS (
+           SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                  (epoch_us(ts) // 3600000000) % 24 AS hod
+           FROM events),
+         tot AS (SELECT count(*) AS tot FROM events)
+         SELECT dow, hod, count(*) AS n,
+                floor((CAST(count(*) AS DOUBLE) / tot) * 1000000 + 0.5)
+                  / 1000000.0 AS share
+         FROM b CROSS JOIN tot
+         GROUP BY dow, hod, tot ORDER BY dow, hod""",
+    "q_orders_gap" ->
+      """WITH d AS (
+           SELECT o_custkey, o_orderkey,
+                  epoch(o_orderdate)::BIGINT // 86400 AS day_num
+           FROM orders),
+         g AS (
+           SELECT day_num - lag(day_num, 1) OVER (
+             PARTITION BY o_custkey ORDER BY day_num, o_orderkey) AS gap
+           FROM d)
+         SELECT count(*) AS n_gaps,
+                floor(avg(gap) * 100 + 0.5) / 100.0 AS mean_days,
+                floor(quantile_cont(gap, 0.5) * 100 + 0.5) / 100.0
+                  AS p50_days,
+                floor(quantile_cont(gap, 0.9) * 100 + 0.5) / 100.0
+                  AS p90_days
+         FROM g WHERE gap IS NOT NULL""",
     "q_events_rolling_uniques" ->
       """WITH du AS (
            SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_num, user_id

@@ -140,7 +140,28 @@ object StatsOps {
         r6(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"))
       .orderBy("l_returnflag")
 
+  /** Benford first-digit audit on order values — the classic
+    * fabricated-data screen. The leading digit comes from the DECIMAL
+    * STRING of the truncated integer value (substring of a cast — exact
+    * in both engines; floor(log10) would mis-bin values like 9999.99…
+    * where the log lands a hair under the power). One hash aggregate
+    * into 9 cells; expected Benford mass ln(1+1/d)/ln(10) is computed
+    * in-plan so observed and expected shares round identically. */
+  private val benford: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(Tables.orders(s, d).agg(count(lit(1)).as("tot"))))
+      .select(col("digit"), col("n"),
+        r6(col("n").cast("double") / col("tot")).as("share"),
+        r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+          .as("benford"))
+      .orderBy("digit")
+
   val queries: Map[String, Q] = Map(
+    "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
@@ -148,6 +169,18 @@ object StatsOps {
     "q_stats_mad" -> mad)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_benford" ->
+      s"""WITH b AS (
+           SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         tot AS (SELECT count(*) AS tot FROM orders)
+         SELECT digit, count(*) AS n,
+                ${rsql("CAST(count(*) AS DOUBLE) / tot", 1000000)} AS share,
+                ${rsql("ln(1.0 + 1.0 / digit) / ln(10.0)", 1000000)}
+                  AS benford
+         FROM b CROSS JOIN tot
+         GROUP BY digit, tot ORDER BY digit""",
     "q_stats_regression" ->
       s"""SELECT l_returnflag, count(*) AS n,
                 ${rsql("regr_slope(l_extendedprice, l_quantity)", 1000000)}

@@ -336,9 +336,48 @@ object VectorOps {
         r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Embedding drift monitor: hash-split the corpus into two halves
+    * (md5(vec_id) parity — deterministic, layout-independent), build
+    * per-label centroids for each half, and report the cross-half
+    * centroid cosine per label. For clustered labels healthy ingest ⟹
+    * cosines ≈ 1 and a drop flags distribution shift; for isotropic
+    * labels (this synthetic corpus) centroids are ≈ 0 and the alignment
+    * correctly reads as noise — the oracle pins the exact value either
+    * way. Centroid
+    * components are r6-rounded BEFORE the cosine (round-then-replay),
+    * so the similarity arithmetic runs on identical doubles in both
+    * engines. Two hash aggregates + one 640-row join — linear, shuffles
+    * on (label, split, pos). */
+  private val embedDrift: Q = (s, d) => {
+    val sp = dims(s, d).withColumn("sp", expr(
+      "(position(substring(md5(cast(vec_id AS string)), 1, 1)," +
+        " '0123456789abcdef') - 1) % 2"))
+    val cent = sp.groupBy("label", "sp", "pos")
+      .agg(r6(avg(col("val"))).as("c"))
+    val counts = sp.select("vec_id", "label", "sp").distinct()
+      .groupBy("label")
+      .agg(count(when(col("sp") === 0, 1)).as("n_a"),
+        count(when(col("sp") === 1, 1)).as("n_b"))
+    cent.filter(col("sp") === 0)
+      .select(col("label"), col("pos"), col("c").as("ca"))
+      .join(cent.filter(col("sp") === 1)
+        .select(col("label"), col("pos"), col("c").as("cb")),
+        Seq("label", "pos"))
+      .groupBy("label")
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+      .join(counts, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        r6(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+          .as("cos_ab"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_pca_top1" -> pcaTop1,
     "q_eval_lsh_recall" -> lshRecall,
+    "q_embed_drift" -> embedDrift,
     "q_ann_kmeans" -> annKmeans,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
@@ -517,6 +556,37 @@ object VectorOps {
          FROM embeddings ORDER BY vec_id""",
     "q_dedup_embed_lsh" -> embedLshSql,
     "q_embed_pca_top1" -> pcaSql,
+    "q_embed_drift" ->
+      """WITH dm AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, len(embedding))) - 1
+                    AS INTEGER) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         sp AS (
+           SELECT *, (strpos('0123456789abcdef',
+                    substring(md5(vec_id::VARCHAR), 1, 1)) - 1) % 2 AS sp
+           FROM dm),
+         cent AS (
+           SELECT label, sp, pos,
+                  floor(avg(val) * 1000000 + 0.5) / 1000000.0 AS c
+           FROM sp GROUP BY label, sp, pos),
+         counts AS (
+           SELECT label,
+                  count(DISTINCT vec_id) FILTER (sp = 0) AS n_a,
+                  count(DISTINCT vec_id) FILTER (sp = 1) AS n_b
+           FROM sp GROUP BY label),
+         j AS (
+           SELECT a.label, sum(a.c * b.c) AS dot,
+                  sum(a.c * a.c) AS na2, sum(b.c * b.c) AS nb2
+           FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+                                   AND a.sp = 0 AND b.sp = 1
+           GROUP BY a.label)
+         SELECT j.label, n_a, n_b,
+                floor((dot / (sqrt(na2) * sqrt(nb2))) * 1000000 + 0.5)
+                  / 1000000.0 AS cos_ab
+         FROM j JOIN counts ON j.label = counts.label
+         ORDER BY j.label""",
     "q_sim_knn_label" ->
       """WITH dm AS (
            SELECT vec_id, label,

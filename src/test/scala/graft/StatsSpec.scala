@@ -36,6 +36,49 @@ class StatsSpec extends SparkSpec {
       assert(single.filter(abs(col("entropy")) > 1e-9).count() == 0)
   }
 
+  test("benford: nine digits, shares sum to 1, expected masses exact") {
+    val rows = operators.StatsOps.queries("q_stats_benford")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val shareSum = rows.map(r => r.getDouble(r.fieldIndex("share"))).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    val b1 = rows.head.getDouble(rows.head.fieldIndex("benford"))
+    assert(math.abs(b1 - math.log10(2.0)) < 1e-6)
+  }
+
+  test("seasonality covers the full grid with shares summing to 1") {
+    val df = operators.EventOps.queries("q_events_seasonality")(spark, sfDir)
+    // sf0.001 leaves a cell or two empty; the grid is capped at 7×24
+    val n = df.count()
+    assert(n >= 160 && n <= 168, s"grid had $n cells")
+    val s = df.agg(sum(col("share"))).collect().head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-3)
+  }
+
+  test("order gaps: percentiles ordered, mean positive") {
+    val r = operators.EventOps.queries("q_orders_gap")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_gaps")) > 0)
+    assert(r.getDouble(r.fieldIndex("p50_days")) <=
+      r.getDouble(r.fieldIndex("p90_days")))
+    assert(r.getDouble(r.fieldIndex("mean_days")) > 0)
+  }
+
+  test("embed drift: split halves populated, cosine a valid similarity") {
+    val rows = operators.VectorOps.queries("q_embed_drift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_a")) > 0)
+      assert(r.getLong(r.fieldIndex("n_b")) > 0)
+      val c = r.getDouble(r.fieldIndex("cos_ab"))
+      // this corpus's labels are isotropic (centroids ≈ 0), so the
+      // alignment is noise around 0 — the monitor must still emit a
+      // bounded similarity, and clustered labels would push it → 1
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"label ${r.get(0)} cos $c")
+    }
+  }
+
   test("mad is nonnegative and outliers are a strict minority per type") {
     val rows = operators.StatsOps.queries("q_stats_mad")(spark, sfDir)
       .collect()
