@@ -47,6 +47,38 @@ object StreamingOps {
         col("w.end").as("session_end"), col("n_events"),
         col("session_value"))
 
+  /** Per-day session-quality rollup as a stream — the streaming twin of
+    * the oracle-checked q_events_session_stats: session_window per user,
+    * then a daily tumbling re-aggregation of the CLOSED sessions (two
+    * chained stateful operators; Spark ≥3.5 propagates the watermark
+    * from the session output, which is why the sessions must finalize —
+    * append semantics — before the day rolls them up). State: one open
+    * session per active user + one open day row. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(col("w"), "1 day").as("day_w"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounce"))
+      .select(col("day_w.start").as("day"), col("n_sessions"),
+        col("n_bounce"))
+
+  /** Daily distinct actives as a stream (twin of the 1-day column of
+    * q_events_rolling_uniques): event-time dedup on (day-window, user)
+    * — the window column keeps the dedup state watermark-evictable —
+    * then a per-day count of the surviving firsts. */
+  def dailyActives(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("uniques_1d"))
+      .select(col("w.start").as("day"), col("uniques_1d"))
+
   /** Stream-stream INNER interval join: each click matched to the same
     * user's purchases within the following 30 minutes (the attribution
     * join; batch twin = EventOps q_stream_interval_join, oracle-checked).

@@ -284,4 +284,49 @@ class StreamingSpec extends SparkSpec {
       assert(got === ((exp.getLong(0), exp.getLong(1), exp.getLong(2))))
     } finally q.stop()
   }
+
+  test("chained session stats stream rolls closed sessions into days") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.sessionStats(ms.toDF())
+      .writeStream.format("memory").queryName("t_sess_stats")
+      .outputMode("append").start()
+    try {
+      // user 1: two events in one session; user 2: a single-event
+      // (bounce) session — all on 2024-01-01
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+        ev(3, "2024-01-01 09:00:00", uid = 2))
+      q.processAllAvailable()
+      // push the watermark past the day so sessions AND the day close
+      ms.addData(ev(9, "2024-01-02 12:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(10, "2024-01-03 12:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("t_sess_stats")
+        .select("day", "n_sessions", "n_bounce").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 1L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("daily actives stream dedups users within a day") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dailyActives(ms.toDF())
+      .writeStream.format("memory").queryName("t_dau")
+      .outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 11:00:00"),
+        ev(3, "2024-01-01 12:00:00", uid = 2))
+      q.processAllAvailable()
+      ms.addData(ev(9, "2024-01-03 00:30:00"))
+      q.processAllAvailable()
+      val rows = spark.table("t_dau")
+        .select("day", "uniques_1d").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
