@@ -50,7 +50,17 @@ object ExplainAudit {
     // round-3 close: inverted-index pair generation (sparse MLT), the
     // PageRank iteration shape, lift-ranked rule mining over the shared
     // co-purchase cache (cache persists are lazy — explain-only safe)
-    "q_sim_sparse_topk", "q_graph_pagerank", "q_basket_rules")
+    "q_sim_sparse_topk", "q_graph_pagerank", "q_basket_rules",
+    // round-3 continuation: the skyline window pair (no self-join), the
+    // wedge-join link predictor, Q18's having-semi-join, ABC's bounded
+    // census window, attribution's user-keyed band join, the one-pass
+    // stats family, the Gram-matrix PCA pass (collects the 4096-cell
+    // Gram during plan construction — same caveat as kmeans), and the
+    // LSH recall composition
+    "q_skyline", "q_graph_link_jaccard", "q_tpch_q18", "q_abc_analysis",
+    "q_events_attribution", "q_stats_ttest", "q_stats_chisq",
+    "q_customer_rfm", "q_events_rolling_uniques", "q_dedup_containment",
+    "q_text_keywords", "q_embed_drift", "q_eval_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
