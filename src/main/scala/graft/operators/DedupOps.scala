@@ -516,7 +516,26 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Recall audit of the banded MinHash path against the exact
+    * all-pairs baseline (the text twin of q_eval_lsh_recall): how many
+    * true ≥0.8 near-dup pairs survive banding? Ground truth is
+    * q_dedup_near's definition (size-ratio prefilter included). Pure
+    * composition of two existing plans joined on the pair key; the
+    * measured recall is itself oracle-pinned. */
+  private val minhashRecall: Q = (s, d) => {
+    val exact = TextOps.queries("q_dedup_near")(s, d)
+      .select(col("a"), col("b"))
+    val lsh = dedupMinhash(s, d).select(col("a"), col("b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(lsh.join(exact, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -605,6 +624,19 @@ object DedupOps {
       """SELECT doc_id,
                 unnest(list_distinct(string_split(text, ' '))) AS tok
          FROM documents""", 0.8),
+    "q_eval_minhash_recall" ->
+      s"""WITH exact AS (${TextOps.oracle("q_dedup_near")}),
+         lsh AS (${lshOracle(
+        """SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+         FROM documents""", 0.8)})
+         SELECT ne.n_exact, nl.n_lsh, h.n_hit,
+                floor((CAST(n_hit AS DOUBLE) / n_exact) * 1000000 + 0.5)
+                  / 1000000.0 AS recall
+         FROM (SELECT count(*) AS n_exact FROM exact) ne
+         CROSS JOIN (SELECT count(*) AS n_lsh FROM lsh) nl
+         CROSS JOIN (SELECT count(*) AS n_hit
+                     FROM lsh JOIN exact USING (a, b)) h""",
     "q_dedup_ngram" -> lshOracle(
       """SELECT doc_id,
                 unnest(list_distinct(list_transform(

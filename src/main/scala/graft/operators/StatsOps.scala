@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Par.{r2, r6, sql => rsql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical analytics over the star schema and event stream —
@@ -160,7 +161,43 @@ object StatsOps {
           .as("benford"))
       .orderBy("digit")
 
+  /** Two-sample Kolmogorov–Smirnov test (F vs O order values): the
+    * distribution-free companion to q_stats_ttest (which only compares
+    * means). D = max |ECDF_F − ECDF_O| over the per-value cumulative
+    * counts — integer prefix sums over the distinct-value frame, so the
+    * statistic is exact rational arithmetic until the final rounding;
+    * the asymptotic p-value is one closed-form expression of D. The
+    * running sum is a census window over distinct values; at 100 TB the
+    * ECDF comes from a range-partitioned two-pass prefix sum
+    * (q_text_pack's shape). */
+  private val ks: Q = (s, d) => {
+    val j = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
+    val per = j.groupBy("p").agg(
+      count(when(col("st") === "F", 1)).as("f"),
+      count(when(col("st") === "O", 1)).as("o"))
+    val w = Window.orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nn = j.agg(count(when(col("st") === "F", 1)).as("nf"),
+      count(when(col("st") === "O", 1)).as("no"))
+    per
+      .select(col("p"), sum(col("f")).over(w).as("cf"),
+        sum(col("o")).over(w).as("co"))
+      .crossJoin(broadcast(nn))
+      .select(abs(col("cf").cast("double") / col("nf") -
+        col("co").cast("double") / col("no")).as("dd"),
+        col("nf"), col("no"))
+      .groupBy("nf", "no")
+      .agg(max(col("dd")).as("d"))
+      .select(col("nf"), col("no"), r6(col("d")).as("ks_d"),
+        r6(lit(2.0) * exp(lit(-2.0) * col("d") * col("d") *
+          (col("nf") * col("no")).cast("double") / (col("nf") + col("no"))))
+          .as("p_approx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_ks" -> ks,
     "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
     "q_stats_ttest" -> ttest,
@@ -169,6 +206,35 @@ object StatsOps {
     "q_stats_mad" -> mad)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_ks" ->
+      s"""WITH j AS (
+           SELECT o_orderstatus AS st, o_totalprice AS p
+           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         per AS (
+           SELECT p, count(*) FILTER (st = 'F') AS f,
+                  count(*) FILTER (st = 'O') AS o
+           FROM j GROUP BY p),
+         nn AS (SELECT count(*) FILTER (st = 'F') AS nf,
+                       count(*) FILTER (st = 'O') AS no FROM j),
+         c AS (
+           SELECT sum(f) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cf,
+                  sum(o) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS co
+           FROM per),
+         dmax AS (
+           SELECT nf, no,
+                  max(abs(CAST(cf AS DOUBLE) / nf
+                          - CAST(co AS DOUBLE) / no)) AS d
+           FROM c CROSS JOIN nn GROUP BY nf, no)
+         SELECT nf, no,
+                ${rsql("d", 1000000)} AS ks_d,
+                ${rsql("2.0 * exp(-2.0 * d * d * " +
+                  "CAST(nf * no AS DOUBLE) / (nf + no))", 1000000)}
+                  AS p_approx
+         FROM dmax""",
     "q_stats_benford" ->
       s"""WITH b AS (
            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)

@@ -766,7 +766,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID quality harness: confusion matrix of predicted vs
+    * declared language with per-cell share of the actual-language row —
+    * the evaluation loop a lexicon/model upgrade ships with (diagonal
+    * share = per-language recall). Composes the langid plan with one
+    * broadcast-scale join and two bounded aggregates. */
+  private val langidEval: Q = (s, d) => {
+    val conf = langid(s, d).select(col("doc_id"), col("pred_lang"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    conf.join(conf.groupBy("lang").agg(sum(col("n")).as("t")), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        r6(col("n").cast("double") / col("t")).as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
     "q_dedup_containment" -> dedupContainment,
@@ -800,6 +817,27 @@ object TextOps {
 
   private def lexValues(lex: Seq[(String, Any)]): String =
     lex.map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+
+  /** Shared oracle fragment: language-ID per doc — referenced
+    * standalone and composed by the q_eval_langid confusion matrix. */
+  private val langidSql =
+    s"""WITH votes AS (
+         SELECT doc_id, lex_lang, count(*) AS v
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents) t
+         JOIN (VALUES ${lexValues(langLexicon.map { case (t, l) => (t, s"'$l'") })})
+           AS lex(tok, lex_lang) ON t.token = lex.tok
+         GROUP BY doc_id, lex_lang),
+       best AS (
+         SELECT doc_id, lex_lang FROM (
+           SELECT doc_id, lex_lang,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY v DESC, lex_lang) AS rn
+           FROM votes) WHERE rn = 1)
+       SELECT d.doc_id, coalesce(b.lex_lang, 'und') AS pred_lang,
+              coalesce(b.lex_lang, 'und') = d.lang AS is_correct
+       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "q_text_repetition" ->
@@ -1181,24 +1219,19 @@ object TextOps {
          LEFT JOIN (VALUES ${lexValues(sentimentLexicon)})
            AS lex(tok, score) ON t.token = lex.tok
          GROUP BY doc_id ORDER BY doc_id""",
-    "q_text_langid" ->
-      s"""WITH votes AS (
-           SELECT doc_id, lex_lang, count(*) AS v
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                 FROM documents) t
-           JOIN (VALUES ${lexValues(langLexicon.map { case (t, l) => (t, s"'$l'") })})
-             AS lex(tok, lex_lang) ON t.token = lex.tok
-           GROUP BY doc_id, lex_lang),
-         best AS (
-           SELECT doc_id, lex_lang FROM (
-             SELECT doc_id, lex_lang,
-                    row_number() OVER (PARTITION BY doc_id
-                      ORDER BY v DESC, lex_lang) AS rn
-             FROM votes) WHERE rn = 1)
-         SELECT d.doc_id, coalesce(b.lex_lang, 'und') AS pred_lang,
-                coalesce(b.lex_lang, 'und') = d.lang AS is_correct
-         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-         ORDER BY d.doc_id""",
+    "q_text_langid" -> langidSql,
+    "q_eval_langid" ->
+      s"""WITH pred AS ($langidSql),
+         conf AS (
+           SELECT d.lang, p.pred_lang, count(*) AS n
+           FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+           GROUP BY d.lang, p.pred_lang),
+         tot AS (SELECT lang, sum(n) AS t FROM conf GROUP BY lang)
+         SELECT conf.lang, pred_lang, n,
+                floor((CAST(n AS DOUBLE) / t) * 1000000 + 0.5) / 1000000.0
+                  AS share
+         FROM conf JOIN tot ON conf.lang = tot.lang
+         ORDER BY conf.lang, pred_lang""",
     "q_text_quality" ->
       s"""SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
                 floor(((n_chars - (n_tok - 1)) / n_tok) * 1000000 + 0.5)

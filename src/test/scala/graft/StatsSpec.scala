@@ -79,6 +79,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ks statistic is a valid fraction with a valid p-value") {
+    val r = operators.StatsOps.queries("q_stats_ks")(spark, sfDir)
+      .collect().head
+    val d = r.getDouble(r.fieldIndex("ks_d"))
+    val p = r.getDouble(r.fieldIndex("p_approx"))
+    assert(d >= 0.0 && d <= 1.0)
+    assert(p >= 0.0 && p <= 2.0) // asymptotic form can slightly exceed 1
+  }
+
+  test("minhash recall audit: hits bounded by both sides, recall sane") {
+    val r = operators.DedupOps.queries("q_eval_minhash_recall")(
+      spark, sfDir).collect().head
+    val (ne, nl, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= ne && nh <= nl)
+    val rec = r.getDouble(r.fieldIndex("recall"))
+    assert(rec >= 0.0 && rec <= 1.0)
+    // 4×4 banding at j=0.8 must catch the vast majority of true pairs
+    assert(rec > 0.5, s"recall collapsed: $rec")
+  }
+
+  test("langid confusion shares sum to 1 per actual language") {
+    val df = operators.TextOps.queries("q_eval_langid")(spark, sfDir)
+    val sums = df.groupBy("lang").agg(sum(col("share")).as("s")).collect()
+    sums.foreach(r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("s")) - 1.0) < 1e-3))
+  }
+
   test("mad is nonnegative and outliers are a strict minority per type") {
     val rows = operators.StatsOps.queries("q_stats_mad")(spark, sfDir)
       .collect()
