@@ -524,12 +524,15 @@ object DedupOps {
     * measured recall is itself oracle-pinned. */
   private val minhashRecall: Q = (s, d) => {
     val exact = TextOps.queries("q_dedup_near")(s, d)
-      .select(col("a"), col("b"))
-    val lsh = dedupMinhash(s, d).select(col("a"), col("b"))
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(lsh.join(exact, Seq("a", "b"))
-        .agg(count(lit(1)).as("n_hit")))
+      .select(col("a"), col("b"), lit(1L).as("ex"))
+    val lsh = dedupMinhash(s, d)
+      .select(col("a"), col("b"), lit(1L).as("ls"))
+    // ONE full-outer pass: each side's (expensive) plan executes exactly
+    // once — the three-aggregate crossJoin form re-ran both plans twice
+    exact.join(lsh, Seq("a", "b"), "full_outer")
+      .agg(sum(col("ex")).as("n_exact"), sum(col("ls")).as("n_lsh"),
+        count(when(col("ex").isNotNull && col("ls").isNotNull, 1))
+          .as("n_hit"))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }

@@ -326,12 +326,16 @@ object VectorOps {
     * oracle replays both plans as CTEs, so the *measured recall itself*
     * is cross-engine-pinned. */
   private val lshRecall: Q = (s, d) => {
-    val exact = dedupEmbed(s, d).select(col("va"), col("vb"))
-    val lsh = dedupEmbedLsh(s, d).select(col("va"), col("vb"))
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(lsh.join(exact, Seq("va", "vb"))
-        .agg(count(lit(1)).as("n_hit")))
+    val exact = dedupEmbed(s, d)
+      .select(col("va"), col("vb"), lit(1L).as("ex"))
+    val lsh = dedupEmbedLsh(s, d)
+      .select(col("va"), col("vb"), lit(1L).as("ls"))
+    // ONE full-outer pass: each side's plan executes exactly once — the
+    // three-aggregate crossJoin form re-ran both plans twice
+    exact.join(lsh, Seq("va", "vb"), "full_outer")
+      .agg(sum(col("ex")).as("n_exact"), sum(col("ls")).as("n_lsh"),
+        count(when(col("ex").isNotNull && col("ls").isNotNull, 1))
+          .as("n_hit"))
       .select(col("n_exact"), col("n_lsh"), col("n_hit"),
         r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }
