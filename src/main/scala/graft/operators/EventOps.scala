@@ -447,7 +447,33 @@ object EventOps {
         r2(expr("percentile(gap, 0.9)")).as("p90_days"))
   }
 
+  /** Traffic-burst detection: hourly counts → global mean+2σ threshold
+    * (computed on the bounded hour frame, broadcast back, r6-rounded so
+    * the flag compare is identical cross-engine) → adjacent flagged
+    * hours merged into burst intervals by gaps-and-islands. Output one
+    * row per burst (start/end hour ordinal, width, peak rate). The
+    * islands window runs over flagged hours only (≪ |hours|). */
+  private val bursts: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val thr = hourly.agg(
+      r6(avg(col("c")) + lit(2.0) *
+        stddev_samp(col("c").cast("double"))).as("thr"))
+    val flagged = hourly.crossJoin(broadcast(thr))
+      .filter(col("c") > col("thr"))
+    val w = Window.orderBy("hr")
+    flagged
+      .withColumn("grp", col("hr") - row_number().over(w))
+      .groupBy("grp")
+      .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("n_hours"), max(col("c")).as("peak"))
+      .select("start_hr", "end_hr", "n_hours", "peak")
+      .orderBy("start_hr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_bursts" -> bursts,
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
     "q_events_rolling_uniques" -> rollingUniques,
@@ -470,6 +496,23 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_bursts" ->
+      """WITH hourly AS (
+           SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           FROM events GROUP BY hr),
+         thr AS (
+           SELECT floor((avg(c) + 2.0 * stddev_samp(c)) * 1000000 + 0.5)
+                    / 1000000.0 AS thr
+           FROM hourly),
+         flagged AS (
+           SELECT hr, c FROM hourly CROSS JOIN thr WHERE c > thr),
+         grp AS (
+           SELECT hr, c,
+                  hr - row_number() OVER (ORDER BY hr) AS grp
+           FROM flagged)
+         SELECT min(hr) AS start_hr, max(hr) AS end_hr,
+                count(*) AS n_hours, max(c) AS peak
+         FROM grp GROUP BY grp ORDER BY start_hr""",
     "q_events_seasonality" ->
       """WITH b AS (
            SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

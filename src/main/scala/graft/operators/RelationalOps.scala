@@ -863,7 +863,34 @@ object RelationalOps {
       .orderBy("yr")
   }
 
+  /** Relational division ("for all"): customers whose ordered parts
+    * were supplied from EVERY region — the classic set-containment
+    * query that trips naive translators into |divisor|-way self-joins.
+    * Shape: broadcast dims resolve lineitem → supplier region, distinct
+    * (custkey, region), then count-distinct = |divisor| (a dynamic
+    * 1-row aggregate, not a hardcoded 5). One shuffle on custkey
+    * regardless of divisor size. Non-trivial at every SF (a few percent
+    * of customers miss a region). */
+  private val relationalDivision: Q = (s, d) => {
+    val suppRegion = Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_regionkey"))
+    val cr = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .select(col("o_custkey"), col("n_regionkey"))
+      .distinct()
+    val nRegions = Tables.region(s, d).agg(count(lit(1)).as("nr"))
+    cr.groupBy("o_custkey")
+      .agg(countDistinct(col("n_regionkey")).as("k"))
+      .join(broadcast(nRegions), col("k") === col("nr"), "left_semi")
+      .select(col("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_relational_division" -> relationalDivision,
     "q_yoy_growth" -> yoyGrowth,
     "q_tpch_q18" -> tpchQ18,
     "q_abc_analysis" -> abcAnalysis,
@@ -921,6 +948,17 @@ object RelationalOps {
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
     * sum(BIGINT) is HUGEINT); window-fn ints cast to match Spark widths. */
   val oracle: Map[String, String] = Map(
+    "q_relational_division" ->
+      """WITH cr AS (
+           SELECT DISTINCT o_custkey, n_regionkey
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey)
+         SELECT o_custkey FROM cr
+         GROUP BY o_custkey
+         HAVING count(DISTINCT n_regionkey) = (SELECT count(*) FROM region)
+         ORDER BY o_custkey""",
     "q_yoy_growth" ->
       """WITH yearly AS (
            SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,

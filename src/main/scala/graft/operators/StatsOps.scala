@@ -196,7 +196,42 @@ object StatsOps {
           .as("p_approx"))
   }
 
+  /** Two-proportion z-test on an md5 hash split of users (the synthetic
+    * A/B harness): compare purchase-conversion rates between the halves
+    * with the pooled-variance z statistic. Per-user conversion is one
+    * hash aggregate on user_id; the test itself runs on a 2-row frame.
+    * The deterministic hash split is the same primitive as
+    * q_sample_split / q_embed_drift — replay- and layout-stable. */
+  private val propTest: Q = (s, d) => {
+    // conversion = a HIGH-VALUE purchase (> 120 ≈ p92 of purchase
+    // values): plain purchase existence saturates to 100 % on this
+    // corpus (≈13 purchases per user at sf0.01+, pool = 1, z
+    // denominator 0), and the value column tops out near 150
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 120, 1).otherwise(0)).as("conv"))
+      .withColumn("grp", expr(
+        "(position(substring(md5(cast(user_id AS string)), 1, 1)," +
+          " '0123456789abcdef') - 1) % 2"))
+    val g = perUser.agg(
+      count(when(col("grp") === 0, 1)).as("na"),
+      count(when(col("grp") === 1, 1)).as("nb"),
+      sum(when(col("grp") === 0, col("conv")).otherwise(0)).as("ca"),
+      sum(when(col("grp") === 1, col("conv")).otherwise(0)).as("cb"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    val pool = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    g.select(col("na"), col("nb"), col("ca"), col("cb"),
+      r6(pa - pb).as("rate_diff"),
+      when(se === 0, lit(null)).otherwise(r6((pa - pb) / se)).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_prop_test" -> propTest,
     "q_stats_ks" -> ks,
     "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
@@ -206,6 +241,34 @@ object StatsOps {
     "q_stats_mad" -> mad)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_prop_test" ->
+      s"""WITH pu AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 120
+                           THEN 1 ELSE 0 END) AS conv,
+                  (strpos('0123456789abcdef',
+                     substring(md5(user_id::VARCHAR), 1, 1)) - 1) % 2
+                    AS grp
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT count(*) FILTER (grp = 0) AS na,
+                  count(*) FILTER (grp = 1) AS nb,
+                  CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END)
+                    AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END)
+                    AS BIGINT) AS cb
+           FROM pu)
+         SELECT na, nb, ca, cb,
+                ${rsql("CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb",
+                  1000000)} AS rate_diff,
+                CASE WHEN sqrt((CAST(ca + cb AS DOUBLE)/(na + nb)) *
+                       (1.0 - CAST(ca + cb AS DOUBLE)/(na + nb)) *
+                       (1.0/na + 1.0/nb)) = 0 THEN NULL
+                ELSE ${rsql("(CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) " +
+                  "/ sqrt((CAST(ca + cb AS DOUBLE)/(na + nb)) * " +
+                  "(1.0 - CAST(ca + cb AS DOUBLE)/(na + nb)) * " +
+                  "(1.0/na + 1.0/nb))", 1000000)} END AS z
+         FROM g""",
     "q_stats_ks" ->
       s"""WITH j AS (
            SELECT o_orderstatus AS st, o_totalprice AS p

@@ -122,6 +122,40 @@ class AnalyticsSpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("yoy"))))
   }
 
+  test("relational division: qualifying customers truly cover all regions") {
+    val div = operators.RelationalOps.queries("q_relational_division")(
+      spark, sfDir)
+    val n = div.count()
+    assert(n > 0)
+    // a customer in the answer must have >= 5 distinct supplier regions
+    val cr = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("o_custkey")
+      .agg(countDistinct(col("n_regionkey")).as("k"))
+    assert(div.join(cr, Seq("o_custkey")).filter(col("k") =!= 5)
+      .count() == 0)
+  }
+
+  test("bursts: intervals are disjoint and peaks exceed the mean rate") {
+    val rows = operators.EventOps.queries("q_events_bursts")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val ends = rows.map(r => (r.getLong(0), r.getLong(1)))
+    ends.zip(ends.tail).foreach { case ((_, e1), (s2, _)) =>
+      assert(s2 > e1 + 1, "adjacent flagged hours must have merged")
+    }
+  }
+
+  test("prop test: counts consistent and z finite on this corpus") {
+    val r = operators.StatsOps.queries("q_stats_prop_test")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("ca")) <= r.getLong(r.fieldIndex("na")))
+    assert(r.getLong(r.fieldIndex("cb")) <= r.getLong(r.fieldIndex("nb")))
+    assert(!r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("session stats: bounces never exceed sessions, durations nonneg") {
     val df = operators.EventOps.queries("q_events_session_stats")(spark, sfDir)
     assert(df.filter(col("n_bounce") > col("n_sessions") ||
