@@ -537,7 +537,19 @@ object DedupOps {
         r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Near-dup cluster size histogram — the dedup-savings report (a
+    * cluster of size k keeps 1, drops k−1): component sizes from the
+    * shared cluster cache rolled into (size → n_clusters). Docs outside
+    * any pair are singletons by definition and excluded, exactly like
+    * q_dedup_clusters. Two bounded aggregates over the cached labels. */
+  private val clusterSizes: Q = (s, d) =>
+    clusterReps(s, d)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_cluster_sizes" -> clusterSizes,
     "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -647,6 +659,22 @@ object DedupOps {
                   i -> string_split(text, ' ')[i] || ' ' ||
                        string_split(text, ' ')[i + 1]))) AS tok
          FROM documents""", 0.6),
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         c AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           FROM reach GROUP BY src),
+         sz AS (SELECT cluster_rep, count(*) AS size
+                FROM c GROUP BY cluster_rep)
+         SELECT size, count(*) AS n_clusters
+         FROM sz GROUP BY size ORDER BY size""",
     "q_dedup_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          SELECT a, b, hd FROM ham WHERE hd <= $HammingMax

@@ -472,7 +472,52 @@ object EventOps {
       .orderBy("start_hr")
   }
 
+  /** Purchase-churn snapshot: users who purchased in the body of the
+    * window but not in its final week, with the churn rate among
+    * early purchasers. Windows are integer epoch-day arithmetic
+    * anchored on the corpus max day (no wall clock — replay-stable);
+    * per-user flags come from one hash aggregate on user_id and the
+    * anti-condition is a FILTERed count, not an anti join. */
+  private val churn: Q = (s, d) => {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day_num"))
+    val cutoff = p.agg((max(col("day_num")) - 6).as("cut"))
+    p.crossJoin(broadcast(cutoff))
+      .groupBy("user_id")
+      .agg(count(when(col("day_num") < col("cut"), 1)).as("early"),
+        count(when(col("day_num") >= col("cut"), 1)).as("late"))
+      .filter(col("early") > 0)
+      .agg(count(lit(1)).as("n_early_buyers"),
+        count(when(col("late") === 0, 1)).as("n_churned"),
+        r6(count(when(col("late") === 0, 1)).cast("double") /
+          count(lit(1))).as("churn_rate"))
+  }
+
+  /** Rolling 7-day MEDIAN of daily revenue — medians cannot slide like
+    * sums (q_events_rolling_7d's RANGE frame), so the correct
+    * distributed shape is the day-spine band join (q_events_rolling_
+    * uniques' pattern) with a percentile re-aggregate per target day.
+    * Daily revenues are r2-rounded before the band join so the
+    * interpolated median runs on identical doubles cross-engine. */
+  private val rollingMedian: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+        .as("day_num"))
+      .agg(r2(sum(col("o_totalprice"))).as("rev"))
+    val spine = daily.select(col("day_num").as("day")).distinct()
+    daily.join(broadcast(spine),
+        col("day_num") >= col("day") - 6 && col("day_num") <= col("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_days"),
+        r2(expr("percentile(rev, 0.5)")).as("med7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_churn" -> churn,
+    "q_win_rolling_median" -> rollingMedian,
     "q_events_bursts" -> bursts,
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
@@ -496,6 +541,31 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_churn" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day_num
+           FROM events WHERE event_type = 'purchase'),
+         cutoff AS (SELECT max(day_num) - 6 AS cut FROM p),
+         pu AS (
+           SELECT user_id,
+                  count(*) FILTER (day_num < cut) AS early,
+                  count(*) FILTER (day_num >= cut) AS late
+           FROM p CROSS JOIN cutoff GROUP BY user_id)
+         SELECT count(*) AS n_early_buyers,
+                count(*) FILTER (late = 0) AS n_churned,
+                floor((CAST(count(*) FILTER (late = 0) AS DOUBLE)
+                  / count(*)) * 1000000 + 0.5) / 1000000.0 AS churn_rate
+         FROM pu WHERE early > 0""",
+    "q_win_rolling_median" ->
+      """WITH daily AS (
+           SELECT epoch(o_orderdate)::BIGINT // 86400 AS day_num,
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
+           FROM orders GROUP BY day_num),
+         spine AS (SELECT DISTINCT day_num AS day FROM daily)
+         SELECT day, count(*) AS n_days,
+                floor(quantile_cont(rev, 0.5) * 100 + 0.5) / 100.0 AS med7
+         FROM daily JOIN spine ON day_num >= day - 6 AND day_num <= day
+         GROUP BY day ORDER BY day""",
     "q_events_bursts" ->
       """WITH hourly AS (
            SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c

@@ -185,7 +185,21 @@ object GraphOps {
       .select(col("doc_id").as("part"), col("cluster_rep").as("component"))
       .orderBy("part")
 
+  /** Degree distribution of the support-2 co-purchase graph (degree →
+    * node count) — the graph-shape profile that decides orientation and
+    * salting strategy for the wedge joins. Two bounded hash aggregates
+    * over the cached undirected edge list; exact integers only. */
+  private val degreeDist: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    e.select(col("x").as("v"))
+      .union(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
     "q_graph_link_jaccard" -> linkJaccard,
     "q_graph_pagerank" -> pagerank,
@@ -199,6 +213,16 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e),
+         deg AS (SELECT v, count(*) AS degree FROM und GROUP BY v)
+         SELECT degree, count(*) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree""",
     "q_graph_components" ->
       """WITH RECURSIVE op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -230,7 +230,29 @@ object StatsOps {
       when(se === 0, lit(null)).otherwise(r6((pa - pb) / se)).as("z"))
   }
 
+  /** Gini coefficient of customer revenue concentration (the inequality
+    * metric behind "top-x% of customers drive y% of revenue"). Per-
+    * customer revenue is r2-rounded BEFORE ranking, so the rank order
+    * and the Σ i·xᵢ weighted sum run on identical doubles cross-engine;
+    * G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n on the ascending (rev, custkey)
+    * rank. The rank window covers the bounded per-customer frame
+    * (census argument; range-partitioned rank at 100 TB). */
+  private val gini: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(r2(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("rev"), col("o_custkey"))
+    rev
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_customers"),
+        r2(sum(col("rev"))).as("total_rev"),
+        r6(lit(2.0) * sum(col("i") * col("rev")) /
+          (count(lit(1)) * sum(col("rev"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_gini" -> gini,
     "q_stats_prop_test" -> propTest,
     "q_stats_ks" -> ks,
     "q_stats_benford" -> benford,
@@ -241,6 +263,20 @@ object StatsOps {
     "q_stats_mad" -> mad)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_gini" ->
+      s"""WITH rev AS (
+           SELECT o_custkey,
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS rev
+           FROM orders GROUP BY o_custkey),
+         rk AS (
+           SELECT rev,
+                  row_number() OVER (ORDER BY rev, o_custkey) AS i
+           FROM rev)
+         SELECT count(*) AS n_customers,
+                ${rsql("sum(rev)", 100)} AS total_rev,
+                ${rsql("2.0 * sum(i * rev) / (count(*) * sum(rev)) " +
+                  "- (count(*) + 1.0) / count(*)", 1000000)} AS gini
+         FROM rk""",
     "q_stats_prop_test" ->
       s"""WITH pu AS (
            SELECT user_id,

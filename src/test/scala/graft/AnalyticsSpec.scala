@@ -156,6 +156,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(!r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("cluster sizes: every cluster has >= 2 members and totals agree") {
+    val hist = operators.DedupOps.queries("q_dedup_cluster_sizes")(
+      spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    hist.foreach(r => assert(r.getLong(r.fieldIndex("size")) >= 2))
+    val docsInClusters = hist.map(r =>
+      r.getLong(0) * r.getLong(r.fieldIndex("n_clusters"))).sum
+    val labeled = operators.DedupOps.queries("q_dedup_clusters")(
+      spark, sfDir).count()
+    assert(docsInClusters == labeled)
+  }
+
+  test("degree distribution mass equals the node count") {
+    val hist = operators.GraphOps.queries("q_graph_degree_dist")(
+      spark, sfDir).collect()
+    val nodes = hist.map(r => r.getLong(r.fieldIndex("n_nodes"))).sum
+    val comp = operators.GraphOps.queries("q_graph_components")(
+      spark, sfDir).count()
+    assert(nodes == comp, s"degree mass $nodes vs component nodes $comp")
+  }
+
+  test("gini is a valid inequality coefficient") {
+    val r = operators.StatsOps.queries("q_stats_gini")(spark, sfDir)
+      .collect().head
+    val g = r.getDouble(r.fieldIndex("gini"))
+    assert(g >= 0.0 && g < 1.0, s"gini $g")
+  }
+
+  test("churn: churned never exceed early buyers, rate in [0,1]") {
+    val r = operators.EventOps.queries("q_events_churn")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_churned")) <=
+      r.getLong(r.fieldIndex("n_early_buyers")))
+    val rate = r.getDouble(r.fieldIndex("churn_rate"))
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
+  test("rolling median: window never wider than 7 days, medians positive") {
+    val df = operators.EventOps.queries("q_win_rolling_median")(
+      spark, sfDir)
+    assert(df.filter(col("n_days") > 7).count() == 0)
+    assert(df.filter(col("med7") <= 0).count() == 0)
+  }
+
   test("session stats: bounces never exceed sessions, durations nonneg") {
     val df = operators.EventOps.queries("q_events_session_stats")(spark, sfDir)
     assert(df.filter(col("n_bounce") > col("n_sessions") ||
