@@ -38,7 +38,11 @@ object GraphOps {
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
         .distinct()
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      // deg rides IN the cached frame: every PageRank iteration's plan
+      // re-expands its input lineage, so an uncached edges ⋈ deg would
+      // recompute the degree aggregate once per iteration level
+      und.join(und.groupBy("src").agg(count(lit(1)).as("deg")), "src")
         .persist()
     })
 
@@ -80,11 +84,9 @@ object GraphOps {
     * doubles in both engines; the oracle replays the iterations as
     * chained CTEs. Top-50 by (rank, node) via TakeOrderedAndProject. */
   private val pagerank: Q = (s, d) => {
-    val edges = biEdges(s, d)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src")
-    var ranks = deg.select(col("src").as("node"),
-      lit(1.0).as("pr"))
+    val e = biEdges(s, d) // (src, dst, deg) — one cached read per use
+    var ranks = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("pr"))
     for (_ <- 1 to PrIterations) {
       ranks = e.join(ranks, col("src") === col("node"))
         .groupBy("dst")
