@@ -548,7 +548,28 @@ object DedupOps {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
 
+  /** Incremental (new-batch-vs-corpus) near-dup: the ingest-time dedup
+    * every growing training corpus runs — score only NEW docs (top 20%
+    * of the id space, standing in for "today's crawl") against the BASE
+    * corpus, never base-vs-base. Reuses the banded MinHash candidates +
+    * exact-Jaccard verify and keeps just the cross-partition pairs (a <
+    * b and ids are batch-ordered, so a base × b new ⟺ a < cutoff ≤ b).
+    * At 100 TB the base side's band keys are a precomputed index read
+    * from storage, so per-batch cost is |batch| band lookups — the
+    * filter placement here is exactly that access pattern. */
+  private val dedupIncremental: Q = (s, d) => {
+    val cut = Tables.documents(s, d)
+      .agg(expr("(max(doc_id) + 1) * 4 div 5").as("cutoff"))
+    verifyJaccard(s, d, "split(text, ' ')",
+        bandedCandidates(s, d, "split(text, ' ')"), 0.8)
+      .crossJoin(broadcast(cut))
+      .filter(col("a") < col("cutoff") && col("b") >= col("cutoff"))
+      .select(col("b").as("new_id"), col("a").as("base_id"), col("jacc_r"))
+      .orderBy("new_id", "base_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
     "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
@@ -635,6 +656,17 @@ object DedupOps {
            FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff
+                       FROM documents)
+         SELECT b AS new_id, a AS base_id, jacc_r
+         FROM (${lshOracle(
+        """SELECT doc_id,
+                unnest(list_distinct(string_split(text, ' '))) AS tok
+         FROM documents""", 0.8)}) pairs
+         CROSS JOIN cut
+         WHERE a < cutoff AND b >= cutoff
+         ORDER BY new_id, base_id""",
     "q_dedup_minhash" -> lshOracle(
       """SELECT doc_id,
                 unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -83,6 +83,34 @@ object EventOps {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Batch twin of the watermarked stream-stream LEFT OUTER interval
+    * join (StreamingOps.intervalJoinLeft): every click survives, carrying
+    * its in-window purchases when they exist — the attribution form where
+    * unconverted clicks ride along instead of vanishing. Same equi-key
+    * (user_id) + residual-band shape as q_stream_interval_join; in the
+    * streaming form the outer side emits only once the watermark closes
+    * the window, which is why both sides carry one. Unmatched rows take
+    * sentinel −1 (never NULL) so row order and hashing are
+    * engine-identical with no null-ordering divergence. */
+  private val intervalJoinLeft: Q = (s, d) => {
+    val bandUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + bandUs,
+        "left")
+      .select(col("user_id"), col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("p_us") - col("c_us"), lit(-1L)).as("lag_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Pivot: daily event counts spread into one column per event_type.
     * Explicit value list keeps the schema static (required for a plannable
     * wide table at scale — never let pivot scan for distinct values on a
@@ -538,6 +566,7 @@ object EventOps {
     "q_stream_sliding" -> sliding,
     "q_stream_session" -> session,
     "q_stream_interval_join" -> intervalJoin,
+    "q_stream_left_join" -> intervalJoinLeft,
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
@@ -839,6 +868,16 @@ object EventOps {
                 event_type, count(*) AS cnt
          FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
          GROUP BY ws, event_type ORDER BY ws, event_type""",
+    "q_stream_left_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+                coalesce(p.event_id, -1) AS purchase_id,
+                coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON p.user_id = c.user_id
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+         ORDER BY user_id, click_id, purchase_id""",
     "q_stream_interval_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
                 p.event_id AS purchase_id,

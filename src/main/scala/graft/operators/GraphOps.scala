@@ -200,7 +200,35 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  private val BfsHops = 4
+
+  /** Bounded multi-hop reachability (BFS hop distance ≤ 4) from the
+    * minimum-id part in the support-2 co-purchase graph — the
+    * "blast-radius" query behind recall campaigns and contamination
+    * tracing. Implemented as Bellman–Ford-style relaxation: each round
+    * is one join (frontier ⋈ edges) + one min-aggregate, so k hops cost
+    * k shuffles over the edge list and nothing is ever collected; after
+    * k rounds every node whose true distance is ≤ k carries exactly
+    * that distance (a path of ≤ k edges witnesses it, and no shorter
+    * one exists by induction), which is precisely the depth-bounded
+    * recursive-CTE semantics the oracle replays. Lineage depth is
+    * bounded by the hop constant, so no checkpointing is needed. */
+  private val reach: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    var dist = und.agg(min(col("x")).as("part"))
+      .select(col("part"), lit(0L).as("hops"))
+    for (_ <- 1 to BfsHops) {
+      val stepped = und.join(dist, col("x") === col("part"))
+        .select(col("y").as("part"), (col("hops") + 1).as("hops"))
+      dist = dist.union(stepped)
+        .groupBy("part").agg(min("hops").as("hops"))
+    }
+    dist.orderBy("part")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_reach" -> reach,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
     "q_graph_link_jaccard" -> linkJaccard,
@@ -215,6 +243,21 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_reach" ->
+      """WITH RECURSIVE op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         seed AS (SELECT min(x) AS v FROM und),
+         reach(v, d) AS (
+           SELECT v, CAST(0 AS BIGINT) FROM seed
+           UNION
+           SELECT u.y, r.d + 1 FROM reach r JOIN und u ON u.x = r.v
+           WHERE r.d < 4)
+         SELECT v AS part, min(d) AS hops
+         FROM reach GROUP BY v ORDER BY part""",
     "q_graph_degree_dist" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),

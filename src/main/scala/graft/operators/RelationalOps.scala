@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Par.{r2, r6}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,6 +245,88 @@ object RelationalOps {
       .limit(10)
   }
 
+  /** TPC-H Q5-style local-supplier volume: the 6-table star join
+    * (region→nation broadcast chain onto supplier, customer ⋈ orders ⋈
+    * lineitem on the fact side) with the c_nationkey = s_nationkey
+    * "local" constraint — the canonical join-order/broadcast benchmark.
+    * region+nation collapse to one broadcast dim on s_nationkey; the
+    * customer⋈orders⋈lineitem chain shuffles on custkey then orderkey
+    * (both co-keyed fact joins AQE can SMJ/bucket at scale); the local
+    * constraint is applied as a post-join filter on two already-present
+    * key columns, never a second fact shuffle. Date filter pushes to the
+    * orders scan. */
+  private val tpchQ5: Q = (s, d) => {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1997-01-01"))
+    val nat = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Z-order (Morton) layout key — the multi-dimensional data-layout
+    * primitive behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
+    * bits of two clustering dimensions yields ONE sort key whose runs
+    * are simultaneously local in both, so min/max file stats prune scans
+    * filtered on either dimension. The interleave is the classic
+    * shift-and-mask bit spread (16→32 bits per dim, pure integer ops —
+    * whole-stage-codegen'd in Spark, bit ops in DuckDB), demonstrated on
+    * lineitem (partkey × suppkey mod 2^16). At 100 TB this key feeds
+    * repartitionByRange + sortWithinPartitions before the parquet write;
+    * here the ordered top-100 pins the key computation itself. */
+  private val layoutZorder: Q = (s, d) => {
+    def spread(c: Column): Column = {
+      // 16-bit value -> even bit positions of a 32-bit lane
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 65536).as("zx"),
+      (col("l_suppkey") % 65536).as("zy"))
+    base.select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"),
+        spread(col("zx")).bitwiseOR(shiftleft(spread(col("zy")), 1))
+          .as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** MapType round-trip over the JSON event properties — the derived
+    * map<string,int> flavor SURVEY §1.2 calls for: parse props to a map,
+    * then key extraction, direct lookup, and cardinality. Pure per-row
+    * projection (codegen'd JSON path + map ops), no shuffle; the oracle
+    * walks the same JSON with DuckDB's json_keys/->> operators. */
+  private val mapFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"),
+        element_at(map_keys(col("m")), 1).as("mkey"),
+        element_at(col("m"), "k").as("mval"),
+        size(col("m")).cast("bigint").as("msize"))
+      .orderBy("event_id")
+
   /** Salted two-phase aggregation — Skew.saltedAgg surfaced as an
     * oracle-checked key (the aggregate twin of q_join_salted): partial
     * count/sum on (l_returnflag, salt) spread each hot flag over 8
@@ -274,6 +356,74 @@ object RelationalOps {
         .orderBy("o_totalprice", "o_orderkey")))
       .select("o_orderkey", "o_orderpriority", "o_totalprice", "bin")
       .orderBy("o_orderkey")
+
+  /** TPC-H Q10-style returned-item report: revenue lost to returns per
+    * customer over one quarter — orders date-filtered at the scan,
+    * lineitem filtered to l_returnflag = 'R' at the scan, the two facts
+    * joined on orderkey, then one hash aggregate keyed on the customer
+    * attributes and a global top-20 via TakeOrderedAndProject. customer
+    * ⋈ nation broadcasts; the only wide shuffle is the fact-fact join. */
+  private val tpchQ10: Q = (s, d) => {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1996-04-01"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Relative-rank windows (percent_rank + cume_dist) — the
+    * distribution-position primitives behind percentile badges and
+    * "top X%" cohort cuts. Both are rank-based (no pre-aggregation
+    * exists), partitioned on the 5-value priority column with a unique
+    * (price, key) sort; exact small-integer ratios, r6-rounded only as
+    * hash-parity armor. */
+  private val winPct: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Referential-integrity audit across the star schema — the ETL
+    * data-quality gate run before any publish: per FK edge, total rows
+    * and orphan rows (fact key with no dimension match) from ONE left
+    * join + aggregate each (never two scans). Dimension sides broadcast
+    * at any realistic dim size; the audit is linear in the fact tables
+    * and embarrassingly parallel across edges. */
+  private val fkAudit: Q = (s, d) => {
+    def audit(name: String, fact: DataFrame, key: String,
+        dim: DataFrame, dkey: String): DataFrame =
+      fact.select(col(key).as("fk"))
+        .join(dim.select(col(dkey).as("pk")), col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"))
+    audit("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .union(audit("lineitem_part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .union(audit("lineitem_supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .union(audit("orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy("relation")
+  }
 
   // ----------------------------------------------------------- aggregates
 
@@ -911,6 +1061,12 @@ object RelationalOps {
     "q_join_salted" -> joinSalted,
     "q_join_range_bucket" -> joinRangeBucket,
     "q_tpch_shipping" -> tpchShipping,
+    "q_tpch_q5" -> tpchQ5,
+    "q_layout_zorder" -> layoutZorder,
+    "q_map_funcs" -> mapFuncs,
+    "q_win_pct" -> winPct,
+    "q_quality_fk_audit" -> fkAudit,
+    "q_tpch_q10" -> tpchQ10,
     "q_agg_salted" -> aggSalted,
     "q_win_ntile" -> winNtile,
     "q_agg_pricing_summary" -> aggPricingSummary,
@@ -1126,6 +1282,84 @@ object RelationalOps {
           AND b.ts > a.ts
           AND b.ts <= a.ts + INTERVAL 10 MINUTE
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_layout_zorder" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber,
+                              l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+                       FROM lineitem),
+         s1 AS (SELECT *, (zx | (zx << 8)) & 16711935 AS xa,
+                          (zy | (zy << 8)) & 16711935 AS ya FROM base),
+         s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+                          (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+         s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+                          (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+         s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+                          (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+         SELECT l_orderkey, l_linenumber, zx, zy, xd | (yd << 1) AS zval
+         FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_win_pct" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                floor(percent_rank() OVER w * 1000000 + 0.5)
+                  / 1000000.0 AS pct_rank,
+                floor(cume_dist() OVER w * 1000000 + 0.5)
+                  / 1000000.0 AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_quality_fk_audit" ->
+      """SELECT 'lineitem_orders' AS relation, count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+         UNION ALL
+         SELECT 'lineitem_part', count(*),
+                CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         UNION ALL
+         SELECT 'lineitem_supplier', count(*),
+                CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+         UNION ALL
+         SELECT 'orders_customer', count(*),
+                CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY relation""",
+    "q_map_funcs" ->
+      """SELECT event_id, json_keys(props)[1] AS mkey,
+                CAST(props->>'k' AS INTEGER) AS mval,
+                CAST(len(json_keys(props)) AS BIGINT) AS msize
+         FROM events ORDER BY event_id""",
     "q_tpch_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
                 floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)

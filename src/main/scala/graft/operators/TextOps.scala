@@ -499,6 +499,25 @@ object TextOps {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-domain frequency cap (C4/RefinedWeb-style): keep at most 15
+    * docs per source so no domain dominates the training mix — the
+    * count-based complement to q_sample_stratified's rate thinning.
+    * Which 15 survive is decided by a deterministic hash order
+    * (md5(doc_id), doc_id tie-break), so the sample is stable across
+    * re-runs, retries, and cluster layouts. One window partitioned on
+    * source (the natural per-domain key — thousands of partitions at
+    * corpus scale, no global sort); the rank short-circuits via
+    * WindowGroupLimit pushdown. */
+  private val sampleDomainCap: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 15)
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split — the dataset-assignment
     * primitive: the first md5 hex digit of the row key partitions the
     * hash space 12/2/2 (75% train, 12.5% val, 12.5% test). Assignment is
@@ -799,6 +818,7 @@ object TextOps {
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
     "q_sample_weighted" -> sampleWeighted,
+    "q_sample_domain_cap" -> sampleDomainCap,
     "q_text_normalize" -> textNormalize,
     "q_sim_sparse_topk" -> simSparseTopk,
     "q_text_wordcount" -> wordcount,
@@ -1027,6 +1047,13 @@ object TextOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ${hashSampleSql("doc_id", quarterDigits)}
          ORDER BY doc_id""",
+    "q_sample_domain_cap" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 15 ORDER BY doc_id""",
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          WHERE (lang = 'en' AND ${hashSampleSql("doc_id", quarterDigits)})

@@ -203,6 +203,56 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector (vec_id < 10), the top-3 most-similar vectors carrying
+    * a DIFFERENT label (similar-but-wrong = the informative negatives).
+    * The query side is a bounded broadcast (10 rows), so the scored
+    * frame is |corpus| × |queries| map-side work with NO shuffle of the
+    * corpus; the per-query top-3 is a 10-partition window. At 100 TB the
+    * same plan runs per query batch, and the IVF probe (q_ann_ivf)
+    * composes in front to cut the candidate set before scoring. */
+  private val hardNegatives: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+    val w = Window.partitionBy("qid").orderBy(col("sim_r").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id").as("neg_id"), col("sim_r"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Centroid-distance outlier audit — the embedding-quality filter
+    * (drop vectors far from the corpus centroid: encoder failures, OOD
+    * junk). The global centroid is a per-dimension mean (one hash
+    * aggregate over posexploded components, r6-rounded per the round-
+    * replay discipline), re-packed to an array and broadcast; each
+    * vector's distance then comes from three sequential-fold inner
+    * products (‖v−c‖² = v·v − 2v·c + c·c — DuckDB's list_inner_product
+    * accumulation order), so the scan side is one linear codegen pass.
+    * Top-20 farthest with vec_id tie-break. */
+  private val embedOutliers: Q = (s, d) => {
+    val cen = vecs(s, d)
+      .select(posexplode(col("v")).as(Seq("pos", "comp")))
+      .groupBy("pos").agg(r6(avg(col("comp").cast("double"))).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("carr"))
+    val dd = "aggregate(zip_with(%s, %s, (p, q) -> p * q), 0D, (acc, e) -> acc + e)"
+    vecs(s, d)
+      .withColumn("vd", expr("transform(v, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(cen))
+      .withColumn("d2",
+        expr(dd.format("vd", "vd")) - lit(2.0) * expr(dd.format("vd", "carr"))
+          + expr(dd.format("carr", "carr")))
+      .select(col("vec_id"), col("label"),
+        r6(sqrt(greatest(col("d2"), lit(0.0)))).as("dist_r"))
+      .orderBy(col("dist_r").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Spherical k-means assignment: nearest centroid by (rounded) dot
     * product, ties to the lowest cid — the argmax is a K-row broadcast
     * against the vector stream, one window per vector, no shuffle of the
@@ -389,6 +439,8 @@ object VectorOps {
     "q_dedup_embed_lsh" -> dedupEmbedLsh,
     "q_vec_norm" -> vecNorm,
     "q_sim_knn_label" -> knnLabel,
+    "q_sim_hard_negatives" -> hardNegatives,
+    "q_embed_outliers" -> embedOutliers,
     "q_ann_ivf" -> annIvf)
 
   /** Shared oracle fragments: the exact and LSH embedding-pair plans are
@@ -468,6 +520,43 @@ object VectorOps {
        SELECT i, x AS loading FROM v3 ORDER BY i"""
 
   val oracle: Map[String, String] = Map(
+    "q_sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.qid, e.vec_id AS neg_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv)) * 1000000 + 0.5)
+                    / 1000000.0 AS sim_r
+           FROM q JOIN embeddings e ON e.label <> q.qlabel),
+         rk AS (SELECT qid, neg_id, sim_r,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY sim_r DESC, neg_id) AS rk
+                FROM scored)
+         SELECT qid, rk, neg_id, sim_r FROM rk
+         WHERE rk <= 3 ORDER BY qid, rk""",
+    "q_embed_outliers" ->
+      """WITH ex AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS varr
+                     FROM embeddings),
+         pe AS (SELECT CAST(unnest(generate_series(1, len(varr)))
+                         AS INTEGER) AS pos,
+                       unnest(varr) AS comp
+                FROM ex),
+         cen AS (SELECT pos,
+                        floor(avg(comp) * 1000000 + 0.5) / 1000000.0 AS m
+                 FROM pe GROUP BY pos),
+         carr AS (SELECT list(m ORDER BY pos) AS c FROM cen),
+         d AS (SELECT vec_id, label,
+                      list_inner_product(varr, varr)
+                        - 2 * list_inner_product(varr, c)
+                        + list_inner_product(c, c) AS d2
+               FROM ex CROSS JOIN carr)
+         SELECT vec_id, label,
+                floor(sqrt(greatest(d2, 0)) * 1000000 + 0.5)
+                  / 1000000.0 AS dist_r
+         FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
     "q_ann_kmeans" ->
       """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
                      FROM embeddings),

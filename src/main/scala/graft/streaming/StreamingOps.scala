@@ -103,6 +103,31 @@ object StreamingOps {
         col("purchase_id"), col("c_ts"), col("p_ts"), col("amount"))
   }
 
+  /** LEFT OUTER stream-stream interval join: the outer (click) side's
+    * unmatched rows can only be emitted once the watermark proves no
+    * purchase can still arrive inside the 30-minute band, so both sides
+    * carry a watermark and the null-extended rows trail the event time
+    * by watermark + band — the correctness/latency trade every streaming
+    * attribution pipeline makes explicit. State is bounded exactly like
+    * the inner form: per-user rows inside the band. */
+  def intervalJoinLeft(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        expr("""c_user = p_user AND
+                p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Exactly-once-style ingest dedup by event_id within the watermark. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 batch-1 additions: bounded BFS reach,
+  * TPC-H Q5, z-order layout keys, map functions, hard-negative mining,
+  * centroid outliers, incremental dedup, per-domain caps. */
+class BatchR3Spec extends SparkSpec {
+
+  test("graph reach: seed at hops 0, hops bounded, matches driver BFS") {
+    val rows = operators.GraphOps.queries("q_graph_reach")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(h => h >= 0 && h <= 4))
+    val seed = rows.keys.min
+    // rebuild the same support-2 co-purchase graph and BFS it in Scala
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk"), col("b.pk")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(seed == adj.keys.min)
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    assert(rows == dist)
+  }
+
+  test("tpch q5: revenue matches the hint-free spark recomputation") {
+    val got = operators.RelationalOps.queries("q_tpch_q5")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val free = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp_ntz(lit("1997-01-01")))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == free.keySet)
+    got.foreach { case (n, v) => assert(math.abs(v - free(n)) < 0.01) }
+  }
+
+  test("zorder: de-interleaving zval recovers both dimensions") {
+    val rows = operators.RelationalOps.queries("q_layout_zorder")(spark, sfDir)
+      .collect()
+    assert(rows.length == 100)
+    def unspread(z: Long): Long = {
+      var v = 0L
+      for (i <- 0 until 16) if ((z & (1L << (2 * i))) != 0) v |= 1L << i
+      v
+    }
+    rows.foreach { r =>
+      val (zx, zy, zv) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(unspread(zv) == zx && unspread(zv >> 1) == zy)
+    }
+    // sorted ascending by zval
+    val zs = rows.map(_.getLong(4))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("map funcs: single-key json map round-trips") {
+    val rows = operators.RelationalOps.queries("q_map_funcs")(spark, sfDir)
+      .collect()
+    assert(rows.length == Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getString(1) == "k")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 99)
+      assert(r.getLong(3) == 1L)
+    }
+  }
+
+  test("hard negatives: 3 per query, labels differ, sims descend") {
+    val df = operators.VectorOps.queries("q_sim_hard_negatives")(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQ = df.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == labels.keys.filter(_ < 10).toSet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 3)
+      rs.foreach(r => assert(labels(r.getLong(2)) != labels(qid)))
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embed outliers: 20 rows, nonneg distances, descending") {
+    val rows = operators.VectorOps.queries("q_embed_outliers")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    val ds = rows.map(_.getDouble(2))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("incremental dedup: exactly the cross-batch slice of minhash pairs") {
+    val cutoff = (Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
+    val inc = operators.DedupOps.queries("q_dedup_incremental")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc.foreach { case (n, b) => assert(n >= cutoff && b < cutoff) }
+    val all = operators.DedupOps.queries("q_dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.collect {
+      case (a, b) if a < cutoff && b >= cutoff => (b, a)
+    }.toSet
+    assert(inc == expected)
+  }
+
+  test("tpch q10: top returned-revenue customers, revenue positive") {
+    val rows = operators.RelationalOps.queries("q_tpch_q10")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getDouble(4))
+    assert(revs.forall(_ > 0))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("left interval join: clicks preserved, sentinel for unconverted") {
+    val left = operators.EventOps.queries("q_stream_left_join")(spark, sfDir)
+    val inner = operators.EventOps.queries("q_stream_interval_join")(
+      spark, sfDir)
+    val nClicks = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click").count()
+    val matched = left.filter(col("purchase_id") =!= -1L)
+    // matched slice == inner join pairs; every click appears at least once
+    assert(matched.count() == inner.count())
+    assert(left.select("click_id").distinct().count() == nClicks)
+    assert(left.filter(col("purchase_id") === -1L)
+      .filter(col("lag_us") =!= -1L).count() == 0)
+  }
+
+  test("percent_rank and cume_dist bounds and extremes") {
+    val rows = operators.RelationalOps.queries("q_win_pct")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c) = (r.getDouble(3), r.getDouble(4))
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+    }
+    // each priority stratum has a 0 percent_rank (its minimum) and a
+    // cume_dist that reaches exactly 1
+    val byPrio = rows.groupBy(_.getString(1))
+    byPrio.values.foreach { rs =>
+      assert(rs.map(_.getDouble(3)).min == 0.0)
+      assert(rs.map(_.getDouble(4)).max == 1.0)
+    }
+  }
+
+  test("fk audit: clean star schema has zero orphans") {
+    val rows = operators.RelationalOps.queries("q_quality_fk_audit")(
+      spark, sfDir).collect()
+    assert(rows.length == 4)
+    val li = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"orphans in ${r.getString(0)}")
+      assert(r.getLong(1) > 0L)
+    }
+    assert(rows.filter(_.getString(0).startsWith("lineitem_"))
+      .forall(_.getLong(1) == li))
+  }
+
+  test("domain cap: at most 15 per source and deterministic") {
+    val df = operators.TextOps.queries("q_sample_domain_cap")(spark, sfDir)
+    val perSource = df.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (_, c) => assert(c <= 15) }
+    val again = operators.TextOps.queries("q_sample_domain_cap")(spark, sfDir)
+    assert(df.collect().toSeq == again.collect().toSeq)
+  }
+}

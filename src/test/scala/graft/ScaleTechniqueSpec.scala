@@ -77,6 +77,30 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(oneDay.count() === expected && expected > 0)
   }
 
+  test("dynamic partition pruning fires for a dim-filtered fact join") {
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/events"
+    PartitionedWriter.writeEventsByDay(
+      Tables.events(spark, sfDir).drop("ts_ns"), dir)
+    val fact = spark.read.parquet(dir)
+    // dimension knows which days matter — the fact side must prune its
+    // partitions from the dim's runtime values, not scan-and-filter.
+    // The dim must be a REAL source (a LocalRelation's filter constant-
+    // folds away and DPP sees no selective predicate to exploit).
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("2024-01-03", "keep"), ("2024-01-04", "drop"))
+      .toDF("d", "tag")
+      .select(to_date(col("d")).as("d"), col("tag"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val joined = fact.join(dim, col("event_date") === col("d"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    val expected = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(joined.count() === expected && expected > 0)
+  }
+
   test("co-bucketed tables sort-merge join without exchange") {
     // uses the session's default warehouse (./spark-warehouse, gitignored);
     // clean any orphaned locations from aborted runs

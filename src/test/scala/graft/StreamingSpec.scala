@@ -100,6 +100,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after watermark") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinLeft(ms.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin_left")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", uid = 1, typ = "click"),
+        ev(2, "2024-01-01 10:20:00", uid = 1, typ = "purchase", v = 9.5),
+        ev(3, "2024-01-01 10:00:00", uid = 2, typ = "click")) // never converts
+      q.processAllAvailable()
+      // push the watermark far past 10:30 so user 2's click provably has
+      // no in-band purchase and the null-extended row can be emitted
+      ms.addData(ev(9, "2024-01-01 15:00:00", uid = 9, typ = "click"),
+        ev(10, "2024-01-01 15:00:00", uid = 9, typ = "purchase"))
+      q.processAllAvailable()
+      ms.addData(ev(11, "2024-01-01 20:00:00", uid = 8, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("t_ssjoin_left")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L, 2L)), s"matched click missing: $rows")
+      assert(rows.contains((2L, 3L, -1L)), s"unmatched click missing: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed event_ids") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
