@@ -60,7 +60,15 @@ object ExplainAudit {
     "q_skyline", "q_graph_link_jaccard", "q_tpch_q18", "q_abc_analysis",
     "q_events_attribution", "q_stats_ttest", "q_stats_chisq",
     "q_customer_rfm", "q_events_rolling_uniques", "q_dedup_containment",
-    "q_text_keywords", "q_embed_drift", "q_eval_lsh_recall")
+    "q_text_keywords", "q_embed_drift", "q_eval_lsh_recall",
+    // round-3 batch: the 6-table Q5 star (broadcast chain + residual
+    // local filter), z-order bit-spread projection, layered BFS reach,
+    // hard-negative broadcast scoring, incremental dedup's cross-batch
+    // filter placement, left-outer interval join, span dedup's stacked
+    // lead() single pass, FK-audit's one-join-per-edge shape
+    "q_tpch_q5", "q_layout_zorder", "q_graph_reach",
+    "q_sim_hard_negatives", "q_dedup_incremental", "q_stream_left_join",
+    "q_text_span_dedup", "q_quality_fk_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

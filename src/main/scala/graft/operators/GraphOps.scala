@@ -216,15 +216,30 @@ object GraphOps {
   private val reach: Q = (s, d) => {
     val e = copurchaseEdges(s, d).select("x", "y")
     val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
-    var dist = und.agg(min(col("x")).as("part"))
+    // Layered expansion with a per-round node collapse and ONE final
+    // min-aggregate. Two traps shape this: (a) folding a
+    // dist-union-step frame through the loop references each round
+    // twice (join + union) and re-executes round 1's join 2^k times by
+    // round k — as layers, round j's join re-runs only once per later
+    // layer (k²/2 cheap joins total); (b) an un-deduped frontier counts
+    // WALKS, not nodes — its rows multiply by the mean degree every hop
+    // — so each layer collapses to distinct nodes before expanding
+    // again. Frontiers are then node-bounded and AQE broadcasts them;
+    // at larger graphs each layer would be checkpointed like the CC
+    // loop's rounds.
+    val seed = und.agg(min(col("x")).as("part"))
       .select(col("part"), lit(0L).as("hops"))
+    var frontier = seed
+    var layers = List(seed)
     for (_ <- 1 to BfsHops) {
-      val stepped = und.join(dist, col("x") === col("part"))
-        .select(col("y").as("part"), (col("hops") + 1).as("hops"))
-      dist = dist.union(stepped)
-        .groupBy("part").agg(min("hops").as("hops"))
+      frontier = und.join(frontier, col("x") === col("part"))
+        .groupBy(col("y").as("part"))
+        .agg((min(col("hops")) + 1).as("hops"))
+      layers ::= frontier
     }
-    dist.orderBy("part")
+    layers.reduce(_ union _)
+      .groupBy("part").agg(min("hops").as("hops"))
+      .orderBy("part")
   }
 
   val queries: Map[String, Q] = Map(

@@ -53,6 +53,35 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  private val SpanLen = 8
+
+  /** Exact repeated-span detection — the sliding-window form of
+    * substring dedup for training corpora (find verbatim 8-token spans
+    * shared across documents; the fixed-boundary complement is
+    * q_text_chunk_dedup's content-defined chunks). Every token position
+    * opens a span via 7 stacked lead() columns over one per-doc window —
+    * a single token pass, no self-join, linear in corpus tokens; the
+    * cross-doc aggregate shuffles on the span string (at 100 TB, on its
+    * hash). Top-20 most-repeated cross-doc spans. */
+  private val spanDedup: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until SpanLen).map(k =>
+      lead(col("token"), k).over(w).as(s"t$k"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+      .select(Seq(col("doc_id"), col("pos"), col("token")) ++ leads: _*)
+      .filter(col(s"t${SpanLen - 1}").isNotNull)
+      .withColumn("span", concat_ws(" ",
+        col("token") +: (1 until SpanLen).map(k => col(s"t$k")): _*))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("span"))
+      .limit(20)
+  }
+
   /** Content-defined chunking — the block-level dedup primitive of
     * training-data pipelines: chunk boundaries are a pure function of
     * CONTENT (a token is a boundary when its md5 starts with hex '0',
@@ -833,6 +862,7 @@ object TextOps {
     "q_text_quality" -> quality,
     "q_text_tokencount" -> tokencount,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_span_dedup" -> spanDedup,
     "q_text_chunk_dedup" -> chunkDedup)
 
   private def lexValues(lex: Seq[(String, Any)]): String =
@@ -1193,6 +1223,26 @@ object TextOps {
                  FROM documents)
            GROUP BY lang, token) t
          WHERE rn <= 5 ORDER BY lang, rn""",
+    "q_text_span_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+                            CAST(unnest(generate_series(1,
+                              len(string_split(text, ' ')))) - 1 AS INTEGER)
+                              AS pos,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         sp AS (SELECT doc_id,
+                       concat_ws(' ', token,
+                         lead(token, 1) OVER w, lead(token, 2) OVER w,
+                         lead(token, 3) OVER w, lead(token, 4) OVER w,
+                         lead(token, 5) OVER w, lead(token, 6) OVER w,
+                         lead(token, 7) OVER w) AS span,
+                       lead(token, 7) OVER w AS t7
+                FROM tk
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM sp WHERE t7 IS NOT NULL
+         GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_occ DESC, span LIMIT 20""",
     "q_text_ngram" ->
       """SELECT doc_id, pos, token || ' ' || nxt AS bigram FROM (
            SELECT doc_id, pos, token,

@@ -174,6 +174,19 @@ class BatchR3Spec extends SparkSpec {
       .forall(_.getLong(1) == li))
   }
 
+  test("span dedup: 8-token spans, cross-doc only, count consistency") {
+    val rows = operators.TextOps.queries("q_text_span_dedup")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").length == 8)
+      val (nDocs, nOcc) = (r.getLong(1), r.getLong(2))
+      assert(nDocs >= 2 && nOcc >= nDocs)
+    }
+    val occs = rows.map(_.getLong(2))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("domain cap: at most 15 per source and deterministic") {
     val df = operators.TextOps.queries("q_sample_domain_cap")(spark, sfDir)
     val perSource = df.groupBy("source").count().collect()

@@ -29,6 +29,15 @@ class SourceFormatSpec extends SparkSpec {
     assert(math.abs(sum1 - sum2) < 1e-6)
   }
 
+  test("orc source round-trips with schema and values intact") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/nation"
+    val src = Tables.nation(spark, sfDir)
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.collect().map(_.toSeq).toSet === src.collect().map(_.toSeq).toSet)
+  }
+
   test("json source round-trips events incl. nested props parsing") {
     val dir = Files.createTempDirectory("graft-json").toString
     Tables.events(spark, sfDir).drop("ts_ns").limit(50)
