@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapIntersectCount, DotProductFloat, KmvDistinct}
+import graft.functions.{BitmapIntersectCount, DotProductFloat, KmvDistinct, NfcNormalize}
 
 /** SparkSessionExtensions entry point — the supported way to install the
   * library's native expressions when you control the session builder:
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
       (exprs: Seq[Expression]) => GraftExtensions.kmv(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }
 

@@ -103,5 +103,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
         (exprs: Seq[Expression]) => graft.GraftExtensions.kmv(exprs))
     }
+    val nfc = FunctionIdentifier("graft_nfc")
+    if (!registry.functionExists(nfc)) {
+      registry.registerFunction(
+        nfc,
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head))
+    }
   }
 }

@@ -53,6 +53,24 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** Unicode NFC normalization (graft_nfc, a native codegen Expression
+    * matching DuckDB's nfc_normalize) — the ingest-time canonicalization
+    * that makes visually-identical text from different sources hash
+    * together. The corpus is ASCII (NFC-invariant fast path), so each
+    * row gets a deterministic decomposed suffix appended (e + combining
+    * acute, A + combining ring) to prove real composition happens:
+    * len_nfc comes back 2 code points shorter and the md5 is over the
+    * composed form. Pure map-side projection. */
+  private val textNfc: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("raw", concat(substring(col("text"), 1, 16),
+        lit(" cafe\u0301 A\u030A")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("bigint").as("len_raw"),
+        length(expr("graft_nfc(raw)")).cast("bigint").as("len_nfc"),
+        md5(expr("graft_nfc(raw)")).as("h"))
+      .orderBy("doc_id")
+
   private val SpanLen = 8
 
   /** Exact repeated-span detection — the sliding-window form of
@@ -863,6 +881,7 @@ object TextOps {
     "q_text_tokencount" -> tokencount,
     "q_text_fingerprint" -> fingerprint,
     "q_text_span_dedup" -> spanDedup,
+    "q_text_nfc" -> textNfc,
     "q_text_chunk_dedup" -> chunkDedup)
 
   private def lexValues(lex: Seq[(String, Any)]): String =
@@ -1223,6 +1242,15 @@ object TextOps {
                  FROM documents)
            GROUP BY lang, token) t
          WHERE rn <= 5 ORDER BY lang, rn""",
+    "q_text_nfc" ->
+      """SELECT doc_id, length(raw) AS len_raw,
+                length(nfc_normalize(raw)) AS len_nfc,
+                md5(nfc_normalize(raw)) AS h
+         FROM (SELECT doc_id,
+                      substr(text, 1, 16) || ' cafe' || chr(769)
+                        || ' A' || chr(778) AS raw
+               FROM documents)
+         ORDER BY doc_id""",
     "q_text_span_dedup" ->
       """WITH tk AS (SELECT doc_id,
                             CAST(unnest(generate_series(1,

@@ -174,6 +174,18 @@ class BatchR3Spec extends SparkSpec {
       .forall(_.getLong(1) == li))
   }
 
+  test("nfc: combining marks compose; ascii fast path is identity") {
+    import spark.implicits._
+    val r = Seq(("cafe\u0301 A\u030A", "plain ascii")).toDF("dec", "asc")
+      .select(expr("graft_nfc(dec)"), expr("graft_nfc(asc)")).head()
+    assert(r.getString(0) == "caf\u00E9 \u00C5")
+    assert(r.getString(1) == "plain ascii")
+    val rows = operators.TextOps.queries("q_text_nfc")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    // exactly the two appended combining marks compose away per row
+    rows.foreach(r2 => assert(r2.getLong(1) - r2.getLong(2) == 2))
+  }
+
   test("span dedup: 8-token spans, cross-doc only, count consistency") {
     val rows = operators.TextOps.queries("q_text_span_dedup")(spark, sfDir)
       .collect()
