@@ -384,6 +384,26 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL join keys
+    * match each other instead of silently dropping — the semantics ETL
+    * needs when a dimension key is legitimately absent on both sides
+    * (here one priority class is nulled via nullif on both inputs).
+    * EqualNullSafe stays a hash-join key, not a residual filter; output
+    * coalesces the key so ordering/hashing never sees engine-specific
+    * null placement. */
+  private val joinNullSafe: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .groupBy(expr("nullif(o_orderpriority, '3-MEDIUM')").as("k"))
+      .agg(count(lit(1)).as("n_all"))
+    val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .groupBy(expr("nullif(o_orderpriority, '3-MEDIUM')").as("k2"))
+      .agg(count(lit(1)).as("n_f"))
+    a.join(b, col("k") <=> col("k2"))
+      .select(coalesce(col("k"), lit("(null)")).as("prio"),
+        col("n_all"), col("n_f"))
+      .orderBy("prio")
+  }
+
   /** Relative-rank windows (percent_rank + cume_dist) — the
     * distribution-position primitives behind percentile badges and
     * "top X%" cohort cuts. Both are rank-based (no pre-aggregation
@@ -1067,6 +1087,7 @@ object RelationalOps {
     "q_win_pct" -> winPct,
     "q_quality_fk_audit" -> fkAudit,
     "q_tpch_q10" -> tpchQ10,
+    "q_join_null_safe" -> joinNullSafe,
     "q_agg_salted" -> aggSalted,
     "q_win_ntile" -> winNtile,
     "q_agg_pricing_summary" -> aggPricingSummary,
@@ -1311,6 +1332,16 @@ object RelationalOps {
                           (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
          SELECT l_orderkey, l_linenumber, zx, zy, xd | (yd << 1) AS zval
          FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+    "q_join_null_safe" ->
+      """WITH a AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
+                           count(*) AS n_all
+                    FROM orders GROUP BY 1),
+         b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k2,
+                      count(*) AS n_f
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+         SELECT coalesce(k, '(null)') AS prio, n_all, n_f
+         FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+         ORDER BY prio""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
                 floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)

@@ -251,6 +251,36 @@ object StatsOps {
           (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
   }
 
+  /** Population stability index — the tabular-feature drift monitor
+    * (the scalar-feature complement to q_embed_drift): event values
+    * bucketed into 10 fixed-width bins, distribution compared between
+    * the two deterministic halves of the stream (event_id parity —
+    * replay-stable, unlike a time split on reordered ingest). Counts
+    * are left-joined onto a fixed 0..9 bucket spine and add-one
+    * (Laplace) smoothed — p=(a+1)/(ta+10) — so empty bins (which DO
+    * occur in the sparse tail) never divide by zero or ln(0); this is
+    * the standard production PSI formulation. PSI = Σ (p−q)·ln(p/q),
+    * r6 at the boundary like q_stats_entropy. One hash aggregate over
+    * events + a 10-row rollup — linear at any scale. */
+  private val psi: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select((col("event_id") % 2).cast("int").as("half"),
+        least(floor(col("value") / 50).cast("int"), lit(9)).as("bucket"))
+    val counts = ev.groupBy("bucket")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("b"))
+    val spine = s.range(10).select(col("id").cast("int").as("bucket"))
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .select(coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tot = full.agg(sum("a").as("ta"), sum("b").as("tb"))
+    full.crossJoin(broadcast(tot))
+      .select(((col("a") + 1) / (col("ta") + 10)).as("p"),
+        ((col("b") + 1) / (col("tb") + 10)).as("q"))
+      .agg(count(lit(1)).as("n_buckets"),
+        r6(sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stats_gini" -> gini,
     "q_stats_prop_test" -> propTest,
@@ -260,9 +290,35 @@ object StatsOps {
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
     "q_stats_entropy" -> entropy,
+    "q_stats_psi" -> psi,
     "q_stats_mad" -> mad)
+  // (psi is defined above the map — object vals initialize in
+  // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_psi" ->
+      s"""WITH ev AS (SELECT CAST(event_id % 2 AS INTEGER) AS half,
+                             least(CAST(floor(value / 50) AS INTEGER), 9)
+                               AS bucket
+                      FROM events),
+         c0 AS (SELECT bucket,
+                       CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS b
+                FROM ev GROUP BY bucket),
+         spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+         c AS (SELECT coalesce(a, 0) AS a, coalesce(b, 0) AS b
+               FROM spine LEFT JOIN c0 USING (bucket)),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                      CAST(sum(b) AS BIGINT) AS tb FROM c)
+         SELECT count(*) AS n_buckets,
+                ${rsql("sum(((a + 1) / CAST(ta + 10 AS DOUBLE)" +
+        " - (b + 1) / CAST(tb + 10 AS DOUBLE))" +
+        " * ln(((a + 1) / CAST(ta + 10 AS DOUBLE))" +
+        " / ((b + 1) / CAST(tb + 10 AS DOUBLE))))",
+        1000000)} AS psi
+         FROM c CROSS JOIN t""",
     "q_stats_gini" ->
       s"""WITH rev AS (
            SELECT o_custkey,

@@ -292,6 +292,25 @@ object TextOps {
         r6(qualityScore).as("quality"))
       .orderBy("doc_id")
 
+  /** Quality GATE with reasons — the filter report a curation pipeline
+    * actually ships: each doc gets its first failing rule (too_short →
+    * no_stopwords → repetitive) or 'keep', so corpus owners see WHY
+    * volume was dropped, not just how much. Rule order is part of the
+    * contract (a 10-token stopword-free doc reports too_short). Same
+    * shared token stats as q_text_quality; pure projection + one
+    * aggregate, no shuffle beyond the 4-row rollup. */
+  private val qualityGate: Q = (s, d) =>
+    withQualityStats(Tables.documents(s, d))
+      .withColumn("gate",
+        when(col("n_tok") < 20, "too_short")
+          .when(col("n_stop") / col("n_tok") < 0.02, "no_stopwords")
+          .when(lit(1) - col("n_uniq") / col("n_tok").cast("double") > 0.72,
+            "repetitive")
+          .otherwise("keep"))
+      .groupBy("gate")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("gate")
+
   /** Token counting: whitespace tokens + regex word tokens + a BPE-ish
     * bounded-subword count ([a-z]{1,4} greedy chunks). */
   private val tokencount: Q = (s, d) =>
@@ -882,6 +901,7 @@ object TextOps {
     "q_text_fingerprint" -> fingerprint,
     "q_text_span_dedup" -> spanDedup,
     "q_text_nfc" -> textNfc,
+    "q_text_quality_gate" -> qualityGate,
     "q_text_chunk_dedup" -> chunkDedup)
 
   private def lexValues(lex: Seq[(String, Any)]): String =
@@ -1242,6 +1262,17 @@ object TextOps {
                  FROM documents)
            GROUP BY lang, token) t
          WHERE rn <= 5 ORDER BY lang, rn""",
+    "q_text_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $qualityStatsColsSql
+                     FROM documents)
+         SELECT CASE WHEN n_tok < 20 THEN 'too_short'
+                     WHEN n_stop / n_tok < 0.02 THEN 'no_stopwords'
+                     WHEN 1 - n_uniq / CAST(n_tok AS DOUBLE) > 0.72
+                       THEN 'repetitive'
+                     ELSE 'keep' END AS gate,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM t GROUP BY gate ORDER BY gate""",
     "q_text_nfc" ->
       """SELECT doc_id, length(raw) AS len_raw,
                 length(nfc_normalize(raw)) AS len_nfc,

@@ -174,6 +174,43 @@ class BatchR3Spec extends SparkSpec {
       .forall(_.getLong(1) == li))
   }
 
+  test("psi: 10 buckets, nonnegative, near zero for a parity split") {
+    val r = operators.StatsOps.queries("q_stats_psi")(spark, sfDir).head()
+    assert(r.getLong(0) == 10L)
+    val psi = r.getDouble(1)
+    // PSI is a sum of (p-q)ln(p/q) terms, each >= 0; a random parity
+    // split of the same distribution should sit well under the 0.1
+    // "no meaningful drift" convention
+    assert(psi >= 0.0 && psi < 0.1, s"psi=$psi")
+  }
+
+  test("quality gate: reasons partition the corpus and order applies") {
+    val rows = operators.TextOps.queries("q_text_quality_gate")(spark, sfDir)
+      .collect()
+    val byGate = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGate.keySet.subsetOf(
+      Set("keep", "too_short", "no_stopwords", "repetitive")))
+    assert(byGate.values.sum == Tables.documents(spark, sfDir).count())
+    assert(byGate.getOrElse("keep", 0L) > 0L)
+    // rule order: every too_short doc is counted there even if it also
+    // has no stopwords (checked by recomputing the first rule alone)
+    val short = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) < 20).count()
+    assert(byGate.getOrElse("too_short", 0L) == short)
+  }
+
+  test("null-safe join: the nulled priority class joins itself") {
+    val rows = operators.RelationalOps.queries("q_join_null_safe")(
+      spark, sfDir).collect()
+    assert(rows.length == 5) // 4 surviving priorities + the (null) class
+    val m = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.contains("(null)"))
+    val med = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "3-MEDIUM")
+    assert(m("(null)")._1 == med.count())
+    assert(m("(null)")._2 == med.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("nfc: combining marks compose; ascii fast path is identity") {
     import spark.implicits._
     val r = Seq(("cafe\u0301 A\u030A", "plain ascii")).toDF("dec", "asc")
