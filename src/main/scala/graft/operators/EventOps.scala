@@ -543,7 +543,32 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** OHLC time-series resample: hourly bars per event_type. open/close
+    * are the values at the bar's first/last event under exact
+    * (µs, event_id) order — min_by/max_by over a zero-padded sortable
+    * string key, so clock ties are broken deterministically and the bar
+    * is replay-stable. high/low/volume are plain aggregates. ONE hash
+    * aggregate, no window — the downsampling shape that stays linear
+    * and shuffle-minimal at any scale (the classic alternative, a
+    * row_number window per bar, would shuffle the same data but sort
+    * it too). */
+  private val ohlc: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("hr", expr("(ts_ns div 1000) div 3600000000"))
+      .withColumn("k", concat(lpad(col("ts_us").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0")))
+      .groupBy("hr", "event_type")
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n_events"),
+        r2(sum(col("value"))).as("volume"))
+      .orderBy("hr", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_events_ohlc" -> ohlc,
     "q_events_churn" -> churn,
     "q_win_rolling_median" -> rollingMedian,
     "q_events_bursts" -> bursts,
@@ -570,6 +595,20 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_ohlc" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 3600000000 AS hr, event_type, value,
+                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+                  lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+           FROM events)
+         SELECT hr, event_type,
+                arg_min(value, k) AS open,
+                max(value) AS high,
+                min(value) AS low,
+                arg_max(value, k) AS close,
+                count(*) AS n_events,
+                floor(sum(value) * 100 + 0.5) / 100.0 AS volume
+         FROM e GROUP BY hr, event_type ORDER BY hr, event_type""",
     "q_events_churn" ->
       """WITH p AS (
            SELECT user_id, epoch_us(ts) // 86400000000 AS day_num

@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.Par.r6
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Par.{r2, r6}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -867,7 +867,109 @@ object TextOps {
       .orderBy("lang", "pred_lang")
   }
 
+  /** BPE merge-pair counting — the statistic the first byte-pair-encoding
+    * merge maximizes (tokenizer induction): adjacent character-pair
+    * counts over the corpus, computed on the DISTINCT word vocabulary
+    * weighted by word frequency. The pair explosion therefore costs
+    * O(|vocab| × word_len), not O(corpus tokens) — the reduction real
+    * BPE trainers rely on, and the part that matters at 100 TB (the
+    * corpus is touched once for the frequency census; every later merge
+    * iteration would rerun only the vocab-sized pass). Counts are exact
+    * integers; top-20 by (cnt DESC, pair) is fully tie-broken. */
+  private val bpePairs: Q = (s, d) => {
+    val wf = Tables.documents(s, d)
+      .select(explode(toks()).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  /** Temperature-based language mixing (the multilingual sampling rule:
+    * q_i ∝ p_i^α with α=0.7) — flattens the language distribution so
+    * low-resource languages are upsampled without drowning the head.
+    * p^α is computed as exp(α·ln p) IDENTICALLY on both engines (ln/exp
+    * libm parity is already load-bearing for perplexity/entropy), then
+    * FLOORED TO AN INTEGER weight at 1e12 scale — integer weight sums
+    * are order-independent, so the normalization is exact cross-engine
+    * where a float Σwᵢ would depend on add order. |langs|-row census;
+    * the corpus is scanned once. */
+  private val sampleTemperature: Q = (s, d) => {
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum(col("n")).over(w).cast("double"))
+      .withColumn("wt",
+        floor(exp(lit(0.7) * log(col("p"))) * 1e12).cast("long"))
+      .withColumn("z", sum(col("wt")).over(w))
+      .select(col("lang"), col("n"), r6(col("p")).as("p_raw"),
+        r6(col("wt").cast("double") / col("z")).as("p_temp"),
+        r2(lit(1000.0) * col("wt") / col("z")).as("expected_docs"))
+      .orderBy("lang")
+  }
+
+  /** 2-hex-digit md5 decode (exact 0..255 integer, both engines) — the
+    * bucket assigner for the hashing-trick features and the count-min
+    * sketch below. */
+  private def hex2(c: Column): Column =
+    conv(substring(c, 31, 2), 16, 10).cast("long")
+  private def hex2Sql(e: String): String =
+    s"((CAST(strpos('0123456789abcdef', substring($e, 31, 1)) AS BIGINT)" +
+      s" - 1) * 16 + (CAST(strpos('0123456789abcdef', substring($e, 32, 1))" +
+      s" AS BIGINT) - 1))"
+
+  /** Count-min sketch with oracle-pinned estimates: 4 seeded md5 hash
+    * rows × 32 buckets build the 128-cell sketch in ONE corpus pass
+    * (map-side combinable hash agg — the sketch is mergeable, which is
+    * the whole point at 100 TB: per-partition sketches union by cell
+    * add). The top-10 exact heavy hitters are then probed: est = min
+    * over rows of their cell counts. Every number is an exact integer,
+    * so unlike HLL the ESTIMATE itself hash-matches DuckDB, and the
+    * CMS guarantee est ≥ exact is spec-asserted. */
+  private val countMin: Q = (s, d) => {
+    val tok = Tables.documents(s, d).select(explode(toks()).as("tok"))
+    def bucket(r: Int): Column =
+      hex2(md5(concat(lit(s"$r:"), col("tok")))) % 32
+    val rbs = (0 until 4).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b")))
+    val cells = tok.select(explode(array(rbs: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = tok.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(10)
+    top.select(col("tok"), col("exact"),
+        explode(array(rbs: _*)).as("rb"))
+      .select(col("tok"), col("exact"), col("rb.r").as("r"),
+        col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("tok", "exact").agg(min(col("c")).as("est"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
+  /** Hashing-trick feature extraction: tokens → 64 fixed buckets by md5
+    * (no vocabulary to build, ship, or version — THE property that makes
+    * feature hashing the streaming/100 TB-safe vectorizer), per-doc
+    * bucket counts as the sparse feature vector in long form. Pure
+    * projection + one (doc_id, bucket)-keyed hash agg; the doc_id < 50
+    * filter only bounds the oracle output, the plan is corpus-shaped. */
+  private val featureHash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .withColumn("bucket", hex2(md5(col("tok"))) % 64)
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+
   val queries: Map[String, Q] = Map(
+    "q_text_bpe_pairs" -> bpePairs,
+    "q_sample_temperature" -> sampleTemperature,
+    "q_text_count_min" -> countMin,
+    "q_text_feature_hash" -> featureHash,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -929,6 +1031,61 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+                FROM w0 WHERE length(w) > 1 GROUP BY w),
+         i AS (SELECT w, f,
+                      unnest(generate_series(1, length(w) - 1)) AS pos
+               FROM wf)
+         SELECT substr(w, CAST(pos AS INTEGER), 2) AS pair,
+                CAST(sum(f) AS BIGINT) AS cnt
+         FROM i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY lang),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         x AS (SELECT lang, n, CAST(n AS DOUBLE) / tot AS p,
+                      CAST(floor(exp(0.7 * ln(CAST(n AS DOUBLE) / tot))
+                        * 1e12) AS BIGINT) AS wt
+               FROM c CROSS JOIN t),
+         z AS (SELECT CAST(sum(wt) AS BIGINT) AS z FROM x)
+         SELECT lang, n,
+                floor(p * 1000000 + 0.5) / 1000000.0 AS p_raw,
+                floor(CAST(wt AS DOUBLE) / z * 1000000 + 0.5) / 1000000.0
+                  AS p_temp,
+                floor(1000.0 * wt / z * 100 + 0.5) / 100.0
+                  AS expected_docs
+         FROM x CROSS JOIN z ORDER BY lang""",
+    "q_text_count_min" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         rb AS (SELECT tok, r,
+                       ${hex2Sql("md5(CAST(r AS VARCHAR) || ':' || tok)")}
+                         % 32 AS b
+                FROM tok CROSS JOIN
+                  (SELECT unnest(generate_series(0, 3)) AS r) rs),
+         cells AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                   FROM rb GROUP BY r, b),
+         top AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+                 FROM tok GROUP BY tok
+                 ORDER BY exact DESC, tok LIMIT 10),
+         probes AS (SELECT tok, exact, r,
+                           ${hex2Sql("md5(CAST(r AS VARCHAR) || ':' || tok)")}
+                             % 32 AS b
+                    FROM top CROSS JOIN
+                      (SELECT unnest(generate_series(0, 3)) AS r) rs)
+         SELECT p.tok, p.exact, CAST(min(c.c) AS BIGINT) AS est
+         FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+         GROUP BY p.tok, p.exact ORDER BY p.exact DESC, p.tok""",
+    "q_text_feature_hash" ->
+      s"""SELECT doc_id,
+                ${hex2Sql("md5(tok)")} % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents WHERE doc_id < 50) t
+         GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     "q_text_repetition" ->
       """WITH tk AS (
            SELECT doc_id,

@@ -245,4 +245,74 @@ class BatchR3Spec extends SparkSpec {
     val again = operators.TextOps.queries("q_sample_domain_cap")(spark, sfDir)
     assert(df.collect().toSeq == again.collect().toSeq)
   }
+
+  test("ohlc: bar invariants hold and open/close pick the edge events") {
+    val rows = operators.EventOps.queries("q_events_ohlc")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+      assert(r.getLong(6) >= 1)
+    }
+    // single-event bars collapse: open == high == low == close
+    rows.filter(_.getLong(6) == 1).foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3) &&
+        r.getDouble(3) == r.getDouble(4) && r.getDouble(4) == r.getDouble(5))
+    }
+  }
+
+  test("bpe pairs: counts match a driver-side recount of the corpus") {
+    val got = operators.TextOps.queries("q_text_bpe_pairs")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 20)
+    val words = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.length > 1)
+    val counts = words.flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (p, n) => assert(counts(p) == n, s"pair $p") }
+    // descending, tie-broken by pair
+    assert(got.sliding(2).forall { case Array((p1, n1), (p2, n2)) =>
+      n1 > n2 || (n1 == n2 && p1 < p2) })
+  }
+
+  test("temperature sampling: flattens the distribution, sums to ~1") {
+    val rows = operators.TextOps.queries("q_sample_temperature")(
+      spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val (pRaw, pTemp) = (rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
+    assert(math.abs(pRaw.sum - 1.0) < 1e-4 &&
+      math.abs(pTemp.sum - 1.0) < 1e-4)
+    // α<1 upsamples the tail and downsamples the head
+    val head = rows.maxBy(_.getDouble(2))
+    val tail = rows.minBy(_.getDouble(2))
+    assert(head.getDouble(3) <= head.getDouble(2) + 1e-9)
+    assert(tail.getDouble(3) >= tail.getDouble(2) - 1e-9)
+  }
+
+  test("count-min: estimate bounds exact from above") {
+    val rows = operators.TextOps.queries("q_text_count_min")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+  }
+
+  test("feature hash: buckets in range, counts partition the tokens") {
+    val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val perDoc = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == expected)
+  }
 }
