@@ -912,6 +912,58 @@ object RelationalOps {
       .except(Tables.events(s, d).select(col("user_id").as("k")))
       .orderBy("k")
 
+  /** EXCEPT ALL / INTERSECT ALL — BAG semantics (each key keeps
+    * max(0, countA−countB) / min(countA, countB) copies), the multiset
+    * complement of q_set_except/intersect's set semantics. Spark plans
+    * both as a single hash aggregate with replicated counts (no
+    * distinct-then-join), so they shuffle once on the key like any
+    * groupBy. Output is the per-key census of both results (a canonical,
+    * order-free encoding of the bags). */
+  private val setBagOps: Q = (s, d) => {
+    val a = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+      .select(col("l_suppkey").as("k"))
+    val b = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("k"))
+    val ex = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except"))
+    val in = a.intersectAll(b).groupBy("k")
+      .agg(count(lit(1)).as("n_intersect"))
+    ex.join(in, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .orderBy("k")
+  }
+
+  /** Order-fulfillment backlog — the interval-concurrency pattern:
+    * [o_orderdate, l_shipdate) intervals are EVENT-IFIED (+1 at start,
+    * −1 at end) so "how many line items are in fulfillment on day X"
+    * needs no interval×day join — one union, one |days|-bounded
+    * aggregate, one running sum over the bounded day frame (census
+    * window: ~2.5k rows regardless of fact size, same argument as
+    * q_events_rolling_7d). This is how concurrent-sessions / peak-load /
+    * inventory-in-transit questions stay linear at 100 TB. */
+  private val ordersBacklog: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("od"),
+        expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("sd"))
+      // the synthetic data ships a few lines BEFORE their order date —
+      // normalize to [min, max) so every interval is well-formed and
+      // the prefix sum is a true concurrency count
+      .select(least(col("od"), col("sd")).as("start_day"),
+        greatest(col("od"), col("sd")).as("end_day"))
+    val ev = li.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionAll(li.select(col("end_day").as("day"), lit(-1L).as("delta")))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.groupBy("day").agg(sum(col("delta")).as("delta"))
+      .withColumn("in_flight", sum(col("delta")).over(w))
+      .orderBy("day")
+  }
+
   // ------------------------------------------------------------ registry
 
   /** 2-D skyline (Pareto frontier: cheapest price for its size class or
@@ -1119,7 +1171,9 @@ object RelationalOps {
     "q_sort_limit" -> sortLimit,
     "q_set_union" -> setUnion,
     "q_set_intersect" -> setIntersect,
-    "q_set_except" -> setExcept)
+    "q_set_except" -> setExcept,
+    "q_set_bag_ops" -> setBagOps,
+    "q_orders_backlog" -> ordersBacklog)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1665,5 +1719,42 @@ object RelationalOps {
          INTERSECT SELECT user_id FROM events ORDER BY k""",
     "q_set_except" ->
       """SELECT c_custkey AS k FROM customer
-         EXCEPT SELECT user_id FROM events ORDER BY k""")
+         EXCEPT SELECT user_id FROM events ORDER BY k""",
+    "q_set_bag_ops" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem
+                    WHERE l_quantity < 10),
+         b AS (SELECT l_suppkey AS k FROM lineitem
+               WHERE l_returnflag = 'R'),
+         ex AS (SELECT k, CAST(count(*) AS BIGINT) AS n_except
+                FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+                GROUP BY k),
+         ins AS (SELECT k, CAST(count(*) AS BIGINT) AS n_intersect
+                 FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+                 GROUP BY k)
+         SELECT coalesce(ex.k, ins.k) AS k,
+                coalesce(n_except, 0) AS n_except,
+                coalesce(n_intersect, 0) AS n_intersect
+         FROM ex FULL OUTER JOIN ins ON ex.k = ins.k
+         ORDER BY k""",
+    "q_orders_backlog" ->
+      """WITH li0 AS (
+           SELECT epoch(o_orderdate)::BIGINT // 86400 AS od,
+                  epoch(l_shipdate)::BIGINT // 86400 AS sd
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         li AS (
+           SELECT least(od, sd) AS start_day,
+                  greatest(od, sd) AS end_day
+           FROM li0),
+         ev AS (
+           SELECT start_day AS day, CAST(1 AS BIGINT) AS delta FROM li
+           UNION ALL
+           SELECT end_day AS day, CAST(-1 AS BIGINT) AS delta FROM li),
+         daily AS (
+           SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+           FROM ev GROUP BY day)
+         SELECT day, delta,
+                CAST(sum(delta) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS in_flight
+         FROM daily ORDER BY day""")
 }

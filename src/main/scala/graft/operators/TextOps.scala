@@ -965,7 +965,34 @@ object TextOps {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
 
+  /** Rendezvous (highest-random-weight) sharding — the consistent data-
+    * placement primitive: every doc goes to the shard whose
+    * md5(shard:doc) weight is lexicographically largest. THE property
+    * (proved by the output itself): when shard 7 is removed, ONLY its
+    * docs move — every other doc's argmax among the survivors is
+    * unchanged by construction, so reshards touch 1/n of the data where
+    * mod-hashing reshuffles nearly everything. Long-form explode +
+    * max_by, one doc_id-keyed aggregate; weights are hex strings
+    * compared byte-wise — no decode, exact cross-engine. */
+  private val shardRendezvous: Q = (s, d) => {
+    def assign(n: Int) =
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, ${n - 1})")).as("sh"))
+        .withColumn("w", md5(concat(col("sh").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+        .groupBy("doc_id")
+        .agg(max_by(col("sh"), col("w")).cast("long").as(s"shard$n"))
+    assign(8).join(assign(7), Seq("doc_id"))
+      .groupBy("shard8")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard7") =!= col("shard8"), 1L).otherwise(0L))
+          .as("n_moved_on_reshard"))
+      .orderBy("shard8")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_shard_rendezvous" -> shardRendezvous,
     "q_text_bpe_pairs" -> bpePairs,
     "q_sample_temperature" -> sampleTemperature,
     "q_text_count_min" -> countMin,
@@ -1031,6 +1058,28 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_shard_rendezvous" ->
+      """WITH a8 AS (
+           SELECT doc_id, CAST(arg_max(sh, w) AS BIGINT) AS shard8
+           FROM (SELECT doc_id, sh,
+                        md5(CAST(sh AS VARCHAR) || ':' ||
+                            CAST(doc_id AS VARCHAR)) AS w
+                 FROM documents CROSS JOIN
+                   (SELECT unnest(generate_series(0, 7)) AS sh) s) t
+           GROUP BY doc_id),
+         a7 AS (
+           SELECT doc_id, CAST(arg_max(sh, w) AS BIGINT) AS shard7
+           FROM (SELECT doc_id, sh,
+                        md5(CAST(sh AS VARCHAR) || ':' ||
+                            CAST(doc_id AS VARCHAR)) AS w
+                 FROM documents CROSS JOIN
+                   (SELECT unnest(generate_series(0, 6)) AS sh) s) t
+           GROUP BY doc_id)
+         SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN shard7 <> shard8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved_on_reshard
+         FROM a8 JOIN a7 USING (doc_id)
+         GROUP BY shard8 ORDER BY shard8""",
     "q_text_bpe_pairs" ->
       """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
                      FROM documents),

@@ -428,7 +428,39 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Johnson–Lindenstrauss random projection 64→8 dims — the
+    * dimensionality-reduction scale lever BETWEEN full vectors and
+    * int8 quantization (q_embed_quantize): a Rademacher (±1) projection
+    * matrix preserves pairwise distances within ~1/√k, and unlike PCA
+    * needs NO training pass. The matrix is md5-seeded ('proj:' domain,
+    * disjoint from the LSH planes), 8×64 floats, broadcast; projection
+    * is one graft_dot per output dim with the same sequential-fold
+    * parity as every other dot here, scaled by 1/√8 (IEEE sqrt is
+    * correctly rounded — identical cross-engine). Long-form output
+    * (vec_id, k, proj) keeps the comparator array-free; the vec_id < 20
+    * filter only bounds the oracle dump. */
+  private val vecProject: Q = (s, d) => {
+    val kDims = 8; val dim = 64
+    val planes = s.range(kDims.toLong).toDF("k")
+      .withColumn("j", explode(expr(s"sequence(0, ${dim - 1})")))
+      .withColumn("sgn", expr(
+        """CAST(CASE WHEN (position(substring(
+          |md5(concat('proj:', cast(k AS string), ':', cast(j AS string))),
+          |1, 1), '0123456789abcdef') - 1) % 2 = 1
+          |THEN 1.0 ELSE -1.0 END AS FLOAT)""".stripMargin))
+      .groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(j, sgn))), x -> x.sgn)")
+        .as("parr"))
+    vecs(s, d).filter(col("vec_id") < 20)
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("k"),
+        r6(expr("graft_dot(v, parr)") / lit(math.sqrt(kDims.toDouble)))
+          .as("proj"))
+      .orderBy("vec_id", "k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vec_project" -> vecProject,
     "q_embed_pca_top1" -> pcaTop1,
     "q_eval_lsh_recall" -> lshRecall,
     "q_embed_drift" -> embedDrift,
@@ -520,6 +552,23 @@ object VectorOps {
        SELECT i, x AS loading FROM v3 ORDER BY i"""
 
   val oracle: Map[String, String] = Map(
+    "q_vec_project" ->
+      """WITH pl AS (
+           SELECT k, j,
+                  CASE WHEN (strpos('0123456789abcdef', substring(
+                    md5('proj:' || CAST(k AS VARCHAR) || ':' ||
+                        CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS sgn
+           FROM (SELECT unnest(generate_series(0, 7)) AS k) ks,
+                (SELECT unnest(generate_series(0, 63)) AS j) js),
+         pa AS (SELECT k, list(sgn ORDER BY j) AS parr
+                FROM pl GROUP BY k),
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
+               FROM embeddings WHERE vec_id < 20)
+         SELECT vec_id, k,
+                floor(list_inner_product(varr, parr) / sqrt(8.0)
+                  * 1000000 + 0.5) / 1000000.0 AS proj
+         FROM q CROSS JOIN pa ORDER BY vec_id, k""",
     "q_sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
                            CAST(embedding AS DOUBLE[]) AS qv

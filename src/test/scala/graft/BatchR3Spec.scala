@@ -301,6 +301,49 @@ class BatchR3Spec extends SparkSpec {
     }
   }
 
+  test("bag ops: except/intersect all match the count arithmetic") {
+    val rows = operators.RelationalOps.queries("q_set_bag_ops")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val cntA = li.filter(col("l_quantity") < 10).groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cntB = li.filter(col("l_returnflag") === "R").groupBy("l_suppkey")
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (k, (ex, in)) =>
+      val (a, b) = (cntA.getOrElse(k, 0L), cntB.getOrElse(k, 0L))
+      assert(ex == math.max(0L, a - b), s"except $k")
+      assert(in == math.min(a, b), s"intersect $k")
+    }
+  }
+
+  test("backlog: prefix sums stay nonnegative and drain to zero") {
+    val rows = operators.RelationalOps.queries("q_orders_backlog")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 0, s"day ${r.getLong(0)}"))
+    assert(rows.last.getLong(2) == 0L) // every interval eventually closes
+    assert(rows.map(_.getLong(1)).sum == 0L)
+  }
+
+  test("rendezvous: removing shard 7 moves exactly its docs") {
+    val rows = operators.TextOps.queries("q_shard_rendezvous")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { case (shard, n, moved) =>
+      if (shard == 7L) assert(moved == n) else assert(moved == 0L)
+    }
+  }
+
+  test("vec project: 20x8 long form, deterministic, non-degenerate") {
+    val df = operators.VectorOps.queries("q_vec_project")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 160)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 160)
+    assert(rows.exists(_.getDouble(2) != 0.0))
+    assert(df.collect().toSeq == rows.toSeq)
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
