@@ -964,6 +964,39 @@ object RelationalOps {
       .orderBy("day")
   }
 
+  /** Histogram-interpolated approximate quantiles — how p50/p90/p99 are
+    * actually computed at 100 TB: exact percentile needs a global sort
+    * (or full value collection per group); a FIXED-WIDTH histogram is
+    * one map-side-combinable hash aggregate, and the per-(group,bucket)
+    * cells MERGE by addition across partitions/days/reruns. The
+    * estimate linearly interpolates inside the bucket that crosses
+    * q·N — bounded error = bucket width, chosen here as 5000 on
+    * o_totalprice. Counts stay exact integers to the one final
+    * division; r2 at the boundary. */
+  private val histoQuantile: Q = (s, d) => {
+    val width = 5000L
+    val h = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        floor(col("o_totalprice") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("prio").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("prio")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = h.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wn))
+    val qs = s.createDataFrame(Seq(Tuple1(0.5), Tuple1(0.9), Tuple1(0.99)))
+      .toDF("q")
+    cum.join(broadcast(qs),
+        col("cum") >= col("q") * col("n") &&
+          (col("cum") - col("c")) < col("q") * col("n"))
+      .select(col("prio"), col("q"), col("n"),
+        r2(col("b") * width +
+          (col("q") * col("n") - (col("cum") - col("c"))) / col("c") * width)
+          .as("est"))
+      .orderBy("prio", "q")
+  }
+
   // ------------------------------------------------------------ registry
 
   /** 2-D skyline (Pareto frontier: cheapest price for its size class or
@@ -1173,7 +1206,8 @@ object RelationalOps {
     "q_set_intersect" -> setIntersect,
     "q_set_except" -> setExcept,
     "q_set_bag_ops" -> setBagOps,
-    "q_orders_backlog" -> ordersBacklog)
+    "q_orders_backlog" -> ordersBacklog,
+    "q_agg_histo_quantile" -> histoQuantile)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1736,6 +1770,25 @@ object RelationalOps {
                 coalesce(n_intersect, 0) AS n_intersect
          FROM ex FULL OUTER JOIN ins ON ex.k = ins.k
          ORDER BY k""",
+    "q_agg_histo_quantile" ->
+      """WITH h AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(floor(o_totalprice / 5000) AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY prio, b),
+         cum AS (
+           SELECT prio, b, c,
+                  CAST(sum(c) OVER (PARTITION BY prio ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(c) OVER (PARTITION BY prio) AS BIGINT) AS n
+           FROM h),
+         qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+         SELECT prio, q, n,
+                floor((b * 5000 + (q * n - (cum - c)) / c * 5000)
+                  * 100 + 0.5) / 100.0 AS est
+         FROM cum JOIN qs ON cum >= q * n AND (cum - c) < q * n
+         ORDER BY prio, q""",
     "q_orders_backlog" ->
       """WITH li0 AS (
            SELECT epoch(o_orderdate)::BIGINT // 86400 AS od,

@@ -281,7 +281,33 @@ object StatsOps {
         r6(sum((col("p") - col("q")) * log(col("p") / col("q")))).as("psi"))
   }
 
+  /** Lag-1 autocorrelation of the daily event-count series — the
+    * seasonality/trend detector that decides whether a forecast model
+    * is even worth fitting. The series is the |days|-bounded daily
+    * census; consecutive days pair via a self-join on day = day+1
+    * (broadcast-scale, no window). Counts are exact integers, so every
+    * moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer and the Pearson
+    * formula's ONE division is the only float op — bit-identical
+    * cross-engine, r6 at the boundary. */
+  private val autocorr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.select(col("day"), col("c").as("x"))
+      .join(daily.select((col("day") - 1).as("day"), col("c").as("y")),
+        Seq("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r6((count(lit(1)) * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))).cast("double") /
+          (sqrt((count(lit(1)) * sum(col("x") * col("x")) -
+            sum(col("x")) * sum(col("x"))).cast("double")) *
+           sqrt((count(lit(1)) * sum(col("y") * col("y")) -
+            sum(col("y")) * sum(col("y"))).cast("double"))))
+          .as("acf1"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
     "q_stats_prop_test" -> propTest,
     "q_stats_ks" -> ks,
@@ -296,6 +322,22 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_autocorr" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         p AS (SELECT a.c AS x, b.c AS y
+               FROM daily a JOIN daily b ON b.day = a.day + 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                         AS DOUBLE) /
+                       (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                          AS DOUBLE)) *
+                        sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y)
+                          AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0
+                  AS acf1
+         FROM p""",
     "q_stats_psi" ->
       s"""WITH ev AS (SELECT CAST(event_id % 2 AS INTEGER) AS half,
                              least(CAST(floor(value / 50) AS INTEGER), 9)

@@ -991,7 +991,59 @@ object TextOps {
       .orderBy("shard8")
   }
 
+  /** Character-level Shannon entropy per doc — the gibberish/encoded-
+    * blob detector that complements the token-level quality rules
+    * (random bytes score HIGH, repeated filler scores LOW; natural text
+    * sits in a tight band). Chars via regexp_extract_all('.') — Java
+    * and RE2 agree on '.' here because the corpus is newline-free
+    * (profiled). Counts are exact integers to the per-term division;
+    * the ~|charset|-term ln sum follows the same r6-at-the-boundary
+    * discipline as q_stats_entropy/psi. Explode → two hash aggs keyed
+    * by doc_id — linear, shuffle on doc_id only. */
+  private val charEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        r6(-sum((col("c") / col("n")) *
+          log(col("c") / col("n")))).as("entropy"))
+      .orderBy("doc_id")
+
+  /** RAG chunking with overlap — the retrieval-prep splitter: fixed
+    * 32-token chunks on a 24-token stride (8-token overlap keeps
+    * boundary answers findable; production uses 2048/256 — the plan is
+    * size-agnostic). Chunk starts come from sequence(start, stop,
+    * step) per doc — pure projection + explode, no shuffle at all
+    * until the output sort, and each chunk row carries (start, len,
+    * first/last token) rather than materialized text so downstream
+    * embedding jobs read the token slice lazily. */
+  private val ragChunks: Q = (s, d) => {
+    val (chunk, stride) = (32, 24)
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks().as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("start",
+        explode(expr(s"sequence(0, n_tok - 1, $stride)")))
+      .withColumn("len",
+        least(lit(chunk.toLong), col("n_tok") - col("start")))
+      .select(col("doc_id"), (col("start") / stride).cast("long")
+          .as("chunk_idx"),
+        col("start").cast("long").as("start"), col("len"),
+        expr("element_at(w, CAST(start + 1 AS INT))").as("first_tok"),
+        expr("element_at(w, CAST(start + len AS INT))").as("last_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_char_entropy" -> charEntropy,
+    "q_text_rag_chunks" -> ragChunks,
     "q_shard_rendezvous" -> shardRendezvous,
     "q_text_bpe_pairs" -> bpePairs,
     "q_sample_temperature" -> sampleTemperature,
@@ -1058,6 +1110,36 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(regexp_extract_all(text, '.')) AS ch
+                     FROM documents),
+         cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM ch GROUP BY doc_id, ch),
+         cn AS (SELECT doc_id, c,
+                       CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT)
+                         AS n
+                FROM cc)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                floor((-sum((CAST(c AS DOUBLE) / n)
+                  * ln(CAST(c AS DOUBLE) / n))) * 1000000 + 0.5)
+                  / 1000000.0 AS entropy
+         FROM cn GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_rag_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+         s AS (SELECT doc_id, w, n_tok,
+                      unnest(generate_series(0, n_tok - 1, 24)) AS start
+               FROM t)
+         SELECT doc_id, start // 24 AS chunk_idx, start,
+                least(32, n_tok - start) AS len,
+                w[CAST(start + 1 AS INTEGER)] AS first_tok,
+                w[CAST(start + least(32, n_tok - start) AS INTEGER)]
+                  AS last_tok
+         FROM s ORDER BY doc_id, chunk_idx""",
     "q_shard_rendezvous" ->
       """WITH a8 AS (
            SELECT doc_id, CAST(arg_max(sh, w) AS BIGINT) AS shard8

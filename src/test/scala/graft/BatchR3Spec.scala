@@ -344,6 +344,63 @@ class BatchR3Spec extends SparkSpec {
     assert(df.collect().toSeq == rows.toSeq)
   }
 
+  test("histo quantile: brackets the exact percentile within one bucket") {
+    val rows = operators.RelationalOps.queries("q_agg_histo_quantile")(
+      spark, sfDir).collect()
+    assert(rows.length == 15) // 5 priorities x 3 quantiles
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+        .as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val (prio, q, est) = (r.getString(0), r.getDouble(1), r.getDouble(3))
+      val idx = Seq(0.5, 0.9, 0.99).indexOf(q)
+      assert(math.abs(est - exact(prio)(idx)) <= 5000.0,
+        s"$prio q=$q est=$est exact=${exact(prio)(idx)}")
+    }
+  }
+
+  test("autocorr: single row, coefficient in [-1, 1]") {
+    val r = operators.StatsOps.queries("q_stats_autocorr")(spark, sfDir)
+      .head()
+    assert(r.getLong(0) > 10)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
+  test("char entropy: uniform text maxes out, repeated text is zero") {
+    import spark.implicits._
+    val rows = operators.TextOps.queries("q_text_char_entropy")(spark, sfDir)
+      .collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (n, k, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9,
+        s"doc ${r.getLong(0)}: entropy $h outside [0, ln($k)]")
+      assert(n >= k)
+    }
+  }
+
+  test("rag chunks: strides cover every token and overlap by 8") {
+    val rows = operators.TextOps.queries("q_text_rag_chunks")(spark, sfDir)
+      .collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val nTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // starts are 0, 24, 48, ... and the last chunk reaches the end
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) == i * 24L)
+        assert(c.getLong(3) >= 1 && c.getLong(3) <= 32)
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == nTok(doc))
+    }
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
