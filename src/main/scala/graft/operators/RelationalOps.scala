@@ -997,6 +997,29 @@ object RelationalOps {
       .orderBy("prio", "q")
   }
 
+  /** Mergeable partial aggregates — the incremental-ETL pattern behind
+    * every "aggregate yesterday once, roll it up forever" pipeline:
+    * daily partial states (n, sum, min, max) MERGE into weekly finals
+    * by pure addition/min/max, no raw re-scan — which is also exactly
+    * the contract that makes hash aggregation map-side combinable and
+    * sketches unionable. Day sums are r2-rounded before the merge
+    * (round-then-merge, the rolling-median discipline) so the
+    * re-aggregation runs on identical doubles cross-engine; the spec
+    * pins merged ≡ direct. */
+  private val aggMergeDays: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+        .as("day"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("tot"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    daily.groupBy(expr("day div 7").as("week"))
+      .agg(sum(col("n")).as("n"), r2(sum(col("tot"))).as("total"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        count(lit(1)).as("n_days"))
+      .withColumn("mean", r6(col("total") / col("n")))
+      .orderBy("week")
+  }
+
   // ------------------------------------------------------------ registry
 
   /** 2-D skyline (Pareto frontier: cheapest price for its size class or
@@ -1207,7 +1230,8 @@ object RelationalOps {
     "q_set_except" -> setExcept,
     "q_set_bag_ops" -> setBagOps,
     "q_orders_backlog" -> ordersBacklog,
-    "q_agg_histo_quantile" -> histoQuantile)
+    "q_agg_histo_quantile" -> histoQuantile,
+    "q_agg_merge_days" -> aggMergeDays)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1770,6 +1794,20 @@ object RelationalOps {
                 coalesce(n_intersect, 0) AS n_intersect
          FROM ex FULL OUTER JOIN ins ON ex.k = ins.k
          ORDER BY k""",
+    "q_agg_merge_days" ->
+      """WITH daily AS (
+           SELECT epoch(o_orderdate)::BIGINT // 86400 AS day,
+                  CAST(count(*) AS BIGINT) AS n,
+                  floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS tot,
+                  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders GROUP BY day)
+         SELECT day // 7 AS week, CAST(sum(n) AS BIGINT) AS n,
+                floor(sum(tot) * 100 + 0.5) / 100.0 AS total,
+                min(mn) AS mn, max(mx) AS mx,
+                CAST(count(*) AS BIGINT) AS n_days,
+                floor((floor(sum(tot) * 100 + 0.5) / 100.0)
+                  / sum(n) * 1000000 + 0.5) / 1000000.0 AS mean
+         FROM daily GROUP BY week ORDER BY week""",
     "q_agg_histo_quantile" ->
       """WITH h AS (
            SELECT o_orderpriority AS prio,

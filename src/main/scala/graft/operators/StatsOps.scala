@@ -306,7 +306,30 @@ object StatsOps {
           .as("acf1"))
   }
 
+  /** Winsorized robust mean — the outlier-resistant location estimate
+    * production metrics use when a single fat-fingered value must not
+    * move the dashboard: values clipped at p05/p95, then re-averaged
+    * beside the raw mean (their gap is itself the contamination
+    * signal). Percentiles are r6-ROUNDED before clipping
+    * (round-then-clip) so both engines clamp against identical
+    * thresholds; interpolated percentile matches quantile_cont
+    * (q_agg_percentile precedent). One pass + a 1-row broadcast back —
+    * no sort of the fact at any scale. */
+  private val winsorize: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val pct = ev.agg(r6(expr("percentile(value, 0.05)")).as("p05"),
+      r6(expr("percentile(value, 0.95)")).as("p95"))
+    ev.crossJoin(broadcast(pct))
+      .select(col("value"), col("p05"), col("p95"),
+        greatest(least(col("value"), col("p95")), col("p05")).as("w"))
+      .agg(count(lit(1)).as("n"), max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        r6(avg(col("value"))).as("mean_raw"),
+        r6(avg(col("w"))).as("mean_winsor"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_winsorize" -> winsorize,
     "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
     "q_stats_prop_test" -> propTest,
@@ -322,6 +345,19 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_winsorize" ->
+      """WITH pct AS (
+           SELECT floor(quantile_cont(value, 0.05) * 1000000 + 0.5)
+                    / 1000000.0 AS p05,
+                  floor(quantile_cont(value, 0.95) * 1000000 + 0.5)
+                    / 1000000.0 AS p95
+           FROM events)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                max(p05) AS p05, max(p95) AS p95,
+                floor(avg(value) * 1000000 + 0.5) / 1000000.0 AS mean_raw,
+                floor(avg(greatest(least(value, p95), p05))
+                  * 1000000 + 0.5) / 1000000.0 AS mean_winsor
+         FROM events CROSS JOIN pct""",
     "q_stats_autocorr" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

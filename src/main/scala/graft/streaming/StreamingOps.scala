@@ -35,6 +35,27 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
 
+  /** Streaming twin of the batch OHLC resample (EventOps q_events_ohlc):
+    * hourly bars per event_type with open/close chosen by the same
+    * zero-padded (µs, event_id) key, so replay order cannot change a
+    * bar. min_by/max_by are plain declarative aggregates — the bar
+    * state per open (window, type) group is one row, finalized when
+    * the watermark passes the hour. */
+  def ohlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("k",
+        concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 10, "0")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("volume"))
+      .select(col("w.start").as("h"), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"),
+        col("volume"))
+
   /** Session windows, 30-min inactivity gap, per user — the native
     * streaming form of EventOps' gaps-and-islands batch query. */
   def sessions(events: DataFrame): DataFrame =

@@ -401,6 +401,39 @@ class BatchR3Spec extends SparkSpec {
     }
   }
 
+  test("merge days: weekly roll-up of partials equals the direct weekly") {
+    val merged = operators.RelationalOps.queries("q_agg_merge_days")(
+      spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(expr("(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) " +
+        "div 86400) div 7").as("week"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("tot"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    merged.foreach { case (w, (n, tot, mn, mx)) =>
+      val (dn, dtot, dmn, dmx) = direct(w)
+      assert(n == dn && mn == dmn && mx == dmx, s"week $w")
+      assert(math.abs(tot - dtot) < 0.05, s"week $w total")
+    }
+  }
+
+  test("winsorize: clipped mean sits inside the clip band") {
+    val r = operators.StatsOps.queries("q_stats_winsorize")(spark, sfDir)
+      .head()
+    val (n, p05, p95, raw, win) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n == Tables.events(spark, sfDir).count())
+    assert(p05 < p95)
+    assert(win >= p05 && win <= p95)
+    // this corpus is right-skewed: clipping the tail pulls the mean down
+    assert(win < raw)
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()

@@ -162,6 +162,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchSessions.nonEmpty)
   }
 
+  test("streaming ohlc bars match the batch resample") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.ohlc(ms.toDF())
+      .writeStream.format("memory").queryName("t_ohlc")
+      .outputMode("append").start()
+    try {
+      ms.addData(loadEvs(): _*)
+      // sentinel far in the future closes every corpus bar
+      ms.addData(ev(999999999L, "2030-01-01 00:00:00"))
+      q.processAllAvailable()
+      val stream = spark.table("t_ohlc").collect()
+        .map(r => (r.getTimestamp(0).getTime / 3600000L, r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDouble(7)))
+        .toMap
+        .filter(_._1._1 < 1893456000000L / 3600000L) // drop the sentinel bar
+      val batch = operators.EventOps.queries("q_events_ohlc")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDouble(7)))
+        .toMap
+      assert(batch.nonEmpty && stream.keySet == batch.keySet)
+      batch.foreach { case (k, (o, h, l, c, n, vol)) =>
+        val (so, sh, sl, scl, sn, svol) = stream(k)
+        assert((so, sh, sl, scl, sn) == (o, h, l, c, n), s"bar $k")
+        assert(math.abs(svol - vol) < 0.02, s"volume $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming session_window emits sessions") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
