@@ -567,7 +567,28 @@ object EventOps {
         r2(sum(col("value"))).as("volume"))
       .orderBy("hr", "event_type")
 
+  /** Seasonal-naive forecast backtest — the baseline every real
+    * forecasting pipeline must beat, and the backtest harness that
+    * proves it: forecast(day) = actual(day − 7), scored with MAE and
+    * MAPE over every day that has a week-ago ancestor. The series is
+    * the |days|-bounded daily census; the backtest join is a
+    * broadcast-scale self-join on day−7. Counts are exact integers, so
+    * MAE is exact to its one division; MAPE follows the r6 discipline. */
+  private val forecastNaive: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    daily.select(col("day"), col("c").as("actual"))
+      .join(daily.select((col("day") + 7).as("day"), col("c").as("fc")),
+        Seq("day"))
+      .agg(count(lit(1)).as("n_days"),
+        r6(avg(abs(col("actual") - col("fc")))).as("mae"),
+        r6(avg(abs(col("actual") - col("fc")).cast("double") /
+          col("actual"))).as("mape"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_forecast_naive" -> forecastNaive,
     "q_events_ohlc" -> ohlc,
     "q_events_churn" -> churn,
     "q_win_rolling_median" -> rollingMedian,
@@ -595,6 +616,19 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_forecast_naive" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         bt AS (SELECT a.c AS actual, b.c AS fc
+                FROM daily a JOIN daily b ON a.day = b.day + 7)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                floor(avg(abs(actual - fc)) * 1000000 + 0.5) / 1000000.0
+                  AS mae,
+                floor(avg(CAST(abs(actual - fc) AS DOUBLE) / actual)
+                  * 1000000 + 0.5) / 1000000.0 AS mape
+         FROM bt""",
     "q_events_ohlc" ->
       """WITH e AS (
            SELECT epoch_us(ts) // 3600000000 AS hr, event_type, value,

@@ -515,6 +515,24 @@ object RelationalOps {
         .as("est_users"))
       .orderBy("event_type")
 
+  /** Sketch-error audit for the KMV distinct estimator — the eval
+    * harness a sketch ships with (the q_eval_*_recall pattern applied
+    * to cardinality estimation): per-group KMV estimate joined to the
+    * exact distinct count, relative error oracle-pinned. At 100 TB the
+    * exact side is the one-off calibration job; the sketch runs daily.
+    * Integer |est − exact| to the single division. */
+  private val evalKmvError: Q = (s, d) => {
+    val est = Tables.events(s, d).groupBy("event_type")
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)").as("est"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact"), col("est"),
+        r6(abs(col("est") - col("exact")).cast("double") / col("exact"))
+          .as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Fixed-width histogram of order totals — the profiling/skew-
     * diagnosis primitive: bin = floor((x − lo) / width) over a STATIC
     * range, so binning needs no data-dependent pass and the aggregation
@@ -1231,7 +1249,8 @@ object RelationalOps {
     "q_set_bag_ops" -> setBagOps,
     "q_orders_backlog" -> ordersBacklog,
     "q_agg_histo_quantile" -> histoQuantile,
-    "q_agg_merge_days" -> aggMergeDays)
+    "q_agg_merge_days" -> aggMergeDays,
+    "q_eval_kmv_error" -> evalKmvError)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1794,6 +1813,39 @@ object RelationalOps {
                 coalesce(n_intersect, 0) AS n_intersect
          FROM ex FULL OUTER JOIN ins ON ex.k = ins.k
          ORDER BY k""",
+    "q_eval_kmv_error" ->
+      s"""WITH g AS (SELECT DISTINCT event_type FROM events),
+          h AS (
+            SELECT DISTINCT event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events
+            WHERE user_id IS NOT NULL),
+          nd AS (SELECT event_type, count(*) AS nd FROM h
+                 GROUP BY event_type),
+          kth AS (
+            SELECT event_type,
+                   greatest($hexValSql, 1) AS v
+            FROM (SELECT event_type, h,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY h) AS rn
+                  FROM h) t
+            WHERE rn = $KmvK),
+          est AS (
+            SELECT g.event_type,
+                   CAST(CASE WHEN kth.v IS NULL THEN coalesce(nd.nd, 0)
+                        ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                   / CAST(kth.v AS DOUBLE)) END
+                        AS BIGINT) AS est
+            FROM g LEFT JOIN nd USING (event_type)
+                   LEFT JOIN kth USING (event_type)),
+          ex AS (SELECT event_type,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+                 FROM events GROUP BY event_type)
+          SELECT event_type, exact, est,
+                 floor(CAST(abs(est - exact) AS DOUBLE) / exact
+                   * 1000000 + 0.5) / 1000000.0 AS rel_err
+          FROM est JOIN ex USING (event_type)
+          ORDER BY event_type""",
     "q_agg_merge_days" ->
       """WITH daily AS (
            SELECT epoch(o_orderdate)::BIGINT // 86400 AS day,

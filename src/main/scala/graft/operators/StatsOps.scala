@@ -328,7 +328,33 @@ object StatsOps {
         r6(avg(col("w"))).as("mean_winsor"))
   }
 
+  /** CUSUM change-point detection on the daily event-count series: z
+    * standardized against r6-ROUNDED series mean/sd (round-then-score),
+    * cumulated in day order, top-5 |cumsum| days = where the level
+    * shift (if any) happened. The running sum is a census window over
+    * the bounded day frame, and — because a window prefix sum is
+    * evaluated SEQUENTIALLY in ORDER BY order on both engines — the
+    * float cumulation is bit-identical cross-engine, no per-term
+    * rounding needed until the final cut (which ranks on the r6 value,
+    * day tie-break). */
+  private val cusum: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.agg(r6(avg(col("c"))).as("m"),
+      r6(stddev_samp(col("c"))).as("sd"))
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", (col("c") - col("m")) / col("sd"))
+      .withColumn("cusum", r6(sum(col("z")).over(wc)))
+      .select(col("day"), col("c"), col("cusum"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cusum" -> cusum,
     "q_stats_winsorize" -> winsorize,
     "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
@@ -345,6 +371,23 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_cusum" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         st AS (
+           SELECT floor(avg(c) * 1000000 + 0.5) / 1000000.0 AS m,
+                  floor(stddev_samp(c) * 1000000 + 0.5) / 1000000.0 AS sd
+           FROM daily),
+         cs AS (
+           SELECT day, c,
+                  floor(sum((c - m) / sd) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1000000 + 0.5) / 1000000.0 AS cusum
+           FROM daily CROSS JOIN st)
+         SELECT day, c, cusum FROM cs
+         ORDER BY abs(cusum) DESC, day LIMIT 5""",
     "q_stats_winsorize" ->
       """WITH pct AS (
            SELECT floor(quantile_cont(value, 0.05) * 1000000 + 0.5)

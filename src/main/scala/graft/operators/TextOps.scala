@@ -1041,7 +1041,31 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Class-balanced downsampling — every language capped to the
+    * MINORITY class count (the third rebalancing shape beside
+    * q_sample_stratified's fixed rates and q_sample_domain_cap's fixed
+    * cap: here the cap is data-derived). Which docs survive is the
+    * deterministic (md5(doc_id), doc_id) hash order, so the balanced
+    * set is stable under re-runs and incremental ingest; the census
+    * that derives the cap is a bounded frame broadcast back. Window
+    * partitioned by lang — thousands of partitions at scale, rank
+    * short-circuits via WindowGroupLimit only when the cap is a
+    * literal, so the explicit filter is the general form. */
+  private val sampleBalanced: Q = (s, d) => {
+    val target = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n")).agg(min(col("n")).as("cap"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(target))
+      .filter(col("rn") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_balanced" -> sampleBalanced,
     "q_text_char_entropy" -> charEntropy,
     "q_text_rag_chunks" -> ragChunks,
     "q_shard_rendezvous" -> shardRendezvous,
@@ -1110,6 +1134,20 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_sample_balanced" ->
+      """WITH cap AS (
+           SELECT CAST(min(n) AS BIGINT) AS cap
+           FROM (SELECT lang, count(*) AS n FROM documents
+                 GROUP BY lang) c),
+         rk AS (
+           SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS rn
+           FROM documents)
+         SELECT doc_id, lang, rn
+         FROM rk CROSS JOIN cap WHERE rn <= cap
+         ORDER BY doc_id""",
     "q_text_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(regexp_extract_all(text, '.')) AS ch

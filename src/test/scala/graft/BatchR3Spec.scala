@@ -434,6 +434,46 @@ class BatchR3Spec extends SparkSpec {
     assert(win < raw)
   }
 
+  test("kmv error audit: small relative error, exact matches distinct") {
+    val rows = operators.RelationalOps.queries("q_eval_kmv_error")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      // k=64 KMV: sub-50% error even at these tiny cardinalities
+      assert(r.getDouble(3) < 0.5, s"${r.getString(0)}: ${r.getDouble(3)}")
+    }
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+  }
+
+  test("forecast backtest: mae/mape nonnegative, window sized right") {
+    val r = operators.EventOps.queries("q_events_forecast_naive")(
+      spark, sfDir).head()
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+  }
+
+  test("cusum: five rows ranked by |cusum| descending") {
+    val rows = operators.StatsOps.queries("q_stats_cusum")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val mags = rows.map(r => math.abs(r.getDouble(2)))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("balanced sample: every language ends at the minority count") {
+    val rows = operators.TextOps.queries("q_sample_balanced")(spark, sfDir)
+      .collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val minCount = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(_.getLong(1)).min
+    assert(perLang.values.toSet == Set(minCount.toInt))
+    assert(rows.forall(_.getLong(2) <= minCount))
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
