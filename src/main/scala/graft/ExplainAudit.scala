@@ -68,7 +68,16 @@ object ExplainAudit {
     // lead() single pass, FK-audit's one-join-per-edge shape
     "q_tpch_q5", "q_layout_zorder", "q_graph_reach",
     "q_sim_hard_negatives", "q_dedup_incremental", "q_stream_left_join",
-    "q_text_span_dedup", "q_quality_fk_audit")
+    "q_text_span_dedup", "q_quality_fk_audit",
+    // round-3 session 3: OHLC's single hash aggregate (min_by bars, no
+    // window), the mergeable histogram-quantile cells, BPE's vocab-sized
+    // pair explosion, backlog's event-ified census prefix sum, count-min
+    // sketch cells (map-side combinable), RAG chunking (projection-only
+    // until the output sort), JL projection (broadcast plane matrix),
+    // rendezvous sharding's doc-keyed argmax
+    "q_events_ohlc", "q_agg_histo_quantile", "q_text_bpe_pairs",
+    "q_orders_backlog", "q_text_count_min", "q_text_rag_chunks",
+    "q_vec_project", "q_shard_rendezvous")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
