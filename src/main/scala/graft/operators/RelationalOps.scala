@@ -291,23 +291,72 @@ object RelationalOps {
     * lineitem (partkey × suppkey mod 2^16). At 100 TB this key feeds
     * repartitionByRange + sortWithinPartitions before the parquet write;
     * here the ordered top-100 pins the key computation itself. */
-  private val layoutZorder: Q = (s, d) => {
-    def spread(c: Column): Column = {
-      // 16-bit value -> even bit positions of a 32-bit lane
-      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
-      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
-      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
-    }
-    val base = Tables.lineitem(s, d).select(
-      col("l_orderkey"), col("l_linenumber"),
-      (col("l_partkey") % 65536).as("zx"),
-      (col("l_suppkey") % 65536).as("zy"))
-    base.select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"),
-        spread(col("zx")).bitwiseOR(shiftleft(spread(col("zy")), 1))
-          .as("zval"))
+  /** 16-bit value -> even bit positions of a 32-bit lane (Morton
+    * interleave step, shared by q_layout_zorder and the skipping
+    * audit). */
+  private def spreadBits(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** lineitem with Morton key columns (zx, zy, zval) — shared base for
+    * the z-order layout queries. */
+  private def zorderBase(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 65536).as("zx"),
+        (col("l_suppkey") % 65536).as("zy"))
+      .withColumn("zval",
+        spreadBits(col("zx")).bitwiseOR(shiftleft(spreadBits(col("zy")), 1)))
+
+  private val layoutZorder: Q = (s, d) =>
+    zorderBase(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"),
+        col("zval"))
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
+
+  /** Data-skipping audit — WHY z-order matters, quantified: rows are
+    * laid into 16 "files" under (a) natural (l_orderkey, l_linenumber)
+    * order and (b) Morton zval order, each file keeps (min, max) of
+    * both dimensions — exactly the footer stats parquet writes — and a
+    * 2-D box predicate — the bottom-left ⅛×⅛ corner of the ACTUAL data
+    * bounds (min-anchored, integer arithmetic, so the audit stays
+    * selective at every scale factor) — is tested against them. A file
+    * skips iff its min-max rectangle misses the box. Under natural
+    * order both dimensions span ~the full range in every file (skip ≈
+    * 0); under z-order the box lives in few Morton blocks. The ntile
+    * window SIMULATES the layout for this bounded audit — the
+    * production analog is repartitionByRange(zval).write, where the
+    * cost is a range shuffle, not a global sort window. All-integer
+    * output. */
+  private val layoutSkipping: Q = (s, d) => {
+    val base = zorderBase(s, d)
+    val bounds = base.agg(min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
+      min(col("zy")).as("by0"), max(col("zy")).as("by1"))
+    def files(layout: String, ord: Seq[Column]) =
+      base.withColumn("f", ntile(16).over(Window.orderBy(ord: _*)))
+        .groupBy(lit(layout).as("layout"), col("f"))
+        .agg(count(lit(1)).as("rows"),
+          min(col("zx")).as("x0"), max(col("zx")).as("x1"),
+          min(col("zy")).as("y0"), max(col("zy")).as("y1"))
+    files("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionAll(files("zorder",
+        Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))))
+      .crossJoin(broadcast(bounds))
+      .withColumn("hx", col("bx0") + expr("(bx1 - bx0) div 8"))
+      .withColumn("hy", col("by0") + expr("(by1 - by0) div 8"))
+      .withColumn("skip",
+        when(col("x1") < col("bx0") || col("x0") > col("hx") ||
+          col("y1") < col("by0") || col("y0") > col("hy"), 1L)
+          .otherwise(0L))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"), sum(col("skip")).as("n_skipped"),
+        sum(when(col("skip") === 0, col("rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .orderBy("layout")
   }
 
   /** MapType round-trip over the JSON event properties — the derived
@@ -488,6 +537,25 @@ object RelationalOps {
     * column `h` as an exact BIGINT in [0, 16^15) — pure integer
     * arithmetic (16^15 = 2^60 fits a long; no double in the decode
     * path), mirroring KmvDistinct.eval's decode digit for digit. */
+  /** Shared Morton-key CTE chain (final CTE `z` = lineitem + zx, zy,
+    * zval) — DuckDB twin of spreadBits/zorderBase, used by both z-order
+    * oracle queries. */
+  private val zvalCtes: String =
+    """WITH base AS (SELECT l_orderkey, l_linenumber,
+                            l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
+                     FROM lineitem),
+       s1 AS (SELECT *, (zx | (zx << 8)) & 16711935 AS xa,
+                        (zy | (zy << 8)) & 16711935 AS ya FROM base),
+       s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+                        (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+       s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+                        (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+       s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+                        (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+       z AS (SELECT l_orderkey, l_linenumber, zx, zy,
+                    xd | (yd << 1) AS zval
+             FROM s4)"""
+
   private[operators] val hexValSql: String =
     (0 until 15).map { i =>
       val weight = 1L << (4 * (14 - i))
@@ -1250,7 +1318,8 @@ object RelationalOps {
     "q_orders_backlog" -> ordersBacklog,
     "q_agg_histo_quantile" -> histoQuantile,
     "q_agg_merge_days" -> aggMergeDays,
-    "q_eval_kmv_error" -> evalKmvError)
+    "q_eval_kmv_error" -> evalKmvError,
+    "q_layout_skipping" -> layoutSkipping)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1450,19 +1519,40 @@ object RelationalOps {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_layout_zorder" ->
-      """WITH base AS (SELECT l_orderkey, l_linenumber,
-                              l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy
-                       FROM lineitem),
-         s1 AS (SELECT *, (zx | (zx << 8)) & 16711935 AS xa,
-                          (zy | (zy << 8)) & 16711935 AS ya FROM base),
-         s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
-                          (ya | (ya << 4)) & 252645135 AS yb FROM s1),
-         s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
-                          (yb | (yb << 2)) & 858993459 AS yc FROM s2),
-         s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
-                          (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
-         SELECT l_orderkey, l_linenumber, zx, zy, xd | (yd << 1) AS zval
-         FROM s4 ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+      s"""$zvalCtes
+         SELECT l_orderkey, l_linenumber, zx, zy, zval
+         FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+    "q_layout_skipping" ->
+      s"""$zvalCtes,
+         fn AS (SELECT zx, zy, ntile(16) OVER (
+                  ORDER BY l_orderkey, l_linenumber) AS f FROM z),
+         fz AS (SELECT zx, zy, ntile(16) OVER (
+                  ORDER BY zval, l_orderkey, l_linenumber) AS f FROM z),
+         stats AS (
+           SELECT 'natural' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
+                  min(zx) AS x0, max(zx) AS x1,
+                  min(zy) AS y0, max(zy) AS y1
+           FROM fn GROUP BY f
+           UNION ALL
+           SELECT 'zorder' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
+                  min(zx) AS x0, max(zx) AS x1,
+                  min(zy) AS y0, max(zy) AS y1
+           FROM fz GROUP BY f),
+         bounds AS (
+           SELECT min(zx) AS bx0, max(zx) AS bx1,
+                  min(zy) AS by0, max(zy) AS by1
+           FROM z),
+         sk AS (
+           SELECT layout, nr,
+                  CASE WHEN x1 < bx0 OR x0 > bx0 + (bx1 - bx0) // 8
+                         OR y1 < by0 OR y0 > by0 + (by1 - by0) // 8
+                       THEN 1 ELSE 0 END AS skip
+           FROM stats CROSS JOIN bounds)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(skip) AS BIGINT) AS n_skipped,
+                CAST(sum(CASE WHEN skip = 0 THEN nr ELSE 0 END)
+                  AS BIGINT) AS rows_scanned
+         FROM sk GROUP BY layout ORDER BY layout""",
     "q_join_null_safe" ->
       """WITH a AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k,
                            count(*) AS n_all

@@ -474,6 +474,20 @@ class BatchR3Spec extends SparkSpec {
     assert(rows.forall(_.getLong(2) <= minCount))
   }
 
+  test("layout skipping: z-order prunes files, natural order cannot") {
+    val rows = operators.RelationalOps.queries("q_layout_skipping")(
+      spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val total = Tables.lineitem(spark, sfDir).count()
+    val (nf, nskip, scanned) = rows("zorder")
+    assert(nf == 16 && nskip > 0, "z-order must skip at least one file")
+    assert(scanned < total)
+    val (nfN, _, scannedN) = rows("natural")
+    assert(nfN == 16)
+    assert(scanned < scannedN, "z-order must scan less than natural order")
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
