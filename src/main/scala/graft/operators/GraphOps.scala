@@ -200,6 +200,35 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** Degree assortativity of the co-purchase graph — the Pearson
+    * correlation between the degrees at the two ends of every edge
+    * (both orientations, the standard symmetrization): positive ⇒ hubs
+    * link hubs (celebrity-product clusters), negative ⇒ hub-and-spoke.
+    * This single number decides whether degree-based partitioning will
+    * produce balanced wedge joins. Degrees and all five moments are
+    * exact integers; ONE division at the end. Two joins against the
+    * |V|-sized degree table — linear in edges. */
+  private val assortativity: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val deg = e.select(col("x").as("v"))
+      .union(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("v").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("dx"), col("dy"))
+    val sym = pairs.unionAll(
+      pairs.select(col("dy").as("dx"), col("dx").as("dy")))
+    sym.agg(count(lit(1)).as("n_ends"),
+      r6((count(lit(1)) * sum(col("dx") * col("dy")) -
+          sum(col("dx")) * sum(col("dy"))).cast("double") /
+        (sqrt((count(lit(1)) * sum(col("dx") * col("dx")) -
+          sum(col("dx")) * sum(col("dx"))).cast("double")) *
+         sqrt((count(lit(1)) * sum(col("dy") * col("dy")) -
+          sum(col("dy")) * sum(col("dy"))).cast("double"))))
+        .as("assortativity"))
+  }
+
   private val BfsHops = 4
 
   /** Bounded multi-hop reachability (BFS hop distance ≤ 4) from the
@@ -243,6 +272,7 @@ object GraphOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_graph_assortativity" -> assortativity,
     "q_graph_reach" -> reach,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
@@ -258,6 +288,30 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT x AS v FROM e
+                       UNION ALL SELECT y AS v FROM e) t
+                 GROUP BY v),
+         p AS (SELECT dx.deg AS dx, dy.deg AS dy
+               FROM e JOIN deg dx ON e.x = dx.v
+                      JOIN deg dy ON e.y = dy.v),
+         sym AS (SELECT dx, dy FROM p
+                 UNION ALL SELECT dy AS dx, dx AS dy FROM p)
+         SELECT CAST(count(*) AS BIGINT) AS n_ends,
+                floor((CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy)
+                         AS DOUBLE) /
+                       (sqrt(CAST(count(*) * sum(dx * dx)
+                          - sum(dx) * sum(dx) AS DOUBLE)) *
+                        sqrt(CAST(count(*) * sum(dy * dy)
+                          - sum(dy) * sum(dy) AS DOUBLE))))
+                  * 1000000 + 0.5) / 1000000.0 AS assortativity
+         FROM sym""",
     "q_graph_reach" ->
       """WITH RECURSIVE op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -1064,7 +1064,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit of the token frequency distribution — the corpus-
+    * health audit (natural language sits near slope −1; synthetic or
+    * templated text departs hard, as this corpus's slope shows): OLS of
+    * ln(freq) on ln(rank) over the top-100 ranks. The rank window runs
+    * on the |vocab|-bounded frequency census, never the corpus; moments
+    * are the standard one-pass sums with the r6 discipline at the two
+    * final divisions. */
+  private val tokZipf: Q = (s, d) => {
+    val ranked = Tables.documents(s, d)
+      .select(explode(toks()).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= 100)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n_ranks"),
+      r6((count(lit(1)) * sum(col("x") * col("y")) -
+          sum(col("x")) * sum(col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) -
+          sum(col("x")) * sum(col("x")))).as("slope"),
+      r6((sum(col("y")) * sum(col("x") * col("x")) -
+          sum(col("x")) * sum(col("x") * col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) -
+          sum(col("x")) * sum(col("x")))).as("intercept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_tok_zipf" -> tokZipf,
     "q_sample_balanced" -> sampleBalanced,
     "q_text_char_entropy" -> charEntropy,
     "q_text_rag_chunks" -> ragChunks,
@@ -1134,6 +1162,26 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_text_tok_zipf" ->
+      """WITH f AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY tok),
+         rk AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok)
+                    AS DOUBLE)) AS x,
+                  ln(CAST(f AS DOUBLE)) AS y,
+                  row_number() OVER (ORDER BY f DESC, tok) AS rank
+           FROM f QUALIFY rank <= 100)
+         SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                floor(((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                       (count(*) * sum(x * x) - sum(x) * sum(x)))
+                  * 1000000 + 0.5) / 1000000.0 AS slope,
+                floor(((sum(y) * sum(x * x) - sum(x) * sum(x * y)) /
+                       (count(*) * sum(x * x) - sum(x) * sum(x)))
+                  * 1000000 + 0.5) / 1000000.0 AS intercept
+         FROM rk""",
     "q_sample_balanced" ->
       """WITH cap AS (
            SELECT CAST(min(n) AS BIGINT) AS cap

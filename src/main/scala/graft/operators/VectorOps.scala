@@ -459,7 +459,35 @@ object VectorOps {
       .orderBy("vec_id", "k")
   }
 
+  /** Nearest-centroid classifier with its confusion-matrix eval in one
+    * plan — the cheapest embedding classifier (one centroid per label,
+    * the model IS a |labels|×64 table) and the evaluation loop that
+    * justifies or retires it. Centroids are r6-rounded per-dim means
+    * (round-then-score, the embed_drift discipline); scores go through
+    * the pos-join + per-(vector, candidate) sum — r6-rounded before the
+    * argmax cut with the label as tie-break, so the decision boundary
+    * is deterministic cross-engine. Linear: |vectors|×|labels| scores,
+    * never vector×vector. */
+  private val centroidClassify: Q = (s, d) => {
+    val cent = dims(s, d).groupBy(col("label").as("cand"), col("pos"))
+      .agg(r6(avg(col("val"))).as("c"))
+    val scored = dims(s, d)
+      .select(col("vec_id"), col("label").as("true_label"), col("pos"),
+        col("val"))
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy("vec_id", "true_label", "cand")
+      .agg(r6(sum(col("val") * col("c"))).as("score"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_label"), col("cand").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_vec_centroid_classify" -> centroidClassify,
     "q_vec_project" -> vecProject,
     "q_embed_pca_top1" -> pcaTop1,
     "q_eval_lsh_recall" -> lshRecall,
@@ -552,6 +580,32 @@ object VectorOps {
        SELECT i, x AS loading FROM v3 ORDER BY i"""
 
   val oracle: Map[String, String] = Map(
+    "q_vec_centroid_classify" ->
+      """WITH el AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, len(embedding)))
+                    AS INTEGER) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         cent AS (
+           SELECT label AS cand, pos,
+                  floor(avg(val) * 1000000 + 0.5) / 1000000.0 AS c
+           FROM el GROUP BY label, pos),
+         sc AS (
+           SELECT e.vec_id, e.label AS true_label, cent.cand,
+                  floor(sum(e.val * cent.c) * 1000000 + 0.5) / 1000000.0
+                    AS score
+           FROM el e JOIN cent ON e.pos = cent.pos
+           GROUP BY e.vec_id, e.label, cent.cand),
+         best AS (
+           SELECT true_label, cand,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, cand) AS rn
+           FROM sc)
+         SELECT true_label, cand AS pred_label,
+                CAST(count(*) AS BIGINT) AS n
+         FROM best WHERE rn = 1
+         GROUP BY true_label, cand ORDER BY true_label, pred_label""",
     "q_vec_project" ->
       """WITH pl AS (
            SELECT k, j,

@@ -488,6 +488,35 @@ class BatchR3Spec extends SparkSpec {
     assert(scanned < scannedN, "z-order must scan less than natural order")
   }
 
+  test("assortativity: bounded in [-1, 1] with symmetric end count") {
+    val r = operators.GraphOps.queries("q_graph_assortativity")(
+      spark, sfDir).head()
+    assert(r.getLong(0) > 0 && r.getLong(0) % 2 == 0)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
+  test("centroid classify: every vector classified exactly once") {
+    val rows = operators.VectorOps.queries("q_vec_centroid_classify")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    // centroids must beat chance clearly (≥2×): with k labels, random
+    // assignment gets 1/k of the diagonal
+    val correct = rows.filter(r => r.get(0) == r.get(1))
+      .map(_.getLong(2)).sum
+    val total = rows.map(_.getLong(2)).sum
+    val k = rows.map(_.get(0)).distinct.length
+    assert(correct * k > total * 2,
+      s"accuracy ${correct.toDouble / total} vs chance ${1.0 / k}")
+  }
+
+  test("zipf: slope is negative (frequency falls with rank)") {
+    val r = operators.TextOps.queries("q_text_tok_zipf")(spark, sfDir)
+      .head()
+    assert(r.getLong(0) > 5)
+    assert(r.getDouble(1) < 0.0)
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
