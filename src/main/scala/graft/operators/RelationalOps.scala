@@ -281,6 +281,58 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 volume shipping: bilateral trade flow between two nations
+    * by year. Plan shape: the date filter pushes into the lineitem
+    * scan; BOTH dimension chains (nation→supplier, nation→customer)
+    * collapse to broadcast hashes because the nation filter prunes them
+    * to ~2/25 of their tables; the only real shuffle is the
+    * lineitem⋈orders fact-fact join on orderkey. The asymmetric-pair
+    * filter runs post-join as a residual. */
+  private val tpchQ7: Q = (s, d) => {
+    val nations = Seq("NATION_11", "NATION_20")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1995-01-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1997-01-01")))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Event-time RANGE frame — the sliding count that follows the CLOCK,
+    * not row positions (q_win_range_frame's numeric complement): per
+    * user, how many events in the trailing hour at each event. Peers at
+    * the same timestamp are frame-mates by RANGE semantics, so the
+    * result is replay-order-independent. Partitioned by user_id — no
+    * global window at any scale. */
+  private val winTimeRange: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("cnt_1h", expr(
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+          .stripMargin))
+      .select(col("event_id"), col("user_id"), col("cnt_1h"))
+      .orderBy("event_id")
+
   /** Z-order (Morton) layout key — the multi-dimensional data-layout
     * primitive behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
     * bits of two clustering dimensions yields ONE sort key whose runs
@@ -1319,7 +1371,9 @@ object RelationalOps {
     "q_agg_histo_quantile" -> histoQuantile,
     "q_agg_merge_days" -> aggMergeDays,
     "q_eval_kmv_error" -> evalKmvError,
-    "q_layout_skipping" -> layoutSkipping)
+    "q_layout_skipping" -> layoutSkipping,
+    "q_tpch_q7" -> tpchQ7,
+    "q_win_time_range" -> winTimeRange)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
     * each parquet as a view. Integer sums are cast to BIGINT (DuckDB's
@@ -1903,6 +1957,30 @@ object RelationalOps {
                 coalesce(n_intersect, 0) AS n_intersect
          FROM ex FULL OUTER JOIN ins ON ex.k = ins.k
          ORDER BY k""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_11', 'NATION_20')
+           AND n2.n_name IN ('NATION_11', 'NATION_20')
+           AND n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_win_time_range" ->
+      """SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                  AND CURRENT ROW) AS cnt_1h
+         FROM events ORDER BY event_id""",
     "q_eval_kmv_error" ->
       s"""WITH g AS (SELECT DISTINCT event_type FROM events),
           h AS (

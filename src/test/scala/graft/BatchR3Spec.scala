@@ -517,6 +517,26 @@ class BatchR3Spec extends SparkSpec {
     assert(r.getDouble(1) < 0.0)
   }
 
+  test("tpch q7: both trade directions, revenue positive") {
+    val rows = operators.RelationalOps.queries("q_tpch_q7")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) > 0))
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+  }
+
+  test("time-range window: trailing-hour count bounded by user total") {
+    val df = operators.RelationalOps.queries("q_win_time_range")(
+      spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == Tables.events(spark, sfDir).count())
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= perUser(r.getLong(1)))
+    }
+  }
+
   test("feature hash: buckets in range, counts partition the tokens") {
     val df = operators.TextOps.queries("q_text_feature_hash")(spark, sfDir)
     val rows = df.collect()
