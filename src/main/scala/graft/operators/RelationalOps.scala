@@ -317,6 +317,133 @@ object RelationalOps {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q6 (forecast revenue change): the pure scan-aggregate — every
+    * predicate (ship year, discount band, quantity cap) pushes into the
+    * parquet scan, so at 100 TB this reads only the row groups whose
+    * min/max stats overlap the band and aggregates map-side to a single
+    * row. No join, no shuffle beyond the 1-row final merge; the
+    * benchmark for raw scan throughput. */
+  private val tpchQ6: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q8 (national market share, adapted to this schema's flat
+    * p_type / NATION_k names): NATION_5's share of ECONOMY-part volume
+    * sold to AMERICA customers per order year. Every dimension chain
+    * (part filter, supplier→nation, customer→nation→region) broadcasts;
+    * the only shuffles are the two fact-side joins (lineitem⋈orders on
+    * orderkey) and the |years|-bounded final aggregate. The share is a
+    * FILTERed-sum ratio on one pass — the two "samples" never
+    * materialize separately. */
+  private val tpchQ8: Q = (s, d) => {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val amCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp_ntz(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(amCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r6(lit(100) *
+        sum(when(col("supp_nation") === "NATION_5", vol).otherwise(0.0)) /
+        sum(vol)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 (customer distribution, adapted: the excluded-comment
+    * predicate becomes an order-priority filter): orders-per-customer
+    * histogram INCLUDING zero-order customers — the left join that an
+    * inner-join formulation silently drops. Two chained hash aggregates
+    * (custkey → c_count), both map-side partial; output is bounded by
+    * the max order count per customer. */
+  private val tpchQ13: Q = (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 (promotion effect): PROMO-part share of one month's
+    * revenue. Month filter pushes to the lineitem scan; part is a
+    * broadcast dim; the share is a FILTERed-sum ratio in the single
+    * 1-row aggregate — one pass, no separate promo subquery. */
+  private val tpchQ14: Q = (s, d) => {
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1996-09-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1996-10-01")))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(r6(lit(100) *
+        sum(when(col("p_type") === "PROMO", vol).otherwise(0.0)) /
+        sum(vol)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    * max. Revenue is r2-rounded BEFORE the max/equality compare
+    * (round-then-compare, SURVEY §5.3) so the tie test runs on
+    * identical doubles in both engines. The 1-row max broadcasts back
+    * onto the |suppliers|-bounded revenue frame — the view+subquery of
+    * the official query with no second fact scan. */
+  private val tpchQ15: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp_ntz(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp_ntz(lit("1996-04-01")))
+      .groupBy("l_suppkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_rev"))
+    rev.join(broadcast(rev.agg(max(col("total_rev")).as("mx"))),
+        col("total_rev") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue, adapted: brand filter
+    * only — this schema has no container): revenue lost to sub-20%-of-
+    * average-quantity orders for one brand. The per-part quantity cap
+    * aggregates over the brand-filtered lineitem (broadcast part dim),
+    * r6-rounds (round-then-compare), and broadcasts back — the
+    * correlated scalar subquery of the official query as one aggregate
+    * + one broadcast join, never a per-row re-scan. */
+  private val tpchQ17: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "l_quantity", "l_extendedprice")
+    val cap = li.groupBy(col("p_partkey").as("pk"))
+      .agg(r6(lit(0.2) * avg(col("l_quantity"))).as("qcap"))
+    li.join(broadcast(cap), col("p_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qcap"))
+      .agg(count(lit(1)).as("n_small"),
+        r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
   /** Event-time RANGE frame — the sliding count that follows the CLOCK,
     * not row positions (q_win_range_frame's numeric complement): per
     * user, how many events in the trailing hour at each event. Peers at
@@ -1373,6 +1500,12 @@ object RelationalOps {
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
     "q_tpch_q7" -> tpchQ7,
+    "q_tpch_q6" -> tpchQ6,
+    "q_tpch_q8" -> tpchQ8,
+    "q_tpch_q13" -> tpchQ13,
+    "q_tpch_q14" -> tpchQ14,
+    "q_tpch_q15" -> tpchQ15,
+    "q_tpch_q17" -> tpchQ17,
     "q_win_time_range" -> winTimeRange)
 
   /** DuckDB 1.0.0 equivalents. Table names are plain — the driver registers
@@ -1981,6 +2114,80 @@ object RelationalOps {
                   RANGE BETWEEN INTERVAL '1 hour' PRECEDING
                   AND CURRENT ROW) AS cnt_1h
          FROM events ORDER BY event_id""",
+    "q_tpch_q6" ->
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5)
+                  / 100.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q8" ->
+      """WITH vol AS (
+           SELECT year(o_orderdate) AS yr,
+                  l_extendedprice * (1 - l_discount) AS v,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+                      AND r_name = 'AMERICA'
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT CAST(yr AS BIGINT) AS o_year,
+                floor((100 * sum(CASE WHEN supp_nation = 'NATION_5'
+                         THEN v ELSE 0 END) / sum(v))
+                  * 1000000 + 0.5) / 1000000.0 AS mkt_share
+         FROM vol GROUP BY yr ORDER BY o_year""",
+    "q_tpch_q13" ->
+      """WITH cc AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM cc GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q14" ->
+      """SELECT floor((100 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                / sum(l_extendedprice * (1 - l_discount)))
+                  * 1000000 + 0.5) / 1000000.0 AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  floor((sum(l_extendedprice * (1 - l_discount)))
+                    * 100 + 0.5) / 100.0 AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'),
+         cap AS (
+           SELECT l_partkey AS pk,
+                  floor((0.2 * avg(l_quantity)) * 1000000 + 0.5)
+                    / 1000000.0 AS qcap
+           FROM li GROUP BY l_partkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_small,
+                floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100.0
+                  AS avg_yearly
+         FROM li JOIN cap ON l_partkey = pk
+         WHERE l_quantity < qcap""",
     "q_eval_kmv_error" ->
       s"""WITH g AS (SELECT DISTINCT event_type FROM events),
           h AS (
