@@ -587,7 +587,45 @@ object EventOps {
           col("actual"))).as("mape"))
   }
 
+  /** Gap-fill + linear interpolation of the hourly purchase-value
+    * series — the time-series regularization every forecasting/feature
+    * pipeline needs before a model sees the data. Hourly sums are one
+    * hash aggregate (r2-rounded, round-then-interpolate); the spine is
+    * sequence(min,max) over a 1-row aggregate; the four neighbor
+    * columns (prev/next value + hour) come from TWO window passes
+    * (IGNORE NULLS last/first) over the |hours|-bounded series — the
+    * census-window argument, never a window over raw events. Edges are
+    * closed (spine endpoints are observed), so the fill expression is
+    * total. */
+  private val interpolate: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts_ns div 1000) div 3600000000").as("hr"))
+      .agg(r2(sum(col("value"))).as("v"))
+    val spine = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val wPrev = Window.orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy("hr")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hr")),
+        ignoreNulls = true).over(wNext))
+      .select(col("hr"),
+        when(col("v").isNotNull, 1).otherwise(0).as("observed"),
+        r6(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("hr") - col("ph")).cast("double") /
+            (col("nh") - col("ph")))).as("v_fill"))
+      .orderBy("hr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_interpolate" -> interpolate,
     "q_events_forecast_naive" -> forecastNaive,
     "q_events_ohlc" -> ohlc,
     "q_events_churn" -> churn,
@@ -616,6 +654,34 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_interpolate" ->
+      """WITH hourly AS (
+           SELECT epoch_us(ts) // 3600000000 AS hr,
+                  floor(sum(value) * 100 + 0.5) / 100.0 AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+         spine AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM b),
+         j AS (SELECT s.hr, h.v FROM spine s
+               LEFT JOIN hourly h ON s.hr = h.hr),
+         f AS (SELECT hr, v,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN hr END
+                  IGNORE NULLS) OVER wp AS ph,
+                first_value(v IGNORE NULLS) OVER wn AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN hr END
+                  IGNORE NULLS) OVER wn AS nh
+               FROM j
+               WINDOW wp AS (ORDER BY hr ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW),
+               wn AS (ORDER BY hr ROWS BETWEEN CURRENT ROW AND
+                 UNBOUNDED FOLLOWING))
+         SELECT hr,
+                CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+                floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) * CAST(hr - ph AS DOUBLE)
+                            / (nh - ph) END) * 1000000 + 0.5)
+                  / 1000000.0 AS v_fill
+         FROM f ORDER BY hr""",
     "q_events_forecast_naive" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

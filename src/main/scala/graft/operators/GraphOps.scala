@@ -271,7 +271,33 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** Bounded k-core peeling (k=2, 3 rounds) on the support-2
+    * co-purchase graph: each round drops nodes with degree < 2 and the
+    * edges touching them, exactly the iterative-peel a Pregel k-core
+    * compiles to — one degree aggregate + two semi joins per round, all
+    * keyed on node id, nothing collected. Fixed rounds (the BFS-reach
+    * precedent) keep the plan static and the oracle replayable as
+    * chained CTEs; survivors carry their round-3 residual degree so an
+    * unconverged graph is visible in the output rather than silently
+    * wrong. */
+  private val kcore: Q = (s, d) => {
+    val e0 = copurchaseEdges(s, d).select("x", "y")
+    var und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+    for (_ <- 1 to 3) {
+      val keep = und.groupBy("x").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("x").as("v"))
+      und = und
+        .join(keep, col("x") === col("v"), "left_semi")
+        .join(keep.select(col("v").as("v2")), col("y") === col("v2"),
+          "left_semi")
+    }
+    und.groupBy("x").agg(count(lit(1)).as("deg"))
+      .select(col("x").as("part"), col("deg"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_kcore" -> kcore,
     "q_graph_assortativity" -> assortativity,
     "q_graph_reach" -> reach,
     "q_graph_degree_dist" -> degreeDist,
@@ -288,6 +314,24 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         u0 AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         k1 AS (SELECT x AS v FROM u0 GROUP BY x HAVING count(*) >= 2),
+         u1 AS (SELECT u.x, u.y FROM u0 u
+                JOIN k1 a ON u.x = a.v JOIN k1 b ON u.y = b.v),
+         k2 AS (SELECT x AS v FROM u1 GROUP BY x HAVING count(*) >= 2),
+         u2 AS (SELECT u.x, u.y FROM u1 u
+                JOIN k2 a ON u.x = a.v JOIN k2 b ON u.y = b.v),
+         k3 AS (SELECT x AS v FROM u2 GROUP BY x HAVING count(*) >= 2),
+         u3 AS (SELECT u.x, u.y FROM u2 u
+                JOIN k3 a ON u.x = a.v JOIN k3 b ON u.y = b.v)
+         SELECT x AS part, CAST(count(*) AS BIGINT) AS deg
+         FROM u3 GROUP BY x ORDER BY part""",
     "q_graph_assortativity" ->
       """WITH op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -353,7 +353,72 @@ object StatsOps {
       .limit(5)
   }
 
+  /** Shared 0.7^k weight table for the truncated EWMA: computed ONCE in
+    * Scala and embedded as the same 17-digit double literals in both the
+    * Spark plan and the oracle SQL — pow() is not guaranteed
+    * correctly-rounded across libms, so neither engine is allowed to
+    * call it (the literal-pinning discipline from the LSH hyperplanes). */
+  private val EwmaLags = 14
+  private val ewmaW: IndexedSeq[Double] =
+    (0 until EwmaLags).map(k => math.pow(0.7, k))
+
+  /** Truncated EWMA (α=0.3, 14 lags ≈ 99 % of the mass) of the daily
+    * event-count series — the smoothing baseline beside the seasonal-
+    * naive forecast. A true recursive EWMA can't run cross-engine
+    * bit-stable (infinite memory), so the declared operator is the
+    * 14-term window form: 14 stacked lag() terms share ONE WindowExec
+    * over the |days|-bounded daily frame (census-window argument), and
+    * the leading edge renormalizes over the weights actually present.
+    * At 100 TB the daily frame is still |days| rows — the window never
+    * touches raw events. */
+  private val ewma: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day")
+    val lags = (0 until EwmaLags).map(k => lag(col("c"), k).over(w))
+    val num = lags.zipWithIndex.map { case (l, k) =>
+      coalesce(l.cast("double"), lit(0.0)) * lit(ewmaW(k)) }.reduce(_ + _)
+    val den = lags.zipWithIndex.map { case (l, k) =>
+      when(l.isNotNull, lit(ewmaW(k))).otherwise(lit(0.0)) }.reduce(_ + _)
+    daily.select(col("day"), col("c"), r6(num / den).as("ewma"))
+      .orderBy("day")
+  }
+
+  /** Delete-a-group jackknife CI for the mean order price: 10
+    * deterministic md5 folds, leave-one-fold-out means from the fold
+    * sums alone (never a second data pass), jackknife SE over the 10
+    * bounded replicates. THE distributed resampling pattern — the
+    * bootstrap's shuffle-free cousin: one hash aggregate at any scale,
+    * g replicate means derived by subtraction on a 10-row frame. Fold
+    * sums are r2-rounded before the replicate arithmetic
+    * (round-then-replay) so both engines subtract identical doubles. */
+  private val jackknife: Q = (s, d) => {
+    val folds = Tables.orders(s, d)
+      .withColumn("fold", expr(
+        "(position(substring(md5(cast(o_orderkey AS string)), 1, 1)," +
+          " '0123456789abcdef') - 1) % 10"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_i"), r2(sum(col("o_totalprice"))).as("s_i"))
+    val tot = folds.agg(sum(col("n_i")).as("n"), r2(sum(col("s_i"))).as("s"),
+      count(lit(1)).as("g"))
+    val loo = folds.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"), col("g"),
+        r6((col("s") - col("s_i")) / (col("n") - col("n_i"))).as("m_i"))
+    val se = sqrt(((col("g") - 1).cast("double") / col("g")) *
+      (col("sm2") - col("sm") * col("sm") / col("g")))
+    loo.groupBy("n", "s", "g")
+      .agg(sum(col("m_i")).as("sm"), sum(col("m_i") * col("m_i")).as("sm2"))
+      .select(col("n"), col("g"),
+        r6(col("s") / col("n")).as("mean"),
+        r6(se).as("se_jack"),
+        r6(col("s") / col("n") - lit(1.96) * se).as("ci_lo"),
+        r6(col("s") / col("n") + lit(1.96) * se).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_ewma" -> ewma,
+    "q_stats_jackknife" -> jackknife,
     "q_stats_cusum" -> cusum,
     "q_stats_winsorize" -> winsorize,
     "q_stats_autocorr" -> autocorr,
@@ -371,6 +436,56 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_ewma" -> {
+      // identical 17-digit weight literals on both sides (see ewmaW)
+      val terms = (0 until EwmaLags).map { k =>
+        (s"coalesce(lag(c, $k) OVER w, 0) * ${ewmaW(k)}",
+          s"CASE WHEN lag(c, $k) OVER w IS NULL THEN 0 ELSE ${ewmaW(k)} END")
+      }
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day)
+         SELECT day, c,
+                floor(((${terms.map(_._1).mkString(" + ")})
+                  / (${terms.map(_._2).mkString(" + ")}))
+                  * 1000000 + 0.5) / 1000000.0 AS ewma
+         FROM daily
+         WINDOW w AS (ORDER BY day)
+         ORDER BY day"""
+    },
+    "q_stats_jackknife" ->
+      """WITH f AS (
+           SELECT (strpos('0123456789abcdef',
+                    substring(md5(o_orderkey::VARCHAR), 1, 1)) - 1) % 10
+                    AS fold,
+                  o_totalprice
+           FROM orders),
+         fs AS (SELECT fold, count(*) AS n_i,
+                       floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS s_i
+                FROM f GROUP BY fold),
+         t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                      floor(sum(s_i) * 100 + 0.5) / 100.0 AS s,
+                      count(*) AS g
+               FROM fs),
+         loo AS (SELECT n, s, g,
+                        floor(((s - s_i) / (n - n_i)) * 1000000 + 0.5)
+                          / 1000000.0 AS m_i
+                 FROM fs CROSS JOIN t),
+         a AS (SELECT n, s, g, sum(m_i) AS sm, sum(m_i * m_i) AS sm2
+               FROM loo GROUP BY n, s, g),
+         a2 AS (SELECT n, s, g,
+                       sqrt((CAST(g - 1 AS DOUBLE) / g)
+                         * (sm2 - sm * sm / g)) AS se
+                FROM a)
+         SELECT n, g,
+                floor((s / n) * 1000000 + 0.5) / 1000000.0 AS mean,
+                floor(se * 1000000 + 0.5) / 1000000.0 AS se_jack,
+                floor((s / n - 1.96 * se) * 1000000 + 0.5) / 1000000.0
+                  AS ci_lo,
+                floor((s / n + 1.96 * se) * 1000000 + 0.5) / 1000000.0
+                  AS ci_hi
+         FROM a2""",
     "q_stats_cusum" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the EWMA / jackknife / k-core / interpolation batch. */
+class SeriesGraphSpec extends SparkSpec {
+
+  test("ewma: first day equals its count, later days stay in range") {
+    val rows = operators.StatsOps.queries("q_stats_ewma")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 14)
+    val first = rows.head
+    assert(math.abs(first.getDouble(2) - first.getLong(1)) < 1e-6)
+    val counts = rows.map(_.getLong(1).toDouble)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= counts.min - 1e-6)
+      assert(r.getDouble(2) <= counts.max + 1e-6)
+    }
+  }
+
+  test("jackknife: CI brackets the mean and mean matches the plain avg") {
+    val r = operators.StatsOps.queries("q_stats_jackknife")(spark, sfDir)
+      .collect()(0)
+    val mean = r.getDouble(r.fieldIndex("mean"))
+    val lo = r.getDouble(r.fieldIndex("ci_lo"))
+    val hi = r.getDouble(r.fieldIndex("ci_hi"))
+    val se = r.getDouble(r.fieldIndex("se_jack"))
+    assert(se > 0 && lo < mean && mean < hi)
+    val plain = Tables.orders(spark, sfDir)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    // fold sums are r2-rounded so the reassembled mean drifts < 1e-4
+    assert(math.abs(mean - plain) < 0.001)
+  }
+
+  test("kcore: matches the driver-side 3-round peel") {
+    val got = operators.GraphOps.queries("q_graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sup2 = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk"), col("b.pk")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var und = (sup2 ++ sup2.map(_.swap)).toSet
+    for (_ <- 1 to 3) {
+      val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      und = und.filter(e => keep(e._1) && keep(e._2))
+    }
+    val expect = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+  }
+
+  test("interpolate: full spine, no nulls, observed rows keep their value") {
+    val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
+    val rows = df.collect()
+    val hrs = rows.map(_.getLong(0))
+    assert(hrs.length == (hrs.max - hrs.min + 1))
+    assert(rows.forall(!_.isNullAt(2)))
+    val hourly = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts_ns div 1000) div 3600000000").as("hr"))
+      .agg(sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(math.abs(r.getDouble(2) - hourly(r.getLong(0))) < 0.011)
+    }
+    assert(rows.count(_.getInt(1) == 1) == hourly.size)
+  }
+}
