@@ -624,7 +624,36 @@ object EventOps {
       .orderBy("hr")
   }
 
+  /** Growth accounting (the new / retained / resurrected / lapsing
+    * split of daily purchase actives): each (user, day) active row is
+    * classed by its neighbor active days — lag for how the user arrived
+    * (first ever / consecutive / returned after a gap), lead for
+    * whether they lapse after today. ONE shuffle on user_id for both
+    * window functions, then a |days|-bounded hash aggregate; the
+    * four FILTERed counts are the standard DAU growth decomposition
+    * (new + retained + resurrected = DAU) at any scale. */
+  private val growthAccounting: Q = (s, d) => {
+    val uw = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    uw.withColumn("pd", lag(col("day"), 1).over(w))
+      .withColumn("nd", lead(col("day"), 1).over(w))
+      .groupBy("day")
+      .agg(
+        count(when(col("pd").isNull, 1)).as("n_new"),
+        count(when(col("pd") === col("day") - 1, 1)).as("n_retained"),
+        count(when(col("pd").isNotNull && col("pd") < col("day") - 1, 1))
+          .as("n_resurrected"),
+        count(when(col("nd").isNull || col("nd") > col("day") + 1, 1))
+          .as("n_lapsing"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_growth_acct" -> growthAccounting,
     "q_events_interpolate" -> interpolate,
     "q_events_forecast_naive" -> forecastNaive,
     "q_events_ohlc" -> ohlc,
@@ -654,6 +683,23 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_growth_acct" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE event_type = 'purchase'),
+         lagd AS (SELECT user_id, day,
+                   lag(day) OVER (PARTITION BY user_id ORDER BY day) AS pd,
+                   lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nd
+                  FROM uw)
+         SELECT day,
+                CAST(count(*) FILTER (pd IS NULL) AS BIGINT) AS n_new,
+                CAST(count(*) FILTER (pd = day - 1) AS BIGINT)
+                  AS n_retained,
+                CAST(count(*) FILTER (pd IS NOT NULL AND pd < day - 1)
+                  AS BIGINT) AS n_resurrected,
+                CAST(count(*) FILTER (nd IS NULL OR nd > day + 1)
+                  AS BIGINT) AS n_lapsing
+         FROM lagd GROUP BY day ORDER BY day""",
     "q_events_interpolate" ->
       """WITH hourly AS (
            SELECT epoch_us(ts) // 3600000000 AS hr,

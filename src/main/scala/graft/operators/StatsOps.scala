@@ -416,7 +416,55 @@ object StatsOps {
         r6(col("s") / col("n") + lit(1.96) * se).as("ci_hi"))
   }
 
+  /** Additive seasonal decomposition (STL-lite) of the daily series:
+    * trend = centered 7-day moving average, seasonal = per-weekday mean
+    * of the detrended values, residual = the rest. Three window/agg
+    * passes over the |days|-bounded daily frame (census-window
+    * argument); the trend average is exact-integer sum / exact count, so
+    * it is bit-identical cross-engine before its r6, and every derived
+    * column is round-then-replay off the previous one. Edge days keep
+    * their partial trend window (deterministic in both engines). */
+  private val decompose: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
+    val wSeas = Window.partitionBy(expr("day % 7"))
+    daily.withColumn("trend", r6(avg(col("c")).over(wTrend)))
+      .withColumn("seasonal", r6(avg(col("c") - col("trend")).over(wSeas)))
+      .select(col("day"), col("c"), col("trend"), col("seasonal"),
+        r6(col("c") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy("day")
+  }
+
+  /** Theil–Sen robust trend: median of all pairwise slopes of the daily
+    * series, intercept = median residual at the r6-pinned slope
+    * (round-then-replay). The pair join is |days|² — bounded by the
+    * CALENDAR, not the data (435 pairs for a month, ~66k for a decade),
+    * so the all-pairs shape that is forbidden on row-scale inputs is
+    * the right plan here; slopes are exact integer differences divided
+    * once, so the pair set is bit-identical cross-engine before the
+    * median. */
+  private val theilSen: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
+      .select((col("day") - col("d0")).as("x"), col("c"))
+    val pairs = d0.as("a").join(d0.as("b"), col("b.x") > col("a.x"))
+      .select(((col("b.c") - col("a.c")).cast("double") /
+        (col("b.x") - col("a.x"))).as("m"))
+    val ms = pairs.agg(r6(expr("percentile(m, 0.5)")).as("slope"),
+      count(lit(1)).as("n_pairs"))
+    d0.crossJoin(broadcast(ms))
+      .agg(first(col("n_pairs")).as("n_pairs"),
+        first(col("slope")).as("slope"),
+        r6(expr("percentile(c - slope * x, 0.5)")).as("intercept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_decompose" -> decompose,
+    "q_stats_theil_sen" -> theilSen,
     "q_stats_ewma" -> ewma,
     "q_stats_jackknife" -> jackknife,
     "q_stats_cusum" -> cusum,
@@ -436,6 +484,40 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_decompose" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         tr AS (SELECT day, c,
+                 floor(avg(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING) * 1000000 + 0.5) / 1000000.0 AS trend
+                FROM daily),
+         se AS (SELECT day, c, trend,
+                 floor(avg(c - trend) OVER (PARTITION BY day % 7)
+                   * 1000000 + 0.5) / 1000000.0 AS seasonal
+                FROM tr)
+         SELECT day, c, trend, seasonal,
+                floor((c - trend - seasonal) * 1000000 + 0.5) / 1000000.0
+                  AS resid
+         FROM se ORDER BY day""",
+    "q_stats_theil_sen" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         d0 AS (SELECT day - (SELECT min(day) FROM daily) AS x, c
+                FROM daily),
+         sl AS (SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS m
+                FROM d0 a JOIN d0 b ON b.x > a.x),
+         ms AS (SELECT floor(quantile_cont(m, 0.5) * 1000000 + 0.5)
+                         / 1000000.0 AS slope,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM sl)
+         SELECT max(n_pairs) AS n_pairs, max(slope) AS slope,
+                floor(quantile_cont(c - slope * x, 0.5) * 1000000 + 0.5)
+                  / 1000000.0 AS intercept
+         FROM d0 CROSS JOIN ms""",
     "q_stats_ewma" -> {
       // identical 17-digit weight literals on both sides (see ewmaW)
       val terms = (0 until EwmaLags).map { k =>

@@ -53,6 +53,57 @@ class SeriesGraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("decompose: components re-sum to the observation") {
+    val rows = operators.StatsOps.queries("q_stats_decompose")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getLong(1).toDouble
+      val sum = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(c - sum) < 1e-4)
+    }
+  }
+
+  test("theil sen: slope matches the scala median of pairwise slopes") {
+    val r = operators.StatsOps.queries("q_stats_theil_sen")(spark, sfDir)
+      .collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1)).sorted
+    val n = slopes.length
+    val med = if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - med) < 1e-6)
+  }
+
+  test("growth accounting: classes partition the daily actives") {
+    val rows = operators.EventOps.queries("q_events_growth_acct")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dau = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == dau(day))
+      assert(r.getLong(4) <= dau(day))
+    }
+    val totalNew = rows.map(_.getLong(1)).sum
+    val users = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(totalNew == users)
+  }
+
   test("interpolate: full spine, no nulls, observed rows keep their value") {
     val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
     val rows = df.collect()
