@@ -77,7 +77,18 @@ object ExplainAudit {
     // rendezvous sharding's doc-keyed argmax
     "q_events_ohlc", "q_agg_histo_quantile", "q_text_bpe_pairs",
     "q_orders_backlog", "q_text_count_min", "q_text_rag_chunks",
-    "q_vec_project", "q_shard_rendezvous")
+    "q_vec_project", "q_shard_rendezvous",
+    // round-3 session 4: Q6's everything-pushed scan-aggregate, Q8's
+    // double-broadcast-chain + semi-join share, Q13's left-join
+    // histogram, Q15's round-then-max broadcast-back, the k-core
+    // semi-join peel (3 static rounds), the interpolation spine's two
+    // IGNORE-NULLS window passes, growth accounting's ONE user_id
+    // Exchange feeding both lag and lead, the jackknife's single fold
+    // aggregate, Theil-Sen's calendar-bounded pair join, and the EWMA's
+    // 14 stacked lags sharing one WindowExec
+    "q_tpch_q6", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
+    "q_graph_kcore", "q_events_interpolate", "q_events_growth_acct",
+    "q_stats_jackknife", "q_stats_theil_sen", "q_stats_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -279,10 +279,19 @@ object GraphOps {
     * precedent) keep the plan static and the oracle replayable as
     * chained CTEs; survivors carry their round-3 residual degree so an
     * unconverged graph is visible in the output rather than silently
-    * wrong. */
+    * wrong.
+    *
+    * Each round eager-localCheckpoints the surviving edge list — THE
+    * iterative-algorithm pattern (see DedupOps.connectedComponents):
+    * without it the `und → keep(und) → semi-join` self-reference
+    * triples the lineage per round (3³ copies of the co-purchase
+    * build; measured 33 s at sf0.1 vs ~1 s checkpointed). The
+    * materialization runs during plan construction, the same accepted
+    * caveat as the k-means centroid collects. */
   private val kcore: Q = (s, d) => {
     val e0 = copurchaseEdges(s, d).select("x", "y")
     var und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
     for (_ <- 1 to 3) {
       val keep = und.groupBy("x").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("x").as("v"))
@@ -290,6 +299,7 @@ object GraphOps {
         .join(keep, col("x") === col("v"), "left_semi")
         .join(keep.select(col("v").as("v2")), col("y") === col("v2"),
           "left_semi")
+        .localCheckpoint()
     }
     und.groupBy("x").agg(count(lit(1)).as("deg"))
       .select(col("x").as("part"), col("deg"))
