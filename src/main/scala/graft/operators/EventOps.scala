@@ -652,7 +652,35 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Weekly cohort LTV curves: cumulative purchase revenue per user by
+    * (signup-week cohort, weeks since signup) — the revenue companion
+    * to q_events_retention's user counts. Per-user first week and the
+    * per-(cohort, week) revenue are both single hash aggregates; the
+    * cumulative sum runs over the |weeks|²-bounded cohort matrix
+    * (census-window argument) in deterministic wo order on r2-rounded
+    * cells, and cohort sizes broadcast back. */
+  private val cohortLtv: Q = (s, d) => {
+    val week = "(ts_ns div 1000) div 604800000000"
+    val fe = Tables.events(s, d).groupBy("user_id")
+      .agg(min(expr(week)).as("cw"))
+    val pur = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(week).as("wk"), col("value"))
+    val co = fe.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val wr = pur.join(fe, "user_id")
+      .groupBy(col("cw"), col("wk"))
+      .agg(r2(sum(col("value"))).as("rev"))
+      .select(col("cw"), (col("wk") - col("cw")).as("wo"), col("rev"))
+    val w = Window.partitionBy("cw").orderBy("wo")
+    wr.withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(broadcast(co), "cw")
+      .select(col("cw").as("cohort_week"), col("wo").as("week_offset"),
+        col("n_users"), r6(col("cum_rev") / col("n_users")).as("ltv"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_cohort_ltv" -> cohortLtv,
     "q_events_growth_acct" -> growthAccounting,
     "q_events_interpolate" -> interpolate,
     "q_events_forecast_naive" -> forecastNaive,
@@ -683,6 +711,29 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_cohort_ltv" ->
+      """WITH fe AS (
+           SELECT user_id, min(epoch_us(ts) // 604800000000) AS cw
+           FROM events GROUP BY user_id),
+         pur AS (
+           SELECT e.user_id, epoch_us(e.ts) // 604800000000 AS wk,
+                  e.value
+           FROM events e WHERE e.event_type = 'purchase'),
+         co AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+                FROM fe GROUP BY cw),
+         wr AS (SELECT f.cw, p.wk - f.cw AS wo,
+                       floor(sum(p.value) * 100 + 0.5) / 100.0 AS rev
+                FROM pur p JOIN fe f ON p.user_id = f.user_id
+                GROUP BY f.cw, p.wk),
+         cum AS (SELECT cw, wo,
+                        sum(rev) OVER (PARTITION BY cw ORDER BY wo)
+                          AS cum_rev
+                 FROM wr)
+         SELECT c.cw AS cohort_week, c.wo AS week_offset, co.n_users,
+                floor((c.cum_rev / co.n_users) * 1000000 + 0.5)
+                  / 1000000.0 AS ltv
+         FROM cum c JOIN co ON c.cw = co.cw
+         ORDER BY cohort_week, week_offset""",
     "q_events_growth_acct" ->
       """WITH uw AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

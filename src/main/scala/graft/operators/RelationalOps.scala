@@ -444,6 +444,46 @@ object RelationalOps {
         r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
+  /** TPC-H Q19 (discounted revenue, adapted: brand×quantity bands
+    * only — no container/shipmode in this schema): three disjunctive
+    * brand+quantity predicates over the part-joined lineitem. The OR
+    * of band predicates stays a single residual filter on the
+    * broadcast-joined stream — one fact pass, no union-of-three-scans
+    * rewrite needed at any scale. */
+  private val tpchQ19: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q22 (global sales opportunity, adapted: nationkey%5 bands
+    * stand in for phone country codes): above-average-balance customers
+    * with NO order in the corpus's final year. The scalar average is a
+    * 1-row broadcast, the NOT EXISTS compiles to a broadcast anti join
+    * against the date-pruned orders scan, and the output is the
+    * |bands|-bounded aggregate — the canonical anti-join benchmark. */
+  private val tpchQ22: Q = (s, d) => {
+    val avgbal = Tables.customer(s, d).filter(col("c_acctbal") > 0.0)
+      .agg(r6(avg(col("c_acctbal"))).as("ab"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgbal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01")))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).as("cgrp"))
+      .agg(count(lit(1)).as("numcust"),
+        r2(sum(col("c_acctbal"))).as("totacctbal"))
+      .orderBy("cgrp")
+  }
+
   /** Event-time RANGE frame — the sliding count that follows the CLOCK,
     * not row positions (q_win_range_frame's numeric complement): per
     * user, how many events in the trailing hour at each event. Peers at
@@ -1501,6 +1541,8 @@ object RelationalOps {
     "q_layout_skipping" -> layoutSkipping,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q6" -> tpchQ6,
+    "q_tpch_q19" -> tpchQ19,
+    "q_tpch_q22" -> tpchQ22,
     "q_tpch_q8" -> tpchQ8,
     "q_tpch_q13" -> tpchQ13,
     "q_tpch_q14" -> tpchQ14,
@@ -2122,6 +2164,28 @@ object RelationalOps {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "q_tpch_q19" ->
+      """SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  / 100.0 AS revenue,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q22" ->
+      """WITH avgbal AS (
+           SELECT floor(avg(c_acctbal) * 1000000 + 0.5) / 1000000.0 AS ab
+           FROM customer WHERE c_acctbal > 0.0),
+         eligible AS (
+           SELECT c_custkey, c_nationkey % 5 AS cgrp, c_acctbal
+           FROM customer CROSS JOIN avgbal
+           WHERE c_acctbal > ab
+             AND NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey
+                               AND o_orderdate >= TIMESTAMP '2001-01-01'))
+         SELECT cgrp, CAST(count(*) AS BIGINT) AS numcust,
+                floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
+         FROM eligible GROUP BY cgrp ORDER BY cgrp""",
     "q_tpch_q8" ->
       """WITH vol AS (
            SELECT year(o_orderdate) AS yr,

@@ -462,7 +462,38 @@ object StatsOps {
         r6(expr("percentile(c - slope * x, 0.5)")).as("intercept"))
   }
 
+  /** One-pass Poisson bootstrap (5 replicates) of the mean order price:
+    * each row's per-replicate weight is a 256-bin discretized Poisson(1)
+    * draw decoded from two md5 hex digits — the production-scale
+    * bootstrap: NO resampling shuffle, one replicated pass and a 5-row
+    * aggregate, deterministic under retry/replay like every md5-keyed
+    * sampler here. Weights are exact integers, so the only float work
+    * is the final weighted mean (r6, the standard discipline); the
+    * replicate spread estimates the same SE the jackknife pins
+    * analytically. Thresholds 94/188/235/251/255 = ceil(CDF·256) of
+    * Poisson(1) at k=0..4. */
+  private val bootstrap: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(4))).as("rep"))
+      .withColumn("hx", expr(
+        "substring(md5(concat(cast(o_orderkey AS string), '_'," +
+          " cast(rep AS string))), 1, 2)"))
+      .withColumn("h", expr(
+        "(position(substring(hx, 1, 1), '0123456789abcdef') - 1) * 16" +
+          " + position(substring(hx, 2, 1), '0123456789abcdef') - 1"))
+      .withColumn("k",
+        when(col("h") < 94, 0).when(col("h") < 188, 1)
+          .when(col("h") < 235, 2).when(col("h") < 251, 3)
+          .when(col("h") < 255, 4).otherwise(5))
+      .groupBy("rep")
+      .agg(sum(col("k")).as("n_eff"),
+        r6(sum(col("k") * col("o_totalprice")) / sum(col("k")))
+          .as("mean_rep"))
+      .orderBy("rep")
+
   val queries: Map[String, Q] = Map(
+    "q_stats_bootstrap" -> bootstrap,
     "q_stats_decompose" -> decompose,
     "q_stats_theil_sen" -> theilSen,
     "q_stats_ewma" -> ewma,
@@ -484,6 +515,26 @@ object StatsOps {
   // declaration order, so a forward reference here would be null)
 
   val oracle: Map[String, String] = Map(
+    "q_stats_bootstrap" ->
+      """WITH r AS (SELECT CAST(unnest(generate_series(0, 4)) AS INTEGER)
+                      AS rep),
+         w AS (SELECT rep, o_totalprice,
+                (strpos('0123456789abcdef',
+                   substring(md5(o_orderkey::VARCHAR || '_'
+                     || rep::VARCHAR), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef',
+                    substring(md5(o_orderkey::VARCHAR || '_'
+                      || rep::VARCHAR), 2, 1)) - 1 AS h
+               FROM orders CROSS JOIN r),
+         wt AS (SELECT rep, o_totalprice,
+                 CASE WHEN h < 94 THEN 0 WHEN h < 188 THEN 1
+                      WHEN h < 235 THEN 2 WHEN h < 251 THEN 3
+                      WHEN h < 255 THEN 4 ELSE 5 END AS k
+                FROM w)
+         SELECT rep, CAST(sum(k) AS BIGINT) AS n_eff,
+                floor((sum(k * o_totalprice) / sum(k)) * 1000000 + 0.5)
+                  / 1000000.0 AS mean_rep
+         FROM wt GROUP BY rep ORDER BY rep""",
     "q_stats_decompose" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

@@ -65,6 +65,61 @@ class TpchMoreSpec extends SparkSpec {
     }
   }
 
+  test("tpch q19: disjunctive bands match the union-of-filters count") {
+    val r = operators.RelationalOps.queries("q_tpch_q19")(spark, sfDir)
+      .collect()(0)
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+    val n = Seq(("Brand#12", 1, 11), ("Brand#23", 10, 20),
+      ("Brand#34", 20, 30)).map { case (b, lo, hi) =>
+      li.filter(col("p_brand") === b &&
+        col("l_quantity") >= lo && col("l_quantity") <= hi).count()
+    }.sum
+    assert(r.getLong(r.fieldIndex("n_lines")) == n)
+  }
+
+  test("tpch q22: every counted customer is above average with no 2001 order") {
+    val rows = operators.RelationalOps.queries("q_tpch_q22")(spark, sfDir)
+      .collect()
+    val ab = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal"))).collect()(0).getDouble(0)
+    val recount = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > ab)
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= to_timestamp_ntz(lit("2001-01-01"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == recount)
+  }
+
+  test("cohort ltv: curves are monotone nondecreasing per cohort") {
+    val rows = operators.EventOps.queries("q_events_cohort_ltv")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val curve = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      curve.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("bootstrap: replicate means cluster around the plain mean") {
+    val rows = operators.StatsOps.queries("q_stats_bootstrap")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val plain = Tables.orders(spark, sfDir)
+      .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val n = Tables.orders(spark, sfDir).count()
+    rows.foreach { r =>
+      // n_eff ~ Binomial-ish around n (discretized Poisson(1) mean
+      // 241/256); replicate means deviate by O(sd/sqrt(n))
+      assert(math.abs(r.getLong(1).toDouble / n - 241.0 / 256) < 0.1)
+      assert(math.abs(r.getDouble(2) - plain) / plain < 0.05)
+    }
+  }
+
   test("tpch q17: every counted line is below its part's 20% cap") {
     val row = operators.RelationalOps.queries("q_tpch_q17")(spark, sfDir)
       .collect()(0)
