@@ -180,7 +180,7 @@ object VectorOps {
     * then exact top-3 within the probed partition only — all dot products
     * are sequential array folds (centroid probe) or graft_dot (exact
     * rerank), never shuffled per-position sums. */
-  private val annIvf: Q = (s, d) => {
+  private def ivfTop3(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -201,6 +201,39 @@ object VectorOps {
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("sim_r"))
       .orderBy("qid", "rank")
+  }
+
+  private val annIvf: Q = (s, d) => ivfTop3(s, d)
+
+  /** Recall@3 audit of the IVF probe against the exact brute-force
+    * top-3 — the third member of the eval-harness family (LSH pairs,
+    * MinHash pairs, now ANN retrieval): every approximate index this
+    * library ships carries an oracle-pinned measurement of what it
+    * loses. The exact side is the |corpus| × |queries| broadcast
+    * score (the q_sim_cosine_topk shape); the IVF side reuses the
+    * probe pipeline verbatim, so the measured recall is exactly what
+    * q_ann_ivf serves. Both sides rank on r6-rounded sims with vec_id
+    * tie-breaks — cross-engine identical sets by construction. */
+  private val evalIvfRecall: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val ivf = ivfTop3(s, d).select(col("qid"), col("nid"),
+      lit(1).as("hit"))
+    exact.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("qid")
   }
 
   /** Hard-negative mining — the contrastive-training data op: for each
@@ -501,7 +534,8 @@ object VectorOps {
     "q_sim_knn_label" -> knnLabel,
     "q_sim_hard_negatives" -> hardNegatives,
     "q_embed_outliers" -> embedOutliers,
-    "q_ann_ivf" -> annIvf)
+    "q_ann_ivf" -> annIvf,
+    "q_eval_ivf_recall" -> evalIvfRecall)
 
   /** Shared oracle fragments: the exact and LSH embedding-pair plans are
     * referenced both standalone and composed by q_eval_lsh_recall. */
@@ -578,6 +612,43 @@ object VectorOps {
        v2 AS (${pcaIterSql("v1")}),
        v3 AS (${pcaIterSql("v2")})
        SELECT i, x AS loading FROM v3 ORDER BY i"""
+
+  /** Shared IVF-probe CTE chain (label centroids → probe → candidate
+    * scores) — q_ann_ivf's final top-3 and q_eval_ivf_recall's audit
+    * both read from `cand`/`q`, so the replayed pipeline is one text. */
+  private val ivfCtes: String =
+    """dm AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, len(embedding))) - 1
+                       AS INTEGER) AS pos,
+                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS val
+           FROM embeddings),
+         cent AS (SELECT label, pos, avg(val) AS c
+                  FROM dm GROUP BY label, pos),
+         ca AS (SELECT label, list(c ORDER BY pos) AS carr
+                FROM cent GROUP BY label),
+         q AS (SELECT vec_id AS qid, embedding FROM embeddings
+               WHERE vec_id < 5),
+         qc AS (
+           SELECT q.qid, ca.label AS clabel,
+                  floor((list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                            ca.carr))
+                        * 1000000 + 0.5) / 1000000.0 AS csim
+           FROM q, ca),
+         probe AS (
+           SELECT qid, clabel AS label FROM (
+             SELECT qid, clabel, row_number() OVER (PARTITION BY qid
+               ORDER BY csim DESC, clabel) AS rn
+             FROM qc) t WHERE rn = 1),
+         cand AS (
+           SELECT probe.qid, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM probe
+           JOIN embeddings e ON e.label = probe.label
+                            AND e.vec_id != probe.qid
+           JOIN q ON q.qid = probe.qid)"""
 
   val oracle: Map[String, String] = Map(
     "q_vec_centroid_classify" ->
@@ -807,42 +878,36 @@ object VectorOps {
            FROM sims) t
          WHERE rn = 1 ORDER BY label""",
     "q_ann_ivf" ->
-      """WITH dm AS (
-           SELECT vec_id, label,
-                  CAST(unnest(generate_series(1, len(embedding))) - 1
-                       AS INTEGER) AS pos,
-                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS val
-           FROM embeddings),
-         cent AS (SELECT label, pos, avg(val) AS c
-                  FROM dm GROUP BY label, pos),
-         ca AS (SELECT label, list(c ORDER BY pos) AS carr
-                FROM cent GROUP BY label),
-         q AS (SELECT vec_id AS qid, embedding FROM embeddings
-               WHERE vec_id < 5),
-         qc AS (
-           SELECT q.qid, ca.label AS clabel,
-                  floor((list_inner_product(CAST(q.embedding AS DOUBLE[]),
-                                            ca.carr))
-                        * 1000000 + 0.5) / 1000000.0 AS csim
-           FROM q, ca),
-         probe AS (
-           SELECT qid, clabel AS label FROM (
-             SELECT qid, clabel, row_number() OVER (PARTITION BY qid
-               ORDER BY csim DESC, clabel) AS rn
-             FROM qc) t WHERE rn = 1),
-         cand AS (
-           SELECT probe.qid, e.vec_id,
-                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(q.embedding AS DOUBLE[])))
-                        * 1000000 + 0.5) / 1000000.0 AS sim_r
-           FROM probe
-           JOIN embeddings e ON e.label = probe.label
-                            AND e.vec_id != probe.qid
-           JOIN q ON q.qid = probe.qid)
+      s"""WITH $ivfCtes
          SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id AS nid, sim_r
          FROM (SELECT qid, vec_id, sim_r,
                       row_number() OVER (PARTITION BY qid
                         ORDER BY sim_r DESC, vec_id) AS rnk
                FROM cand) t
-         WHERE rnk <= 3 ORDER BY qid, rank""")
+         WHERE rnk <= 3 ORDER BY qid, rank""",
+    "q_eval_ivf_recall" ->
+      s"""WITH $ivfCtes,
+         ivf AS (SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_r DESC, vec_id) AS rnk
+                   FROM cand) t WHERE rnk <= 3),
+         exsc AS (
+           SELECT q.qid, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM q JOIN embeddings e ON e.vec_id != q.qid),
+         ext AS (SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id, row_number() OVER (
+                     PARTITION BY qid ORDER BY sim_r DESC, vec_id) AS rk
+                   FROM exsc) t WHERE rk <= 3)
+         SELECT ext.qid, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_hit,
+                floor((CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1
+                    ELSE 0 END) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+                  / 1000000.0 AS recall
+         FROM ext LEFT JOIN ivf ON ext.qid = ivf.qid
+                              AND ext.vec_id = ivf.vec_id
+         GROUP BY ext.qid ORDER BY ext.qid""")
 }

@@ -104,6 +104,19 @@ class SeriesGraphSpec extends SparkSpec {
     assert(totalNew == users)
   }
 
+  test("ivf recall audit: hits are bounded and consistent with the probe") {
+    val rows = operators.VectorOps.queries("q_eval_ivf_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nExact = r.getLong(r.fieldIndex("n_exact"))
+      val nHit = r.getLong(r.fieldIndex("n_hit"))
+      val rec = r.getDouble(r.fieldIndex("recall"))
+      assert(nExact == 3 && nHit >= 0 && nHit <= 3)
+      assert(math.abs(rec - nHit.toDouble / nExact) < 1e-6)
+    }
+  }
+
   test("interpolate: full spine, no nulls, observed rows keep their value") {
     val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
     val rows = df.collect()
