@@ -932,6 +932,20 @@ object RelationalOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Boolean aggregates (count_if / bool_and / bool_or) — the
+    * predicate-census trio every data-quality assertion layer compiles
+    * to (e.g. "no group may contain a negative price" is one bool_and
+    * per group). Plain hash aggregate, map-side partial, booleans stay
+    * booleans end-to-end. */
+  private val aggBool: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("count_if(o_totalprice > 250000)").as("n_big"),
+        expr("bool_and(o_totalprice > 2000)").as("all_above_2k"),
+        expr("bool_or(o_totalprice > 499000)").as("any_extreme"))
+      .orderBy("o_orderpriority")
+
   /** Moment stats per group. */
   private val aggStats: Q = (s, d) =>
     Tables.events(s, d)
@@ -1508,6 +1522,7 @@ object RelationalOps {
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_filtered" -> aggFiltered,
+    "q_agg_bool" -> aggBool,
     "q_agg_mode_median" -> aggModeMedian,
     "q_agg_corr" -> aggCorr,
     "q_agg_histogram" -> aggHistogram,
@@ -1914,6 +1929,12 @@ object RelationalOps {
                 count(*) FILTER (WHERE l_tax > 0.04) AS cnt_hi_tax,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+                CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
+                bool_and(o_totalprice > 2000) AS all_above_2k,
+                bool_or(o_totalprice > 499000) AS any_extreme
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_agg_mode_median" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
                     FROM lineitem GROUP BY l_returnflag, l_quantity),
