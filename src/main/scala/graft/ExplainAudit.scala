@@ -88,7 +88,12 @@ object ExplainAudit {
     // 14 stacked lags sharing one WindowExec
     "q_tpch_q6", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
     "q_graph_kcore", "q_events_interpolate", "q_events_growth_acct",
-    "q_stats_jackknife", "q_stats_theil_sen", "q_stats_ewma")
+    "q_stats_jackknife", "q_stats_theil_sen", "q_stats_ewma",
+    // session 4 late: Q19's one-residual-OR-filter, Q22's anti join,
+    // the bootstrap's single replicated pass, LTV's bounded cohort
+    // cumsum, the shared-probe recall audit
+    "q_tpch_q19", "q_tpch_q22", "q_stats_bootstrap",
+    "q_events_cohort_ltv", "q_eval_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -405,10 +405,16 @@ object StatsOps {
     val loo = folds.crossJoin(broadcast(tot))
       .select(col("n"), col("s"), col("g"),
         r6((col("s") - col("s_i")) / (col("n") - col("n_i"))).as("m_i"))
-    val se = sqrt(((col("g") - 1).cast("double") / col("g")) *
-      (col("sm2") - col("sm") * col("sm") / col("g")))
-    loo.groupBy("n", "s", "g")
-      .agg(sum(col("m_i")).as("sm"), sum(col("m_i") * col("m_i")).as("sm2"))
+    // centered sum of squares against the r6-pinned replicate mean —
+    // the raw-moment form (sm2 − sm²/g) cancels ~12 digits at sf0.1
+    // (sm2 ≈ 6e11, variance ≈ 1e6), leaving ULP noise above the r6
+    // boundary; the centered form keeps every term at deviation scale
+    val mb = loo.agg(r6(avg(col("m_i"))).as("mbar"))
+    val dev = col("m_i") - col("mbar")
+    val se = sqrt(((col("g") - 1).cast("double") / col("g")) * col("ss"))
+    loo.crossJoin(broadcast(mb))
+      .groupBy("n", "s", "g")
+      .agg(sum(dev * dev).as("ss"))
       .select(col("n"), col("g"),
         r6(col("s") / col("n")).as("mean"),
         r6(se).as("se_jack"),
@@ -605,11 +611,14 @@ object StatsOps {
                         floor(((s - s_i) / (n - n_i)) * 1000000 + 0.5)
                           / 1000000.0 AS m_i
                  FROM fs CROSS JOIN t),
-         a AS (SELECT n, s, g, sum(m_i) AS sm, sum(m_i * m_i) AS sm2
-               FROM loo GROUP BY n, s, g),
+         mb AS (SELECT floor(avg(m_i) * 1000000 + 0.5) / 1000000.0
+                         AS mbar
+                FROM loo),
+         a AS (SELECT n, s, g,
+                      sum((m_i - mbar) * (m_i - mbar)) AS ss
+               FROM loo CROSS JOIN mb GROUP BY n, s, g),
          a2 AS (SELECT n, s, g,
-                       sqrt((CAST(g - 1 AS DOUBLE) / g)
-                         * (sm2 - sm * sm / g)) AS se
+                       sqrt((CAST(g - 1 AS DOUBLE) / g) * ss) AS se
                 FROM a)
          SELECT n, g,
                 floor((s / n) * 1000000 + 0.5) / 1000000.0 AS mean,
