@@ -205,6 +205,37 @@ object VectorOps {
 
   private val annIvf: Q = (s, d) => ivfTop3(s, d)
 
+  /** kNN label-noise audit (the confident-learning / cleanlab shape):
+    * flag vectors whose 5-NN majority label disagrees with their own —
+    * the training-data QA pass that catches mislabeled examples before
+    * they poison a classifier. Exact brute-force here (one broadcast
+    * side, the q_dedup_embed baseline shape — ~0.5 MB at bench scale);
+    * at 100 TB the candidate set comes from the IVF probe
+    * (q_ann_ivf composes in front) and the voting stays identical.
+    * Majority ties break to the smallest label, ranks on r6 sims with
+    * vec_id tie-breaks — deterministic cross-engine. */
+  private val labelNoise: Q = (s, d) => {
+    val e = vecs(s, d)
+    val nbr = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("v").as("y"))
+    val sims = e.withColumnRenamed("v", "x")
+      .join(broadcast(nbr), col("vec_id") =!= col("nid"))
+      .withColumn("sim_r", r6(expr("graft_dot(x, y)")))
+    val wk = Window.partitionBy("vec_id")
+      .orderBy(col("sim_r").desc, col("nid"))
+    val votes = sims.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 5)
+      .groupBy("vec_id", "label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .filter(col("nlabel") =!= col("label"))
+      .select(col("vec_id"), col("label"), col("nlabel").as("maj_label"),
+        col("votes"))
+      .orderBy("vec_id")
+  }
+
   /** Recall@3 audit of the IVF probe against the exact brute-force
     * top-3 — the third member of the eval-harness family (LSH pairs,
     * MinHash pairs, now ANN retrieval): every approximate index this
@@ -535,6 +566,7 @@ object VectorOps {
     "q_sim_hard_negatives" -> hardNegatives,
     "q_embed_outliers" -> embedOutliers,
     "q_ann_ivf" -> annIvf,
+    "q_vec_label_noise" -> labelNoise,
     "q_eval_ivf_recall" -> evalIvfRecall)
 
   /** Shared oracle fragments: the exact and LSH embedding-pair plans are
@@ -877,6 +909,30 @@ object VectorOps {
                     ORDER BY sim_r DESC, vec_id) AS rn
            FROM sims) t
          WHERE rn = 1 ORDER BY label""",
+    "q_vec_label_noise" ->
+      """WITH sims AS (
+           SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS nlabel,
+                  floor((list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+         top5 AS (SELECT vec_id, label, nlabel FROM (
+             SELECT vec_id, label, nlabel,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY sim_r DESC, nid) AS rk
+             FROM sims) t
+           WHERE rk <= 5),
+         votes AS (SELECT vec_id, label, nlabel,
+                          CAST(count(*) AS BIGINT) AS votes
+                   FROM top5 GROUP BY vec_id, label, nlabel),
+         maj AS (SELECT vec_id, label, nlabel, votes FROM (
+             SELECT vec_id, label, nlabel, votes,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY votes DESC, nlabel) AS vr
+             FROM votes) t
+           WHERE vr = 1)
+         SELECT vec_id, label, nlabel AS maj_label, votes
+         FROM maj WHERE nlabel != label ORDER BY vec_id""",
     "q_ann_ivf" ->
       s"""WITH $ivfCtes
          SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id AS nid, sim_r

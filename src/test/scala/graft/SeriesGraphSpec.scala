@@ -117,6 +117,36 @@ class SeriesGraphSpec extends SparkSpec {
     }
   }
 
+  test("label noise: flags only true majority disagreements") {
+    val rows = operators.VectorOps.queries("q_vec_label_noise")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("label")) !=
+        r.getInt(r.fieldIndex("maj_label")))
+      val v = r.getLong(r.fieldIndex("votes"))
+      assert(v >= 1 && v <= 5)
+    }
+    // spot-check one flagged vector against a driver-side 5-NN vote
+    val probe = rows.head.getLong(0)
+    val all = Tables.embeddings(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).toArray)
+    }
+    val me = all.find(_._1 == probe).get
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.floor(s * 1000000 + 0.5) / 1000000
+    }
+    val top5 = all.filter(_._1 != probe)
+      .map(x => (x._1, x._2, dot(me._3, x._3)))
+      .sortBy(x => (-x._3, x._1)).take(5)
+    val maj = top5.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy(x => (-x._2, x._1)).head._1
+    assert(maj == rows.head.getInt(rows.head.fieldIndex("maj_label")))
+  }
+
   test("interpolate: full spine, no nulls, observed rows keep their value") {
     val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
     val rows = df.collect()
