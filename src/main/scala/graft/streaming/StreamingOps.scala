@@ -196,6 +196,57 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Output row of [[userDecayState]]. */
+  case class DecayState(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Per-user exponential decay state (α=0.3): ewma ← 0.3·v + 0.7·ewma,
+    * seeded at the first value — the streaming twin of the batch EWMA
+    * family (q_stats_ewma smooths the daily census; this smooths each
+    * user's value stream as events arrive). Rows are applied in (ts,
+    * event_id) order within a micro-batch; cross-batch order per user is
+    * the watermark's job upstream, same contract as the funnel state
+    * machine. State per user is one (count, double) pair — sharded on
+    * user_id, RocksDB-backed in production. */
+  class DecayProcessor
+      extends StatefulProcessor[Long, (Long, Double, Long, Long),
+        DecayState] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("userDecay",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Double, Long, Long)],
+        timers: TimerValues): Iterator[DecayState] = {
+      val (n0, e0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0
+      var e = e0
+      rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, v, _, _) =>
+        e = if (n == 0) v else 0.3 * v + 0.7 * e
+        n += 1
+      }
+      state.update((n, e))
+      Iterator.single(DecayState(uid, n, e))
+    }
+  }
+
+  /** Per-user decayed mean via transformWithState. */
+  def userDecayState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"),
+        unix_micros(col("ts")), col("event_id").cast("long"))
+      .as[(Long, Double, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DecayProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Output row of [[funnel]]: the user's stage timestamps (µs), null
     * until the stage is reached in order. */
   case class FunnelStage(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -215,6 +215,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decay state: streaming ewma matches the scala fold across batches") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.userDecayState(ms.toDF())
+      .writeStream.format("memory").queryName("t_decay")
+      .outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", uid = 5, v = 10.0),
+        ev(2, "2024-01-01 10:01:00", uid = 5, v = 20.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:02:00", uid = 5, v = 30.0))
+      q.processAllAvailable()
+      val last = spark.table("t_decay").filter(col("user_id") === 5)
+        .orderBy(col("n_events").desc).limit(1)
+        .select("n_events", "ewma").collect().head
+      // fold: 10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1
+      assert(last.getLong(0) === 3L)
+      assert(math.abs(last.getDouble(1) - 18.1) < 1e-9)
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState accumulates per-user state across batches") {
     implicit val sc = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
