@@ -932,6 +932,33 @@ object RelationalOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Join-key skew audit: per-key row-count concentration for the four
+    * hot join/group keys — n_keys, hottest-key share, p99/median ratio.
+    * THE operational diagnostic behind the salting decision
+    * (Skew.scala): a max_share near 1/parallelism means one reducer
+    * owns a stage; p99/med ≫ 1 means salt or AQE-skew-join. Each
+    * profile is two chained hash aggregates (key census → 1 row), so
+    * the audit costs one pass per key column at any scale. */
+  private val skewAudit: Q = (s, d) => {
+    def profile(df: DataFrame, keyCol: String, rel: String): DataFrame =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"),
+          r6(max(col("c")).cast("double") / sum(col("c"))).as("max_share"),
+          r6(expr("percentile(c, 0.99)") / expr("percentile(c, 0.5)"))
+            .as("p99_over_med"))
+        .select(lit(rel).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_rows"), col("max_share"), col("p99_over_med"))
+    profile(Tables.lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+      .union(profile(Tables.lineitem(s, d), "l_suppkey",
+        "lineitem.l_suppkey"))
+      .union(profile(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .union(profile(Tables.events(s, d), "user_id", "events.user_id"))
+      .orderBy("join_key")
+  }
+
   /** Boolean aggregates (count_if / bool_and / bool_or) — the
     * predicate-census trio every data-quality assertion layer compiles
     * to (e.g. "no group may contain a negative price" is one bool_and
@@ -1523,6 +1550,7 @@ object RelationalOps {
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_filtered" -> aggFiltered,
     "q_agg_bool" -> aggBool,
+    "q_quality_skew_audit" -> skewAudit,
     "q_agg_mode_median" -> aggModeMedian,
     "q_agg_corr" -> aggCorr,
     "q_agg_histogram" -> aggHistogram,
@@ -1929,6 +1957,23 @@ object RelationalOps {
                 count(*) FILTER (WHERE l_tax > 0.04) AS cnt_hi_tax,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_quality_skew_audit" -> {
+      def p(tbl: String, kc: String) =
+        s"""SELECT '$tbl.$kc' AS join_key,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(max(c) AS BIGINT) AS max_rows,
+               floor((CAST(max(c) AS DOUBLE) / sum(c)) * 1000000 + 0.5)
+                 / 1000000.0 AS max_share,
+               floor((quantile_cont(c, 0.99) / quantile_cont(c, 0.5))
+                 * 1000000 + 0.5) / 1000000.0 AS p99_over_med
+            FROM (SELECT $kc AS k, count(*) AS c FROM $tbl GROUP BY 1)"""
+      s"""${p("lineitem", "l_partkey")}
+         UNION ALL ${p("lineitem", "l_suppkey")}
+         UNION ALL ${p("orders", "o_custkey")}
+         UNION ALL ${p("events", "user_id")}
+         ORDER BY join_key"""
+    },
     "q_agg_bool" ->
       """SELECT o_orderpriority,
                 CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
