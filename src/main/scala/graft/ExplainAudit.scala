@@ -93,7 +93,10 @@ object ExplainAudit {
     // the bootstrap's single replicated pass, LTV's bounded cohort
     // cumsum, the shared-probe recall audit
     "q_tpch_q19", "q_tpch_q22", "q_stats_bootstrap",
-    "q_events_cohort_ltv", "q_eval_ivf_recall")
+    "q_events_cohort_ltv", "q_eval_ivf_recall",
+    // the knn vote (broadcast pass + two windows) and the skew
+    // profile's chained aggregates
+    "q_vec_label_noise", "q_quality_skew_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
