@@ -430,7 +430,7 @@ object StatsOps {
     * it is bit-identical cross-engine before its r6, and every derived
     * column is round-then-replay off the previous one. Edge days keep
     * their partial trend window (deterministic in both engines). */
-  private val decompose: Q = (s, d) => {
+  private def stlFrame(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
@@ -440,7 +440,24 @@ object StatsOps {
       .withColumn("seasonal", r6(avg(col("c") - col("trend")).over(wSeas)))
       .select(col("day"), col("c"), col("trend"), col("seasonal"),
         r6(col("c") - col("trend") - col("seasonal")).as("resid"))
-      .orderBy("day")
+  }
+
+  private val decompose: Q = (s, d) => stlFrame(s, d).orderBy("day")
+
+  /** Seasonality-aware anomaly report: top-5 days by |residual z| AFTER
+    * the trend and weekday components are removed — the "anomaly
+    * detection done right" companion to q_events_anomaly's raw z-score,
+    * which flags every Saturday in a weekday-seasonal series. Shares
+    * the STL frame with q_stats_decompose; the residual σ is a 1-row
+    * broadcast back over the |days|-bounded frame. */
+  private val anomalyStl: Q = (s, d) => {
+    val re = stlFrame(s, d).select("day", "c", "resid")
+    val st = re.agg(r6(stddev_samp(col("resid"))).as("sd"))
+    re.crossJoin(broadcast(st))
+      .select(col("day"), col("c"), col("resid"),
+        r6(col("resid") / col("sd")).as("resid_z"))
+      .orderBy(abs(col("resid_z")).desc, col("day"))
+      .limit(5)
   }
 
   /** Theil–Sen robust trend: median of all pairwise slopes of the daily
@@ -501,6 +518,7 @@ object StatsOps {
   val queries: Map[String, Q] = Map(
     "q_stats_bootstrap" -> bootstrap,
     "q_stats_decompose" -> decompose,
+    "q_stats_anomaly_stl" -> anomalyStl,
     "q_stats_theil_sen" -> theilSen,
     "q_stats_ewma" -> ewma,
     "q_stats_jackknife" -> jackknife,
@@ -558,6 +576,30 @@ object StatsOps {
                 floor((c - trend - seasonal) * 1000000 + 0.5) / 1000000.0
                   AS resid
          FROM se ORDER BY day""",
+    "q_stats_anomaly_stl" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         tr AS (SELECT day, c,
+                 floor(avg(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING) * 1000000 + 0.5) / 1000000.0 AS trend
+                FROM daily),
+         se AS (SELECT day, c, trend,
+                 floor(avg(c - trend) OVER (PARTITION BY day % 7)
+                   * 1000000 + 0.5) / 1000000.0 AS seasonal
+                FROM tr),
+         re AS (SELECT day, c,
+                 floor((c - trend - seasonal) * 1000000 + 0.5)
+                   / 1000000.0 AS resid
+                FROM se),
+         st AS (SELECT floor(stddev_samp(resid) * 1000000 + 0.5)
+                  / 1000000.0 AS sd
+                FROM re)
+         SELECT day, c, resid,
+                floor((resid / sd) * 1000000 + 0.5) / 1000000.0 AS resid_z
+         FROM re CROSS JOIN st
+         ORDER BY abs(resid_z) DESC, day LIMIT 5""",
     "q_stats_theil_sen" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

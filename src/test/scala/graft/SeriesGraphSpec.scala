@@ -147,6 +147,20 @@ class SeriesGraphSpec extends SparkSpec {
     assert(maj == rows.head.getInt(rows.head.fieldIndex("maj_label")))
   }
 
+  test("stl anomaly: top-5 by |z|, z consistent with residual/sd") {
+    val rows = operators.StatsOps.queries("q_stats_anomaly_stl")(
+      spark, sfDir).collect()
+    assert(rows.length == 5)
+    val zs = rows.map(r => math.abs(r.getDouble(3)))
+    zs.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9)
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(math.signum(r.getDouble(2)) == math.signum(r.getDouble(3)))
+    }
+  }
+
   test("interpolate: full spine, no nulls, observed rows keep their value") {
     val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
     val rows = df.collect()
