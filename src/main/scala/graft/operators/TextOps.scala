@@ -1091,7 +1091,28 @@ object TextOps {
           sum(col("x")) * sum(col("x")))).as("intercept"))
   }
 
+  /** Corpus-driven stopword discovery: tokens present in > 60 % of
+    * documents, with their document frequency and share — the artifact
+    * builder that feeds curated stopword lists (the quality/normalize
+    * ops consume such lists as broadcast lexicons). Distinct (doc,
+    * token) explode → |vocab|-bounded df census → 1-row doc count
+    * broadcast back; the share threshold compares identical doubles in
+    * both engines (exact integer df / exact integer n_docs). */
+  private val stopwordDiscover: Q = (s, d) => {
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("token"))
+      .distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    df.crossJoin(broadcast(nd))
+      .filter(col("df").cast("double") / col("n_docs") > 0.6)
+      .select(col("token"), col("df"),
+        r6(col("df").cast("double") / col("n_docs")).as("df_share"))
+      .orderBy(col("df_share").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_stopword_discover" -> stopwordDiscover,
     "q_text_tok_zipf" -> tokZipf,
     "q_sample_balanced" -> sampleBalanced,
     "q_text_char_entropy" -> charEntropy,
@@ -1162,6 +1183,20 @@ object TextOps {
        ORDER BY d.doc_id"""
 
   val oracle: Map[String, String] = Map(
+    "q_text_stopword_discover" ->
+      """WITH docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents),
+         df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+             SELECT DISTINCT doc_id,
+                    unnest(string_split(text, ' ')) AS token
+             FROM documents) t
+           GROUP BY token)
+         SELECT token, df,
+                floor((CAST(df AS DOUBLE) / n_docs) * 1000000 + 0.5)
+                  / 1000000.0 AS df_share
+         FROM df CROSS JOIN docs
+         WHERE CAST(df AS DOUBLE) / n_docs > 0.6
+         ORDER BY df_share DESC, token""",
     "q_text_tok_zipf" ->
       """WITH f AS (
            SELECT tok, CAST(count(*) AS BIGINT) AS f
