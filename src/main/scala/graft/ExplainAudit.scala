@@ -80,14 +80,16 @@ object ExplainAudit {
     "q_vec_project", "q_shard_rendezvous",
     // round-3 session 4: Q6's everything-pushed scan-aggregate, Q8's
     // double-broadcast-chain + semi-join share, Q13's left-join
-    // histogram, Q15's round-then-max broadcast-back, the k-core
-    // semi-join peel (3 static rounds), the interpolation spine's two
-    // IGNORE-NULLS window passes, growth accounting's ONE user_id
-    // Exchange feeding both lag and lead, the jackknife's single fold
-    // aggregate, Theil-Sen's calendar-bounded pair join, and the EWMA's
-    // 14 stacked lags sharing one WindowExec
+    // histogram, Q15's round-then-max broadcast-back, the
+    // interpolation spine's two IGNORE-NULLS window passes, growth
+    // accounting's ONE user_id Exchange feeding both lag and lead, the
+    // jackknife's single fold aggregate, Theil-Sen's calendar-bounded
+    // pair join, and the EWMA's 14 stacked lags sharing one WindowExec.
+    // (q_graph_kcore is EXCLUDED for the q_pipeline_curate reason:
+    // constructing it eager-localCheckpoints the full edge list through
+    // 3 peel rounds — real whole-graph jobs, not an explain.)
     "q_tpch_q6", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
-    "q_graph_kcore", "q_events_interpolate", "q_events_growth_acct",
+    "q_events_interpolate", "q_events_growth_acct",
     "q_stats_jackknife", "q_stats_theil_sen", "q_stats_ewma",
     // session 4 late: Q19's one-residual-OR-filter, Q22's anti join,
     // the bootstrap's single replicated pass, LTV's bounded cohort

@@ -936,9 +936,14 @@ object RelationalOps {
     * hot join/group keys — n_keys, hottest-key share, p99/median ratio.
     * THE operational diagnostic behind the salting decision
     * (Skew.scala): a max_share near 1/parallelism means one reducer
-    * owns a stage; p99/med ≫ 1 means salt or AQE-skew-join. Each
-    * profile is two chained hash aggregates (key census → 1 row), so
-    * the audit costs one pass per key column at any scale. */
+    * owns a stage; p99/med ≫ 1 means salt or AQE-skew-join. The key
+    * census is one hash-aggregate pass per key column; the EXACT
+    * percentile over the census is the bench-scale form — it buffers
+    * every per-key count in one final-aggregate task, so at billions
+    * of distinct keys swap in approx_percentile or interpolate from
+    * the count-of-counts census (bounded by distinct multiplicities).
+    * Exact is kept here because the oracle can replay it bit-for-bit
+    * (approx_percentile cannot be cross-engine-pinned). */
   private val skewAudit: Q = (s, d) => {
     def profile(df: DataFrame, keyCol: String, rel: String): DataFrame =
       df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))

@@ -493,8 +493,8 @@ object StatsOps {
     * sampler here. Weights are exact integers, so the only float work
     * is the final weighted mean (r6, the standard discipline); the
     * replicate spread estimates the same SE the jackknife pins
-    * analytically. Thresholds 94/188/235/251/255 = ceil(CDF·256) of
-    * Poisson(1) at k=0..4. */
+    * analytically. Thresholds 94/188/235/251/255 = floor(CDF·256) of
+    * Poisson(1) at k=0..4; the discretized mean is 257/256 ≈ 1.004. */
   private val bootstrap: Q = (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"),
@@ -538,6 +538,24 @@ object StatsOps {
   // (psi is defined above the map — object vals initialize in
   // declaration order, so a forward reference here would be null)
 
+  /** Shared STL CTE chain (daily census → trend → seasonal) — the
+    * oracle-side twin of stlFrame, so q_stats_decompose and
+    * q_stats_anomaly_stl replay ONE decomposition text (the ivfCtes
+    * rule: a shared Spark builder gets a shared oracle fragment). */
+  private val stlCtes: String =
+    """daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         tr AS (SELECT day, c,
+                 floor(avg(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING) * 1000000 + 0.5) / 1000000.0 AS trend
+                FROM daily),
+         se AS (SELECT day, c, trend,
+                 floor(avg(c - trend) OVER (PARTITION BY day % 7)
+                   * 1000000 + 0.5) / 1000000.0 AS seasonal
+                FROM tr)"""
+
   val oracle: Map[String, String] = Map(
     "q_stats_bootstrap" ->
       """WITH r AS (SELECT CAST(unnest(generate_series(0, 4)) AS INTEGER)
@@ -560,35 +578,13 @@ object StatsOps {
                   / 1000000.0 AS mean_rep
          FROM wt GROUP BY rep ORDER BY rep""",
     "q_stats_decompose" ->
-      """WITH daily AS (
-           SELECT epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY day),
-         tr AS (SELECT day, c,
-                 floor(avg(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
-                   AND 3 FOLLOWING) * 1000000 + 0.5) / 1000000.0 AS trend
-                FROM daily),
-         se AS (SELECT day, c, trend,
-                 floor(avg(c - trend) OVER (PARTITION BY day % 7)
-                   * 1000000 + 0.5) / 1000000.0 AS seasonal
-                FROM tr)
+      s"""WITH $stlCtes
          SELECT day, c, trend, seasonal,
                 floor((c - trend - seasonal) * 1000000 + 0.5) / 1000000.0
                   AS resid
          FROM se ORDER BY day""",
     "q_stats_anomaly_stl" ->
-      """WITH daily AS (
-           SELECT epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY day),
-         tr AS (SELECT day, c,
-                 floor(avg(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
-                   AND 3 FOLLOWING) * 1000000 + 0.5) / 1000000.0 AS trend
-                FROM daily),
-         se AS (SELECT day, c, trend,
-                 floor(avg(c - trend) OVER (PARTITION BY day % 7)
-                   * 1000000 + 0.5) / 1000000.0 AS seasonal
-                FROM tr),
+      s"""WITH $stlCtes,
          re AS (SELECT day, c,
                  floor((c - trend - seasonal) * 1000000 + 0.5)
                    / 1000000.0 AS resid
@@ -618,10 +614,17 @@ object StatsOps {
                   / 1000000.0 AS intercept
          FROM d0 CROSS JOIN ms""",
     "q_stats_ewma" -> {
-      // identical 17-digit weight literals on both sides (see ewmaW)
+      // identical 17-digit weight literals on both sides (see ewmaW).
+      // The CAST AS DOUBLE is load-bearing: DuckDB types a bare
+      // 0.48999999999999994 literal as DECIMAL(18,17) and would
+      // accumulate the whole sum in exact decimal while Spark
+      // accumulates doubles — the same r6-boundary parity class as the
+      // jackknife raw-moment bug.
       val terms = (0 until EwmaLags).map { k =>
-        (s"coalesce(lag(c, $k) OVER w, 0) * ${ewmaW(k)}",
-          s"CASE WHEN lag(c, $k) OVER w IS NULL THEN 0 ELSE ${ewmaW(k)} END")
+        (s"coalesce(lag(c, $k) OVER w, 0)" +
+          s" * CAST(${ewmaW(k)} AS DOUBLE)",
+          s"CASE WHEN lag(c, $k) OVER w IS NULL THEN CAST(0 AS DOUBLE)" +
+            s" ELSE CAST(${ewmaW(k)} AS DOUBLE) END")
       }
       s"""WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

@@ -113,9 +113,10 @@ class TpchMoreSpec extends SparkSpec {
       .agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
     val n = Tables.orders(spark, sfDir).count()
     rows.foreach { r =>
-      // n_eff ~ Binomial-ish around n (discretized Poisson(1) mean
-      // 241/256); replicate means deviate by O(sd/sqrt(n))
-      assert(math.abs(r.getLong(1).toDouble / n - 241.0 / 256) < 0.1)
+      // n_eff concentrates at n·E[k] where E[k] = 257/256 for the
+      // floor(CDF·256) thresholds; replicate means deviate by
+      // O(sd/sqrt(n))
+      assert(math.abs(r.getLong(1).toDouble / n - 257.0 / 256) < 0.05)
       assert(math.abs(r.getDouble(2) - plain) / plain < 0.05)
     }
   }
