@@ -89,12 +89,63 @@ object MultimodalOps {
       .orderBy("a", "b")
   }
 
+  /** CAS-store sizing report — the dedup-savings answer storage
+    * engineering actually asks for: how many bytes does block-level
+    * dedup save across the asset corpus? One block explode (same shape
+    * as q_multimodal_chunk_dedup), a distinct-signature census carrying
+    * each block's true length (last blocks are partial), and two 1-row
+    * aggregates cross-joined into the report. Exact integers up to the
+    * single r6 ratio. */
+  private val multimodalStorageAudit: Q = (s, d) => {
+    val blocks = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 1) div 64)")).as("blk"))
+      .select(
+        md5(expr("substring(text, blk * 64 + 1, 64)")).as("bsig"),
+        least(lit(64), length(col("text")) - col("blk") * 64).as("blen"))
+    val tot = Tables.documents(s, d).filter(length(col("text")) > 0)
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("text"))).as("bytes_total"))
+    val bl = blocks.agg(count(lit(1)).as("n_blocks"))
+    val un = blocks.groupBy("bsig").agg(min(col("blen")).as("blen"))
+      .agg(count(lit(1)).as("n_unique_blocks"),
+        sum(col("blen")).as("bytes_unique"))
+    tot.crossJoin(bl).crossJoin(un)
+      .select(col("n_assets"), col("n_blocks"), col("n_unique_blocks"),
+        col("bytes_total"), col("bytes_unique"),
+        graft.Par.r6(col("bytes_total").cast("double") /
+          col("bytes_unique")).as("dedup_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_storage_audit" -> multimodalStorageAudit,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_chunk_dedup" -> multimodalChunkDedup,
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_storage_audit" ->
+      """WITH blocks AS (
+           SELECT md5(substring(text, blk * 64 + 1, 64)) AS bsig,
+                  least(64, length(text) - blk * 64) AS blen
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(0,
+                          (length(text) - 1) // 64)) AS blk
+                 FROM documents WHERE length(text) > 0) t),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_assets,
+                        CAST(sum(length(text)) AS BIGINT) AS bytes_total
+                 FROM documents WHERE length(text) > 0),
+         bl AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM blocks),
+         un AS (SELECT CAST(count(*) AS BIGINT) AS n_unique_blocks,
+                       CAST(sum(blen) AS BIGINT) AS bytes_unique
+                FROM (SELECT bsig, min(blen) AS blen FROM blocks
+                      GROUP BY bsig) u)
+         SELECT n_assets, n_blocks, n_unique_blocks, bytes_total,
+                bytes_unique,
+                floor((CAST(bytes_total AS DOUBLE) / bytes_unique)
+                  * 1000000 + 0.5) / 1000000.0 AS dedup_ratio
+         FROM tot CROSS JOIN bl CROSS JOIN un""",
     "q_multimodal_block_jaccard" ->
       """WITH b AS (
            SELECT DISTINCT doc_id,

@@ -48,4 +48,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(df, "bin", frameBytes = 4, stride = 1)
       .count() === 0)
   }
+
+  test("storage audit: consistent census and ratio >= 1") {
+    val r = operators.MultimodalOps.queries("q_multimodal_storage_audit")(
+      spark, sfDir).collect()(0)
+    val nBlocks = r.getLong(r.fieldIndex("n_blocks"))
+    val nUnique = r.getLong(r.fieldIndex("n_unique_blocks"))
+    val bt = r.getLong(r.fieldIndex("bytes_total"))
+    val bu = r.getLong(r.fieldIndex("bytes_unique"))
+    assert(nUnique <= nBlocks && bu <= bt)
+    assert(r.getDouble(r.fieldIndex("dedup_ratio")) >= 1.0)
+    // block lengths: sum over all blocks of blen equals total bytes
+    assert(bt >= nBlocks) // every block has at least 1 byte
+  }
 }
