@@ -515,7 +515,28 @@ object StatsOps {
           .as("mean_rep"))
       .orderBy("rep")
 
+  /** Index of dispersion (variance/mean of hourly arrival counts) per
+    * event type — the burstiness test against the Poisson null
+    * (dispersion ≈ 1): > 1 means bursty traffic (provision for spikes,
+    * suspect bot storms), < 1 means smoothed/regularized arrivals.
+    * Hours with zero arrivals for a type are absent from that type's
+    * census (active-hour dispersion — the |hours|-bounded frame, same
+    * census argument as every series op here). Two chained hash
+    * aggregates; moments on small exact integers, r6 at the boundary. */
+  private val dispersion: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("(ts_ns div 1000) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        r6(avg(col("c"))).as("mean_c"),
+        r6(var_samp(col("c"))).as("var_c"),
+        r6(var_samp(col("c")) / avg(col("c"))).as("dispersion"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_stats_dispersion" -> dispersion,
     "q_stats_bootstrap" -> bootstrap,
     "q_stats_decompose" -> decompose,
     "q_stats_anomaly_stl" -> anomalyStl,
@@ -557,6 +578,17 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stats_dispersion" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY event_type, hr)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                floor(avg(c) * 1000000 + 0.5) / 1000000.0 AS mean_c,
+                floor(var_samp(c) * 1000000 + 0.5) / 1000000.0 AS var_c,
+                floor((var_samp(c) / avg(c)) * 1000000 + 0.5)
+                  / 1000000.0 AS dispersion
+         FROM hourly GROUP BY event_type ORDER BY event_type""",
     "q_stats_bootstrap" ->
       """WITH r AS (SELECT CAST(unnest(generate_series(0, 4)) AS INTEGER)
                       AS rep),

@@ -205,6 +205,30 @@ object VectorOps {
 
   private val annIvf: Q = (s, d) => ivfTop3(s, d)
 
+  /** Classification-margin statistics — the active-learning signal: per
+    * true label, how decisively does the centroid classifier score its
+    * members (margin = best centroid sim − runner-up sim on r6 sims, so
+    * the subtraction is exact cross-engine)? Low-margin examples are
+    * the uncertainty-sampling pool / the labels to re-audit. The
+    * K-centroid table broadcasts; lag over the K-row per-vector window
+    * derives the runner-up; margins aggregate per label. */
+  private val vecMargin: Q = (s, d) => {
+    val sims = vecs(s, d)
+      .crossJoin(broadcast(centroidArr(s, d)
+        .withColumnRenamed("label", "clabel")))
+      .withColumn("sim_r", r6(expr(centDotExpr)))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim_r").desc, col("clabel"))
+    sims.withColumn("rn", row_number().over(w))
+      .withColumn("margin", col("sim_r") - lead(col("sim_r"), 1).over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(avg(col("margin"))).as("avg_margin"),
+        count(when(col("margin") < 0.05, 1)).as("n_low"))
+      .orderBy("label")
+  }
+
   /** kNN label-noise audit (the confident-learning / cleanlab shape):
     * flag vectors whose 5-NN majority label disagrees with their own —
     * the training-data QA pass that catches mislabeled examples before
@@ -566,6 +590,7 @@ object VectorOps {
     "q_sim_hard_negatives" -> hardNegatives,
     "q_embed_outliers" -> embedOutliers,
     "q_ann_ivf" -> annIvf,
+    "q_vec_margin" -> vecMargin,
     "q_vec_label_noise" -> labelNoise,
     "q_eval_ivf_recall" -> evalIvfRecall)
 
@@ -644,6 +669,20 @@ object VectorOps {
        v2 AS (${pcaIterSql("v1")}),
        v3 AS (${pcaIterSql("v2")})
        SELECT i, x AS loading FROM v3 ORDER BY i"""
+
+  /** Shared label-centroid CTE chain — q_sim_knn_label and q_vec_margin
+    * replay ONE centroid build (the ivfCtes rule). */
+  private val centCtes: String =
+    """dm AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, len(embedding))) - 1
+                       AS INTEGER) AS pos,
+                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS val
+           FROM embeddings),
+         cent AS (SELECT label, pos, avg(val) AS c
+                  FROM dm GROUP BY label, pos),
+         ca AS (SELECT label, list(c ORDER BY pos) AS carr
+                FROM cent GROUP BY label)"""
 
   /** Shared IVF-probe CTE chain (label centroids → probe → candidate
     * scores) — q_ann_ivf's final top-3 and q_eval_ivf_recall's audit
@@ -886,17 +925,28 @@ object VectorOps {
                   / 1000000.0 AS cos_ab
          FROM j JOIN counts ON j.label = counts.label
          ORDER BY j.label""",
+    "q_vec_margin" ->
+      s"""WITH $centCtes,
+         sims AS (
+           SELECT e.vec_id, e.label, ca.label AS clabel,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            ca.carr))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings e CROSS JOIN ca),
+         rk AS (SELECT vec_id, label, sim_r,
+                 row_number() OVER w AS rn,
+                 lead(sim_r) OVER w AS nxt
+                FROM sims
+                WINDOW w AS (PARTITION BY vec_id
+                             ORDER BY sim_r DESC, clabel))
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                floor(avg(sim_r - nxt) * 1000000 + 0.5) / 1000000.0
+                  AS avg_margin,
+                CAST(count(*) FILTER (sim_r - nxt < 0.05) AS BIGINT)
+                  AS n_low
+         FROM rk WHERE rn = 1 GROUP BY label ORDER BY label""",
     "q_sim_knn_label" ->
-      """WITH dm AS (
-           SELECT vec_id, label,
-                  CAST(unnest(generate_series(1, len(embedding))) - 1
-                       AS INTEGER) AS pos,
-                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS val
-           FROM embeddings),
-         cent AS (SELECT label, pos, avg(val) AS c
-                  FROM dm GROUP BY label, pos),
-         ca AS (SELECT label, list(c ORDER BY pos) AS carr
-                FROM cent GROUP BY label),
+      s"""WITH $centCtes,
          sims AS (
            SELECT e.label, e.vec_id,
                   floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),

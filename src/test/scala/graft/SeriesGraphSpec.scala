@@ -161,6 +161,30 @@ class SeriesGraphSpec extends SparkSpec {
     }
   }
 
+  test("dispersion: hour census and moments are self-consistent") {
+    val rows = operators.StatsOps.queries("q_stats_dispersion")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getDouble(r.fieldIndex("mean_c"))
+      val varc = r.getDouble(r.fieldIndex("var_c"))
+      val disp = r.getDouble(r.fieldIndex("dispersion"))
+      assert(mean > 0 && varc >= 0)
+      assert(math.abs(disp - varc / mean) < 1e-4)
+    }
+  }
+
+  test("margin: every vector accounted, n_low bounded by n_vecs") {
+    val rows = operators.VectorOps.queries("q_vec_margin")(spark, sfDir)
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getDouble(2) >= 0.0) // best sim >= runner-up by rank order
+    }
+  }
+
   test("interpolate: full spine, no nulls, observed rows keep their value") {
     val df = operators.EventOps.queries("q_events_interpolate")(spark, sfDir)
     val rows = df.collect()
