@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global-order primitives — the scale-safe replacement
+  * for `Window.orderBy(...)` with no partition key (which moves the whole
+  * frame to ONE task and dies at 100 TB).
+  *
+  * Pattern (the `q_text_pack` two-pass prefix sum, generalized):
+  *   1. `repartitionByRange` on the full sort tuple — a range shuffle, the
+  *      same cost class as the sort the single-partition window needed
+  *      anyway, but landing on N parallel tasks. RangePartitioner keeps
+  *      partition i strictly below partition i+1 in the sort order and
+  *      never splits equal tuples, so (partition order, in-partition
+  *      order) IS the global order.
+  *   2. `localCheckpoint` pins the sampled range boundaries so the
+  *      offsets pass and the main pass see identical partitions.
+  *   3. One bounded aggregate (one row per partition × group) is collected
+  *      and turned into broadcast cumulative offsets — the only driver
+  *      data is O(partitions), never O(rows).
+  *   4. A per-partition window (parallel, partitioned by pid) plus the
+  *      broadcast offset reproduces the exact global row_number / running
+  *      sum — bit-identical to the single-partition plan for integer
+  *      values, which is why every caller feeds integers (counts, cents)
+  *      through these helpers.
+  *
+  * ntile is derived from the exact global rank: SQL ntile(n) over N rows
+  * gives the first (N mod n) buckets ⌈N/n⌉ rows and the rest ⌊N/n⌋, a
+  * pure integer function of (rank, N) — so the distributed rank yields
+  * the identical bucketing the oracle's ntile computes.
+  */
+object Dist {
+  private val PID = "__graft_pid"
+  private val SEP = "\u0001"
+
+  private def defaultParts(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Range-partition on (groupCols ++ sortCols), pin layout, tag pid. */
+  private def ranged(df: DataFrame, parts: Int, keys: Seq[Column])
+      : DataFrame =
+    df.repartitionByRange(parts, keys: _*)
+      .withColumn(PID, spark_partition_id())
+      .localCheckpoint()
+
+  /** Exact global (or per-group) 1-based row_number `rnCol` plus the group
+    * row count `nCol`, computed without a single-partition window. With
+    * empty `groupCols` the rank is global; otherwise it restarts per
+    * group (groups must lead the range keys so ranges never interleave
+    * groups). Sort tuple must be unique for a deterministic rank — same
+    * contract the window form had. */
+  def withRankAndCount(df: DataFrame, rnCol: String, nCol: String,
+      groupCols: Seq[Column], sortCols: Seq[Column],
+      numParts: Int = -1): DataFrame = {
+    val parts = if (numParts > 0) numParts else defaultParts(df)
+    val rp = ranged(df, parts, groupCols ++ sortCols)
+    val gkey =
+      if (groupCols.isEmpty) lit("")
+      else concat_ws(SEP, groupCols.map(_.cast("string")): _*)
+    // bounded: one row per (partition, group)
+    val counts = rp.groupBy(col(PID), gkey.as("__g"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => (r.getString(1), r.getInt(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val off = scala.collection.mutable.Map.empty[String, Long]
+    val tot = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (g, pid, c) =>
+      val seen = tot.getOrElse(g, 0L)
+      off(g + SEP + pid) = seen
+      tot(g) = seen + c
+    }
+    val w = Window.partitionBy(col(PID) +: groupCols: _*)
+      .orderBy(sortCols: _*)
+    rp.withColumn(rnCol, row_number().over(w).cast("long") +
+        element_at(typedLit(off.toMap),
+          concat(gkey, lit(SEP), col(PID).cast("string"))))
+      .withColumn(nCol, element_at(typedLit(tot.toMap), gkey))
+      .drop(PID)
+  }
+
+  /** Exact distributed ntile(n) — same bucketing as
+    * `ntile(n).over(Window.partitionBy(groupCols).orderBy(sortCols))`
+    * but no single-partition (or giant-stratum) window. */
+  def withNtile(df: DataFrame, outCol: String, n: Int,
+      groupCols: Seq[Column], sortCols: Seq[Column],
+      numParts: Int = -1): DataFrame = {
+    val rn = "__graft_rn"
+    val nc = "__graft_n"
+    // first (N mod n) buckets hold (N div n)+1 rows, the rest (N div n)
+    val bucket =
+      s"""CAST(CASE
+            WHEN $rn <= (($nc div $n) + 1) * ($nc % $n)
+            THEN ($rn - 1) div (($nc div $n) + 1) + 1
+            ELSE ($nc % $n) +
+                 ($rn - 1 - (($nc div $n) + 1) * ($nc % $n))
+                   div ($nc div $n) + 1
+          END AS INT)"""
+    withRankAndCount(df, rn, nc, groupCols, sortCols, numParts)
+      .withColumn(outCol, expr(bucket))
+      .drop(rn, nc)
+  }
+
+  /** Exact distributed inclusive running sums over a global order, for
+    * LONG-valued inputs (integer arithmetic is associative, so
+    * per-partition partials + broadcast offsets are bit-identical to the
+    * sequential window sum — the reason callers feed counts/cents, never
+    * raw doubles). Each (name, col) pair becomes a running-sum column. */
+  def withPrefixSumsLong(df: DataFrame, sums: Seq[(String, Column)],
+      sortCols: Seq[Column], numParts: Int = -1): DataFrame = {
+    val parts = if (numParts > 0) numParts else defaultParts(df)
+    val rp = ranged(df, parts, sortCols)
+    val aggCols = sums.map { case (nm, c) =>
+      sum(c.cast("long")).as(nm + "__t")
+    }
+    val ptots = rp.groupBy(col(PID))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val offs: Seq[Map[Int, Long]] = sums.indices.map { i =>
+      var acc = 0L
+      ptots.map { case (pid, vals) =>
+        val e = pid -> acc; acc += vals(i); e
+      }.toMap
+    }
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.zipWithIndex.foldLeft(rp) { case (acc, ((nm, c), i)) =>
+      acc.withColumn(nm, sum(c.cast("long")).over(w) +
+        element_at(typedLit(offs(i)), col(PID)))
+    }.drop(PID)
+  }
+}

@@ -137,12 +137,17 @@ object RelationalOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
-  /** Band (theta-range) self-join on events: pairs of events of the same
-    * user ≤ 10 minutes apart. The equi key (user_id) keeps this a
-    * shuffle-hash/SMJ join with a residual range predicate — never a
-    * nested-loop cross product; per-user fan-out is bounded (~7 events per
-    * user in this data; salting would apply if a user were hot). */
-  private val joinThetaRange: Q = (s, d) => {
+  /** Naive band (theta-range) self-join on events: pairs of events of the
+    * same user ≤ 10 minutes apart, expressed as the literal inequality
+    * join. The equi key (user_id) keeps this a shuffle-hash/SMJ join with
+    * a residual range predicate — never a nested-loop cross product — but
+    * per-user pair scanning is still O(k²) in a user's event count, so
+    * this form is NOT the executed plan for `q_join_theta_range` anymore:
+    * the registry points at [[joinRangeBucket]], whose bucketed blocking
+    * bounds per-key fan-out by the band width. This naive form is kept as
+    * the semantic witness — ScaleTechniqueSpec asserts it produces rows
+    * identical to the bucketed plan. */
+  private[graft] val joinThetaRangeNaive: Q = (s, d) => {
     val e = Tables.events(s, d)
     val a = e.select(col("user_id"), col("event_id").as("eid_a"),
       col("ts").as("ts_a"))
@@ -546,17 +551,18 @@ object RelationalOps {
     * selective at every scale factor) — is tested against them. A file
     * skips iff its min-max rectangle misses the box. Under natural
     * order both dimensions span ~the full range in every file (skip ≈
-    * 0); under z-order the box lives in few Morton blocks. The ntile
-    * window SIMULATES the layout for this bounded audit — the
-    * production analog is repartitionByRange(zval).write, where the
-    * cost is a range shuffle, not a global sort window. All-integer
-    * output. */
+    * 0); under z-order the box lives in few Morton blocks. The file
+    * assignment is the DISTRIBUTED exact ntile(16) (Dist.withNtile:
+    * range shuffle on the layout order + per-partition rank + broadcast
+    * offsets) — the same range shuffle a real
+    * repartitionByRange(zval).write pays, never a single-partition sort
+    * of the fact table. All-integer output. */
   private val layoutSkipping: Q = (s, d) => {
     val base = zorderBase(s, d)
     val bounds = base.agg(min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
       min(col("zy")).as("by0"), max(col("zy")).as("by1"))
     def files(layout: String, ord: Seq[Column]) =
-      base.withColumn("f", ntile(16).over(Window.orderBy(ord: _*)))
+      Dist.withNtile(base, "f", 16, Nil, ord)
         .groupBy(lit(layout).as("layout"), col("f"))
         .agg(count(lit(1)).as("rows"),
           min(col("zx")).as("x0"), max(col("zx")).as("x1"),
@@ -612,16 +618,16 @@ object RelationalOps {
 
   /** NTILE quantile binning — the feature-quantization primitive (equal-
     * frequency bucketing of a numeric feature per class). Ordering is
-    * made unique with the key tie-break so bin edges are deterministic;
-    * the window partitions on o_orderpriority (5 strata — acceptable
-    * because ntile is rank-based and cannot pre-aggregate; at 100 TB the
-    * same binning is done against percentile cut points computed once,
-    * q_agg_percentile's shape). */
+    * made unique with the key tie-break so bin edges are deterministic.
+    * The 5 priority strata are each |orders|/5 — too big for one window
+    * task at 100 TB — so the binning is the distributed exact ntile
+    * (Dist.withNtile with the stratum as group key: range shuffle on
+    * (priority, price, key), per-partition rank, broadcast per-stratum
+    * offsets), identical to the oracle's partitioned ntile(4). */
   private val winNtile: Q = (s, d) =>
-    Tables.orders(s, d)
-      .withColumn("bin", ntile(4).over(Window
-        .partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")))
+    Dist.withNtile(Tables.orders(s, d), "bin", 4,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice"), col("o_orderkey")))
       .select("o_orderkey", "o_orderpriority", "o_totalprice", "bin")
       .orderBy("o_orderkey")
 
@@ -1378,19 +1384,24 @@ object RelationalOps {
     * O(n²) dominance anti-join: 2-D skyline reduces to sort + cumulative
     * min — a point survives iff its price beats the min price of every
     * strictly-larger size (RANGE frame ending 1 PRECEDING on size DESC)
-    * and is the min price within its own size. O(n log n), and at scale
-    * the frontier-only property means a partition-local skyline
-    * prefilter (same two windows per partition) shrinks input to ~|sky|
-    * per partition before one final merge pass — the classic
-    * divide-and-conquer skyline mapped onto Spark windows. */
+    * and is the min price within its own size. O(n log n): the per-size
+    * min price is ONE hash aggregate over part (the |distinct sizes| ≤ 50
+    * census), the cumulative "best price at any strictly larger size" is
+    * a window over that bounded census only, and the frontier test is a
+    * broadcast join back onto part — the full table is never globally
+    * sorted or moved to one window task. */
   private val skyline: Q = (s, d) => {
+    val perSize = Tables.part(s, d)
+      .groupBy("p_size").agg(min(col("p_retailprice")).as("sprice"))
+    // census window: one row per distinct p_size (≤ 50), rows -1 ==
+    // range -1 because sizes are distinct here
     val larger = Window.orderBy(col("p_size").desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val same = Window.partitionBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("mprice", min(col("sprice")).over(larger))
     Tables.part(s, d)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-      .withColumn("mprice", min(col("p_retailprice")).over(larger))
-      .withColumn("sprice", min(col("p_retailprice")).over(same))
+      .join(broadcast(frontier), Seq("p_size"))
       .filter((col("mprice").isNull ||
         col("p_retailprice") < col("mprice")) &&
         col("p_retailprice") === col("sprice"))
@@ -1421,52 +1432,54 @@ object RelationalOps {
 
   /** ABC (Pareto 80/15/5) inventory analysis: parts ranked by revenue,
     * cumulative revenue share, class A ≤ 80 % ≤ B ≤ 95 % ≤ C. Per-part
-    * revenue is r2-rounded BEFORE the running sum, so the cumulative
-    * share is arithmetic on identical doubles in both engines (the
-    * round-then-replay discipline applied to a prefix sum). The window
-    * runs over the |parts|-bounded aggregate, never over lineitem —
-    * the census-window argument — and at 100 TB the rank would come
-    * from a two-pass range-partitioned sort instead. */
+    * revenue is r2-rounded, then converted to integer CENTS so both the
+    * running sum and the grand total are exact LONG arithmetic — order-
+    * independent, so the prefix sum can be the distributed two-pass
+    * range-partitioned form (Dist.withPrefixSumsLong) instead of a
+    * single-partition global window, and the oracle (summing the same
+    * cents in DuckDB HUGEINT) is bit-identical by construction. The one
+    * float op left is the final cents/cents share division. */
   private val abcAnalysis: Q = (s, d) => {
     val rev = Tables.lineitem(s, d)
       .groupBy("l_partkey")
       .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("rev"))
-    rev
-      .crossJoin(broadcast(rev.agg(sum(col("rev")).as("tot"))))
-      .withColumn("cum", sum(col("rev")).over(
-        Window.orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cents", expr("CAST(floor(rev * 100 + 0.5) AS BIGINT)"))
+    val share = col("cum").cast("double") / col("tot")
+    Dist.withPrefixSumsLong(rev, Seq("cum" -> col("cents")),
+        Seq(col("rev").desc, col("l_partkey")))
+      .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
       .select(col("l_partkey"), col("rev"),
-        r6(col("cum") / col("tot")).as("cum_share"),
-        when(col("cum") / col("tot") <= 0.80, "A")
-          .when(col("cum") / col("tot") <= 0.95, "B")
+        r6(share).as("cum_share"),
+        when(share <= 0.80, "A")
+          .when(share <= 0.95, "B")
           .otherwise("C").as("abc_class"))
       .orderBy(col("rev").desc, col("l_partkey"))
       .limit(500)
   }
 
   /** RFM customer segmentation: recency (last order date), frequency
-    * (order count), monetary (total spend), each cut into quintiles by
-    * ntile over a fully tie-broken order (metric, custkey) so bucket
-    * boundaries are deterministic cross-engine. Aggregation shuffles on
-    * custkey; the three ntile windows run over the bounded per-customer
-    * frame (at 100 TB: percentile cut-points from one quantile pass,
-    * then a broadcast bin join — q_agg_percentile's shape — replace the
-    * global windows). */
+    * (order count), monetary (total spend), each cut into quintiles over
+    * a fully tie-broken order (metric, custkey) so bucket boundaries are
+    * deterministic cross-engine. Aggregation shuffles on custkey; each
+    * quintile is the DISTRIBUTED exact ntile (Dist.withNtile: range
+    * shuffle + per-partition rank + broadcast offsets) — no global
+    * single-partition window anywhere, identical bucketing to the
+    * oracle's ntile(5) by the rank/count formula. */
   private val customerRfm: Q = (s, d) => {
     val base = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         r2(sum(col("o_totalprice"))).as("monetary"))
-    base
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy(col("last_order"), col("o_custkey"))))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy(col("monetary"), col("o_custkey"))))
+    val cut = Seq(
+      ("r_q", Seq(col("last_order"), col("o_custkey"))),
+      ("f_q", Seq(col("freq"), col("o_custkey"))),
+      ("m_q", Seq(col("monetary"), col("o_custkey"))))
+      .foldLeft(base) { case (acc, (out, ord)) =>
+        Dist.withNtile(acc, out, 5, Nil, ord)
+      }
+    cut
       .select(col("o_custkey"), col("last_order"), col("freq"),
         col("monetary"), col("r_q"), col("f_q"), col("m_q"),
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm"))
@@ -1535,7 +1548,10 @@ object RelationalOps {
     "q_join_outer" -> joinOuter,
     "q_join_semi" -> joinSemi,
     "q_join_anti" -> joinAnti,
-    "q_join_theta_range" -> joinThetaRange,
+    // Executed plan is the bucketed-interval blocking (scale path); the
+    // naive inequality join survives as joinThetaRangeNaive, spec-proven
+    // row-identical. Oracle contract unchanged.
+    "q_join_theta_range" -> joinRangeBucket,
     "q_join_asof" -> joinAsof,
     "q_join_salted" -> joinSalted,
     "q_join_range_bucket" -> joinRangeBucket,
@@ -1636,24 +1652,31 @@ object RelationalOps {
            GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // Running sum in exact integer cents (order-independent → the
+    // distributed two-pass prefix sum is bit-identical by construction).
     "q_abc_analysis" ->
       """WITH rev AS (
            SELECT l_partkey,
                   floor(sum(l_extendedprice * (1.0 - l_discount)) * 100
                     + 0.5) / 100.0 AS rev
            FROM lineitem GROUP BY l_partkey),
-         tot AS (SELECT sum(rev) AS tot FROM rev),
+         rc AS (
+           SELECT l_partkey, rev,
+                  CAST(floor(rev * 100 + 0.5) AS BIGINT) AS cents
+           FROM rev),
+         tot AS (SELECT sum(cents) AS tot FROM rc),
          c AS (
            SELECT l_partkey, rev,
-                  sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                  sum(cents) OVER (ORDER BY rev DESC, l_partkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS cum,
                   tot
-           FROM rev CROSS JOIN tot)
+           FROM rc CROSS JOIN tot)
          SELECT l_partkey, rev,
-                floor((cum / tot) * 1000000 + 0.5) / 1000000.0 AS cum_share,
-                CASE WHEN cum / tot <= 0.80 THEN 'A'
-                     WHEN cum / tot <= 0.95 THEN 'B'
+                floor((CAST(cum AS DOUBLE) / tot) * 1000000 + 0.5)
+                  / 1000000.0 AS cum_share,
+                CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.80 THEN 'A'
+                     WHEN CAST(cum AS DOUBLE) / tot <= 0.95 THEN 'B'
                      ELSE 'C' END AS abc_class
          FROM c ORDER BY rev DESC, l_partkey LIMIT 500""",
     "q_customer_rfm" ->

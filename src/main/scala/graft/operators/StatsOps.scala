@@ -166,10 +166,11 @@ object StatsOps {
     * means). D = max |ECDF_F − ECDF_O| over the per-value cumulative
     * counts — integer prefix sums over the distinct-value frame, so the
     * statistic is exact rational arithmetic until the final rounding;
-    * the asymptotic p-value is one closed-form expression of D. The
-    * running sum is a census window over distinct values; at 100 TB the
-    * ECDF comes from a range-partitioned two-pass prefix sum
-    * (q_text_pack's shape). */
+    * the asymptotic p-value is one closed-form expression of D. Both
+    * ECDFs are integer prefix sums computed with the DISTRIBUTED
+    * two-pass range-partitioned form (Dist.withPrefixSumsLong) — exact
+    * LONG arithmetic, so bit-identical to the sequential window sum,
+    * with no single-partition window over the distinct-value frame. */
   private val ks: Q = (s, d) => {
     val j = Tables.orders(s, d)
       .filter(col("o_orderstatus").isin("F", "O"))
@@ -177,13 +178,11 @@ object StatsOps {
     val per = j.groupBy("p").agg(
       count(when(col("st") === "F", 1)).as("f"),
       count(when(col("st") === "O", 1)).as("o"))
-    val w = Window.orderBy("p")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nn = j.agg(count(when(col("st") === "F", 1)).as("nf"),
       count(when(col("st") === "O", 1)).as("no"))
-    per
-      .select(col("p"), sum(col("f")).over(w).as("cf"),
-        sum(col("o")).over(w).as("co"))
+    Dist.withPrefixSumsLong(per,
+        Seq("cf" -> col("f"), "co" -> col("o")), Seq(col("p")))
+      .select(col("p"), col("cf"), col("co"))
       .crossJoin(broadcast(nn))
       .select(abs(col("cf").cast("double") / col("nf") -
         col("co").cast("double") / col("no")).as("dd"),
@@ -235,15 +234,16 @@ object StatsOps {
     * customer revenue is r2-rounded BEFORE ranking, so the rank order
     * and the Σ i·xᵢ weighted sum run on identical doubles cross-engine;
     * G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n on the ascending (rev, custkey)
-    * rank. The rank window covers the bounded per-customer frame
-    * (census argument; range-partitioned rank at 100 TB). */
+    * rank. The rank is the DISTRIBUTED exact global row_number
+    * (Dist.withRankAndCount: range shuffle + per-partition rank +
+    * broadcast offsets) — no single-partition window over the customer
+    * frame. */
   private val gini: Q = (s, d) => {
     val rev = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(r2(sum(col("o_totalprice"))).as("rev"))
-    val w = Window.orderBy(col("rev"), col("o_custkey"))
-    rev
-      .withColumn("i", row_number().over(w))
+    Dist.withRankAndCount(rev, "i", "__n", Nil,
+        Seq(col("rev"), col("o_custkey")))
       .agg(count(lit(1)).as("n_customers"),
         r2(sum(col("rev"))).as("total_rev"),
         r6(lit(2.0) * sum(col("i") * col("rev")) /

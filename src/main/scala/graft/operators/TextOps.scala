@@ -1067,17 +1067,23 @@ object TextOps {
   /** Zipf-law fit of the token frequency distribution — the corpus-
     * health audit (natural language sits near slope −1; synthetic or
     * templated text departs hard, as this corpus's slope shows): OLS of
-    * ln(freq) on ln(rank) over the top-100 ranks. The rank window runs
-    * on the |vocab|-bounded frequency census, never the corpus; moments
-    * are the standard one-pass sums with the r6 discipline at the two
-    * final divisions. */
+    * ln(freq) on ln(rank) over the top-100 ranks. The top-100 frontier
+    * comes from a distributed top-k (orderBy+limit compiles to
+    * TakeOrderedAndProject — per-partition heaps, no global sort or
+    * single-partition window over the vocab census); the rank over the
+    * resulting ≤100-row frame and the moment sums then run in ONE pinned
+    * partition, which also fixes the double-accumulation order so the
+    * OLS division is replay-stable (ADVICE r3). */
   private val tokZipf: Q = (s, d) => {
     val ranked = Tables.documents(s, d)
       .select(explode(toks()).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok"))
+      .limit(100)
+      .coalesce(1)
+      // census window over the ≤100-row top-k frontier only
       .withColumn("rank", row_number().over(
         Window.orderBy(col("f").desc, col("tok"))).cast("long"))
-      .filter(col("rank") <= 100)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
     ranked.agg(count(lit(1)).as("n_ranks"),

@@ -40,6 +40,17 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("bucketed interval blocking ≡ naive inequality range join") {
+    // q_join_theta_range's executed plan is the bucketed blocking; the
+    // naive O(k²) inequality join is the semantic witness.
+    val naive = operators.RelationalOps.joinThetaRangeNaive(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val bucketed = SparkEntry.queries("q_join_theta_range")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(bucketed === naive)
+    assert(bucketed.nonEmpty)
+  }
+
   test("salted-shuffle banded candidates equal the broadcast variant") {
     import graft.operators.DedupOps
     val tokensExpr = "split(text, ' ')"
