@@ -21,12 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => GraftExtensions.dot(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_bitmap_inter"),
       new ExpressionInfo(classOf[BitmapIntersectCount].getName,
         "graft_bitmap_inter"),
-      (exprs: Seq[Expression]) => BitmapIntersectCount(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => GraftExtensions.bitmapInter(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
@@ -34,15 +34,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => GraftExtensions.nfc(exprs)))
   }
 }
 
 object GraftExtensions {
+  /** Builders shared by both registration paths (extension inject and
+    * runtime registry), each validating arity up front — a zero-arg call
+    * must raise a named arity error, not an opaque
+    * NoSuchElementException, and surplus arguments must fail instead of
+    * being silently dropped (ADVICE r3). */
+  private def checkArity(name: String, expected: Int,
+      exprs: Seq[Expression]): Unit =
+    if (exprs.size != expected) throw new IllegalArgumentException(
+      s"$name expects $expected argument(s), got ${exprs.size}")
+
+  def dot(exprs: Seq[Expression]): Expression = {
+    checkArity("graft_dot", 2, exprs)
+    DotProductFloat(exprs.head, exprs(1))
+  }
+
+  def bitmapInter(exprs: Seq[Expression]): Expression = {
+    checkArity("graft_bitmap_inter", 2, exprs)
+    BitmapIntersectCount(exprs.head, exprs(1))
+  }
+
+  def nfc(exprs: Seq[Expression]): Expression = {
+    checkArity("graft_nfc", 1, exprs)
+    NfcNormalize(exprs.head)
+  }
+
   /** graft_kmv(col[, k]) — k defaults to 64, must be a foldable positive
     * int. Returns the raw AggregateFunction; the analyzer wraps it into
     * an AggregateExpression like any registry-resolved aggregate. */
   def kmv(exprs: Seq[Expression]): Expression = {
+    if (exprs.isEmpty || exprs.size > 2) throw new IllegalArgumentException(
+      s"graft_kmv expects 1 or 2 arguments, got ${exprs.size}")
     val k = if (exprs.size > 1) {
       val e = exprs(1)
       if (!e.foldable) throw new IllegalArgumentException(

@@ -85,7 +85,7 @@ object GraftFunctions {
       registry.registerFunction(
         dot,
         new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => DotProductFloat(exprs.head, exprs(1)))
+        (exprs: Seq[Expression]) => graft.GraftExtensions.dot(exprs))
     }
     val bi = FunctionIdentifier("graft_bitmap_inter")
     if (!registry.functionExists(bi)) {
@@ -94,7 +94,7 @@ object GraftFunctions {
         new ExpressionInfo(classOf[BitmapIntersectCount].getName,
           "graft_bitmap_inter"),
         (exprs: Seq[Expression]) =>
-          BitmapIntersectCount(exprs.head, exprs(1)))
+          graft.GraftExtensions.bitmapInter(exprs))
     }
     val kmv = FunctionIdentifier("graft_kmv")
     if (!registry.functionExists(kmv)) {
@@ -108,7 +108,7 @@ object GraftFunctions {
       registry.registerFunction(
         nfc,
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-        (exprs: Seq[Expression]) => NfcNormalize(exprs.head))
+        (exprs: Seq[Expression]) => graft.GraftExtensions.nfc(exprs))
     }
   }
 }

@@ -465,7 +465,7 @@ object EventOps {
       .orderBy("day_num", "o_orderkey")
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
           .as("day_num"))
       .withColumn("gap", col("day_num") - lag(col("day_num"), 1).over(w))
       .filter(col("gap").isNotNull)
@@ -531,7 +531,7 @@ object EventOps {
     * interpolated median runs on identical doubles cross-engine. */
   private val rollingMedian: Q = (s, d) => {
     val daily = Tables.orders(s, d)
-      .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+      .groupBy(expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
         .as("day_num"))
       .agg(r2(sum(col("o_totalprice"))).as("rev"))
     val spine = daily.select(col("day_num").as("day")).distinct()

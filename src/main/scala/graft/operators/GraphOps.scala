@@ -205,9 +205,14 @@ object GraphOps {
     * (both orientations, the standard symmetrization): positive ⇒ hubs
     * link hubs (celebrity-product clusters), negative ⇒ hub-and-spoke.
     * This single number decides whether degree-based partitioning will
-    * produce balanced wedge joins. Degrees and all five moments are
-    * exact integers; ONE division at the end. Two joins against the
-    * |V|-sized degree table — linear in edges. */
+    * produce balanced wedge joins. Moments accumulate as DOUBLE sums of
+    * integer-valued terms — exact (and order-independent) while every
+    * partial stays under 2^53, which holds far past this data's scale,
+    * and immune to the silent LONG wraparound that count·Σdxdy products
+    * hit at ~1e9 edges with hub degrees (ADVICE r3); the oracle's
+    * HUGEINT moments equal the same doubles in that range. ONE division
+    * at the end. Two joins against the |V|-sized degree table — linear
+    * in edges. */
   private val assortativity: Q = (s, d) => {
     val e = copurchaseEdges(s, d).select("x", "y")
     val deg = e.select(col("x").as("v"))
@@ -219,13 +224,15 @@ object GraphOps {
       .select(col("dx"), col("dy"))
     val sym = pairs.unionAll(
       pairs.select(col("dy").as("dx"), col("dx").as("dy")))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("dx").cast("double"))
+    val sy = sum(col("dy").cast("double"))
+    val sxy = sum(col("dx").cast("double") * col("dy"))
+    val sxx = sum(col("dx").cast("double") * col("dx"))
+    val syy = sum(col("dy").cast("double") * col("dy"))
     sym.agg(count(lit(1)).as("n_ends"),
-      r6((count(lit(1)) * sum(col("dx") * col("dy")) -
-          sum(col("dx")) * sum(col("dy"))).cast("double") /
-        (sqrt((count(lit(1)) * sum(col("dx") * col("dx")) -
-          sum(col("dx")) * sum(col("dx"))).cast("double")) *
-         sqrt((count(lit(1)) * sum(col("dy") * col("dy")) -
-          sum(col("dy")) * sum(col("dy"))).cast("double"))))
+      r6((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
         .as("assortativity"))
   }
 
@@ -358,12 +365,14 @@ object GraphOps {
          sym AS (SELECT dx, dy FROM p
                  UNION ALL SELECT dy AS dx, dx AS dy FROM p)
          SELECT CAST(count(*) AS BIGINT) AS n_ends,
-                floor((CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy)
-                         AS DOUBLE) /
-                       (sqrt(CAST(count(*) * sum(dx * dx)
-                          - sum(dx) * sum(dx) AS DOUBLE)) *
-                        sqrt(CAST(count(*) * sum(dy * dy)
-                          - sum(dy) * sum(dy) AS DOUBLE))))
+                floor(((CAST(count(*) AS DOUBLE) * CAST(sum(dx * dy) AS DOUBLE)
+                         - CAST(sum(dx) AS DOUBLE) * CAST(sum(dy) AS DOUBLE)) /
+                       (sqrt(CAST(count(*) AS DOUBLE)
+                            * CAST(sum(dx * dx) AS DOUBLE)
+                          - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE)) *
+                        sqrt(CAST(count(*) AS DOUBLE)
+                            * CAST(sum(dy * dy) AS DOUBLE)
+                          - CAST(sum(dy) AS DOUBLE) * CAST(sum(dy) AS DOUBLE))))
                   * 1000000 + 0.5) / 1000000.0 AS assortativity
          FROM sym""",
     "q_graph_reach" ->

@@ -1303,9 +1303,9 @@ object RelationalOps {
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .select(
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
           .as("od"),
-        expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400")
+        expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)")
           .as("sd"))
       // the synthetic data ships a few lines BEFORE their order date —
       // normalize to [min, max) so every interval is well-formed and
@@ -1365,7 +1365,7 @@ object RelationalOps {
     * pins merged ≡ direct. */
   private val aggMergeDays: Q = (s, d) => {
     val daily = Tables.orders(s, d)
-      .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+      .groupBy(expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
         .as("day"))
       .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("tot"),
         min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))

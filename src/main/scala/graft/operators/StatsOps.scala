@@ -285,24 +285,29 @@ object StatsOps {
     * seasonality/trend detector that decides whether a forecast model
     * is even worth fitting. The series is the |days|-bounded daily
     * census; consecutive days pair via a self-join on day = day+1
-    * (broadcast-scale, no window). Counts are exact integers, so every
-    * moment (Σx, Σy, Σxy, Σx², Σy²) is an exact integer and the Pearson
-    * formula's ONE division is the only float op — bit-identical
-    * cross-engine, r6 at the boundary. */
+    * (broadcast-scale, no window). Moments accumulate as DOUBLE sums of
+    * integer-valued terms — exact and order-independent while partials
+    * stay under 2^53 (true far past this scale), and immune to the
+    * silent LONG wraparound a count·Σxy product hits once daily counts
+    * reach ~1e11 (ADVICE r3); the oracle's HUGEINT moments equal the
+    * same doubles in that range. ONE division at the end, r6 at the
+    * boundary. */
   private val autocorr: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x").cast("double"))
+    val sy = sum(col("y").cast("double"))
+    val sxy = sum(col("x").cast("double") * col("y"))
+    val sxx = sum(col("x").cast("double") * col("x"))
+    val syy = sum(col("y").cast("double") * col("y"))
     daily.select(col("day"), col("c").as("x"))
       .join(daily.select((col("day") - 1).as("day"), col("c").as("y")),
         Seq("day"))
       .agg(count(lit(1)).as("n_pairs"),
-        r6((count(lit(1)) * sum(col("x") * col("y")) -
-            sum(col("x")) * sum(col("y"))).cast("double") /
-          (sqrt((count(lit(1)) * sum(col("x") * col("x")) -
-            sum(col("x")) * sum(col("x"))).cast("double")) *
-           sqrt((count(lit(1)) * sum(col("y") * col("y")) -
-            sum(col("y")) * sum(col("y"))).cast("double"))))
+        r6((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
           .as("acf1"))
   }
 
@@ -743,12 +748,15 @@ object StatsOps {
          p AS (SELECT a.c AS x, b.c AS y
                FROM daily a JOIN daily b ON b.day = a.day + 1)
          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-                floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y)
-                         AS DOUBLE) /
-                       (sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x)
-                          AS DOUBLE)) *
-                        sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y)
-                          AS DOUBLE)))) * 1000000 + 0.5) / 1000000.0
+                floor(((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+                         - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+                       (sqrt(CAST(count(*) AS DOUBLE)
+                            * CAST(sum(x * x) AS DOUBLE)
+                          - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+                        sqrt(CAST(count(*) AS DOUBLE)
+                            * CAST(sum(y * y) AS DOUBLE)
+                          - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))))
+                  * 1000000 + 0.5) / 1000000.0
                   AS acf1
          FROM p""",
     "q_stats_psi" ->

@@ -18,4 +18,23 @@ class ExtensionsSpec extends SparkSpec {
       .head().getInt(0)
     assert(inter === 2)
   }
+
+  test("registered functions reject wrong arity with a named error") {
+    // zero args must not surface an opaque NoSuchElementException, and
+    // surplus args must not be silently dropped (ADVICE r3)
+    for (bad <- Seq(
+        "SELECT graft_nfc()", "SELECT graft_nfc('a', 'b')",
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT)))",
+        "SELECT graft_bitmap_inter(array(1L))",
+        "SELECT graft_kmv()")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      def names(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getClass.getName +: names(t.getCause)
+      assert(!names(e).exists(_.contains("NoSuchElementException")),
+        s"opaque error for: $bad")
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+      assert(msgs(e).contains("expects"), s"no arity message for: $bad")
+    }
+  }
 }
