@@ -584,6 +584,23 @@ object RelationalOps {
       .orderBy("layout")
   }
 
+  /** One-day slice served from the REAL day-partitioned events layout
+    * (PartitionedLayout materializes it once per session; hive-style
+    * `event_date=YYYY-MM-DD/` directories). The date predicate lands in
+    * the scan's `PartitionFilters`, so only 1 of the ~30 day directories
+    * is listed and read — the 100 TB design point's most important scan
+    * optimization, exercised for real rather than simulated
+    * (ScaleTechniqueSpec asserts files-read < total). The aggregate
+    * itself is one partial-combinable hash agg over the pruned slice. */
+  private val layoutPartitionPrune: Q = (s, d) => {
+    val path = graft.sources.PartitionedLayout.eventsByDay(s, d)
+    s.read.parquet(path)
+      .filter(col("event_date") === to_date(lit("2024-01-03")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** MapType round-trip over the JSON event properties — the derived
     * map<string,int> flavor SURVEY §1.2 calls for: parse props to a map,
     * then key extraction, direct lookup, and cardinality. Pure per-row
@@ -1603,6 +1620,7 @@ object RelationalOps {
     "q_agg_merge_days" -> aggMergeDays,
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
+    "q_layout_partition_prune" -> layoutPartitionPrune,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q6" -> tpchQ6,
     "q_tpch_q19" -> tpchQ19,
@@ -1822,6 +1840,13 @@ object RelationalOps {
       s"""$zvalCtes
          SELECT l_orderkey, l_linenumber, zx, zy, zval
          FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+    // The partitioned layout must serve the same rows the flat table
+    // filters to — the oracle knows nothing about the physical layout.
+    "q_layout_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
+         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+         GROUP BY event_type ORDER BY event_type""",
     "q_layout_skipping" ->
       s"""$zvalCtes,
          fn AS (SELECT zx, zy, ntile(16) OVER (

@@ -88,6 +88,30 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(oneDay.count() === expected && expected > 0)
   }
 
+  test("q_layout_partition_prune reads 1 of ~30 day partitions") {
+    val df = SparkEntry.queries("q_layout_partition_prune")(spark, sfDir)
+    df.collect() // execute so the scan reports selected partitions
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty)
+    val scan = found.head
+    assert(scan.partitionFilters.exists(_.toString.contains("event_date")),
+      s"no partition filter in: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = new java.io.File(
+        graft.sources.PartitionedLayout.eventsByDay(spark, sfDir))
+      .listFiles().count(_.getName.startsWith("event_date="))
+    assert(selected === 1 && total > 10,
+      s"selected=$selected of total=$total day partitions")
+  }
+
   test("dynamic partition pruning fires for a dim-filtered fact join") {
     val dir = Files.createTempDirectory("graft-dpp").toString + "/events"
     PartitionedWriter.writeEventsByDay(
