@@ -86,14 +86,16 @@ object Sinks {
   def jdbcOptions(url: String, table: String,
       user: Option[String] = None, password: Option[String] = None,
       batchSize: Int = 10000,
-      isolationLevel: String = "READ_COMMITTED"): Map[String, String] =
+      isolationLevel: String = "READ_COMMITTED",
+      driver: Option[String] = None): Map[String, String] =
     Map(
       "url" -> url,
       "dbtable" -> table,
       "batchsize" -> batchSize.toString,
       "isolationLevel" -> isolationLevel,
       "truncate" -> "true") ++
-      user.map("user" -> _) ++ password.map("password" -> _)
+      user.map("user" -> _) ++ password.map("password" -> _) ++
+      driver.map("driver" -> _)
 
   /** The production write: df.write.format("jdbc") with the assembled
     * options — partition-parallel inserts, batched statements, executor-
@@ -114,7 +116,8 @@ object Sinks {
         writeJdbc(df, jdbcOptions(url, table,
           conf.get("user"), conf.get("password"),
           conf.get("batchsize").map(_.toInt).getOrElse(10000),
-          conf.getOrElse("isolationLevel", "READ_COMMITTED")),
+          conf.getOrElse("isolationLevel", "READ_COMMITTED"),
+          conf.get("driver")),
           conf.getOrElse("mode", "append"))
       case None => writeToTable(df, table, fallback)
     }

@@ -53,6 +53,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.split(",").length === 4))
   }
 
+  test("jdbc sink round-trips through embedded Derby (production branch)") {
+    // Derby ships on the Spark classpath (metastore dependency), so the
+    // config-gated PRODUCTION branch — df.write.jdbc with executor-side
+    // connections — gets a real executed test, not just option assembly.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    import org.apache.spark.sql.functions.col
+    val df = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("int").as("k"),
+        col("n_name").as("name"))
+    Sinks.writeRelational(df, "nation_sink",
+      Map("url" -> url, "driver" -> driver), fallback = null)
+    val back = spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> "nation_sink",
+        "driver" -> driver))
+      .load()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val expected = df.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back === expected && back.size === 25)
+  }
+
   test("relational dispatch: no url in conf routes to the offline writer") {
     val dir = Files.createTempDirectory("graft-table").toString
     val df = spark.range(3).toDF("id")
