@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapIntersectCount, DotProductFloat, KmvDistinct, NfcNormalize}
+import graft.functions.{BitmapIntersectCount, DotProductFloat, KmvDistinct, NfcNormalize, Norm2Float}
 
 /** SparkSessionExtensions entry point — the supported way to install the
   * library's native expressions when you control the session builder:
@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => GraftExtensions.nfc(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[Norm2Float].getName, "graft_norm2"),
+      (exprs: Seq[Expression]) => GraftExtensions.norm2(exprs)))
+    // §4 item 4: optimizer-rule extension surface — graft_dot(x, x)
+    // collapses to the single-read squared-norm loop.
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)
   }
 }
 
@@ -62,6 +69,11 @@ object GraftExtensions {
   def nfc(exprs: Seq[Expression]): Expression = {
     checkArity("graft_nfc", 1, exprs)
     NfcNormalize(exprs.head)
+  }
+
+  def norm2(exprs: Seq[Expression]): Expression = {
+    checkArity("graft_norm2", 1, exprs)
+    Norm2Float(exprs.head)
   }
 
   /** graft_kmv(col[, k]) — k defaults to 64, must be a foldable positive

@@ -110,5 +110,20 @@ object GraftFunctions {
         new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
         (exprs: Seq[Expression]) => graft.GraftExtensions.nfc(exprs))
     }
+    val n2 = FunctionIdentifier("graft_norm2")
+    if (!registry.functionExists(n2)) {
+      registry.registerFunction(
+        n2,
+        new ExpressionInfo(classOf[Norm2Float].getName, "graft_norm2"),
+        (exprs: Seq[Expression]) => graft.GraftExtensions.norm2(exprs))
+    }
+    // runtime equivalent of injectOptimizerRule for an already-built
+    // session (the driver owns the builder): experimental extra
+    // optimizations run at the end of the optimizer batch list
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteSelfDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSelfDot
+    }
   }
 }

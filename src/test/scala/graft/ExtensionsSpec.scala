@@ -19,6 +19,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(inter === 2)
   }
 
+  test("optimizer rule rewrites graft_dot(x, x) to graft_norm2") {
+    // non-foldable input (a parquet column) so the expression survives
+    // constant folding and the rewrite is visible in the optimized plan
+    val emb = s"$sfDir/embeddings.parquet"
+    // builder-time path (injectOptimizerRule via extensions)
+    val fresh = spark.newSession()
+    val self = fresh.read.parquet(emb)
+      .selectExpr("vec_id", "graft_dot(embedding, embedding) AS n2")
+    val opt = self.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_norm2") && !opt.contains("graft_dot"), opt)
+    // rewrite is result-identical to the unoptimized dot
+    val viaDot = fresh.read.parquet(emb).orderBy("vec_id")
+      .selectExpr("graft_norm2(embedding) AS n2").head().getDouble(0)
+    assert(self.orderBy("vec_id").head().getDouble(1) === viaDot)
+    // a genuine two-argument dot must NOT be rewritten
+    val two = fresh.read.parquet(emb).as("a")
+      .crossJoin(fresh.read.parquet(emb).limit(1).as("b"))
+      .selectExpr("graft_dot(a.embedding, b.embedding) AS d")
+    assert(two.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // runtime path (Tables.configure → experimental.extraOptimizations)
+    val rt = spark.read.parquet(emb)
+      .selectExpr("graft_dot(embedding, embedding) AS n2")
+    assert(rt.queryExecution.optimizedPlan.toString.contains("graft_norm2"))
+    // direct registration of graft_norm2 itself
+    val arr = "array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT))"
+    assert(spark.sql(s"SELECT graft_norm2($arr) AS n")
+      .head().getDouble(0) === 6.25)
+  }
+
   test("registered functions reject wrong arity with a named error") {
     // zero args must not surface an opaque NoSuchElementException, and
     // surplus args must not be silently dropped (ADVICE r3)
