@@ -66,7 +66,11 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       entries.mkString("{", ",", "}").getBytes("UTF-8"))
     val budget = 1500 // chars for the queries map; tail window is 2000
-    val bySlow = results.sortBy { case (k, v) => (-v, k) }
+    // Emit only keys ≥ 0.5 s (the heavy tail the plan audit reads) so
+    // the whole set always fits the budget as the registry grows; the
+    // full map is in target/bench_full.json regardless.
+    val bySlow = results.filter(_._2 >= 0.5)
+      .sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => s"\"$k\":${r3(v)}" }
     var used = 2
     val kept = bySlow.takeWhile { e =>
