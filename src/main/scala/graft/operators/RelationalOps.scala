@@ -584,6 +584,28 @@ object RelationalOps {
       .orderBy("layout")
   }
 
+  /** Exact-decimal money aggregation — the DecimalType path a financial
+    * pipeline needs (SURVEY §1.2 notes the testdata carries no decimals,
+    * so money is ingested as double and CAST at the boundary: the
+    * 2-decimal source values are >1e10 away from any .005 rounding tie,
+    * making the cast lossless in both engines). All arithmetic after the
+    * cast is exact fixed-point — sums are associative and
+    * order-independent, so partial aggregation at any parallelism is
+    * bit-identical to the oracle's DECIMAL arithmetic, with no r2/r6
+    * float-parity machinery at all. Output precisions pinned on both
+    * sides (Spark widens sums to (32,2)/(38,4); DuckDB to (38,·)). */
+  private val aggDecimal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(4,2)").as("disc"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("decimal(18,2)").as("sum_price"),
+        sum(col("price") * (lit(1).cast("decimal(4,2)") - col("disc")))
+          .cast("decimal(18,4)").as("sum_disc_price"))
+      .orderBy("l_returnflag")
+
   /** One-day slice served from the REAL day-partitioned events layout
     * (PartitionedLayout materializes it once per session; hive-style
     * `event_date=YYYY-MM-DD/` directories). The date predicate lands in
@@ -1621,6 +1643,7 @@ object RelationalOps {
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
     "q_layout_partition_prune" -> layoutPartitionPrune,
+    "q_agg_decimal" -> aggDecimal,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q6" -> tpchQ6,
     "q_tpch_q19" -> tpchQ19,
@@ -1840,6 +1863,17 @@ object RelationalOps {
       s"""$zvalCtes
          SELECT l_orderkey, l_linenumber, zx, zy, zval
          FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
+    // Exact DECIMAL arithmetic end-to-end after the boundary cast; the
+    // pinned output precisions make the dtype compare exact.
+    "q_agg_decimal" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS DECIMAL(18,2)) AS sum_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(4,2)) -
+                          CAST(l_discount AS DECIMAL(4,2))))
+                  AS DECIMAL(18,4)) AS sum_disc_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // The partitioned layout must serve the same rows the flat table
     // filters to — the oracle knows nothing about the physical layout.
     "q_layout_partition_prune" ->
