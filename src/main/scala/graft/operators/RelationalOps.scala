@@ -558,7 +558,9 @@ object RelationalOps {
     * repartitionByRange(zval).write pays, never a single-partition sort
     * of the fact table. All-integer output. */
   private val layoutSkipping: Q = (s, d) => {
-    val base = zorderBase(s, d)
+    // pin the scan+Morton-interleave result once — both layout passes
+    // (and the bounds aggregate) reuse it instead of recomputing
+    val base = zorderBase(s, d).localCheckpoint()
     val bounds = base.agg(min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
       min(col("zy")).as("by0"), max(col("zy")).as("by1"))
     def files(layout: String, ord: Seq[Column]) =
