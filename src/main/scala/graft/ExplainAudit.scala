@@ -98,7 +98,15 @@ object ExplainAudit {
     "q_events_cohort_ltv", "q_eval_ivf_recall",
     // the knn vote (broadcast pass + two windows) and the skew
     // profile's chained aggregates
-    "q_vec_label_noise", "q_quality_skew_audit")
+    "q_vec_label_noise", "q_quality_skew_audit",
+    // round 4: the PartitionFilters-pruned partitioned read (layout is
+    // materialized during plan construction — PartitionedLayout caveat,
+    // as for the vocab/bloom builds), exact-decimal aggregation, the
+    // distributed-ntile RFM/gini/ks shapes (their bounded offset
+    // collects run during plan construction — Dist caveat, as for
+    // q_text_pack), and the stratified distributed ntile
+    "q_layout_partition_prune", "q_agg_decimal", "q_stats_gini",
+    "q_stats_ks", "q_win_ntile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *      broadcast offset reproduces the exact global row_number / running
   *      sum — bit-identical to the single-partition plan for integer
   *      values, which is why every caller feeds integers (counts, cents)
-  *      through these helpers.
+  *      through these helpers. (Catalyst can't see that the checkpointed
+  *      rows are already pid-clustered, so the window adds one hash
+  *      exchange on pid — a second data-parallel shuffle, still nothing
+  *      like the all-rows-to-one-task collapse this replaces.)
   *
   * ntile is derived from the exact global rank: SQL ntile(n) over N rows
   * gives the first (N mod n) buckets ⌈N/n⌉ rows and the rest ⌊N/n⌋, a

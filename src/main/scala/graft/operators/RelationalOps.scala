@@ -558,9 +558,10 @@ object RelationalOps {
     * repartitionByRange(zval).write pays, never a single-partition sort
     * of the fact table. All-integer output. */
   private val layoutSkipping: Q = (s, d) => {
-    // pin the scan+Morton-interleave result once — both layout passes
-    // (and the bounds aggregate) reuse it instead of recomputing
-    val base = zorderBase(s, d).localCheckpoint()
+    // zorderBase is a cheap scan projection — recomputing it per layout
+    // pass beats materializing it (measured: a localCheckpoint here was
+    // ~7 % slower at sf0.1; Dist pins its own ranged copy anyway)
+    val base = zorderBase(s, d)
     val bounds = base.agg(min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
       min(col("zy")).as("by0"), max(col("zy")).as("by1"))
     def files(layout: String, ord: Seq[Column]) =
