@@ -1117,7 +1117,24 @@ object TextOps {
       .orderBy(col("df_share").desc, col("token"))
   }
 
+  /** Type-token ratio (lexical diversity) per document — the classic
+    * vocabulary-richness quality signal (templated/generated text shows
+    * abnormally low TTR; the synthetic corpus's 31-token vocabulary
+    * makes that visible). One explode + one hash aggregate keyed on
+    * doc_id; the distinct count is per-group exact (partial aggregation
+    * applies — no global distinct). Exact integers to one r6 division. */
+  private val ttr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_types"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_text_ttr" -> ttr,
     "q_text_stopword_discover" -> stopwordDiscover,
     "q_text_tok_zipf" -> tokZipf,
     "q_sample_balanced" -> sampleBalanced,
@@ -1668,6 +1685,15 @@ object TextOps {
          FROM (SELECT unnest(string_split(text, ' ')) AS token
                FROM documents)
          GROUP BY token ORDER BY token""",
+    "q_text_ttr" ->
+      """SELECT doc_id,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                floor((CAST(count(DISTINCT tok) AS DOUBLE) / count(*))
+                  * 1000000 + 0.5) / 1000000.0 AS ttr
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents) t
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_text_tf_top" ->
       """SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM (
            SELECT lang, token, count(*) AS cnt,

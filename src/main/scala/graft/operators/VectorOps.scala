@@ -574,7 +574,26 @@ object VectorOps {
       .orderBy("true_label", "pred_label")
   }
 
+  /** Per-label embedding-norm distribution — the embedding-health audit
+    * run before any cosine work (un-normalized or degenerate batches
+    * show up as shifted/collapsed norm ranges per class). Uses the
+    * graft_norm2 codegen expression (one array read per element; also
+    * the target of the RewriteSelfDot optimizer rule) for Σv², r6-rounds
+    * each norm BEFORE aggregating (round-then-aggregate parity), then
+    * one |labels|-bounded hash aggregate. Map-side partial agg; no
+    * shuffle beyond the bounded group frame. */
+  private val embedNormStats: Q = (s, d) =>
+    vecs(s, d)
+      .withColumn("norm_r", r6(sqrt(expr("graft_norm2(v)"))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        r6(avg(col("norm_r"))).as("avg_norm"),
+        min(col("norm_r")).as("min_norm"),
+        max(col("norm_r")).as("max_norm"))
+      .orderBy("label")
+
   val queries: Map[String, Q] = Map(
+    "q_embed_norm_stats" -> embedNormStats,
     "q_vec_centroid_classify" -> centroidClassify,
     "q_vec_project" -> vecProject,
     "q_embed_pca_top1" -> pcaTop1,
@@ -722,6 +741,19 @@ object VectorOps {
            JOIN q ON q.qid = probe.qid)"""
 
   val oracle: Map[String, String] = Map(
+    "q_embed_norm_stats" ->
+      """WITH n AS (
+           SELECT label,
+                  floor(sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5)
+                    / 1000000.0 AS norm_r
+           FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                floor(avg(norm_r) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
+                min(norm_r) AS min_norm,
+                max(norm_r) AS max_norm
+         FROM n GROUP BY label ORDER BY label""",
     "q_vec_centroid_classify" ->
       """WITH el AS (
            SELECT vec_id, label,
