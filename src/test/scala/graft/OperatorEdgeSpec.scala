@@ -18,6 +18,41 @@ class OperatorEdgeSpec extends SparkSpec {
     }
   }
 
+  test("global windows only over bounded census frames (allowlist)") {
+    // A Window with no partition key moves its whole frame to ONE task.
+    // That is only acceptable over a BOUNDED census (|days|, |hours|,
+    // |langs|, |distinct sizes|, top-k frontiers) — never a frame that
+    // grows with the data (those use operators/Dist). This pins the
+    // constraint executably: a new key with a global window fails here
+    // until it is consciously added with a boundedness argument.
+    val allow = Set(
+      "q_yoy_growth",          // |years| census
+      "q_orders_backlog",      // |days| census prefix sum
+      "q_skyline",             // |distinct p_size| ≤ 50 census
+      "q_text_tok_zipf",       // top-100 frontier after TakeOrdered
+      "q_sample_temperature",  // |langs| census
+      "q_sample_split",        // 3-row split census
+      "q_events_interpolate",  // |hours| spine
+      "q_events_bursts",       // |hours| spine
+      "q_events_rolling_7d",   // |days| spine
+      "q_stats_cusum",         // |days| census
+      "q_stats_decompose",     // |days| census
+      "q_stats_anomaly_stl",   // |days| census
+      "q_stats_ewma")          // |days| census
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }.toSet
+    assert((offenders -- allow).isEmpty,
+      s"unbounded global window in: ${offenders -- allow}")
+    assert((allow -- offenders).isEmpty,
+      s"stale allowlist entries: ${allow -- offenders}")
+  }
+
   test("queries and oracleSql keys line up") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
