@@ -589,23 +589,34 @@ object RelationalOps {
 
   /** Exact-decimal money aggregation — the DecimalType path a financial
     * pipeline needs (SURVEY §1.2 notes the testdata carries no decimals,
-    * so money is ingested as double and CAST at the boundary: the
-    * 2-decimal source values are >1e10 away from any .005 rounding tie,
-    * making the cast lossless in both engines). All arithmetic after the
-    * cast is exact fixed-point — sums are associative and
-    * order-independent, so partial aggregation at any parallelism is
-    * bit-identical to the oracle's DECIMAL arithmetic, with no r2/r6
-    * float-parity machinery at all. Output precisions pinned on both
-    * sides (Spark widens sums to (32,2)/(38,4); DuckDB to (38,·)). */
+    * so money is ingested as double). The double→decimal boundary NEVER
+    * uses a direct engine cast: Spark rounds the value's shortest decimal
+    * repr HALF_UP while DuckDB rounds the binary expansion, and the two
+    * disagree on .005-tie values (CORRECTNESS_r04's one hash miss).
+    * Instead both engines compute integer cents as floor(x*100 + 0.5) —
+    * identical IEEE double arithmetic — and build the decimal exactly as
+    * cents × 0.01 (multiplication, not division: division scale rules are
+    * engine-specific). Everything after is exact fixed-point — sums are
+    * associative and order-independent, so partial aggregation at any
+    * parallelism is bit-identical to the oracle's DECIMAL arithmetic,
+    * with no r2/r6 float-parity machinery. Output precisions pinned on
+    * both sides. */
   private val aggDecimal: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_returnflag"),
-        col("l_extendedprice").cast("decimal(12,2)").as("price"),
-        col("l_discount").cast("decimal(4,2)").as("disc"))
+        floor(col("l_extendedprice") * 100 + 0.5)
+          .cast("decimal(14,0)").as("cents"),
+        floor(col("l_discount") * 100 + 0.5)
+          .cast("decimal(4,0)").as("bp"))
+      .select(col("l_returnflag"),
+        (col("cents") * lit(0.01).cast("decimal(3,2)"))
+          .cast("decimal(12,2)").as("price"),
+        ((lit(100).cast("decimal(4,0)") - col("bp"))
+          * lit(0.01).cast("decimal(3,2)")).cast("decimal(4,2)").as("rem"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("price")).cast("decimal(18,2)").as("sum_price"),
-        sum(col("price") * (lit(1).cast("decimal(4,2)") - col("disc")))
+        sum(col("price") * col("rem"))
           .cast("decimal(18,4)").as("sum_disc_price"))
       .orderBy("l_returnflag")
 
@@ -624,6 +635,47 @@ object RelationalOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Dynamic partition pruning over the same day-partitioned layout:
+    * the selective predicate lives on the CALENDAR DIM (`day_type =
+    * 'weekend'`), not on the partition column, so static pruning can't
+    * help — the fact scan must prune from the dim's runtime values. The
+    * broadcast of the filtered dim doubles as the DPP subquery (plan
+    * shows `dynamicpruningexpression` in PartitionFilters;
+    * ScaleTechniqueSpec asserts it), so only weekend directories are
+    * listed and read. At 100 TB this is the shape of every "this
+    * quarter's business days" query against a date-partitioned fact. */
+  private val layoutDpp: Q = (s, d) => {
+    val fact = s.read.parquet(
+      graft.sources.PartitionedLayout.eventsByDay(s, d))
+    val cal = s.read.parquet(
+      graft.sources.PartitionedLayout.calendarDim(s, d))
+    fact.join(broadcast(cal.filter(col("day_type") === "weekend")),
+        Seq("event_date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Exchange-free co-located join served from BUCKETED tables
+    * (BucketedLayout materializes orders ⋈ customer bucketed 8-way on
+    * custkey once per session). The `merge` hint pins sort-merge — at
+    * this test scale broadcast would otherwise win and hide the layout;
+    * at 100 TB neither side broadcasts and the bucket layout IS the
+    * strategy — and because both scans report the same hash-clustered
+    * output partitioning, the join plans with NO Exchange on either side
+    * (ScaleTechniqueSpec asserts both properties on this exact key).
+    * The aggregate after the join is partial-combinable as usual. */
+  private val layoutBucketJoin: Q = (s, d) => {
+    val (ot, ct) = graft.sources.BucketedLayout.ordersCustomerByCustkey(s, d)
+    val o = s.table(ot)
+    val c = s.table(ct)
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum(col("o_totalprice"))).as("revenue"))
+      .orderBy("c_mktsegment")
   }
 
   /** MapType round-trip over the JSON event properties — the derived
@@ -1646,6 +1698,8 @@ object RelationalOps {
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
     "q_layout_partition_prune" -> layoutPartitionPrune,
+    "q_layout_dpp" -> layoutDpp,
+    "q_layout_bucket_join" -> layoutBucketJoin,
     "q_agg_decimal" -> aggDecimal,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q6" -> tpchQ6,
@@ -1866,17 +1920,23 @@ object RelationalOps {
       s"""$zvalCtes
          SELECT l_orderkey, l_linenumber, zx, zy, zval
          FROM z ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""",
-    // Exact DECIMAL arithmetic end-to-end after the boundary cast; the
-    // pinned output precisions make the dtype compare exact.
+    // Exact DECIMAL arithmetic end-to-end; the double→decimal boundary
+    // goes through floor-cents (same IEEE arithmetic both engines — a
+    // direct CAST disagrees on .005 ties), and the pinned output
+    // precisions make the dtype compare exact.
     "q_agg_decimal" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-                  AS DECIMAL(18,2)) AS sum_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         (CAST(1 AS DECIMAL(4,2)) -
-                          CAST(l_discount AS DECIMAL(4,2))))
-                  AS DECIMAL(18,4)) AS sum_disc_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH c AS (
+           SELECT l_returnflag,
+                  CAST(CAST(floor(l_extendedprice*100 + 0.5) AS DECIMAL(14,0))
+                       * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(12,2)) AS price,
+                  CAST((CAST(100 AS DECIMAL(4,0)) -
+                        CAST(floor(l_discount*100 + 0.5) AS DECIMAL(4,0)))
+                       * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(4,2)) AS rem
+           FROM lineitem)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
+                CAST(sum(price * rem) AS DECIMAL(18,4)) AS sum_disc_price
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
     // The partitioned layout must serve the same rows the flat table
     // filters to — the oracle knows nothing about the physical layout.
     "q_layout_partition_prune" ->
@@ -1884,6 +1944,20 @@ object RelationalOps {
                 floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
          FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
          GROUP BY event_type ORDER BY event_type""",
+    // The layout (and the DPP that prunes it) is physical only — the
+    // oracle states the predicate directly: isodow ≥ 6 ⟺ Sat/Sun, the
+    // twin of Spark's weekday() ≥ 5 used to build the calendar dim.
+    "q_layout_dpp" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
+         FROM events WHERE isodow(CAST(ts AS DATE)) >= 6
+         GROUP BY event_type ORDER BY event_type""",
+    // Bucketing is physical layout only — the oracle is the plain join.
+    "q_layout_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_layout_skipping" ->
       s"""$zvalCtes,
          fn AS (SELECT zx, zy, ntile(16) OVER (

@@ -9,6 +9,27 @@ import org.scalacheck.rng.Seed
 class OperatorEdgeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decimal boundary: floor-cents is tie-safe where a direct cast is not") {
+    // 8.165 as a double is 8.16499999…, and 8.165*100 stays below the tie
+    // (816.4999…), so floor-cents gives 816 while Spark's direct
+    // double→decimal cast rounds the SHORTEST REPR ("8.165") HALF_UP to
+    // 8.17 — two different answers from one input. DuckDB's cast rounds
+    // the binary expansion, i.e. a third convention — the divergence that
+    // cost q_agg_decimal its r4 hash. The floor-cents convention is pure
+    // IEEE arithmetic, identical in every engine, so q_agg_decimal (and
+    // every r2-rounded key) uses it for the double→fixed-point boundary.
+    val df = Seq(8.165, 1.005, 68423.46).toDF("x")
+      .select(col("x"),
+        floor(col("x") * 100 + 0.5).cast("long").as("cents"),
+        col("x").cast("decimal(12,2)").as("direct"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getLong(1),
+      r.getDecimal(2).toString)).toList
+    assert(rows == List(
+      (8.165, 816L, "8.17"),   // cast and cents DISAGREE on the tie
+      (1.005, 100L, "1.01"),   // likewise
+      (68423.46, 6842346L, "68423.46"))) // 2-decimal value: all agree
+  }
+
   test("every declared query runs at sf0.001 (rows > 0 unless inherently empty)") {
     // q_join_anti is legitimately empty when every customer has orders
     val mayBeEmpty = Set("q_join_anti")

@@ -136,6 +136,31 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(joined.count() === expected && expected > 0)
   }
 
+  test("q_layout_dpp: the registry key's fact scan is dynamically pruned") {
+    val df = SparkEntry.queries("q_layout_dpp")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+    // and the pruned result still equals the flat-table predicate
+    val expected = Tables.events(spark, sfDir)
+      .filter(weekday(to_date(col("ts"))) >= 5).count()
+    assert(df.agg(sum("n")).head.getLong(0) === expected && expected > 0)
+  }
+
+  test("q_layout_bucket_join: the registry key joins with zero exchanges") {
+    val df = SparkEntry.queries("q_layout_bucket_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scan should read bucket layout:\n$plan")
+    // the ONLY exchange allowed is the one feeding the final 5-row
+    // group-by; the join itself must be co-located (pre-join subtree
+    // exchange-free)
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle its inputs:\n$plan")
+  }
+
   test("co-bucketed tables sort-merge join without exchange") {
     // uses the session's default warehouse (./spark-warehouse, gitignored);
     // clean any orphaned locations from aborted runs
