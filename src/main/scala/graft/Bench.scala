@@ -37,6 +37,18 @@ object Bench {
         catch { case t: Throwable =>
           System.err.println(s"warmup $k failed: ${t.getClass.getSimpleName}") }
       }
+    // Host-health canary (VERDICT r5 item 3): a pushed-down parquet
+    // scan+project over lineitem takes well under 1 s on a healthy
+    // 32-thread host; seconds-range values mean the host is adding fixed
+    // per-job overhead (the r5 282s-vs-82s episode), so plan regressions
+    // are distinguishable from machine noise in one glance. Median of 3,
+    // measured post-warmup, NOT part of the total.
+    val canary = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q_scan_project")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     // Deterministic key order: Map iteration order is hash-random, which
     // made round-1 totals incomparable run-to-run. SPARK_GRAFT_ONLY
     // (comma-separated keys) restricts the run for local iteration.
@@ -81,7 +93,7 @@ object Bench {
       fits
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":${kept.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"canary_scan_sec":${r3(canary)},"queries_slowest":${kept.size},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"FAILED QUERIES: $failed")
     spark.stop()
   }

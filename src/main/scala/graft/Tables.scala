@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * Design notes (SURVEY.md §1):
   *  - Schemas are declared, never inferred, so plans are stable across scale
   *    factors and the parquet footer read is skipped on the hot path.
-  *  - `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4 refuses to
-  *    read unless `spark.sql.legacy.parquet.nanosAsLong=true`; we read it as
-  *    ns-since-epoch LongType and convert to TIMESTAMP_NTZ with integer
-  *    microsecond truncation (ts div 1000) — identical to how DuckDB (the
-  *    correctness oracle) truncates the same column (SURVEY.md §1.4).
+  *  - `events.ts` has been generated as both TIMESTAMP(NANOS) (rounds 1-4)
+  *    and TIMESTAMP(MICROS) (round 5 regen) — the unit is SNIFFED from the
+  *    footer per path (eventsTsUnit), never assumed. NANOS needs
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` and a `ts div 1000`
+  *    µs truncation (matching DuckDB, the correctness oracle); MICROS reads
+  *    natively as TIMESTAMP_NTZ. Either way callers get the same contract:
+  *    `ts` (NTZ µs) + `ts_ns` (long ns). See SURVEY.md §1.4.
   *  - ms timestamps (l_shipdate, o_orderdate) are TIMESTAMP_NTZ in Spark 4
   *    and naive TIMESTAMP in DuckDB; both sessions run pinned-UTC so the
   *    wall-clock values agree.
@@ -76,10 +78,22 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  /** ts declared as LongType: raw ns-since-epoch (requires nanosAsLong). */
+  /** ts declared as LongType: raw ns-since-epoch (requires nanosAsLong).
+    * Used when the parquet footer says TIMESTAMP(NANOS). */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** ts declared as TIMESTAMP_NTZ: used when the parquet footer says
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — the unit the driver's
+    * generator switched to at round 5 (see BASELINE.md postmortem). */
+  val eventsMicrosSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -127,14 +141,53 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** Events with `ts` converted ns→µs (floor, matching DuckDB) as
-    * TIMESTAMP_NTZ, plus the raw ns long as `ts_ns` for callers that want
-    * exact integer time arithmetic (window frames, gaps). */
+  /** Detected `ts` unit per events.parquet path ("ns" | "us"), cached so
+    * the footer sniff is one driver-side schema read per path per JVM —
+    * events() is called hundreds of times per bench run. */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Sniff the parquet logical type of `ts` via Spark's own schema
+    * inference (with nanosAsLong=true a TIMESTAMP(NANOS) column infers as
+    * LongType; TIMESTAMP(MICROS, NTZ) infers as TimestampNTZType). The
+    * round-5 testdata regeneration silently flipped NANOS→MICROS and a
+    * hardcoded `div 1000` collapsed a month of events into 43 minutes of
+    * 1970 — hence unit detection instead of a declared assumption. */
+  def eventsTsUnit(spark: SparkSession, path: String): String =
+    tsUnitCache.computeIfAbsent(path, p => {
+      configure(spark)
+      spark.read.parquet(p).schema.fields.find(_.name == "ts")
+        .map(_.dataType) match {
+        case Some(LongType)                              => "ns"
+        case Some(TimestampNTZType) | Some(TimestampType) => "us"
+        case other => sys.error(
+          s"events.ts at $p has unsupported parquet-inferred type $other " +
+            "(expected TIMESTAMP(NANOS)->long or TIMESTAMP(MICROS)->ntz); " +
+            "update Tables.eventsTsUnit for the new testdata layout")
+      }
+    })
+
+  /** Events with a stable two-column time contract regardless of the
+    * on-disk unit: `ts` = TIMESTAMP_NTZ at µs precision (floor from ns,
+    * matching DuckDB's truncation), `ts_ns` = ns-since-epoch long for
+    * exact integer time arithmetic (window frames, gaps, day/hour
+    * bucketing). µs→ns is ×1000 and lossless, so every integer-arithmetic
+    * consumer is unit-agnostic. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     configure(spark)
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val path = s"$sfDir/events.parquet"
+    eventsTsUnit(spark, path) match {
+      case "ns" =>
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ =>
+        // session tz is pinned UTC, so NTZ→TZ cast is epoch-identity and
+        // unix_micros gives the naive wall-clock µs the generator wrote
+        spark.read.schema(eventsMicrosSchema).parquet(path)
+          .withColumn("ts_ns",
+            expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 }

@@ -19,6 +19,7 @@ object Verify {
     Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         // remove any stale dump from a previous run — otherwise a reused
         // outDir makes the oracle compare a false PASS on old output
         val dir = new java.io.File(s"$outDir/$name")
@@ -34,6 +36,10 @@ object Verify {
           dir.listFiles().foreach(_.delete())
           dir.delete(): Unit
         }
+        // explicit attempted-and-failed record (VERDICT r5 item 5): a
+        // throwing key must not silently vanish from the round's report
+        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +57,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // aggregate failure manifest: key -> exception, "{}" when all clean
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} key(s) FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -44,12 +44,17 @@ class RateSourceFactory(rowsPerSecond: Int = 100) extends SourceFactory {
   * lets every streaming transform be smoke-run in batch mode. */
 class ParquetReplaySource(sfDir: String) extends SourceFactory {
   def stream(spark: SparkSession): DataFrame = {
-    // files-based streaming read over the same parquet the batch path uses
-    val schema = graft.Tables.eventsRawSchema
+    // files-based streaming read over the same parquet the batch path
+    // uses, with the same footer-sniffed ts-unit handling as Tables.events
     graft.Tables.configure(spark)
-    spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val path = s"$sfDir/events.parquet"
+    graft.Tables.eventsTsUnit(spark, path) match {
+      case "ns" =>
+        spark.readStream.schema(graft.Tables.eventsRawSchema).parquet(path)
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ =>
+        spark.readStream.schema(graft.Tables.eventsMicrosSchema).parquet(path)
+    }
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ingest canary (VERDICT r5 item 2): the round-5 testdata regeneration
+  * silently flipped `events.ts` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS)
+  * and the then-hardcoded `div 1000` collapsed the 2024-01 event month into
+  * ~43 minutes of 1970 — 37 registry keys hash-missed with no pointed
+  * error. This spec fails LOUDLY, naming the detected parquet unit, if a
+  * future regen moves the data out of its engineered window again.
+  */
+class IngestCanarySpec extends SparkSpec {
+
+  test("events.ts lands in 2024-01 for every shipped SF (unit-sniffed read)") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val unit = Tables.eventsTsUnit(spark, s"$dir/events.parquet")
+      val r = Tables.events(spark, dir)
+        .agg(min("ts").as("lo"), max("ts").as("hi")).head
+      val (lo, hi) =
+        (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+      val span = java.time.Duration.between(lo, hi)
+      assert(lo.getYear == 2024 && hi.getYear == 2024 && span.toDays >= 7,
+        s"$sf: events.ts range [$lo, $hi] (span ${span.toHours}h) is outside " +
+          s"the engineered 2024-01 month; parquet ts unit detected = '$unit'. " +
+          "The driver likely regenerated testdata with a new timestamp " +
+          "logical type — teach Tables.eventsTsUnit the new layout.")
+    }
+  }
+
+  test("ts_ns is exact ns and consistent with ts at µs precision") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts_ns"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("diff", col("ts_ns") - col("us") * 1000L)
+    // ns source: diff = sub-µs remainder in [0, 1000); µs source: exactly 0
+    val bad = ev.filter(col("diff") < 0 || col("diff") >= 1000).count()
+    assert(bad == 0L, s"$bad rows where ts_ns disagrees with ts beyond µs truncation")
+  }
+}
