@@ -118,7 +118,13 @@ object ExplainAudit {
       .getOrCreate()
     Tables.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    audited.foreach { name =>
+    // optional args after sfDir restrict the audit to those keys (any
+    // registry key, not just the curated list) for local iteration
+    val only = args.drop(1).toSet
+    val names =
+      if (only.isEmpty) audited
+      else SparkEntry.queries.keys.filter(only).toSeq.sorted
+    names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

@@ -548,6 +548,30 @@ object DedupOps {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
 
+  /** Repetition-aware sampling weights (the data-constrained-scaling
+    * recipe: a doc duplicated k× should train with weight 1/k so the
+    * effective epoch count over its content stays 1). Cluster sizes come
+    * from the shared simhash cluster cache; docs outside any cluster are
+    * singletons with weight 1. Output is the bounded (size → n_docs,
+    * weight) table a sampler joins back by cluster — at 100 TB this is
+    * two tiny aggregates over the already-materialized cluster labels
+    * plus one corpus count; nothing quadratic, nothing re-shuffled. */
+  private val sampleRepWeight: Q = (s, d) => {
+    val sz = clusterReps(s, d).groupBy("cluster_rep")
+      .agg(count(lit(1)).as("size"))
+    val bySize = sz.groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), (col("size") * col("n_clusters")).as("n_docs"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val clustered = sz.agg(coalesce(sum(col("size")), lit(0L)).as("n_in"))
+    val singles = tot.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("size"), (col("n_total") - col("n_in")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    singles.unionByName(bySize)
+      .withColumn("weight_r", r6(lit(1.0) / col("size")))
+      .orderBy("size")
+  }
+
   /** Incremental (new-batch-vs-corpus) near-dup: the ingest-time dedup
     * every growing training corpus runs — score only NEW docs (top 20%
     * of the id space, standing in for "today's crawl") against the BASE
@@ -571,6 +595,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
+    "q_sample_rep_weight" -> sampleRepWeight,
     "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -707,6 +732,35 @@ object DedupOps {
                 FROM c GROUP BY cluster_rep)
          SELECT size, count(*) AS n_clusters
          FROM sz GROUP BY size ORDER BY size""",
+    // same cluster CTEs; weight table = 1/size per size bucket, plus
+    // the singleton row (docs in no cluster) at weight 1
+    "q_sample_rep_weight" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         c AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           FROM reach GROUP BY src),
+         sz AS (SELECT cluster_rep, count(*) AS size
+                FROM c GROUP BY cluster_rep),
+         bysize AS (SELECT size, CAST(size * count(*) AS BIGINT) AS n_docs
+                    FROM sz GROUP BY size),
+         tot AS (SELECT count(*) AS n_total FROM documents),
+         cl AS (SELECT CAST(coalesce(sum(size), 0) AS BIGINT) AS n_in
+                FROM sz),
+         allrows AS (
+           SELECT CAST(1 AS BIGINT) AS size, n_total - n_in AS n_docs
+           FROM tot, cl WHERE n_total - n_in > 0
+           UNION ALL
+           SELECT size, n_docs FROM bysize)
+         SELECT size, n_docs,
+                floor(1.0 / size * 1000000 + 0.5) / 1000000.0 AS weight_r
+         FROM allrows ORDER BY size""",
     "q_dedup_simhash_pairs" ->
       s"""WITH $simhashPairCtes
          SELECT a, b, hd FROM ham WHERE hd <= $HammingMax

@@ -913,6 +913,41 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** DSIR-style data selection (importance resampling): score every doc
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET domain (sources src0..src3, the high-quality stand-in) than
+    * under the raw corpus — the classic pick-webtext-that-looks-like-
+    * wikipedia selector. Features are 2-hex-digit md5 buckets (the same
+    * hashing trick as q_text_feature_hash); the per-bucket
+    * log-likelihood ratio with +1 smoothing is a ≤256-row broadcast
+    * table (ln/exp libm parity is already load-bearing for
+    * perplexity/entropy); each doc's score sums its tokens' bucket LLRs
+    * under the usual r6 discipline. Top-50 docs by score = the batch
+    * you'd promote into the training mix. Scale shape: one map-side
+    * token explode, one bounded bucket aggregate, one broadcast join
+    * back — the corpus shuffles once, by doc_id, for the final sum. */
+  private val sampleDsir: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(toks()).as("tok"))
+      .withColumn("b", hex2(md5(col("tok"))))
+    val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+    val bucket = tok.groupBy("b").agg(
+      count(lit(1)).as("rcnt"),
+      count(when(isTgt, 1)).as("tcnt"))
+    val totals = bucket.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
+    val llr = bucket.crossJoin(broadcast(totals))
+      .select(col("b"), r6(
+        log((col("tcnt") + 1).cast("double")
+          / (col("ttot") + 256).cast("double"))
+        - log((col("rcnt") + 1).cast("double")
+          / (col("rtot") + 256).cast("double"))).as("llr_r"))
+    tok.join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), r6(sum(col("llr_r"))).as("score_r"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** 2-hex-digit md5 decode (exact 0..255 integer, both engines) — the
     * bucket assigner for the hashing-trick features and the count-min
     * sketch below. */
@@ -1143,6 +1178,7 @@ object TextOps {
     "q_shard_rendezvous" -> shardRendezvous,
     "q_text_bpe_pairs" -> bpePairs,
     "q_sample_temperature" -> sampleTemperature,
+    "q_sample_dsir" -> sampleDsir,
     "q_text_count_min" -> countMin,
     "q_text_feature_hash" -> featureHash,
     "q_eval_langid" -> langidEval,
@@ -1333,6 +1369,28 @@ object TextOps {
                 floor(1000.0 * wt / z * 100 + 0.5) / 100.0
                   AS expected_docs
          FROM x CROSS JOIN z ORDER BY lang""",
+    "q_sample_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         tb AS (SELECT doc_id, source, ${hex2Sql("md5(tok)")} AS b
+                FROM tk),
+         bc AS (SELECT b, count(*) AS rcnt,
+                       count(*) FILTER (WHERE source IN
+                         ('src0', 'src1', 'src2', 'src3')) AS tcnt
+                FROM tb GROUP BY b),
+         tt AS (SELECT CAST(sum(rcnt) AS BIGINT) AS rtot,
+                       CAST(sum(tcnt) AS BIGINT) AS ttot FROM bc),
+         lr AS (SELECT b,
+                       floor((ln((tcnt + 1) / CAST(ttot + 256 AS DOUBLE))
+                            - ln((rcnt + 1) / CAST(rtot + 256 AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000.0 AS llr_r
+                FROM bc, tt)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+                floor(sum(llr_r) * 1000000 + 0.5) / 1000000.0 AS score_r
+         FROM tb JOIN lr USING (b)
+         GROUP BY doc_id, source
+         ORDER BY score_r DESC, doc_id LIMIT 50""",
     "q_text_count_min" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
                        FROM documents),

@@ -382,6 +382,44 @@ object VectorOps {
     cents
   }
 
+  /** SemDeDup (semantic dedup à la Abbas et al. 2023): cluster the
+    * embedding space with the SAME deterministic 2-round Lloyd quantizer
+    * as q_ann_kmeans, then find near-duplicate pairs ONLY within each
+    * cluster (r6 dot ≥ 0.3 — q_dedup_embed's threshold) and mark the
+    * higher vec_id of each pair as the drop candidate (keep-lowest, the
+    * convention every dedup key here uses). Output is the per-cluster
+    * dedup report: members, n_pairs, n_dropped.
+    *
+    * Scale shape — this is the point of the operator: the quadratic pair
+    * scan is CONFINED to a cluster, so at 100 TB the corpus is
+    * partitioned by cid (the IVF layout q_ann_ivf already reads) and
+    * each partition runs an independent local pair join — no global
+    * all-pairs, no cross-partition shuffle. Here the corpus side
+    * broadcasts (512 KB) and cid is an equi-join key, so the executed
+    * plan is a BroadcastHashJoin on cid + residual va<vb — the same
+    * partition-local access pattern in miniature. */
+  private val dedupSemantic: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d, k = 4, rounds = 2)
+    val assign = assignTo(vecs(s, d), cents)
+    val av = vecs(s, d).join(assign, Seq("vec_id"))
+    val a = av.select(col("cid"), col("vec_id").as("va"), col("v").as("x"))
+    val b = av.select(col("cid"), col("vec_id").as("vb"), col("v").as("y"))
+    val pairs = a.join(broadcast(b),
+        a("cid") === b("cid") && col("va") < col("vb"))
+      .withColumn("sim_r", r6(expr(dotExpr)))
+      .filter(col("sim_r") >= 0.3)
+      .select(a("cid"), col("va"), col("vb"))
+    val members = assign.groupBy("cid").agg(count(lit(1)).as("members"))
+    val np = pairs.groupBy("cid").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs.groupBy("cid")
+      .agg(countDistinct(col("vb")).as("n_dropped"))
+    members.join(np, Seq("cid"), "left").join(nd, Seq("cid"), "left")
+      .select(col("cid"), col("members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("cid")
+  }
+
   /** The IVF coarse quantizer TRAINED, not stood in for by labels:
     * 2 Lloyd rounds from deterministic seeds, then the final partition
     * assignment — output is the cluster population plus a centroid
@@ -600,6 +638,7 @@ object VectorOps {
     "q_eval_lsh_recall" -> lshRecall,
     "q_embed_drift" -> embedDrift,
     "q_ann_kmeans" -> annKmeans,
+    "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
     "q_dedup_embed" -> dedupEmbed,
@@ -612,6 +651,46 @@ object VectorOps {
     "q_vec_margin" -> vecMargin,
     "q_vec_label_noise" -> labelNoise,
     "q_eval_ivf_recall" -> evalIvfRecall)
+
+  /** Shared oracle fragment: the deterministic 2-round Lloyd chain
+    * (seeds = vec_id < 4, r6-rounded argmax, ties to lowest cid) —
+    * referenced by q_ann_kmeans and composed by q_dedup_semantic. */
+  private val kmeansCtes =
+    """ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
+                     FROM embeddings),
+           el AS (SELECT vec_id,
+                         CAST(unnest(generate_series(1, len(embedding)))
+                           AS INTEGER) - 1 AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS val
+                  FROM embeddings),
+           c0 AS (SELECT vec_id AS cid, varr AS carr FROM ev
+                  WHERE vec_id < 4),
+           a1 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c0 c) t WHERE rn = 1),
+           c1 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
+                    SELECT cid, pos, avg(val) AS c
+                    FROM el JOIN a1 USING (vec_id)
+                    GROUP BY cid, pos) t GROUP BY cid),
+           a2 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c1 c) t WHERE rn = 1),
+           c2 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
+                    SELECT cid, pos, avg(val) AS c
+                    FROM el JOIN a2 USING (vec_id)
+                    GROUP BY cid, pos) t GROUP BY cid),
+           a3 AS (SELECT vec_id, cid FROM (
+                    SELECT ev.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY ev.vec_id
+                             ORDER BY floor(list_inner_product(ev.varr,
+                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
+                    FROM ev CROSS JOIN c2 c) t WHERE rn = 1)"""
 
   /** Shared oracle fragments: the exact and LSH embedding-pair plans are
     * referenced both standalone and composed by q_eval_lsh_recall. */
@@ -835,46 +914,32 @@ object VectorOps {
                   / 1000000.0 AS dist_r
          FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
     "q_ann_kmeans" ->
-      """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
-                     FROM embeddings),
-           el AS (SELECT vec_id,
-                         CAST(unnest(generate_series(1, len(embedding)))
-                           AS INTEGER) - 1 AS pos,
-                         CAST(unnest(embedding) AS DOUBLE) AS val
-                  FROM embeddings),
-           c0 AS (SELECT vec_id AS cid, varr AS carr FROM ev
-                  WHERE vec_id < 4),
-           a1 AS (SELECT vec_id, cid FROM (
-                    SELECT ev.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY ev.vec_id
-                             ORDER BY floor(list_inner_product(ev.varr,
-                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
-                    FROM ev CROSS JOIN c0 c) t WHERE rn = 1),
-           c1 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
-                    SELECT cid, pos, avg(val) AS c
-                    FROM el JOIN a1 USING (vec_id)
-                    GROUP BY cid, pos) t GROUP BY cid),
-           a2 AS (SELECT vec_id, cid FROM (
-                    SELECT ev.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY ev.vec_id
-                             ORDER BY floor(list_inner_product(ev.varr,
-                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
-                    FROM ev CROSS JOIN c1 c) t WHERE rn = 1),
-           c2 AS (SELECT cid, list(c ORDER BY pos) AS carr FROM (
-                    SELECT cid, pos, avg(val) AS c
-                    FROM el JOIN a2 USING (vec_id)
-                    GROUP BY cid, pos) t GROUP BY cid),
-           a3 AS (SELECT vec_id, cid FROM (
-                    SELECT ev.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY ev.vec_id
-                             ORDER BY floor(list_inner_product(ev.varr,
-                               c.carr) * 1000000 + 0.5) DESC, c.cid) AS rn
-                    FROM ev CROSS JOIN c2 c) t WHERE rn = 1)
+      s"""WITH $kmeansCtes
          SELECT a3.cid, count(*) AS members,
                 floor((c2.carr[1]) * 1000000 + 0.5) / 1000000.0 AS c0_r
          FROM a3 JOIN c2 ON a3.cid = c2.cid
          GROUP BY a3.cid, c2.carr
          ORDER BY a3.cid""",
+    // SemDeDup: the kmeans CTE chain pins the identical cluster
+    // assignment, then the pair/drop logic replays within clusters only
+    "q_dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         pr AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+                FROM a3 a JOIN a3 b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                JOIN ev ea ON ea.vec_id = a.vec_id
+                JOIN ev eb ON eb.vec_id = b.vec_id
+                WHERE floor(list_inner_product(ea.varr, eb.varr)
+                        * 1000000 + 0.5) / 1000000.0 >= 0.3),
+         m AS (SELECT cid, count(*) AS members FROM a3 GROUP BY cid),
+         np AS (SELECT cid, count(*) AS n_pairs FROM pr GROUP BY cid),
+         nd AS (SELECT cid, count(DISTINCT vb) AS n_dropped
+                FROM pr GROUP BY cid)
+         SELECT m.cid, m.members,
+                CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped
+         FROM m LEFT JOIN np USING (cid) LEFT JOIN nd USING (cid)
+         ORDER BY m.cid""",
     "q_embed_quantize" ->
       """WITH e AS (
            SELECT vec_id,
