@@ -106,7 +106,13 @@ object ExplainAudit {
     // collects run during plan construction — Dist caveat, as for
     // q_text_pack), and the stratified distributed ntile
     "q_layout_partition_prune", "q_agg_decimal", "q_stats_gini",
-    "q_stats_ks", "q_win_ntile")
+    "q_stats_ks", "q_win_ntile",
+    // round 6: SemDeDup's cid-keyed broadcast pair join (the
+    // IVF-partition-local dedup shape; its kmeans trainer collects the
+    // bounded centroid table during plan construction — kmeans caveat),
+    // DSIR's broadcast LLR-table join (no corpus re-shuffle), and the
+    // repetition-weight size census over the shared cluster cache
+    "q_dedup_semantic", "q_sample_dsir", "q_sample_rep_weight")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -28,6 +28,33 @@ class IngestCanarySpec extends SparkSpec {
     }
   }
 
+  test("row counts per SF match the engineered scale (regen drift alarm)") {
+    // Last-observed counts (2026-08-13 regen; FIXTURES.md/BASELINE.md).
+    // A future regen that changes SCALE must fail here with a pointed
+    // message, not surface as a spread of bench/hash anomalies.
+    val expected = Map(
+      "sf0.001" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L,
+        "supplier" -> 10L, "part" -> 200L, "orders" -> 1500L,
+        "lineitem" -> 6000L, "documents" -> 500L, "embeddings" -> 500L),
+      "sf0.01" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 1500L,
+        "supplier" -> 100L, "part" -> 2000L, "orders" -> 15000L,
+        "lineitem" -> 60000L, "documents" -> 500L, "embeddings" -> 500L),
+      "sf0.1" -> Map("region" -> 5L, "nation" -> 25L, "customer" -> 15000L,
+        "supplier" -> 1000L, "part" -> 20000L, "orders" -> 150000L,
+        "lineitem" -> 600000L, "documents" -> 5000L, "embeddings" -> 2000L))
+    val eventsExpected =
+      Map("sf0.001" -> 1000L, "sf0.01" -> 10000L, "sf0.1" -> 100000L)
+    for ((sf, tables) <- expected; (t, n) <- tables) {
+      val got = Tables.load(spark, s"/root/testdata/$sf", t).count()
+      assert(got == n, s"$sf/$t: $got rows, engineered scale was $n — " +
+        "testdata regenerated at a different scale; re-profile FIXTURES.md")
+    }
+    for ((sf, n) <- eventsExpected) {
+      val got = Tables.events(spark, s"/root/testdata/$sf").count()
+      assert(got == n, s"$sf/events: $got rows, engineered scale was $n")
+    }
+  }
+
   test("ts_ns is exact ns and consistent with ts at µs precision") {
     val ev = Tables.events(spark, sfDir)
       .select(col("ts_ns"), unix_micros(col("ts").cast("timestamp")).as("us"))
