@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one declared query and dump it for the oracle compare. On
+    * failure: remove any stale dump from a previous run (a reused outDir
+    * would otherwise make the compare a false PASS on old output) and
+    * leave an explicit `<name>._FAILED` marker — a throwing key must
+    * show up as attempted-and-failed, never silently vanish from the
+    * round's report (the q_events_churn lesson). Returns the error. */
+  def runOne(spark: SparkSession, sfDir: String, outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val dir = new java.io.File(s"$outDir/$name")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete(): Unit
+      }
+      Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
+        s"${e.getClass.getName}: ${e.getMessage}\n")
+      Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args = restrict to these keys (local iteration only;
@@ -24,22 +50,9 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-        // remove any stale dump from a previous run — otherwise a reused
-        // outDir makes the oracle compare a false PASS on old output
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete(): Unit
-        }
-        // explicit attempted-and-failed record (VERDICT r5 item 5): a
-        // throwing key must not silently vanish from the round's report
-        Files.writeString(Paths.get(s"$outDir/$name._FAILED"),
-          s"${e.getClass.getName}: ${e.getMessage}\n")
+      runOne(spark, sfDir, outDir, name, fn).foreach { err =>
+        System.err.println(s"[verify] $name failed: $err")
+        failures(name) = err
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
