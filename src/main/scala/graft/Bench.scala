@@ -6,10 +6,12 @@ object Bench {
     * can't silently drop a warmup. */
   val warmupKeys: Seq[String] = Seq("q_agg_pricing_summary",
     "q_text_tokencount", "q_sim_cosine_topk", "q_dedup_simhash",
-    // verified-pair caches (unigram@0.8 and bigram@0.6) — like the
-    // simhash fingerprints, shared index artifacts whose one-time build
-    // should not land on whichever consumer runs first
-    "q_dedup_minhash", "q_dedup_ngram",
+    // verified-pair caches (unigram@0.8, bigram@0.6, embedding exact +
+    // LSH) and the near-dup cluster labels — like the simhash
+    // fingerprints, shared index artifacts whose one-time build should
+    // not land on whichever consumer runs first
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
+    "q_dedup_embed_lsh", "q_dedup_clusters",
     // graph index artifacts (bipartite + co-purchase edge caches) — like
     // the simhash fingerprints, which query pays the one-time build is
     // otherwise an accident of key order

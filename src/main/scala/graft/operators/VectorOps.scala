@@ -53,7 +53,23 @@ object VectorOps {
 
   /** Embedding-cosine near-duplicate pairs (threshold form of the above —
     * the near-dup operator for multimodal/embedding columns). */
-  private val dedupEmbed: Q = (s, d) => {
+  /** Embedding pair frames (exact ≥0.3 and hyperplane-LSH), persisted
+    * per (session, dir, variant) through the shared cache registry —
+    * same index-artifact rationale as DedupOps' verified text pairs:
+    * q_dedup_embed / q_dedup_embed_lsh / q_eval_lsh_recall all start
+    * from these frames instead of re-running the pair scan. */
+  private val embedPairCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  graft.Caches.registerMap(embedPairCache,
+    (k: (SparkSession, String, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
+  private def cachedPairs(s: SparkSession, d: String, variant: String)(
+      build: => DataFrame): DataFrame =
+    embedPairCache.computeIfAbsent((s, d, variant), _ => build.persist())
+
+  private val dedupEmbed: Q = (s, d) => cachedPairs(s, d, "exact") {
     val e = vecs(s, d)
     val a = e.select(col("vec_id").as("va"), col("v").as("x"))
     val b = e.select(col("vec_id").as("vb"), col("v").as("y"))
@@ -98,7 +114,7 @@ object VectorOps {
     * q_dedup_embed never happens. More bits per band ⟹ more pruning;
     * 4 bits is tuned to this corpus's diffuse similarity (max cosine
     * ≈ 0.6) so the oracle-checked output stays non-trivial. */
-  private val dedupEmbedLsh: Q = (s, d) => {
+  private val dedupEmbedLsh: Q = (s, d) => cachedPairs(s, d, "lsh") {
     val dim = 64
     val nBands = HPlanes / BandBits
     // ±1 plane components from md5(p:j) — public-hash seeded, engine-
