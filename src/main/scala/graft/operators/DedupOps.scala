@@ -568,6 +568,32 @@ object DedupOps {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
 
+  /** Quality-aware cluster representative selection: for every near-dup
+    * cluster (the shared simhash component labels), keep the member with
+    * the HIGHEST heuristic quality score (r6-rounded, doc_id tie-break)
+    * instead of the smallest id — the retention policy a curation
+    * pipeline actually wants: drop k−1 docs per cluster but never the
+    * best-written one. Pure composition of two cached artifacts (cluster
+    * labels × the shared TextOps quality stats) plus one
+    * cluster-partitioned window; no new corpus scan, no global window.
+    * At 100 TB this is a join of the materialized cluster table against
+    * the per-doc quality table, shuffled once on cluster_rep — cluster
+    * sizes are small by construction so the window never skews. */
+  private val dedupKeepBest: Q = (s, d) => {
+    val q = TextOps.withQualityStats(Tables.documents(s, d))
+      .select(col("doc_id"), r6(TextOps.qualityScore).as("q_r"))
+    val byClu = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep")
+    clusterReps(s, d).join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        byClu.orderBy(col("q_r").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byClu))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_doc"),
+        col("q_r").as("keep_quality_r"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
   /** Repetition-aware sampling weights (the data-constrained-scaling
     * recipe: a doc duplicated k× should train with weight 1/k so the
     * effective epoch count over its content stays 1). Cluster sizes come
@@ -614,6 +640,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
+    "q_dedup_keep_best" -> dedupKeepBest,
     "q_sample_rep_weight" -> sampleRepWeight,
     "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
@@ -823,6 +850,33 @@ object DedupOps {
            SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst)
          SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
          FROM reach GROUP BY src ORDER BY doc_id""",
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+                  FROM reach GROUP BY src),
+         qs AS (SELECT doc_id, ${TextOps.qualityStatsColsSql}
+                FROM documents),
+         qq AS (SELECT doc_id,
+                       floor((${TextOps.qualityScoreSql}) * 1000000 + 0.5)
+                         / 1000000.0 AS q_r
+                FROM qs),
+         rk AS (SELECT c.cluster_rep, c.doc_id, q.q_r,
+                       row_number() OVER (PARTITION BY c.cluster_rep
+                                          ORDER BY q.q_r DESC, c.doc_id)
+                         AS rn,
+                       count(*) OVER (PARTITION BY c.cluster_rep)
+                         AS n_members
+                FROM clus c JOIN qq q ON c.doc_id = q.doc_id)
+         SELECT cluster_rep, doc_id AS keep_doc, q_r AS keep_quality_r,
+                n_members
+         FROM rk WHERE rn = 1 ORDER BY cluster_rep""",
     "q_dedup_simhash" ->
       """WITH tokc AS (
            SELECT doc_id, tok, count(*) AS cnt
