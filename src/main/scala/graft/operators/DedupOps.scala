@@ -594,6 +594,32 @@ object DedupOps {
       .orderBy("cluster_rep")
   }
 
+  /** Leakage-free train/val/test split — the GroupKFold-shaped
+    * assignment: each doc's split key is its near-dup CLUSTER
+    * representative (own doc_id for singletons), hashed with the same
+    * md5 12/2/2 partition as q_sample_split. Every near-dup cluster
+    * therefore lands in exactly ONE split by construction — the naive
+    * per-doc hash split leaks near-duplicates of training docs into
+    * val/test, silently inflating eval scores. Output is the per-split
+    * census of docs and groups. Scale shape: one left join of the corpus
+    * against the bounded cached cluster table + one hash aggregate;
+    * assignment stays a pure function of content-cluster identity, so
+    * re-runs and incremental ingestion never move an existing group. */
+  private val sampleSplitLeakfree: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      .join(clusterReps(s, d), Seq("doc_id"), "left")
+      .withColumn("gkey", coalesce(col("cluster_rep"), col("doc_id")))
+    val digit = substring(md5(col("gkey").cast("string")), 1, 1)
+    keyed
+      .withColumn("split", when(digit.isin("c", "d"), "val")
+        .when(digit.isin("e", "f"), "test")
+        .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("gkey")).as("n_groups"))
+      .orderBy("split")
+  }
+
   /** Repetition-aware sampling weights (the data-constrained-scaling
     * recipe: a doc duplicated k× should train with weight 1/k so the
     * effective epoch count over its content stays 1). Cluster sizes come
@@ -641,6 +667,7 @@ object DedupOps {
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
     "q_dedup_keep_best" -> dedupKeepBest,
+    "q_sample_split_leakfree" -> sampleSplitLeakfree,
     "q_sample_rep_weight" -> sampleRepWeight,
     "q_eval_minhash_recall" -> minhashRecall,
     "q_dedup_minhash" -> dedupMinhash,
@@ -877,6 +904,31 @@ object DedupOps {
          SELECT cluster_rep, doc_id AS keep_doc, q_r AS keep_quality_r,
                 n_members
          FROM rk WHERE rn = 1 ORDER BY cluster_rep""",
+    "q_sample_split_leakfree" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         clus AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+                  FROM reach GROUP BY src),
+         keyed AS (SELECT d.doc_id,
+                          COALESCE(c.cluster_rep, d.doc_id) AS gkey
+                   FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         g AS (SELECT CASE
+                        WHEN substring(md5(CAST(gkey AS VARCHAR)), 1, 1)
+                             IN ('c', 'd') THEN 'val'
+                        WHEN substring(md5(CAST(gkey AS VARCHAR)), 1, 1)
+                             IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split,
+                      doc_id, gkey
+               FROM keyed)
+         SELECT split, count(*) AS n_docs,
+                count(DISTINCT gkey) AS n_groups
+         FROM g GROUP BY split ORDER BY split""",
     "q_dedup_simhash" ->
       """WITH tokc AS (
            SELECT doc_id, tok, count(*) AS cnt
