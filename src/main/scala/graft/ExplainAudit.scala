@@ -112,7 +112,12 @@ object ExplainAudit {
     // bounded centroid table during plan construction — kmeans caveat),
     // DSIR's broadcast LLR-table join (no corpus re-shuffle), and the
     // repetition-weight size census over the shared cluster cache
-    "q_dedup_semantic", "q_sample_dsir", "q_sample_rep_weight")
+    "q_dedup_semantic", "q_sample_dsir", "q_sample_rep_weight",
+    // round-6 close: keep-best's cluster-partitioned window over the
+    // cluster-cache × quality-stats join, and the leakage-free group
+    // split's left join + hash aggregate (cluster cache caveat — the
+    // component propagation runs during plan construction)
+    "q_dedup_keep_best", "q_sample_split_leakfree")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
