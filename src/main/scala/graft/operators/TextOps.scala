@@ -258,14 +258,14 @@ object TextOps {
     * shared by q_text_quality and the curation pipeline
     * (DedupOps q_pipeline_curate), on both sides of the oracle boundary
     * (scoreSql / statsColsSql are the DuckDB mirror fragments). */
-  private[operators] def withQualityStats(df: DataFrame): DataFrame = df
+  private[graft] def withQualityStats(df: DataFrame): DataFrame = df
     .withColumn("toksArr", toks())
     .withColumn("n_tok", size(col("toksArr")))
     .withColumn("n_stop",
       size(expr("filter(toksArr, t -> t = 'the' OR t = 'a')")))
     .withColumn("n_uniq", size(array_distinct(col("toksArr"))))
 
-  private[operators] def qualityScore =
+  private[graft] def qualityScore =
     lit(0.3) * log(col("n_tok")) -
       lit(0.5) * (col("n_stop") / col("n_tok")) -
       lit(0.2) * (lit(1) - col("n_uniq") / col("n_tok").cast("double"))

@@ -155,6 +155,25 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus curation — the ingest-edge admission-control twin
+    * of the batch q_pipeline_curate: the SHARED quality gate (TextOps'
+    * one score definition at the same ≥ 0.95 cut, so the batch and
+    * streaming gates cannot drift) followed by exact content dedup
+    * within the watermark (md5(text) — dedup state is bounded by the
+    * 1-hour horizon, and junk never enters it because the stateless gate
+    * runs first). Input: a document stream with (doc_id, ts, text).
+    * At 100 TB this is the filter that keeps re-crawled duplicates and
+    * low-quality pages from ever landing in the lake; admitted docs flow
+    * on with their scores for downstream routing. */
+  def curateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.withQualityStats(docs)
+      .withColumn("quality_r", graft.Par.r6(graft.operators.TextOps.qualityScore))
+      .filter(col("quality_r") >= 0.95)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("ts"), col("quality_r"))
+
   /** Output row of [[userRunningState]]. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -417,6 +419,30 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
       assert(rows.contains(("2024-01-01 00:00:00.0", 2L)),
         s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("curateStream admits a quality doc once, drops junk and duplicates") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    // 30 distinct non-stopword tokens: 0.3*ln(30) ≈ 1.02 ≥ 0.95 → passes
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // all-stopword repetition: 0.3*ln(4) - 0.5 - 0.2*(3/4) < 0 → gated
+    val junk = "the the the the"
+    val q = StreamingOps.curateStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_curate")
+      .outputMode("append").start()
+    try {
+      ms.addData(Doc(1, t("2024-01-01 10:00:00"), good),
+        Doc(2, t("2024-01-01 10:05:00"), good), // same content → dup
+        Doc(3, t("2024-01-01 10:10:00"), junk))
+      q.processAllAvailable()
+      val rows = spark.table("t_curate")
+        .select("doc_id", "quality_r").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.map(_._1).toSet === Set(1L),
+        s"expected only the first quality doc admitted, got ${rows.toSeq}")
+      assert(rows.head._2 >= 0.95)
     } finally q.stop()
   }
 }
