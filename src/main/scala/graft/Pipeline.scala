@@ -50,6 +50,27 @@ object Pipeline {
     Sinks.writeRelational(curateCorpus(spark, sfDir), "curated_docs",
       conf, fallback)
 
+  /** Streaming corpus-curation pipeline: document stream → the shared
+    * quality gate + within-watermark content dedup
+    * (streaming.StreamingOps.curateStream) → foreachBatch into the
+    * relational boundary. The online admission-control counterpart of
+    * [[curateCorpus]]: what this admits is exactly what the batch gate
+    * would keep (one shared score definition), so backfill and live
+    * ingest agree. Same checkpoint/idempotence contract as
+    * [[eventPipeline]]. */
+  def curationPipeline(spark: SparkSession, docs: DataFrame,
+      conf: Map[String, String], fallback: Sinks.TableWriter,
+      checkpointDir: String): StreamingQuery =
+    streaming.StreamingOps.curateStream(docs)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sinks.writeRelational(batch, "admitted_docs", conf, fallback,
+          batchTag = Some(batchId))
+      }
+      .start()
+
   /** Streaming event pipeline: source → hourly aggregates → foreachBatch
     * into the index writer. Checkpointing + idempotent (batchId,
     * partition) writes give end-to-end exactly-once to an idempotent

@@ -108,9 +108,17 @@ object Sinks {
   /** Config-gated dispatch: a `url` in conf selects the real JDBC path;
     * otherwise rows go through the offline TableWriter boundary. This is
     * the one switch a deployment flips to go from replayable files to a
-    * live relational store. */
+    * live relational store.
+    *
+    * `batchTag` (streaming foreachBatch callers): the JDBC branch appends
+    * into ONE table regardless (dedup/upsert keys are the production
+    * idempotence story), but the offline file writer truncates per
+    * (table, partition) — without a per-batch tag a later empty
+    * micro-batch (watermark advance) would overwrite an earlier batch's
+    * rows. Same (batchId, partition) uniqueness idea as writeToIndex. */
   def writeRelational(df: DataFrame, table: String,
-      conf: Map[String, String], fallback: TableWriter): Unit =
+      conf: Map[String, String], fallback: TableWriter,
+      batchTag: Option[Long] = None): Unit =
     conf.get("url") match {
       case Some(url) =>
         writeJdbc(df, jdbcOptions(url, table,
@@ -119,6 +127,8 @@ object Sinks {
           conf.getOrElse("isolationLevel", "READ_COMMITTED"),
           conf.get("driver")),
           conf.getOrElse("mode", "append"))
-      case None => writeToTable(df, table, fallback)
+      case None =>
+        writeToTable(df,
+          table + batchTag.map(b => s"-b$b").getOrElse(""), fallback)
     }
 }

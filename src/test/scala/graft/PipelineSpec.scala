@@ -109,4 +109,33 @@ class PipelineSpec extends SparkSpec {
       assert(lines.exists(_.contains(""""_index":"event_aggs"""")))
     } finally q.stop()
   }
+
+  test("streaming curation pipeline lands only admitted docs at the relational boundary") {
+    val dir = Files.createTempDirectory("graft-curate-out").toString
+    val ckpt = Files.createTempDirectory("graft-curate-ckpt").toString
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[Doc]
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val q = Pipeline.curationPipeline(spark, ms.toDF(), Map.empty,
+      new Sinks.FileTableWriter(dir), ckpt)
+    try {
+      ms.addData(
+        Doc(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), good),
+        Doc(2, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), good),
+        Doc(3, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"),
+          "the the the the"))
+      q.processAllAvailable()
+      val files = new java.io.File(dir).listFiles().toSeq
+      val admitted = files
+        .filter(_.getName.startsWith("admitted_docs-"))
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        .filter(_.nonEmpty)
+        .map(_.split(",")(0).toLong).toSet
+      assert(admitted === Set(1L),
+        s"only the first quality doc passes the gate and the dedup " +
+          s"store; dir had ${files.map(_.getName)}")
+    } finally q.stop()
+  }
 }
