@@ -105,6 +105,33 @@ object Dist {
       .drop(rn, nc)
   }
 
+  /** Exact distributed inclusive running MAX over a global order, for
+    * LONG-valued inputs (max is associative and idempotent, so
+    * per-partition partials + broadcast prefix maxima are bit-identical
+    * to the sequential window max). The streaming-watermark primitive:
+    * `max(event_time) so far in arrival order` without a single-partition
+    * window. Empty-prefix offset is Long.MinValue (identity of max). */
+  def withPrefixMaxLong(df: DataFrame, outCol: String, value: Column,
+      sortCols: Seq[Column], numParts: Int = -1): DataFrame = {
+    val parts = if (numParts > 0) numParts else defaultParts(df)
+    val rp = ranged(df.withColumn("__graft_v", value.cast("long")),
+      parts, sortCols)
+    val ptots = rp.groupBy(col(PID))
+      .agg(max(col("__graft_v")).as("__m")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = Long.MinValue
+    val offs: Map[Int, Long] = ptots.map { case (pid, m) =>
+      val e = pid -> acc; acc = math.max(acc, m); e
+    }.toMap
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rp.withColumn(outCol,
+        greatest(max(col("__graft_v")).over(w),
+          element_at(typedLit(offs), col(PID))))
+      .drop(PID, "__graft_v")
+  }
+
   /** Exact distributed inclusive running sums over a global order, for
     * LONG-valued inputs (integer arithmetic is associative, so
     * per-partition partials + broadcast offsets are bit-identical to the

@@ -679,7 +679,56 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** DuckDB-side decoder for an n-hex-char md5 prefix of column ref `h`
+    * (the general form of RelationalOps.hexValSql, which is fixed at 15). */
+  private def hexValSqlN(n: Int, h: String): String =
+    (0 until n).map { i =>
+      val w = 1L << (4 * (n - 1 - i))
+      s"(CAST(strpos('0123456789abcdef', substring($h, ${i + 1}, 1)) AS BIGINT) - 1) * $w"
+    }.mkString(" + ")
+
+  /** Watermark-design audit — the measurement a streaming pipeline needs
+    * BEFORE choosing `withWatermark`: replay the event log in simulated
+    * arrival order (arrival = event time + a deterministic md5-derived
+    * network delay in [0, 120 s) — the corpus itself is generated fully
+    * time-sorted, so disorder is injected, reproducibly) and bucket each
+    * event's observed lateness `watermark_at_arrival − event_time`.
+    * The running `max(event_time) so far in arrival order` is exactly
+    * Spark's watermark function, computed scale-safely by
+    * Dist.withPrefixMaxLong (range shuffle + per-partition partials +
+    * broadcast prefix maxima — never a single-partition window). The
+    * output histogram (on-time / ≤1 s / ≤10 s / ≤60 s / ≤120 s / over)
+    * is a bounded hash aggregate; its cumulative form reads off the drop
+    * rate of any candidate watermark delay. All integer µs arithmetic. */
+  private val lateness: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("jit_us", expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 120000000"))
+      .select(col("event_id"), col("ts_us"),
+        (col("ts_us") + col("jit_us")).as("arr_us"))
+    val wm = Dist.withPrefixMaxLong(ev, "wm_us", col("ts_us"),
+      Seq(col("arr_us"), col("event_id")))
+    val total = wm.agg(count(lit(1)).as("n_tot"))
+    wm.withColumn("late_us", col("wm_us") - col("ts_us"))
+      .withColumn("bucket_id",
+        when(col("late_us") === 0L, 0)
+          .when(col("late_us") <= 1000000L, 1)
+          .when(col("late_us") <= 10000000L, 2)
+          .when(col("late_us") <= 60000000L, 3)
+          .when(col("late_us") <= 120000000L, 4)
+          .otherwise(5))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket_id"),
+        col("n"), r6(col("n") / col("n_tot").cast("double")).as("pct"),
+        col("max_late_us"))
+      .orderBy("bucket_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_lateness" -> lateness,
     "q_events_cohort_ltv" -> cohortLtv,
     "q_events_growth_acct" -> growthAccounting,
     "q_events_interpolate" -> interpolate,
@@ -711,6 +760,35 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_lateness" ->
+      s"""WITH e AS (
+            SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
+                   md5(CAST(event_id AS VARCHAR)) AS h
+            FROM events),
+          a AS (
+            SELECT event_id, ts_us,
+                   ts_us + ((${hexValSqlN(7, "h")}) % 120000000) AS arr_us
+            FROM e),
+          w AS (
+            SELECT ts_us,
+                   max(ts_us) OVER (ORDER BY arr_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS wm_us
+            FROM a),
+          b AS (
+            SELECT wm_us - ts_us AS late_us,
+                   CASE WHEN wm_us - ts_us = 0 THEN 0
+                        WHEN wm_us - ts_us <= 1000000 THEN 1
+                        WHEN wm_us - ts_us <= 10000000 THEN 2
+                        WHEN wm_us - ts_us <= 60000000 THEN 3
+                        WHEN wm_us - ts_us <= 120000000 THEN 4
+                        ELSE 5 END AS bucket_id
+            FROM w),
+          t AS (SELECT count(*) AS n_tot FROM b)
+          SELECT bucket_id, count(*) AS n,
+                 ${graft.Par.sql("count(*) / CAST(n_tot AS DOUBLE)", 1000000)} AS pct,
+                 max(late_us) AS max_late_us
+          FROM b, t GROUP BY bucket_id, n_tot ORDER BY bucket_id""",
     "q_events_cohort_ltv" ->
       """WITH fe AS (
            SELECT user_id, min(epoch_us(ts) // 604800000000) AS cw

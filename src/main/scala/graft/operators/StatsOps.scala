@@ -540,7 +540,39 @@ object StatsOps {
         r6(var_samp(col("c")) / avg(col("c"))).as("dispersion"))
       .orderBy("event_type")
 
+  /** Mergeable quantile estimation via a bottom-k-by-hash uniform sample
+    * (k = 256), with its error audit against the exact quantile — the
+    * sketch-ships-with-its-calibration pattern (cf. q_eval_kmv_error).
+    * A bottom-k-by-md5 sample is a deterministic uniform sample whose
+    * merge is associative (union → keep 256 smallest hashes), so
+    * per-partition / per-day samples combine into a corpus sample
+    * without re-scanning — the 100 TB path for dashboard quantiles.
+    * Plan: TakeOrderedAndProject (top-k merge, no global sort) for the
+    * sample; the exact quantile is the audit-time baseline only (at
+    * scale you'd audit on one partition slice, not the corpus). */
+  private val evalQuantileSample: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice"),
+        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("h"))
+    // lineitem carries duplicate (l_orderkey, l_linenumber) pairs (observed
+    // at sf0.001: 6000 rows / 4599 distinct), so the hash alone ties —
+    // price is the deterministic tie-break (full-row ties then agree on
+    // the sampled value anyway)
+    val est = li.orderBy("h", "l_extendedprice").limit(256)
+      .agg(r6(expr("percentile(l_extendedprice, 0.5)")).as("est_p50"),
+        r6(expr("percentile(l_extendedprice, 0.95)")).as("est_p95"))
+    val exact = li
+      .agg(r6(expr("percentile(l_extendedprice, 0.5)")).as("true_p50"),
+        r6(expr("percentile(l_extendedprice, 0.95)")).as("true_p95"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_p50"), col("true_p50"),
+        r6(abs(col("est_p50") - col("true_p50"))).as("err_p50"),
+        col("est_p95"), col("true_p95"),
+        r6(abs(col("est_p95") - col("true_p95"))).as("err_p95"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_quantile_sample" -> evalQuantileSample,
     "q_stats_dispersion" -> dispersion,
     "q_stats_bootstrap" -> bootstrap,
     "q_stats_decompose" -> decompose,
@@ -583,6 +615,31 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_eval_quantile_sample" ->
+      s"""WITH h AS (
+            SELECT l_extendedprice,
+                   md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                       CAST(l_linenumber AS VARCHAR)) AS h
+            FROM lineitem),
+          samp AS (SELECT l_extendedprice FROM h
+                   ORDER BY h, l_extendedprice LIMIT 256),
+          est AS (
+            SELECT ${rsql("quantile_cont(l_extendedprice, 0.5)", 1000000)}
+                     AS est_p50,
+                   ${rsql("quantile_cont(l_extendedprice, 0.95)", 1000000)}
+                     AS est_p95
+            FROM samp),
+          tr AS (
+            SELECT ${rsql("quantile_cont(l_extendedprice, 0.5)", 1000000)}
+                     AS true_p50,
+                   ${rsql("quantile_cont(l_extendedprice, 0.95)", 1000000)}
+                     AS true_p95
+            FROM h)
+          SELECT est_p50, true_p50,
+                 ${rsql("abs(est_p50 - true_p50)", 1000000)} AS err_p50,
+                 est_p95, true_p95,
+                 ${rsql("abs(est_p95 - true_p95)", 1000000)} AS err_p95
+          FROM est, tr""",
     "q_stats_dispersion" ->
       """WITH hourly AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS hr,

@@ -547,6 +547,27 @@ object TextOps {
       .limit(10)
   }
 
+  /** Epoch-deterministic GLOBAL training order + shard layout — the last
+    * step of a curation pipeline before the trainer reads: every doc gets
+    * its position in a full-corpus shuffle (order key = md5 of an
+    * epoch-salted doc_id, so epoch 1 is a different but equally
+    * deterministic permutation) and a round-robin shard assignment, so
+    * any worker can locate example k of shard s without coordination and
+    * re-runs/ingestion retries reproduce the byte-identical order.
+    * The global rank comes from Dist.withRankAndCount (range shuffle +
+    * per-partition counts + broadcast offsets) — never a single-partition
+    * row_number window, so the plan survives 100 TB. */
+  private val sampleGlobalShuffle: Q = (s, d) => {
+    val df = Tables.documents(s, d).withColumn("okey",
+      md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
+    Dist.withRankAndCount(df, "pos", "__n", Seq.empty,
+        Seq(col("okey"), col("doc_id")))
+      .select(col("doc_id"), col("pos"),
+        ((col("pos") - 1) % 8).cast("int").as("shard"),
+        expr("(pos - 1) div 8").as("shard_pos"))
+      .orderBy("pos")
+  }
+
   /** ~25% deterministic sample. */
   private val sampleHash: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1194,6 +1215,7 @@ object TextOps {
     "q_text_search_tfidf" -> searchTfidf,
     "q_text_search_bm25" -> searchBm25,
     "q_sample_hash" -> sampleHash,
+    "q_sample_global_shuffle" -> sampleGlobalShuffle,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
     "q_sample_weighted" -> sampleWeighted,
@@ -1606,6 +1628,16 @@ object TextOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ${hashSampleSql("doc_id", quarterDigits)}
          ORDER BY doc_id""",
+    "q_sample_global_shuffle" ->
+      """SELECT doc_id, pos,
+                CAST((pos - 1) % 8 AS INT) AS shard,
+                (pos - 1) // 8 AS shard_pos
+         FROM (SELECT doc_id,
+                      row_number() OVER (
+                        ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS pos
+               FROM documents) t
+         ORDER BY pos""",
     "q_sample_domain_cap" ->
       """SELECT doc_id, source, rn FROM (
            SELECT doc_id, source,

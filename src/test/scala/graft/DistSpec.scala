@@ -69,6 +69,25 @@ class DistSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("withPrefixMaxLong equals window running max across partitionings") {
+    // a value that oscillates so the running max has long flat stretches
+    // (late events) and jumps — the watermark shape
+    val d = df.withColumn("v",
+      when(col("id") % 17 === 0, col("id") * 5).otherwise(col("id")))
+    val win = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = d.withColumn("m", max(col("v")).over(win))
+      .select("id", "m").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (parts <- Seq(1, 4, 9)) {
+      val got = Dist.withPrefixMaxLong(d, "m", col("v"),
+          Seq(col("k"), col("id")), numParts = parts)
+        .select("id", "m").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("descending sort keys rank correctly") {
     val expected = df.withColumn("rn", row_number().over(
         Window.orderBy(col("k").desc, col("id"))).cast("long"))

@@ -106,4 +106,63 @@ class PipelineR6Spec extends SparkSpec {
     assert(naiveLeaky > 0,
       "corpus no longer exhibits naive-split leakage — test lost its bite")
   }
+
+  test("q_events_lateness buckets census the stream with bounded lateness") {
+    val r = SparkEntry.queries("q_events_lateness")(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n")).sum === nEvents,
+      "lateness buckets must cover every event exactly once")
+    assert(math.abs(r.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-3)
+    val ids = r.map(_.getAs[Int]("bucket_id"))
+    assert(ids.sorted.sameElements(ids) && ids.distinct.length === ids.length)
+    // bucket upper bounds in µs (bucket 0 = exactly on time); the
+    // injected network delay is < 120 s so bucket 5 must be empty
+    val hi = Map(0 -> 0L, 1 -> 1000000L, 2 -> 10000000L,
+      3 -> 60000000L, 4 -> 120000000L)
+    r.foreach { row =>
+      val b = row.getAs[Int]("bucket_id")
+      assert(b <= 4, "jitter < 120 s can never produce >120 s lateness")
+      assert(row.getAs[Long]("max_late_us") <= hi(b))
+    }
+    // disorder must actually be injected, or the audit audits nothing
+    assert(r.exists(row => row.getAs[Int]("bucket_id") > 0))
+  }
+
+  test("q_sample_global_shuffle is a balanced deterministic permutation") {
+    val r = SparkEntry.queries("q_sample_global_shuffle")(spark, sfDir)
+      .collect()
+    val n = r.length.toLong
+    assert(r.map(_.getAs[Long]("pos")).sorted.sameElements(1L to n),
+      "positions must be a permutation of 1..N")
+    r.foreach { row =>
+      val pos = row.getAs[Long]("pos")
+      assert(row.getAs[Int]("shard") === ((pos - 1) % 8).toInt)
+      assert(row.getAs[Long]("shard_pos") === (pos - 1) / 8)
+    }
+    val sizes = r.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, "round-robin shards balance to ±1")
+    // the shuffle must not be the identity order (that would mean the
+    // md5 key degenerated)
+    assert(!r.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+      .sameElements(r.map(_.getAs[Long]("doc_id")).sorted))
+    val again = SparkEntry.queries("q_sample_global_shuffle")(spark, sfDir)
+      .collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q_eval_quantile_sample estimates carry their own error audit") {
+    val r = SparkEntry.queries("q_eval_quantile_sample")(spark, sfDir)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    def g(c: String) = row.getAs[Double](c)
+    assert(g("err_p50") ===
+      math.floor(math.abs(g("est_p50") - g("true_p50")) * 1e6 + 0.5) / 1e6)
+    assert(g("err_p95") ===
+      math.floor(math.abs(g("est_p95") - g("true_p95")) * 1e6 + 0.5) / 1e6)
+    // a uniform 256-sample of a smooth price distribution lands within
+    // ~10% of the exact quantile — calibration, not luck
+    assert(g("err_p50") / g("true_p50") < 0.1)
+    assert(g("err_p95") / g("true_p95") < 0.1)
+  }
 }
