@@ -117,7 +117,14 @@ object ExplainAudit {
     // cluster-cache × quality-stats join, and the leakage-free group
     // split's left join + hash aggregate (cluster cache caveat — the
     // component propagation runs during plan construction)
-    "q_dedup_keep_best", "q_sample_split_leakfree")
+    "q_dedup_keep_best", "q_sample_split_leakfree",
+    // round-6 session 2: the watermark audit's range-shuffled prefix-max
+    // (Dist caveat — its bounded per-partition-max collect runs during
+    // plan construction), the global-shuffle rank (same caveat), and the
+    // sampled-quantile eval's TakeOrderedAndProject + broadcast-audit
+    // join
+    "q_events_lateness", "q_sample_global_shuffle",
+    "q_eval_quantile_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
