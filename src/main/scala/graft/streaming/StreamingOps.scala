@@ -149,10 +149,15 @@ object StreamingOps {
         col("c_ts"), col("p_ts"))
   }
 
-  /** Exactly-once-style ingest dedup by event_id within the watermark. */
-  def dedup(events: DataFrame): DataFrame =
+  /** Exactly-once-style ingest dedup by event_id within the watermark.
+    * `delay` is the admission horizon: rows arriving with event time
+    * below `max(event time seen) − delay` are dropped before the state
+    * store (surfaced as numRowsDroppedByWatermark) — the runtime half of
+    * the batch q_events_lateness audit, which predicts exactly this drop
+    * count for any candidate delay (parity proven in StreamingSpec). */
+  def dedup(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming corpus curation — the ingest-edge admission-control twin

@@ -145,6 +145,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch lateness-audit predicate predicts streaming watermark drops") {
+    implicit val sc = spark.sqlContext
+    // Dense synthetic burst under the SAME md5 jitter law as
+    // q_events_lateness: 10 s event spacing, arrival delay in [0, 120 s)
+    // — jitter ≫ spacing, so the replay is heavily out of order.
+    def jitterUs(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % 120000000L
+    }
+    val baseUs = t("2024-01-01 10:00:00").getTime * 1000L
+    val evs = (1L to 60L)
+      .map(i => (i, baseUs + i * 10000000L))
+      .map { case (i, tsUs) => (i, tsUs, tsUs + jitterUs(i)) }
+      .sortBy { case (i, _, arrUs) => (arrUs, i) }
+    // The audit's predicate, replayed sequentially: an event is dropped
+    // iff its lateness (running max of event time over arrival order,
+    // minus its own event time) reaches the candidate delay. Spark's
+    // watermark arithmetic runs in ms, and the admission check is
+    // INCLUSIVE (event time == watermark is already late) — pinned here
+    // deliberately: the 10 s event grid makes some lateness hit the 30 s
+    // boundary exactly, so a strict `<` prediction undercounts.
+    val delayMs = 30000L
+    var maxMs = Long.MinValue
+    var predicted = 0
+    evs.foreach { case (_, tsUs, _) =>
+      val tsMs = tsUs / 1000
+      if (maxMs != Long.MinValue && tsMs <= maxMs - delayMs) predicted += 1
+      maxMs = math.max(maxMs, tsMs)
+    }
+    assert(predicted > 5, "burst must actually produce late arrivals")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.dedup(ms.toDF(), "30 seconds")
+      .writeStream.format("memory").queryName("t_lateness_parity")
+      .outputMode("append").start()
+    try {
+      // numRowsDroppedByWatermark is per-batch; fold recentProgress into
+      // a batchId-keyed map after every event so no batch's count is
+      // lost to the bounded progress retention window
+      val drops = scala.collection.mutable.Map.empty[Long, Long]
+      evs.foreach { case (i, tsUs, _) =>
+        val ts = new Timestamp(tsUs / 1000)
+        ts.setNanos(((tsUs % 1000000L) * 1000L).toInt)
+        ms.addData(Ev(i, ts, 1L, "click", 1.0, "{}"))
+        q.processAllAvailable()   // one event per micro-batch: the
+                                  // watermark advances between every event,
+                                  // matching the audit's per-event replay
+        q.recentProgress.foreach { p =>
+          drops(p.batchId) = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        }
+      }
+      val dropped = drops.values.sum
+      assert(dropped === predicted.toLong,
+        s"streaming dropped $dropped, audit predicted $predicted")
+      assert(spark.table("t_lateness_parity").count() === 60L - predicted)
+    } finally q.stop()
+  }
+
   test("session_window streaming matches batch gaps-and-islands sessions") {
     // batch parity: the same semantics through two implementations
     val events = Tables.events(spark, sfDir)
