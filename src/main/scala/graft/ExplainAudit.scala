@@ -124,7 +124,10 @@ object ExplainAudit {
     // sampled-quantile eval's TakeOrderedAndProject + broadcast-audit
     // join
     "q_events_lateness", "q_sample_global_shuffle",
-    "q_eval_quantile_sample")
+    "q_eval_quantile_sample",
+    // token budget's bounded (source × band) aggregate + broadcast total,
+    // and the snapshot diff's full-outer equi-join + 4-row status census
+    "q_text_token_budget", "q_text_dataset_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

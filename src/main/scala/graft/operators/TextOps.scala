@@ -547,6 +547,70 @@ object TextOps {
       .limit(10)
   }
 
+  /** Token-budget accounting — the mixing planner's input table: how many
+    * documents and TOKENS each (source domain × quality band) contributes,
+    * and each cell's share of the corpus token budget. Bands reuse the ONE
+    * shared quality-score definition (withQualityStats / qualityScore, the
+    * same cut the curation gate applies at 0.95), so the budget table and
+    * the gate cannot drift. One projection + one bounded hash aggregate
+    * (|sources| × 3 cells) + a broadcast 1-row total — linear at any
+    * scale, and the output is exactly what domain-weight tuning
+    * (temperature / DSIR / domain caps) consumes. */
+  private val tokenBudget: Q = (s, d) => {
+    val banded = withQualityStats(Tables.documents(s, d))
+      .withColumn("q", qualityScore)
+      .withColumn("band",
+        when(col("q") >= 0.95, "high")
+          .when(col("q") >= 0.80, "mid")
+          .otherwise("low"))
+    val cells = banded.groupBy("source", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("tot_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
+        r6(col("n_tokens") / col("tot_tokens").cast("double")).as("share"))
+      .orderBy("source", "band")
+  }
+
+  /** Corpus snapshot diff — the change audit between two dataset
+    * versions: which documents were added, removed, modified (content
+    * hash changed), or untouched, with doc and char volumes per status.
+    * Snapshots here are deterministic md5-digit slices of the one
+    * documents table (old = digit ∈ 0-b, new = digit ∈ 4-f, overlap
+    * "edited" when a second digit hits 0 — the offline stand-in for two
+    * real snapshot reads); the operator itself is the scale shape that
+    * matters: a full-outer equi-join on doc_id with an md5 content
+    * compare — at 100 TB both snapshots are id-partitioned, so the diff
+    * is co-partitioned and shuffle-free, and the status census is a
+    * 4-row aggregate. */
+  private val datasetDiff: Q = (s, d) => {
+    def digit(n: Int) = substring(md5(col("doc_id").cast("string")), n, 1)
+    val base = Tables.documents(s, d)
+    val old = base
+      .filter(digit(1).isin("0", "1", "2", "3", "4", "5", "6",
+        "7", "8", "9", "a", "b"))
+      .select(col("doc_id").as("old_id"),
+        when(digit(2) === "0", md5(concat(lit("edit:"), col("text"))))
+          .otherwise(md5(col("text"))).as("old_hash"),
+        col("n_chars").as("old_chars"))
+    val neu = base
+      .filter(digit(1).isin("4", "5", "6", "7", "8", "9", "a", "b",
+        "c", "d", "e", "f"))
+      .select(col("doc_id").as("new_id"), md5(col("text")).as("new_hash"),
+        col("n_chars").as("new_chars"))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "modified")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("new_chars"), col("old_chars"))).as("n_chars"))
+      .orderBy("status")
+  }
+
   /** Epoch-deterministic GLOBAL training order + shard layout — the last
     * step of a curation pipeline before the trainer reads: every doc gets
     * its position in a full-corpus shuffle (order key = md5 of an
@@ -1216,6 +1280,8 @@ object TextOps {
     "q_text_search_bm25" -> searchBm25,
     "q_sample_hash" -> sampleHash,
     "q_sample_global_shuffle" -> sampleGlobalShuffle,
+    "q_text_token_budget" -> tokenBudget,
+    "q_text_dataset_diff" -> datasetDiff,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
     "q_sample_weighted" -> sampleWeighted,
@@ -1628,6 +1694,50 @@ object TextOps {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ${hashSampleSql("doc_id", quarterDigits)}
          ORDER BY doc_id""",
+    "q_text_token_budget" ->
+      s"""WITH s AS (SELECT source, $qualityStatsColsSql FROM documents),
+          q AS (SELECT source, n_tok, ($qualityScoreSql) AS q FROM s),
+          b AS (SELECT source,
+                       CASE WHEN q >= 0.95 THEN 'high'
+                            WHEN q >= 0.80 THEN 'mid'
+                            ELSE 'low' END AS band,
+                       n_tok
+                FROM q),
+          cells AS (SELECT source, band, count(*) AS n_docs,
+                           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                    FROM b GROUP BY source, band),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM cells)
+          SELECT source, band, n_docs, n_tokens,
+                 ${graft.Par.sql("n_tokens / CAST(tot AS DOUBLE)", 1000000)}
+                   AS share
+          FROM cells, t ORDER BY source, band""",
+    "q_text_dataset_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id AS old_id,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                         = '0'
+                       THEN md5('edit:' || text) ELSE md5(text)
+                  END AS old_hash,
+                  n_chars AS old_chars
+           FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+             ('0','1','2','3','4','5','6','7','8','9','a','b')),
+         newsnap AS (
+           SELECT doc_id AS new_id, md5(text) AS new_hash,
+                  n_chars AS new_chars
+           FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+             ('4','5','6','7','8','9','a','b','c','d','e','f'))
+         SELECT status, count(*) AS n_docs,
+                CAST(sum(coalesce(new_chars, old_chars)) AS BIGINT)
+                  AS n_chars
+         FROM (SELECT CASE WHEN old_id IS NULL THEN 'added'
+                           WHEN new_id IS NULL THEN 'removed'
+                           WHEN old_hash <> new_hash THEN 'modified'
+                           ELSE 'unchanged' END AS status,
+                      new_chars, old_chars
+               FROM oldsnap FULL OUTER JOIN newsnap ON old_id = new_id) t
+         GROUP BY status ORDER BY status""",
     "q_sample_global_shuffle" ->
       """SELECT doc_id, pos,
                 CAST((pos - 1) % 8 AS INT) AS shard,

@@ -150,6 +150,46 @@ class PipelineR6Spec extends SparkSpec {
     assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("q_text_token_budget cells census the corpus and shares sum to 1") {
+    val r = SparkEntry.queries("q_text_token_budget")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "every doc lands in exactly one (source, band) cell")
+    assert(r.map(_.getAs[String]("band")).toSet
+      .subsetOf(Set("high", "mid", "low")))
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    r.foreach(row => assert(row.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("q_text_dataset_diff statuses replay the md5 snapshot slices") {
+    val r = SparkEntry.queries("q_text_dataset_diff")(spark, sfDir)
+      .collect().map(row => row.getAs[String]("status") ->
+        row.getAs[Long]("n_docs")).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val oldD = "0123456789ab".toSet
+    val newD = "456789abcdef".toSet
+    var exp = Map("added" -> 0L, "removed" -> 0L, "modified" -> 0L,
+      "unchanged" -> 0L)
+    ids.foreach { id =>
+      val h = md5hex(id.toString)
+      val (inOld, inNew) = (oldD(h(0)), newD(h(0)))
+      val st =
+        if (inOld && !inNew) "removed"
+        else if (!inOld && inNew) "added"
+        else if (h(1) == '0') "modified"
+        else "unchanged"
+      exp = exp.updated(st, exp(st) + 1)
+    }
+    exp.filter(_._2 > 0).foreach { case (st, n) =>
+      assert(r.getOrElse(st, 0L) === n, s"status $st")
+    }
+    assert(r.values.sum === ids.length.toLong,
+      "old ∪ new covers the whole corpus by construction")
+  }
+
   test("q_eval_quantile_sample estimates carry their own error audit") {
     val r = SparkEntry.queries("q_eval_quantile_sample")(spark, sfDir)
       .collect()
