@@ -663,7 +663,28 @@ object DedupOps {
       .orderBy("new_id", "base_id")
   }
 
+  /** Trainer-ready export manifest — the pipeline's LAST mile, one
+    * oracle-checked operator: the curated corpus (the q_pipeline_curate
+    * gates, same shared plan) laid out in the epoch-deterministic global
+    * shuffle order with round-robin shards and per-doc token counts —
+    * i.e. exactly the manifest a training job reads to locate example k
+    * of shard s. Order key = md5(epoch salt ‖ doc_id) ranked through
+    * Dist.withRankAndCount (range shuffle + broadcast offsets — no
+    * single-partition window), so retries, re-ingests, and workers all
+    * reproduce the byte-identical layout. */
+  private val pipelineExport: Q = (s, d) => {
+    val curated = pipelineCurate(s, d).withColumn("okey",
+      md5(concat(lit("epoch0:"), col("doc_id").cast("string"))))
+    Dist.withRankAndCount(curated, "pos", "__n", Seq.empty,
+        Seq(col("okey"), col("doc_id")))
+      .select(col("doc_id"), col("pos"),
+        ((col("pos") - 1) % 4).cast("int").as("shard"),
+        expr("(pos - 1) div 4").as("shard_pos"), col("n_tok"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pipeline_export" -> pipelineExport,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
     "q_dedup_keep_best" -> dedupKeepBest,
@@ -676,6 +697,39 @@ object DedupOps {
     "q_dedup_clusters" -> dedupClusters,
     "q_pipeline_curate" -> pipelineCurate,
     "q_dedup_ngram" -> dedupNgram)
+
+  /** Shared CTE chain ending in `curated` = the four q_pipeline_curate
+    * gates (quality ∧ exact-dedup keeper ∧ near-dup cluster rep ∧ hash
+    * sample) — reused verbatim by the curate and export oracles so the
+    * two cannot drift. Callers prepend WITH RECURSIVE (the reach CTE). */
+  private def curateCtes: String =
+    s"""$simhashPairCtes,
+       pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+       und AS (SELECT a, b FROM pairs
+               UNION ALL SELECT b, a FROM pairs),
+       reach(src, dst) AS (
+         SELECT a, b FROM und
+         UNION
+         SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+       reps AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+                FROM reach GROUP BY src),
+       q AS (
+         SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+                floor((${TextOps.qualityScoreSql})
+                  * 1000000 + 0.5) / 1000000.0 AS quality_r
+         FROM (SELECT doc_id, lang, ${TextOps.qualityStatsColsSql}
+               FROM documents) t0),
+       e AS (
+         SELECT doc_id,
+                row_number() OVER (PARTITION BY md5(text)
+                  ORDER BY doc_id) AS rn
+         FROM documents),
+       curated AS (
+         SELECT q.doc_id, q.lang, q.n_tok, q.quality_r
+         FROM q JOIN e USING (doc_id) LEFT JOIN reps USING (doc_id)
+         WHERE q.quality_r >= 0.95 AND e.rn = 1
+           AND coalesce(reps.cluster_rep, q.doc_id) = q.doc_id
+           AND ${TextOps.hashSampleSql("q.doc_id", TextOps.halfDigits)})"""
 
   /** Shared SQL skeleton: MinHash sigs → bands → DISTINCT band-colliding
     * pairs → exact Jaccard ≥ threshold. (DISTINCT here ≡ the Spark side's
@@ -839,33 +893,21 @@ object DedupOps {
          SELECT a, b, hd FROM ham WHERE hd <= $HammingMax
          ORDER BY a, b""",
     "q_pipeline_curate" ->
-      s"""WITH RECURSIVE $simhashPairCtes,
-         pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
-         und AS (SELECT a, b FROM pairs
-                 UNION ALL SELECT b, a FROM pairs),
-         reach(src, dst) AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
-         reps AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-                  FROM reach GROUP BY src),
-         q AS (
-           SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
-                  floor((${TextOps.qualityScoreSql})
-                    * 1000000 + 0.5) / 1000000.0 AS quality_r
-           FROM (SELECT doc_id, lang, ${TextOps.qualityStatsColsSql}
-                 FROM documents) t0),
-         e AS (
-           SELECT doc_id,
-                  row_number() OVER (PARTITION BY md5(text)
-                    ORDER BY doc_id) AS rn
-           FROM documents)
-         SELECT q.doc_id, q.lang, q.n_tok, q.quality_r
-         FROM q JOIN e USING (doc_id) LEFT JOIN reps USING (doc_id)
-         WHERE q.quality_r >= 0.95 AND e.rn = 1
-           AND coalesce(reps.cluster_rep, q.doc_id) = q.doc_id
-           AND ${TextOps.hashSampleSql("q.doc_id", TextOps.halfDigits)}
+      s"""WITH RECURSIVE $curateCtes
+         SELECT doc_id, lang, n_tok, quality_r FROM curated
          ORDER BY doc_id""",
+    "q_pipeline_export" ->
+      s"""WITH RECURSIVE $curateCtes,
+         ordered AS (
+           SELECT doc_id, n_tok,
+                  row_number() OVER (
+                    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                             doc_id) AS pos
+           FROM curated)
+         SELECT doc_id, pos,
+                CAST((pos - 1) % 4 AS INT) AS shard,
+                (pos - 1) // 4 AS shard_pos, n_tok
+         FROM ordered ORDER BY pos""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),

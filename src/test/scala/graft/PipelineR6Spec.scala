@@ -190,6 +190,24 @@ class PipelineR6Spec extends SparkSpec {
       "old ∪ new covers the whole corpus by construction")
   }
 
+  test("q_pipeline_export lays out exactly the curated corpus") {
+    val exp = SparkEntry.queries("q_pipeline_export")(spark, sfDir).collect()
+    val cur = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exp.map(_.getAs[Long]("doc_id")).toSet === cur,
+      "export manifest must cover the curated docs exactly")
+    val n = exp.length.toLong
+    assert(exp.map(_.getAs[Long]("pos")).sorted.sameElements(1L to n))
+    exp.foreach { row =>
+      val pos = row.getAs[Long]("pos")
+      assert(row.getAs[Int]("shard") === ((pos - 1) % 4).toInt)
+      assert(row.getAs[Long]("shard_pos") === (pos - 1) / 4)
+      assert(row.getAs[Int]("n_tok") > 0)
+    }
+    val sizes = exp.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("q_eval_quantile_sample estimates carry their own error audit") {
     val r = SparkEntry.queries("q_eval_quantile_sample")(spark, sfDir)
       .collect()
