@@ -127,7 +127,10 @@ object ExplainAudit {
     "q_eval_quantile_sample",
     // token budget's bounded (source × band) aggregate + broadcast total,
     // and the snapshot diff's full-outer equi-join + 4-row status census
-    "q_text_token_budget", "q_text_dataset_diff")
+    "q_text_token_budget", "q_text_dataset_diff",
+    // the fuzzy join's block-key equi-join (never name × name) +
+    // per-record resolution window
+    "q_join_fuzzy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

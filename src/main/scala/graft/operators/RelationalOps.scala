@@ -772,6 +772,43 @@ object RelationalOps {
       .orderBy("prio")
   }
 
+  /** Entity-resolution fuzzy join (record linkage) — match a "dirty"
+    * registry against the clean supplier table: BLOCK on the name minus
+    * its last character (stable under the injected single-char
+    * corruption, so blocks stay ~|digit| small), VERIFY candidates with
+    * levenshtein ≤ 1 (codegen'd built-in), then RESOLVE each dirty
+    * record to its best match (min edit distance, key tie-break) with
+    * the ambiguity count carried alongside. The dirty side is a
+    * deterministic md5-gated corruption of supplier itself (half the
+    * names get their last char replaced) — the offline stand-in for a
+    * second source system. Scale shape: equi-join on the block key
+    * (never name × name), per-record window on rec_id; at 100 TB
+    * blocking keys come from a trained/blocked-schema index, same plan. */
+  private val joinFuzzy: Q = (s, d) => {
+    val clean = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val dirty = Tables.supplier(s, d).select(
+      col("s_suppkey").as("rec_id"),
+      when(substring(md5(col("s_suppkey").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        concat(expr("substring(s_name, 1, length(s_name) - 1)"), lit("x")))
+        .otherwise(col("s_name")).as("rec_name"))
+    val cand = dirty
+      .withColumn("blk", expr("substring(rec_name, 1, length(rec_name) - 1)"))
+      .join(clean.withColumn("blk",
+        expr("substring(s_name, 1, length(s_name) - 1)")), "blk")
+      .withColumn("lev", levenshtein(col("rec_name"), col("s_name")))
+      .filter(col("lev") <= 1)
+    val w = Window.partitionBy("rec_id")
+    cand
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("lev"), col("s_suppkey"))))
+      .filter(col("rnk") === 1)
+      .select(col("rec_id"), col("s_suppkey").as("resolved_key"),
+        col("lev"), col("n_candidates"))
+      .orderBy("rec_id")
+  }
+
   /** Relative-rank windows (percent_rank + cume_dist) — the
     * distribution-position primitives behind percentile badges and
     * "top X%" cohort cuts. Both are rank-based (no pre-aggregation
@@ -1657,6 +1694,7 @@ object RelationalOps {
     "q_quality_fk_audit" -> fkAudit,
     "q_tpch_q10" -> tpchQ10,
     "q_join_null_safe" -> joinNullSafe,
+    "q_join_fuzzy" -> joinFuzzy,
     "q_agg_salted" -> aggSalted,
     "q_win_ntile" -> winNtile,
     "q_agg_pricing_summary" -> aggPricingSummary,
@@ -1999,6 +2037,29 @@ object RelationalOps {
          SELECT coalesce(k, '(null)') AS prio, n_all, n_f
          FROM a JOIN b ON k IS NOT DISTINCT FROM k2
          ORDER BY prio""",
+    "q_join_fuzzy" ->
+      """WITH dirty AS (
+           SELECT s_suppkey AS rec_id,
+                  CASE WHEN substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                       THEN substring(s_name, 1, length(s_name) - 1) || 'x'
+                       ELSE s_name END AS rec_name
+           FROM supplier),
+         cand AS (
+           SELECT d.rec_id, c.s_suppkey,
+                  CAST(levenshtein(d.rec_name, c.s_name) AS INTEGER) AS lev
+           FROM dirty d JOIN supplier c
+             ON substring(d.rec_name, 1, length(d.rec_name) - 1)
+              = substring(c.s_name, 1, length(c.s_name) - 1)
+           WHERE levenshtein(d.rec_name, c.s_name) <= 1),
+         ranked AS (
+           SELECT rec_id, s_suppkey, lev,
+                  count(*) OVER (PARTITION BY rec_id) AS n_candidates,
+                  row_number() OVER (PARTITION BY rec_id
+                    ORDER BY lev, s_suppkey) AS rnk
+           FROM cand)
+         SELECT rec_id, s_suppkey AS resolved_key, lev, n_candidates
+         FROM ranked WHERE rnk = 1 ORDER BY rec_id""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
                 floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)

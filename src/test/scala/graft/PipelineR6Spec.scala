@@ -190,6 +190,27 @@ class PipelineR6Spec extends SparkSpec {
       "old ∪ new covers the whole corpus by construction")
   }
 
+  test("q_join_fuzzy resolves every record; clean ones to themselves") {
+    val r = SparkEntry.queries("q_join_fuzzy")(spark, sfDir).collect()
+    val nSup = Tables.supplier(spark, sfDir).count()
+    assert(r.length.toLong === nSup,
+      "blocking must never lose a record (block key is edit-stable)")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    r.foreach { row =>
+      val id = row.getAs[Long]("rec_id")
+      val perturbed = "01234567".contains(md5hex(id.toString)(0))
+      if (perturbed) {
+        assert(row.getAs[Int]("lev") === 1, s"rec $id: corrupted name is 1 edit away")
+      } else {
+        assert(row.getAs[Long]("resolved_key") === id,
+          s"rec $id: clean name must resolve to itself")
+        assert(row.getAs[Int]("lev") === 0)
+      }
+      assert(row.getAs[Long]("n_candidates") >= 1L)
+    }
+  }
+
   test("q_pipeline_export lays out exactly the curated corpus") {
     val exp = SparkEntry.queries("q_pipeline_export")(spark, sfDir).collect()
     val cur = SparkEntry.queries("q_pipeline_curate")(spark, sfDir)
