@@ -130,7 +130,11 @@ object ExplainAudit {
     "q_text_token_budget", "q_text_dataset_diff",
     // the fuzzy join's block-key equi-join (never name × name) +
     // per-record resolution window
-    "q_join_fuzzy")
+    "q_join_fuzzy",
+    // PQ assignment: 256-row broadcast codebook join + map-side partial
+    // distance aggregate + per-(vec, subspace) window (the round-1
+    // codebook collect runs during plan construction — kmeans caveat)
+    "q_embed_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

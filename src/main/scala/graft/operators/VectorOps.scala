@@ -475,6 +475,52 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Product quantization (PQ) — the ANN memory-compression path: split
+    * the 64-dim space into 8 subspaces of 8 dims, train an independent
+    * k=4 codebook per subspace (1 Lloyd round from the same
+    * deterministic vec_id<4 seeds as the IVF quantizer), and assign each
+    * vector 8 one-byte codes — float32×64 → 8 bytes, the 32× cut that
+    * makes billion-vector ANN fit in memory. Output is the quantization
+    * audit a PQ index ships with: per (subspace, code) population and
+    * r6 mean squared distortion. Everything long-form (no array
+    * packing): codebooks are 256-row broadcast artifacts (materialized
+    * to a LocalRelation between rounds, the kmeansCentroids rule),
+    * distances are (val−c)² partial-aggregated map-side, the argmin is
+    * a per-(vec, subspace) window. Distance r6 before argmin and code
+    * tie-break keep every assignment cross-engine-pinned. */
+  private val embedPq: Q = (s, d) => {
+    val sub = dims(s, d).select(col("vec_id"),
+      expr("pos div 8").as("m"), expr("pos % 8").as("p"), col("val"))
+    val cb0 = sub.filter(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("code"), col("p"),
+        col("val").as("c"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("m", "p"))
+        .groupBy("vec_id", "m", "code")
+        .agg(r6(sum((col("val") - col("c")) * (col("val") - col("c"))))
+          .as("dist_r"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m")
+            .orderBy(col("dist_r"), col("code"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "code", "dist_r")
+    val a1 = assign(cb0)
+    val cb1 = sub.join(a1.select("vec_id", "m", "code"), Seq("vec_id", "m"))
+      .groupBy("m", "code", "p").agg(avg(col("val")).as("c"))
+    val cb1L = s.createDataFrame(
+      java.util.Arrays.asList(cb1.collect(): _*), cb1.schema)
+    // mean distortion through EXACT integer micros (dist_r is a 1e-6
+    // multiple): double-summing 100+ rounded values flips the final r6
+    // at a .5 boundary between engines; long summation cannot
+    assign(cb1L)
+      .groupBy("m", "code")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("dist_r") * 1000000 + 0.5).cast("long")).as("micros"))
+      .select(col("m"), col("code"), col("n_vecs"),
+        r6(col("micros") / (col("n_vecs") * lit(1000000.0))).as("mse_r"))
+      .orderBy("m", "code")
+  }
+
   /** Top principal component by distributed power iteration. The heavy,
     * data-proportional work is the Gram matrix C = Σ v·vᵀ — one explode
     * + self-join per vec_id, partially aggregated map-side into exactly
@@ -654,6 +700,7 @@ object VectorOps {
     "q_eval_lsh_recall" -> lshRecall,
     "q_embed_drift" -> embedDrift,
     "q_ann_kmeans" -> annKmeans,
+    "q_embed_pq" -> embedPq,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
@@ -929,6 +976,48 @@ object VectorOps {
                 floor(sqrt(greatest(d2, 0)) * 1000000 + 0.5)
                   / 1000000.0 AS dist_r
          FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
+    "q_embed_pq" ->
+      """WITH el AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, len(embedding)))
+                    AS INTEGER) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         sub AS (SELECT vec_id, CAST(pos // 8 AS BIGINT) AS m,
+                        CAST(pos % 8 AS INTEGER) AS p, val
+                 FROM el),
+         cb0 AS (SELECT m, vec_id AS code, p, val AS c
+                 FROM sub WHERE vec_id < 4),
+         d1 AS (SELECT s.vec_id, s.m, c.code,
+                       floor(sum((s.val - c.c) * (s.val - c.c))
+                         * 1000000 + 0.5) / 1000000.0 AS dist_r
+                FROM sub s JOIN cb0 c ON s.m = c.m AND s.p = c.p
+                GROUP BY s.vec_id, s.m, c.code),
+         a1 AS (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist_r, code) AS rn
+                  FROM d1) t WHERE rn = 1),
+         cb1 AS (SELECT s.m, a.code, s.p, avg(s.val) AS c
+                 FROM sub s JOIN a1 a
+                   ON s.vec_id = a.vec_id AND s.m = a.m
+                 GROUP BY s.m, a.code, s.p),
+         d2 AS (SELECT s.vec_id, s.m, c.code,
+                       floor(sum((s.val - c.c) * (s.val - c.c))
+                         * 1000000 + 0.5) / 1000000.0 AS dist_r
+                FROM sub s JOIN cb1 c ON s.m = c.m AND s.p = c.p
+                GROUP BY s.vec_id, s.m, c.code),
+         a2 AS (SELECT vec_id, m, code, dist_r FROM (
+                  SELECT vec_id, m, code, dist_r,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist_r, code) AS rn
+                  FROM d2) t WHERE rn = 1)
+         SELECT m, code, count(*) AS n_vecs,
+                floor((CAST(sum(CAST(floor(dist_r * 1000000 + 0.5)
+                          AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 1000000.0))
+                  * 1000000 + 0.5) / 1000000.0 AS mse_r
+         FROM a2 GROUP BY m, code ORDER BY m, code""",
     "q_ann_kmeans" ->
       s"""WITH $kmeansCtes
          SELECT a3.cid, count(*) AS members,

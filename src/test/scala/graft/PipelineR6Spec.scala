@@ -190,6 +190,22 @@ class PipelineR6Spec extends SparkSpec {
       "old ∪ new covers the whole corpus by construction")
   }
 
+  test("q_embed_pq codes partition every vector in every subspace") {
+    val r = SparkEntry.queries("q_embed_pq")(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val byM = r.groupBy(_.getAs[Long]("m"))
+    assert(byM.keySet === (0L to 7L).toSet, "8 subspaces of 8 dims")
+    byM.foreach { case (m, rows) =>
+      assert(rows.map(_.getAs[Long]("n_vecs")).sum === nVecs,
+        s"subspace $m: every vector takes exactly one code")
+      assert(rows.map(_.getAs[Long]("code")).forall(c => c >= 0 && c < 4))
+      rows.foreach(row => assert(row.getAs[Double]("mse_r") >= 0.0))
+    }
+    val again = SparkEntry.queries("q_embed_pq")(spark, sfDir).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "codebook training must be run-to-run deterministic")
+  }
+
   test("q_join_fuzzy resolves every record; clean ones to themselves") {
     val r = SparkEntry.queries("q_join_fuzzy")(spark, sfDir).collect()
     val nSup = Tables.supplier(spark, sfDir).count()
