@@ -133,8 +133,10 @@ object ExplainAudit {
     "q_join_fuzzy",
     // PQ assignment: 256-row broadcast codebook join + map-side partial
     // distance aggregate + per-(vec, subspace) window (the round-1
-    // codebook collect runs during plan construction — kmeans caveat)
-    "q_embed_pq")
+    // codebook collect runs during plan construction — kmeans caveat);
+    // the recall audit's ADC = broadcast 32-row query-distance table
+    // joined to codes, never vector × vector
+    "q_embed_pq", "q_eval_pq_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

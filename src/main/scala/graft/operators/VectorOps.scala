@@ -488,37 +488,92 @@ object VectorOps {
     * distances are (val−c)² partial-aggregated map-side, the argmin is
     * a per-(vec, subspace) window. Distance r6 before argmin and code
     * tie-break keep every assignment cross-engine-pinned. */
-  private val embedPq: Q = (s, d) => {
-    val sub = dims(s, d).select(col("vec_id"),
+  /** (vec_id, m, p, val) — embeddings split into 8 subspaces of 8 dims. */
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    dims(s, d).select(col("vec_id"),
       expr("pos div 8").as("m"), expr("pos % 8").as("p"), col("val"))
+
+  /** Per-(vec, subspace) nearest code under codebook `cb` (m, code, p, c):
+    * r6 squared-L2 before the argmin, code tie-break — every assignment
+    * cross-engine-pinned. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m", "p"))
+      .groupBy("vec_id", "m", "code")
+      .agg(r6(sum((col("val") - col("c")) * (col("val") - col("c"))))
+        .as("dist_r"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m")
+          .orderBy(col("dist_r"), col("code"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code", "dist_r")
+
+  /** Trained per-subspace codebook (1 Lloyd round from vec_id<4 seeds),
+    * materialized to a LocalRelation (256 bounded rows — the
+    * kmeansCentroids rule). */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    val sub = pqSub(s, d)
     val cb0 = sub.filter(col("vec_id") < 4)
       .select(col("m"), col("vec_id").as("code"), col("p"),
         col("val").as("c"))
-    def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), Seq("m", "p"))
-        .groupBy("vec_id", "m", "code")
-        .agg(r6(sum((col("val") - col("c")) * (col("val") - col("c"))))
-          .as("dist_r"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m")
-            .orderBy(col("dist_r"), col("code"))))
-        .filter(col("rn") === 1)
-        .select("vec_id", "m", "code", "dist_r")
-    val a1 = assign(cb0)
+    val a1 = pqAssign(sub, cb0)
     val cb1 = sub.join(a1.select("vec_id", "m", "code"), Seq("vec_id", "m"))
       .groupBy("m", "code", "p").agg(avg(col("val")).as("c"))
-    val cb1L = s.createDataFrame(
+    s.createDataFrame(
       java.util.Arrays.asList(cb1.collect(): _*), cb1.schema)
+  }
+
+  private val embedPq: Q = (s, d) => {
     // mean distortion through EXACT integer micros (dist_r is a 1e-6
     // multiple): double-summing 100+ rounded values flips the final r6
     // at a .5 boundary between engines; long summation cannot
-    assign(cb1L)
+    pqAssign(pqSub(s, d), pqCodebook(s, d))
       .groupBy("m", "code")
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("dist_r") * 1000000 + 0.5).cast("long")).as("micros"))
       .select(col("m"), col("code"), col("n_vecs"),
         r6(col("micros") / (col("n_vecs") * lit(1000000.0))).as("mse_r"))
       .orderBy("m", "code")
+  }
+
+  /** PQ retrieval calibration — the recall audit the compressed index
+    * ships with (the PQ member of the q_eval_* family): asymmetric
+    * distance computation (ADC) top-10 for a fixed query (vec 0) vs the
+    * exact squared-L2 top-10. ADC = Σ over subspaces of the
+    * query-to-codeword distance of each vector's assigned code — a
+    * 32-row query-distance table joined to the code table, never a
+    * vector × vector product; distances ride as exact integer micros so
+    * 8-term sums cannot drift across engines. Output: hits@10 and
+    * recall — PQ trades exactness for 32× memory, and this key measures
+    * exactly how much. */
+  private val evalPqRecall: Q = (s, d) => {
+    val sub = pqSub(s, d)
+    val cb = pqCodebook(s, d)
+    val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("m").as("qm"), col("p").as("qp"), col("val").as("qval"))
+    // 32-row table: query's distance to every codeword, integer micros
+    val qd = broadcast(cb)
+      .join(broadcast(qsub),
+        col("m") === col("qm") && col("p") === col("qp"))
+      .groupBy("m", "code")
+      .agg(floor(r6(sum((col("qval") - col("c")) * (col("qval") - col("c"))))
+        * 1000000 + 0.5).cast("long").as("dr_micros"))
+    val adc = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(qd), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("dr_micros")).as("est_micros"))
+      .orderBy(col("est_micros"), col("vec_id")).limit(10)
+    val exact = dims(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(dims(s, d).filter(col("vec_id") === 0)
+        .select(col("pos").as("qpos"), col("val").as("qval"))),
+        col("pos") === col("qpos"))
+      .groupBy("vec_id")
+      .agg(floor(r6(sum((col("val") - col("qval")) * (col("val") - col("qval"))))
+        * 1000000 + 0.5).cast("long").as("d_micros"))
+      .orderBy(col("d_micros"), col("vec_id")).limit(10)
+    adc.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"), r6(col("n_hits") / lit(10.0)).as("recall_r"))
   }
 
   /** Top principal component by distributed power iteration. The heavy,
@@ -701,6 +756,7 @@ object VectorOps {
     "q_embed_drift" -> embedDrift,
     "q_ann_kmeans" -> annKmeans,
     "q_embed_pq" -> embedPq,
+    "q_eval_pq_recall" -> evalPqRecall,
     "q_dedup_semantic" -> dedupSemantic,
     "q_embed_quantize" -> embedQuantize,
     "q_sim_cosine_topk" -> cosineTopk,
@@ -714,6 +770,47 @@ object VectorOps {
     "q_vec_margin" -> vecMargin,
     "q_vec_label_noise" -> labelNoise,
     "q_eval_ivf_recall" -> evalIvfRecall)
+
+  /** Shared oracle fragment: the PQ training chain (8 subspaces × k=4,
+    * one Lloyd round, r6 squared-L2 argmin with code tie-break) ending
+    * in `a2` = final (vec_id, m, code, dist_r) — referenced by
+    * q_embed_pq and extended by q_eval_pq_recall. */
+  private val pqCtes =
+    """el AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, len(embedding)))
+                    AS INTEGER) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         sub AS (SELECT vec_id, CAST(pos // 8 AS BIGINT) AS m,
+                        CAST(pos % 8 AS INTEGER) AS p, val
+                 FROM el),
+         cb0 AS (SELECT m, vec_id AS code, p, val AS c
+                 FROM sub WHERE vec_id < 4),
+         d1 AS (SELECT s.vec_id, s.m, c.code,
+                       floor(sum((s.val - c.c) * (s.val - c.c))
+                         * 1000000 + 0.5) / 1000000.0 AS dist_r
+                FROM sub s JOIN cb0 c ON s.m = c.m AND s.p = c.p
+                GROUP BY s.vec_id, s.m, c.code),
+         a1 AS (SELECT vec_id, m, code FROM (
+                  SELECT vec_id, m, code,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist_r, code) AS rn
+                  FROM d1) t WHERE rn = 1),
+         cb1 AS (SELECT s.m, a.code, s.p, avg(s.val) AS c
+                 FROM sub s JOIN a1 a
+                   ON s.vec_id = a.vec_id AND s.m = a.m
+                 GROUP BY s.m, a.code, s.p),
+         d2 AS (SELECT s.vec_id, s.m, c.code,
+                       floor(sum((s.val - c.c) * (s.val - c.c))
+                         * 1000000 + 0.5) / 1000000.0 AS dist_r
+                FROM sub s JOIN cb1 c ON s.m = c.m AND s.p = c.p
+                GROUP BY s.vec_id, s.m, c.code),
+         a2 AS (SELECT vec_id, m, code, dist_r FROM (
+                  SELECT vec_id, m, code, dist_r,
+                         row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY dist_r, code) AS rn
+                  FROM d2) t WHERE rn = 1)"""
 
   /** Shared oracle fragment: the deterministic 2-round Lloyd chain
     * (seeds = vec_id < 4, r6-rounded argmax, ties to lowest cid) —
@@ -977,47 +1074,40 @@ object VectorOps {
                   / 1000000.0 AS dist_r
          FROM d ORDER BY dist_r DESC, vec_id LIMIT 20""",
     "q_embed_pq" ->
-      """WITH el AS (
-           SELECT vec_id,
-                  CAST(unnest(generate_series(1, len(embedding)))
-                    AS INTEGER) - 1 AS pos,
-                  CAST(unnest(embedding) AS DOUBLE) AS val
-           FROM embeddings),
-         sub AS (SELECT vec_id, CAST(pos // 8 AS BIGINT) AS m,
-                        CAST(pos % 8 AS INTEGER) AS p, val
-                 FROM el),
-         cb0 AS (SELECT m, vec_id AS code, p, val AS c
-                 FROM sub WHERE vec_id < 4),
-         d1 AS (SELECT s.vec_id, s.m, c.code,
-                       floor(sum((s.val - c.c) * (s.val - c.c))
-                         * 1000000 + 0.5) / 1000000.0 AS dist_r
-                FROM sub s JOIN cb0 c ON s.m = c.m AND s.p = c.p
-                GROUP BY s.vec_id, s.m, c.code),
-         a1 AS (SELECT vec_id, m, code FROM (
-                  SELECT vec_id, m, code,
-                         row_number() OVER (PARTITION BY vec_id, m
-                           ORDER BY dist_r, code) AS rn
-                  FROM d1) t WHERE rn = 1),
-         cb1 AS (SELECT s.m, a.code, s.p, avg(s.val) AS c
-                 FROM sub s JOIN a1 a
-                   ON s.vec_id = a.vec_id AND s.m = a.m
-                 GROUP BY s.m, a.code, s.p),
-         d2 AS (SELECT s.vec_id, s.m, c.code,
-                       floor(sum((s.val - c.c) * (s.val - c.c))
-                         * 1000000 + 0.5) / 1000000.0 AS dist_r
-                FROM sub s JOIN cb1 c ON s.m = c.m AND s.p = c.p
-                GROUP BY s.vec_id, s.m, c.code),
-         a2 AS (SELECT vec_id, m, code, dist_r FROM (
-                  SELECT vec_id, m, code, dist_r,
-                         row_number() OVER (PARTITION BY vec_id, m
-                           ORDER BY dist_r, code) AS rn
-                  FROM d2) t WHERE rn = 1)
+      s"""WITH $pqCtes
          SELECT m, code, count(*) AS n_vecs,
                 floor((CAST(sum(CAST(floor(dist_r * 1000000 + 0.5)
                           AS BIGINT)) AS DOUBLE)
                        / (count(*) * 1000000.0))
                   * 1000000 + 0.5) / 1000000.0 AS mse_r
          FROM a2 GROUP BY m, code ORDER BY m, code""",
+    "q_eval_pq_recall" ->
+      s"""WITH $pqCtes,
+         q AS (SELECT m, p, val FROM sub WHERE vec_id = 0),
+         qd AS (SELECT c.m, c.code,
+                       CAST(floor((floor(sum((q.val - c.c) * (q.val - c.c))
+                           * 1000000 + 0.5) / 1000000.0)
+                         * 1000000 + 0.5) AS BIGINT) AS dr_micros
+                FROM cb1 c JOIN q ON c.m = q.m AND c.p = q.p
+                GROUP BY c.m, c.code),
+         adc AS (SELECT a.vec_id, sum(qd.dr_micros) AS est_micros
+                 FROM a2 a JOIN qd ON a.m = qd.m AND a.code = qd.code
+                 WHERE a.vec_id != 0
+                 GROUP BY a.vec_id
+                 ORDER BY est_micros, a.vec_id LIMIT 10),
+         exq AS (SELECT pos, val FROM el WHERE vec_id = 0),
+         ex AS (SELECT e.vec_id,
+                       CAST(floor((floor(sum((e.val - x.val) * (e.val - x.val))
+                           * 1000000 + 0.5) / 1000000.0)
+                         * 1000000 + 0.5) AS BIGINT) AS d_micros
+                FROM el e JOIN exq x ON e.pos = x.pos
+                WHERE e.vec_id != 0
+                GROUP BY e.vec_id
+                ORDER BY d_micros, e.vec_id LIMIT 10)
+         SELECT count(*) AS n_hits,
+                floor((count(*) / 10.0) * 1000000 + 0.5) / 1000000.0
+                  AS recall_r
+         FROM adc JOIN ex USING (vec_id)""",
     "q_ann_kmeans" ->
       s"""WITH $kmeansCtes
          SELECT a3.cid, count(*) AS members,

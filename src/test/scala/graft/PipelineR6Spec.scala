@@ -206,6 +206,18 @@ class PipelineR6Spec extends SparkSpec {
       "codebook training must be run-to-run deterministic")
   }
 
+  test("q_eval_pq_recall audits ADC retrieval against the exact top-10") {
+    val r = SparkEntry.queries("q_eval_pq_recall")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val hits = r.head.getAs[Long]("n_hits")
+    assert(hits >= 0L && hits <= 10L)
+    assert(r.head.getAs[Double]("recall_r") ===
+      math.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)
+    val again = SparkEntry.queries("q_eval_pq_recall")(spark, sfDir)
+      .collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("q_join_fuzzy resolves every record; clean ones to themselves") {
     val r = SparkEntry.queries("q_join_fuzzy")(spark, sfDir).collect()
     val nSup = Tables.supplier(spark, sfDir).count()
