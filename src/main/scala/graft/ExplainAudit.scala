@@ -136,7 +136,10 @@ object ExplainAudit {
     // codebook collect runs during plan construction — kmeans caveat);
     // the recall audit's ADC = broadcast 32-row query-distance table
     // joined to codes, never vector × vector
-    "q_embed_pq", "q_eval_pq_recall")
+    "q_embed_pq", "q_eval_pq_recall",
+    // vocab drift: two token hash-aggregates → |vocab| full-outer join
+    // + broadcast totals
+    "q_text_vocab_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -611,6 +611,48 @@ object TextOps {
       .orderBy("status")
   }
 
+  /** Vocabulary drift between corpus snapshots — the text twin of the
+    * numeric PSI audit (q_stats_psi) over the SAME md5-digit snapshot
+    * slices as q_text_dataset_diff: vocab sizes, out-of-vocabulary and
+    * lost-token counts, OOV rate, and total-variation distance between
+    * the two token distributions. The drift detector a tokenizer/model
+    * owner runs before accepting a new corpus version (a vocab shift
+    * silently degrades a frozen tokenizer). Plan: two explode →
+    * hash-aggregate token counts (|vocab| rows), one full-outer join on
+    * token, broadcast 1-row totals — linear in corpus tokens, bounded by
+    * vocabulary everywhere after the first aggregate. TV distance sums
+    * |vocab| doubles — r6 at the boundary per the parity discipline. */
+  private val vocabDrift: Q = (s, d) => {
+    def digit1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    def toksOf(digits: Seq[String]) = Tables.documents(s, d)
+      .filter(digit1.isin(digits: _*))
+      .select(explode(toks()).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val oldDigits = Seq("0", "1", "2", "3", "4", "5", "6",
+      "7", "8", "9", "a", "b")
+    val newDigits = Seq("4", "5", "6", "7", "8", "9", "a", "b",
+      "c", "d", "e", "f")
+    val oldT = toksOf(oldDigits).select(col("tok"), col("n").as("n_old"))
+    val newT = toksOf(newDigits).select(col("tok"), col("n").as("n_new"))
+    val joined = oldT.join(newT, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        count(when(col("n_old") > 0, 1)).as("n_vocab_old"),
+        count(when(col("n_new") > 0, 1)).as("n_vocab_new"),
+        count(when(col("n_old") === 0 && col("n_new") > 0, 1)).as("n_oov"),
+        count(when(col("n_new") === 0 && col("n_old") > 0, 1)).as("n_lost"),
+        r6(sum(abs(col("n_new") / col("tot_new").cast("double")
+          - col("n_old") / col("tot_old").cast("double"))) / 2).as("tv_drift_r"))
+      .select(col("n_vocab_old"), col("n_vocab_new"), col("n_oov"),
+        col("n_lost"),
+        r6(col("n_oov") / col("n_vocab_new").cast("double")).as("oov_rate_r"),
+        col("tv_drift_r"))
+  }
+
   /** Epoch-deterministic GLOBAL training order + shard layout — the last
     * step of a curation pipeline before the trainer reads: every doc gets
     * its position in a full-corpus shuffle (order key = md5 of an
@@ -1282,6 +1324,7 @@ object TextOps {
     "q_sample_global_shuffle" -> sampleGlobalShuffle,
     "q_text_token_budget" -> tokenBudget,
     "q_text_dataset_diff" -> datasetDiff,
+    "q_text_vocab_drift" -> vocabDrift,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
     "q_sample_weighted" -> sampleWeighted,
@@ -1738,6 +1781,39 @@ object TextOps {
                       new_chars, old_chars
                FROM oldsnap FULL OUTER JOIN newsnap ON old_id = new_id) t
          GROUP BY status ORDER BY status""",
+    "q_text_vocab_drift" ->
+      s"""WITH oldt AS (
+            SELECT tok, count(*) AS n_old
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents
+                  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                    ('0','1','2','3','4','5','6','7','8','9','a','b')) t
+            GROUP BY tok),
+          newt AS (
+            SELECT tok, count(*) AS n_new
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents
+                  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                    ('4','5','6','7','8','9','a','b','c','d','e','f')) t
+            GROUP BY tok),
+          j AS (SELECT coalesce(n_old, 0) AS n_old,
+                       coalesce(n_new, 0) AS n_new
+                FROM oldt o FULL OUTER JOIN newt n ON o.tok = n.tok),
+          t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+                       CAST(sum(n_new) AS BIGINT) AS tot_new FROM j)
+          SELECT count(*) FILTER (WHERE n_old > 0) AS n_vocab_old,
+                 count(*) FILTER (WHERE n_new > 0) AS n_vocab_new,
+                 count(*) FILTER (WHERE n_old = 0 AND n_new > 0) AS n_oov,
+                 count(*) FILTER (WHERE n_new = 0 AND n_old > 0) AS n_lost,
+                 ${graft.Par.sql(
+                   """count(*) FILTER (WHERE n_old = 0 AND n_new > 0)
+                      / CAST(count(*) FILTER (WHERE n_new > 0) AS DOUBLE)""",
+                   1000000)} AS oov_rate_r,
+                 ${graft.Par.sql(
+                   """sum(abs(n_new / CAST(tot_new AS DOUBLE)
+                         - n_old / CAST(tot_old AS DOUBLE))) / 2""",
+                   1000000)} AS tv_drift_r
+          FROM j, t GROUP BY tot_old, tot_new""",
     "q_sample_global_shuffle" ->
       """SELECT doc_id, pos,
                 CAST((pos - 1) % 8 AS INT) AS shard,

@@ -206,6 +206,21 @@ class PipelineR6Spec extends SparkSpec {
       "codebook training must be run-to-run deterministic")
   }
 
+  test("q_text_vocab_drift internal identities hold") {
+    val r = SparkEntry.queries("q_text_vocab_drift")(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (vo, vn) = (row.getAs[Long]("n_vocab_old"),
+      row.getAs[Long]("n_vocab_new"))
+    assert(vo > 0 && vn > 0)
+    assert(row.getAs[Long]("n_oov") <= vn)
+    assert(row.getAs[Long]("n_lost") <= vo)
+    assert(row.getAs[Double]("oov_rate_r") ===
+      math.floor(row.getAs[Long]("n_oov").toDouble / vn * 1e6 + 0.5) / 1e6)
+    val tv = row.getAs[Double]("tv_drift_r")
+    assert(tv >= 0.0 && tv <= 1.0, "total variation lives in [0, 1]")
+  }
+
   test("q_eval_pq_recall audits ADC retrieval against the exact top-10") {
     val r = SparkEntry.queries("q_eval_pq_recall")(spark, sfDir).collect()
     assert(r.length === 1)
