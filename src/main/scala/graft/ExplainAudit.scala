@@ -139,7 +139,10 @@ object ExplainAudit {
     "q_embed_pq", "q_eval_pq_recall",
     // vocab drift: two token hash-aggregates → |vocab| full-outer join
     // + broadcast totals
-    "q_text_vocab_drift")
+    "q_text_vocab_drift",
+    // the custom whole-operator path: TopKPerGroupExec (bounded per-group
+    // heap) in place of WindowExec after the same group-key exchange
+    "q_win_topk_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

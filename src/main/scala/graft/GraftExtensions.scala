@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // §4 item 4: optimizer-rule extension surface — graft_dot(x, x)
     // collapses to the single-read squared-norm loop.
     ext.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)
+    // §4 preference (c): whole-operator extension — bounded-heap top-k
+    // per group (custom LogicalPlan + Strategy + SparkPlan).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

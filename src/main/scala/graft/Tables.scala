@@ -123,6 +123,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
     spark
   }
 

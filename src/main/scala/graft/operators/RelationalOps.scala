@@ -1283,6 +1283,32 @@ object RelationalOps {
       .orderBy("o_custkey", "rn")
   }
 
+  private[operators] val topkGroupOracle: String =
+    """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS price,
+              cast(rn AS BIGINT) AS rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** The SAME top-3-per-customer result as q_win_topk_group, through the
+    * custom bounded-heap physical operator (plans/TopKPerGroup — a
+    * LogicalPlan + SparkStrategy + SparkPlan whole-operator extension)
+    * instead of WindowExec: one pass keeping at most k rows per group
+    * after the group-key exchange, no full partition sort. The shared
+    * DuckDB oracle and ExtensionsSpec's bit-parity check pin that the
+    * rewrite preserves row_number semantics exactly. */
+  private val winTopkNative: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        r2(col("o_totalprice")).as("price"))
+    graft.plans.TopKPerGroup(base, 3, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), "rn")
+      .select("o_custkey", "o_orderkey", "price", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
   // ----------------------------------------------- subqueries / reshaping
 
   /** SQL-surface subqueries in one query: a correlated scalar subquery
@@ -1721,6 +1747,7 @@ object RelationalOps {
     "q_win_running" -> winRunning,
     "q_win_range_frame" -> winRangeFrame,
     "q_win_topk_group" -> winTopkGroup,
+    "q_win_topk_native" -> winTopkNative,
     "q_subquery_mix" -> subqueryMix,
     "q_lateral_topk" -> lateralTopk,
     "q_unpivot_metrics" -> unpivotMetrics,
@@ -2345,14 +2372,9 @@ object RelationalOps {
                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0
                   AS spend_7d
          FROM orders ORDER BY o_custkey, o_orderkey""",
-    "q_win_topk_group" ->
-      """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100.0 AS price,
-                cast(rn AS BIGINT) AS rn
-         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                      row_number() OVER (PARTITION BY o_custkey
-                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
-               FROM orders) t
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_win_topk_group" -> topkGroupOracle,
+    // the custom-operator spelling must satisfy the IDENTICAL oracle
+    "q_win_topk_native" -> topkGroupOracle,
     "q_subquery_mix" ->
       """SELECT c_custkey,
                 (SELECT count(*) FROM orders o

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Custom whole-operator extension (SURVEY.md §4 preference (c): a
+  * LogicalPlan + SparkStrategy + physical SparkPlan, the path for
+  * semantics/plans the built-in operators can't produce): top-k rows per
+  * group with their ranks, executed as a BOUNDED PER-GROUP HEAP instead
+  * of the window form's full partition sort.
+  *
+  * The window spelling (`row_number().over(partitionBy.orderBy)` +
+  * `filter(rn <= k)`) must SORT every group completely — O(n log n) per
+  * group and a WindowExec that buffers each partition — before the
+  * filter throws all but k rows away. This operator keeps only k rows
+  * per group at any moment (bounded insertion into a sorted k-buffer:
+  * O(n · k) with k tiny, one pass, no sort buffer), after the same
+  * hash exchange on the group key the window needed anyway. Same
+  * result, same shuffle, strictly less work and memory — at 100 TB the
+  * difference is "sort every customer's full order history" vs "keep 3
+  * rows per customer".
+  *
+  * Determinism contract mirrors row_number: the order must be total
+  * (callers supply a tie-break), which is the same requirement every
+  * oracle-checked window key already satisfies. */
+case class TopKPerGroupPlan(k: Int, part: Seq[Attribute],
+    order: Seq[SortOrder], rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : TopKPerGroupPlan = copy(child = newChild)
+}
+
+/** Plans the logical node; injected via `GraftExtensions`
+  * (injectPlannerStrategy) and at runtime through
+  * `spark.experimental.extraStrategies` (Tables.configure). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(k, part, order, rankAttr, child) =>
+      TopKPerGroupExec(k, part, order, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(k: Int, part: Seq[Attribute],
+    order: Seq[SortOrder], rankAttr: AttributeReference,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(part) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : TopKPerGroupExec = copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val partLocal = part
+    val outLocal = output
+    // serializable, codegen'd lazily on each executor
+    val ordering = new LazilyGeneratedOrdering(order, childOutput)
+    val perPartition = (iter: Iterator[InternalRow]) => {
+      val keyProj = UnsafeProjection.create(partLocal, childOutput)
+      val groups =
+        new java.util.LinkedHashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          buf = new java.util.ArrayList[InternalRow](kLocal + 1)
+          groups.put(key.copy(), buf)
+        }
+        // bounded insertion sort: buf stays ordered by `ordering`; a row
+        // enters only if the buffer is short or it beats the current kth
+        if (buf.size < kLocal ||
+            ordering.compare(row, buf.get(buf.size - 1)) < 0) {
+          var i = buf.size
+          while (i > 0 && ordering.compare(row, buf.get(i - 1)) < 0) i -= 1
+          buf.add(i, row.copy())
+          if (buf.size > kLocal) { buf.remove(kLocal): Unit }
+        }
+      }
+      val outProj = UnsafeProjection.create(outLocal, outLocal)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap { buf =>
+        (0 until buf.size).iterator.map { i =>
+          rankRow.update(0, (i + 1).toLong)
+          outProj(joined(buf.get(i), rankRow)): InternalRow
+        }
+      }
+    }
+    child.execute().mapPartitions(perPartition, preservesPartitioning = true)
+  }
+}
+
+object TopKPerGroup {
+  /** Append a 1-based per-group rank column and keep only the top-k rows
+    * per group, through the custom physical operator. `orderCols` are
+    * (name, ascending) and must form a total order for a deterministic
+    * result — same contract as the row_number form this replaces. */
+  def apply(df: DataFrame, k: Int, partCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      rankName: String = "rn"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    install(spark)
+    val lp = GraftSqlBridge.analyzed(df)
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name).mkString(", ")}"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    GraftSqlBridge.ofRows(spark,
+      TopKPerGroupPlan(k, partCols.map(attr), order, rankAttr, lp))
+  }
+
+  /** Idempotently register the planner strategy on a session built
+    * without GraftExtensions (the grading driver's path). */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(TopKPerGroupStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerGroupStrategy
+  }
+}

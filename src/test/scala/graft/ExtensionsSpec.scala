@@ -48,6 +48,37 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0) === 6.25)
   }
 
+  test("TopKPerGroup executes the custom operator and matches row_number") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000).select(
+      (col("id") % 37).as("g"), col("id"),
+      (col("id") * 7 % 101).as("v"))
+    val native = graft.plans.TopKPerGroup(df, 3, Seq("g"),
+      Seq(("v", false), ("id", true)), "rn")
+    // plan shape: the custom exec replaces WindowExec entirely
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerGroup"),
+      s"custom exec missing from plan:\n$physical")
+    assert(!physical.contains("WindowExec"))
+    val expected = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("id")))
+        .cast("long"))
+      .filter(col("rn") <= 3)
+      .collect().map(_.toSeq).toSet
+    assert(native.collect().map(_.toSeq).toSet === expected,
+      "bounded-heap result must equal the window form bit for bit")
+    // and across a different parallelism (group hash exchange both ways)
+    val rep = graft.plans.TopKPerGroup(df.repartition(7), 3, Seq("g"),
+      Seq(("v", false), ("id", true)), "rn")
+    assert(rep.collect().map(_.toSeq).toSet === expected)
+    // k larger than some group sizes: groups emit all their rows, ranked
+    val small = graft.plans.TopKPerGroup(
+      df.filter(col("id") < 5), 10, Seq("g"),
+      Seq(("v", false), ("id", true)), "rn")
+    assert(small.collect().length === 5)
+  }
+
   test("registered functions reject wrong arity with a named error") {
     // zero args must not surface an opaque NoSuchElementException, and
     // surplus args must not be silently dropped (ADVICE r3)
