@@ -727,7 +727,62 @@ object EventOps {
       .orderBy("bucket_id")
   }
 
+  /** Per-user consecutive-active-day streaks (gaps-and-islands): distinct
+    * active days → island id = day_num − row_number (constant within each
+    * run of consecutive days) → per-island length → per-user summary.
+    * Every window partitions by user_id — the natural per-entity shuffle
+    * key, never a global window — so the plan holds at 100 TB. */
+  private val streaks: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day_num"))
+      .distinct()
+      .withColumn("isl", col("day_num") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Peak concurrent sessions per day, by interval sweep-line: sessionize
+    * (30-min gap, same law as q_stream_session), emit ±1 boundary events,
+    * exact global running sum over (time, −delta) via the distributed
+    * prefix-sum primitive (range shuffle + broadcast offsets — no
+    * single-partition window), then a per-day max. Ties at one instant
+    * count starts before ends (inclusive-interval overlap); rows with
+    * identical (t, delta) are interchangeable under the running sum, so
+    * the per-day max is order-deterministic. */
+  private val concurrency: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+          .when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(runW))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+    val bounds = sess
+      .select(col("start_us").as("t_us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("end_us").as("t_us"), lit(-1L).as("delta")))
+    Dist.withPrefixSumsLong(bounds, Seq(("running", col("delta"))),
+        Seq(col("t_us"), col("delta").desc))
+      .withColumn("day_num", expr("t_us div 86400000000"))
+      .groupBy("day_num")
+      .agg(max(col("running")).as("peak"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy("day_num")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_streaks" -> streaks,
+    "q_events_concurrency" -> concurrency,
     "q_events_lateness" -> lateness,
     "q_events_cohort_ltv" -> cohortLtv,
     "q_events_growth_acct" -> growthAccounting,
@@ -760,6 +815,57 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_streaks" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts)::BIGINT // 86400000000 AS day_num
+           FROM events),
+         i AS (
+           SELECT user_id, day_num,
+                  day_num - row_number() OVER (
+                    PARTITION BY user_id ORDER BY day_num) AS isl
+           FROM d),
+         st AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+                CAST(max(len) AS BIGINT) AS longest_streak,
+                count(*) AS n_streaks
+         FROM st GROUP BY user_id ORDER BY user_id""",
+    "q_events_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us
+           FROM events),
+         l AS (
+           SELECT user_id, ts_us,
+                  CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) IS NULL THEN 1
+                       WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) > 1800000000 THEN 1
+                       ELSE 0 END AS new_sess,
+                  event_id
+           FROM e),
+         sx AS (
+           SELECT user_id, ts_us,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sess
+           FROM l),
+         sess AS (
+           SELECT user_id, sess, min(ts_us) AS start_us,
+                  max(ts_us) AS end_us
+           FROM sx GROUP BY 1, 2),
+         b AS (
+           SELECT start_us AS t_us, 1 AS delta FROM sess
+           UNION ALL SELECT end_us, -1 FROM sess),
+         r AS (
+           SELECT t_us, delta,
+                  CAST(sum(delta) OVER (ORDER BY t_us, delta DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+           FROM b)
+         SELECT t_us // 86400000000 AS day_num,
+                CAST(max(running) AS BIGINT) AS peak,
+                CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_starts
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q_events_lateness" ->
       s"""WITH e AS (
             SELECT event_id, epoch_us(ts)::BIGINT AS ts_us,
