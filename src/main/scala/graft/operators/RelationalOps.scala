@@ -1058,6 +1058,31 @@ object RelationalOps {
     modes.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
   }
 
+  /** Weighted median per group: smallest price whose cumulative quantity
+    * weight reaches half the group total. ROWS-frame cumulative sum over
+    * exact integer weights — ties at the boundary price are
+    * order-invariant (any internal order of equal prices selects the
+    * same minimal price), so the answer is deterministic without a
+    * full tiebreak sort. Window partitions by group key; for the
+    * low-cardinality-group-at-100 TB case the two-pass histogram
+    * path (q_agg_histo_quantile) is the pre-aggregated alternative. */
+  private val aggWeightedMedian: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("wq"))
+    val tot = li.groupBy("flag").agg(sum(col("wq")).as("totw"))
+    val w = Window.partitionBy("flag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.withColumn("cum", sum(col("wq")).over(w))
+      .join(broadcast(tot), Seq("flag"))
+      .filter(col("cum") * 2 >= col("totw"))
+      .groupBy("flag", "totw")
+      .agg(r2(min(col("price"))).as("wmedian"))
+      .select(col("flag"), col("wmedian"), col("totw"))
+      .orderBy("flag")
+  }
+
   /** Conditional aggregation: sum(CASE WHEN), count FILTER equivalent. */
   private val aggFiltered: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -1731,6 +1756,7 @@ object RelationalOps {
     "q_agg_bool" -> aggBool,
     "q_quality_skew_audit" -> skewAudit,
     "q_agg_mode_median" -> aggModeMedian,
+    "q_agg_weighted_median" -> aggWeightedMedian,
     "q_agg_corr" -> aggCorr,
     "q_agg_histogram" -> aggHistogram,
     "q_data_profile" -> dataProfile,
@@ -2247,6 +2273,21 @@ object RelationalOps {
          SELECT m.l_returnflag, m.mode_qty, md.median_qty
          FROM m JOIN md USING (l_returnflag)
          ORDER BY l_returnflag""",
+    "q_agg_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+                            CAST(l_quantity AS BIGINT) AS wq
+                     FROM lineitem),
+            t AS (SELECT flag, CAST(sum(wq) AS BIGINT) AS totw
+                  FROM li GROUP BY flag),
+            c AS (SELECT flag, price,
+                         CAST(sum(wq) OVER (PARTITION BY flag
+                           ORDER BY price ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS cum
+                  FROM li)
+         SELECT c.flag, floor(min(price) * 100 + 0.5) / 100.0 AS wmedian,
+                t.totw
+         FROM c JOIN t USING (flag) WHERE 2 * cum >= totw
+         GROUP BY c.flag, t.totw ORDER BY c.flag""",
     "q_agg_histogram" ->
       """SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT)
                   AS bin,

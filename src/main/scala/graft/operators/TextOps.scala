@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Par.{r2, r6}
+import graft.Par.{r2, r4, r6}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -195,6 +195,49 @@ object TextOps {
       col("sz").as("sb"))
     a.join(b, col("a") < col("b") &&
         col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5)
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
+      .withColumn("jacc",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jacc") >= 0.8)
+      .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
+      .orderBy("a", "b")
+  }
+
+  /** PPJoin-style prefix-filtered set-similarity self-join — the
+    * candidate-pruned twin of q_dedup_near with the identical declared
+    * output (unigram Jaccard ≥ 0.8 pairs within the 0.8 size-ratio
+    * band). Tokens get a global (document-frequency asc, token) order;
+    * for J(x,y) ≥ τ the first |x|−⌈τ|x|⌉+1 tokens of x and
+    * |y|−⌈τ|y|⌉+1 of y under any shared total order must intersect
+    * (pigeonhole on the τ·max(|x|,|y|) required overlap), so an
+    * inverted index over PREFIX tokens only is a complete candidate
+    * generator — and because the prefix keeps the rarest tokens, the
+    * index fanout collapses relative to indexing every token. The
+    * oracle is the exact all-pairs SQL: a green row proves the pruning
+    * lost nothing. */
+  private val dedupPrefixFilter: Q = (s, d) => {
+    val tau = 0.8
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks())).as("token"))
+    val dfreq = docToks.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    val pref = docToks.join(dfreq, Seq("token"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+    val cand = pref
+      .select(col("token"), col("doc_id").as("a"), col("sz").as("sa"))
+      .join(pref.select(col("token"), col("doc_id").as("b"),
+        col("sz").as("sb")), Seq("token"))
+      .filter(col("a") < col("b") &&
+        col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5)
+      .select("a", "b").distinct()
+    val bm = TokenBitmap.bitmaps(s, d)
+    cand
+      .join(bm.select(col("doc_id").as("a"), col("bm").as("ba"),
+        col("sz").as("sa")), Seq("a"))
+      .join(bm.select(col("doc_id").as("b"), col("bm").as("bb"),
+        col("sz").as("sb")), Seq("b"))
       .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
@@ -571,6 +614,52 @@ object TextOps {
       .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
         r6(col("n_tokens") / col("tot_tokens").cast("double")).as("share"))
       .orderBy("source", "band")
+  }
+
+  /** Mixing planner — turns the token-budget census into an executable
+    * sampling plan: gate out the low-quality band (q < 0.80, the same
+    * cut as q_text_token_budget's band edges), temperature-weight the
+    * surviving per-source token pools at τ=0.7 (up-weights small
+    * sources, the multilingual-mixing trick), aim a budget of half the
+    * gated pool at those weights, cap repetition at 4 epochs per
+    * source, and redistribute the capped deficit across the uncapped
+    * sources' headroom in one extra broadcast pass. Weights go through
+    * the floor(p^τ·1e12)-as-long trick so every sum is exact integer
+    * arithmetic; the corpus is scanned once and every later frame is a
+    * |sources|-row census (broadcast scalar joins, no global window). */
+  private val pipelineMix: Q = (s, d) => {
+    val cells = withQualityStats(Tables.documents(s, d))
+      .withColumn("q", qualityScore)
+      .filter(col("q") >= 0.80)
+      .groupBy("source")
+      .agg(sum(col("n_tok").cast("long")).as("avail"))
+    val tot = cells.agg(sum(col("avail")).as("tot"))
+      .withColumn("budget", expr("tot div 2"))
+    val w1 = cells.crossJoin(broadcast(tot))
+      .withColumn("wt", floor(exp(lit(0.7) *
+        log(col("avail").cast("double") / col("tot"))) * 1e12).cast("long"))
+    val z = w1.agg(sum(col("wt")).as("z"))
+    val t2 = w1.crossJoin(broadcast(z))
+      .withColumn("target",
+        floor(col("budget").cast("double") * col("wt") / col("z"))
+          .cast("long"))
+      .withColumn("cap", col("avail") * 4)
+      .withColumn("planned1", least(col("target"), col("cap")))
+      .withColumn("headroom", col("cap") - least(col("target"), col("cap")))
+    val dft = t2.agg(sum(col("target") - col("planned1")).as("deficit"),
+      sum(col("headroom")).as("hsum"))
+    t2.crossJoin(broadcast(dft))
+      .withColumn("planned", col("planned1") +
+        when(col("hsum") > 0,
+          least(floor(col("deficit").cast("double") * col("headroom") /
+            col("hsum")).cast("long"), col("headroom")))
+          .otherwise(0L))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        r6(col("wt") / col("z").cast("double")).as("mix_share"),
+        col("target").as("target_tokens"),
+        col("planned").as("planned_tokens"),
+        r4(col("planned") / col("avail").cast("double")).as("epochs"))
+      .orderBy("source")
   }
 
   /** Corpus snapshot diff — the change audit between two dataset
@@ -1323,6 +1412,7 @@ object TextOps {
     "q_sample_hash" -> sampleHash,
     "q_sample_global_shuffle" -> sampleGlobalShuffle,
     "q_text_token_budget" -> tokenBudget,
+    "q_pipeline_mix" -> pipelineMix,
     "q_text_dataset_diff" -> datasetDiff,
     "q_text_vocab_drift" -> vocabDrift,
     "q_sample_stratified" -> sampleStratified,
@@ -1338,6 +1428,7 @@ object TextOps {
     "q_text_fuzzy_suggest" -> fuzzySuggest,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
+    "q_dedup_prefix_filter" -> dedupPrefixFilter,
     "q_text_sentiment" -> sentiment,
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
@@ -1754,6 +1845,40 @@ object TextOps {
                  ${graft.Par.sql("n_tokens / CAST(tot AS DOUBLE)", 1000000)}
                    AS share
           FROM cells, t ORDER BY source, band""",
+    "q_pipeline_mix" ->
+      s"""WITH s AS (SELECT source, $qualityStatsColsSql FROM documents),
+          q AS (SELECT source, n_tok, ($qualityScoreSql) AS q FROM s),
+          g AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail
+                FROM q WHERE q >= 0.80 GROUP BY source),
+          t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+                       CAST(sum(avail) AS BIGINT) // 2 AS budget FROM g),
+          w AS (SELECT source, avail,
+                       CAST(floor(exp(0.7 * ln(CAST(avail AS DOUBLE) / tot))
+                         * 1e12) AS BIGINT) AS wt
+                FROM g, t),
+          z AS (SELECT CAST(sum(wt) AS BIGINT) AS z FROM w),
+          t1 AS (SELECT source, avail, wt,
+                        CAST(floor(CAST(budget AS DOUBLE) * wt / z)
+                          AS BIGINT) AS target,
+                        avail * 4 AS cap
+                 FROM w, z, t),
+          t2 AS (SELECT *, least(target, cap) AS planned1,
+                        cap - least(target, cap) AS headroom FROM t1),
+          dft AS (SELECT CAST(sum(target - planned1) AS BIGINT) AS deficit,
+                         CAST(sum(headroom) AS BIGINT) AS hsum FROM t2),
+          t3 AS (SELECT source, avail, wt, target,
+                        planned1 + CASE WHEN hsum > 0 THEN
+                            least(CAST(floor(CAST(deficit AS DOUBLE)
+                              * headroom / hsum) AS BIGINT), headroom)
+                          ELSE 0 END AS planned
+                 FROM t2, dft)
+          SELECT source, avail AS avail_tokens,
+                 ${graft.Par.sql("wt / CAST(z AS DOUBLE)", 1000000)}
+                   AS mix_share,
+                 target AS target_tokens, planned AS planned_tokens,
+                 ${graft.Par.sql("planned / CAST(avail AS DOUBLE)", 10000)}
+                   AS epochs
+          FROM t3, z ORDER BY source""",
     "q_text_dataset_diff" ->
       """WITH oldsnap AS (
            SELECT doc_id AS old_id,
@@ -2045,6 +2170,25 @@ object TextOps {
            FROM documents) t
          WHERE rn = 1 ORDER BY doc_id""",
     "q_dedup_near" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+           FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id)
+         SELECT a, b,
+                floor((i / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000.0
+                  AS jacc_r
+         FROM inter
+         JOIN sz sa ON sa.doc_id = a
+         JOIN sz sb ON sb.doc_id = b
+         WHERE i / (sa.n + sb.n - i) >= 0.8
+           AND sa.n * 4 <= sb.n * 5 AND sb.n * 4 <= sa.n * 5
+         ORDER BY a, b""",
+    "q_dedup_prefix_filter" ->
       """WITH tok AS (
            SELECT doc_id,
                   unnest(list_distinct(string_split(text, ' '))) AS tok

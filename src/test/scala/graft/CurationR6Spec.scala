@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 session-3 additions: weighted median, mixing planner,
+  * prefix-filtered set-similarity join. Invariants and cross-operator
+  * parity here; exact values are oracle-checked by Verify. */
+class CurationR6Spec extends SparkSpec {
+
+  test("q_agg_weighted_median matches a brute-force weighted median") {
+    val rows = SparkEntry.queries("q_agg_weighted_median")(spark, sfDir)
+      .collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("wq"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val grp = li.filter(_._1 == flag).sortBy(_._2)
+      val tot = grp.map(_._3).sum
+      var cum = 0L
+      val expect = grp.find { case (_, _, w) =>
+        cum += w; 2 * cum >= tot
+      }.get._2
+      val expectR2 = math.floor(expect * 100 + 0.5) / 100
+      assert(r.getAs[Double]("wmedian") === expectR2, s"flag $flag")
+      assert(r.getAs[Long]("totw") === tot)
+    }
+  }
+
+  test("q_pipeline_mix plan respects the epoch cap and the budget") {
+    val rows = SparkEntry.queries("q_pipeline_mix")(spark, sfDir).collect()
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    val targets = rows.map(_.getAs[Long]("target_tokens")).sum
+    val avail = rows.map(_.getAs[Long]("avail_tokens")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("planned_tokens") <=
+        4 * r.getAs[Long]("avail_tokens"), "epoch cap")
+      assert(r.getAs[Double]("epochs") <= 4.0001)
+      assert(r.getAs[Double]("mix_share") > 0.0)
+    }
+    // per-source targets are floors of budget shares: their sum cannot
+    // exceed the budget (= half the gated pool), and redistribution
+    // never plans more than was targeted
+    assert(targets <= avail / 2 + rows.length, "targets within budget")
+    assert(planned <= targets + rows.length, "redistribution is bounded")
+    val shares = rows.map(_.getAs[Double]("mix_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to 1, got $shares")
+  }
+
+  test("q_dedup_prefix_filter is bit-identical to the all-pairs baseline") {
+    val pruned = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val full = SparkEntry.queries("q_dedup_near")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(pruned === full,
+      "prefix filtering must be a complete candidate generator")
+  }
+}
