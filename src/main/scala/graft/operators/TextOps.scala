@@ -246,6 +246,45 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  /** Exact phrase search through a positional inverted index — the
+    * search-engine primitive a text-search ETL serves. Each phrase term
+    * i keeps its postings (doc_id, position − i); shifting by the term
+    * offset turns adjacency into a plain equi-join on (doc_id, anchor),
+    * so an N-term phrase is N−1 hash joins over token-filtered postings
+    * — never a scan of full text at query time. Postings are pruned to
+    * the phrase's terms before any shuffle (predicate pushdown does the
+    * rest), which is what makes the plan hold on a 100 TB corpus. */
+  private val phraseTerms = Seq("hash", "join")
+  private val phraseSearch: Q = (s, d) => {
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .toDF("doc_id", "p", "token")
+    phraseTerms.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("token") === t)
+        .select(col("doc_id"), (col("p") - i).as("anchor"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Boolean retrieval (AND / AND NOT) over the doc-level inverted
+    * index: conjunction = inner joins of per-term doc lists, negation =
+    * one anti join — all equi-joins on doc_id, each side pre-filtered
+    * to a single term's postings. Result re-joins the doc dimension for
+    * fielded output. */
+  private val booleanSearch: Q = (s, d) => {
+    val tokSet = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks())).as("token"))
+    def docsWith(t: String) =
+      tokSet.filter(col("token") === t).select("doc_id")
+    docsWith("spark")
+      .join(docsWith("vector"), Seq("doc_id"))
+      .join(docsWith("dup"), Seq("doc_id"), "left_anti")
+      .join(Tables.documents(s, d).select("doc_id", "lang", "source"),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Lexicon-scored sentiment per doc (pluggable lexicon; tokens outside
     * the lexicon score 0 so the mean is over all tokens). */
   private val sentiment: Q = (s, d) => {
@@ -1429,6 +1468,8 @@ object TextOps {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_dedup_prefix_filter" -> dedupPrefixFilter,
+    "q_text_search_phrase" -> phraseSearch,
+    "q_text_search_boolean" -> booleanSearch,
     "q_text_sentiment" -> sentiment,
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
@@ -2207,6 +2248,22 @@ object TextOps {
          WHERE i / (sa.n + sb.n - i) >= 0.8
            AND sa.n * 4 <= sb.n * 5 AND sb.n * 4 <= sa.n * 5
          ORDER BY a, b""",
+    "q_text_search_phrase" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents),
+         pos AS (SELECT doc_id, unnest(ts) AS t,
+                        unnest(range(len(ts))) AS p
+                 FROM tok)
+         SELECT a.doc_id, count(*) AS n_hits
+         FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         WHERE a.t = 'hash' AND b.t = 'join'
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
+    "q_text_search_boolean" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE list_contains(string_split(text, ' '), 'spark')
+           AND list_contains(string_split(text, ' '), 'vector')
+           AND NOT list_contains(string_split(text, ' '), 'dup')
+         ORDER BY doc_id""",
     "q_text_sentiment" ->
       s"""SELECT doc_id,
                 floor((avg(coalesce(score, 0.0))) * 1000000 + 0.5)

@@ -50,6 +50,33 @@ class CurationR6Spec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to 1, got $shares")
   }
 
+  test("q_text_search_phrase finds exactly the brute-force adjacencies") {
+    val hits = SparkEntry.queries("q_text_search_phrase")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits"))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val toks = r.getAs[String]("text").split(" ")
+      val n = toks.indices.dropRight(1)
+        .count(i => toks(i) == "hash" && toks(i + 1) == "join").toLong
+      assert(hits.getOrElse(r.getAs[Long]("doc_id"), 0L) === n,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("q_text_search_boolean matches brute-force boolean retrieval") {
+    val got = SparkEntry.queries("q_text_search_boolean")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .filter { r =>
+        val t = r.getAs[String]("text").split(" ").toSet
+        t("spark") && t("vector") && !t("dup")
+      }.map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
   test("q_dedup_prefix_filter is bit-identical to the all-pairs baseline") {
     val pruned = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
