@@ -118,13 +118,39 @@ object MultimodalOps {
           col("bytes_unique")).as("dedup_ratio"))
   }
 
+  /** Oracle-checked registry face of Multimodal.sampleFrames: every 4th
+    * 64-byte frame of each asset, with a per-frame content signature —
+    * the video-frame-sampling shape (decode stays behind the Decoder
+    * trait; the sampling itself is pure column ops in codegen, linear in
+    * payload bytes, no shuffle until the final sort). */
+  private val multimodalFrameSample: Q = (s, d) => {
+    val assets = Tables.documents(s, d)
+      .withColumn("asset", col("text").cast("binary"))
+    graft.multimodal.Multimodal.sampleFrames(assets, "asset", 64, 4)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(col("frame")).as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_frame_sample" -> multimodalFrameSample,
     "q_multimodal_storage_audit" -> multimodalStorageAudit,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_chunk_dedup" -> multimodalChunkDedup,
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frame_sample" ->
+      """WITH a AS (SELECT doc_id, text,
+                           CAST(length(text) // 64 AS INT) AS n_frames
+                    FROM documents WHERE length(text) >= 64),
+         f AS (SELECT doc_id, n_frames, text,
+                      CAST(unnest(range(0, n_frames, 4)) AS INT)
+                        AS frame_idx
+               FROM a)
+         SELECT doc_id, n_frames, frame_idx,
+                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_sig
+         FROM f ORDER BY doc_id, frame_idx""",
     "q_multimodal_storage_audit" ->
       """WITH blocks AS (
            SELECT md5(substring(text, blk * 64 + 1, 64)) AS bsig,
