@@ -558,12 +558,17 @@ object StatsOps {
     // at sf0.001: 6000 rows / 4599 distinct), so the hash alone ties —
     // price is the deterministic tie-break (full-row ties then agree on
     // the sampled value anyway)
+    // one percentile buffer per branch (array form computes both
+    // quantiles from a single counts map); the exact branch skips the
+    // md5 column entirely
     val est = li.orderBy("h", "l_extendedprice").limit(256)
-      .agg(r6(expr("percentile(l_extendedprice, 0.5)")).as("est_p50"),
-        r6(expr("percentile(l_extendedprice, 0.95)")).as("est_p95"))
-    val exact = li
-      .agg(r6(expr("percentile(l_extendedprice, 0.5)")).as("true_p50"),
-        r6(expr("percentile(l_extendedprice, 0.95)")).as("true_p95"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+      .select(r6(element_at(col("p"), 1)).as("est_p50"),
+        r6(element_at(col("p"), 2)).as("est_p95"))
+    val exact = Tables.lineitem(s, d)
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+      .select(r6(element_at(col("p"), 1)).as("true_p50"),
+        r6(element_at(col("p"), 2)).as("true_p95"))
     est.crossJoin(broadcast(exact))
       .select(col("est_p50"), col("true_p50"),
         r6(abs(col("est_p50") - col("true_p50"))).as("err_p50"),

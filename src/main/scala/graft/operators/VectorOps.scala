@@ -261,10 +261,13 @@ object VectorOps {
     val sims = e.withColumnRenamed("v", "x")
       .join(broadcast(nbr), col("vec_id") =!= col("nid"))
       .withColumn("sim_r", r6(expr("graft_dot(x, y)")))
-    val wk = Window.partitionBy("vec_id")
-      .orderBy(col("sim_r").desc, col("nid"))
-    val votes = sims.withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 5)
+      // drop both 64-float vectors before the per-vec window: the rank
+      // shuffle moves |n|² rows and must carry scores, not payloads
+      .select("vec_id", "label", "nid", "nlabel", "sim_r")
+    // top-5 via the bounded-heap physical operator: same exchange as the
+    // window form but O(n·k) per group instead of a full partition sort
+    val votes = graft.plans.TopKPerGroup(sims, 5, Seq("vec_id"),
+        Seq(("sim_r", false), ("nid", true)), "rk")
       .groupBy("vec_id", "label", "nlabel")
       .agg(count(lit(1)).as("votes"))
     val wv = Window.partitionBy("vec_id")
