@@ -358,6 +358,39 @@ object StatsOps {
       .limit(5)
   }
 
+  /** Single changepoint by binary segmentation over the daily count
+    * series: for every split day s, score = n1·n2/(n1+n2)·(m1−m2)² (the
+    * between-segment SSE reduction; the argmax is the first binary-seg
+    * cut). Prefix sums stay exact longs over the |days| census (global
+    * window, bounded — allowlisted); the score is one double expression
+    * per row with identical association in both engines. Emits the full
+    * scored census ranked by score, so the consumer sees the margin,
+    * not just the winner. */
+  private val changepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("t"))
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .filter(col("rn") >= 2)
+      .withColumn("n1", (col("rn") - 1).cast("long"))
+      .withColumn("t1", col("cum") - col("c"))
+      .withColumn("n2", col("nd") - col("rn") + 1)
+      .withColumn("m1", col("t1").cast("double") / col("n1"))
+      .withColumn("m2", (col("t") - col("t1")).cast("double") / col("n2"))
+      .withColumn("score",
+        r6(col("n1") * col("n2") / (col("n1") + col("n2")).cast("double") *
+          (col("m1") - col("m2")) * (col("m1") - col("m2"))))
+      .select(col("day").as("split_day"), col("n1"), col("n2"),
+        r6(col("m1")).as("mean_before"), r6(col("m2")).as("mean_after"),
+        col("score"))
+      .orderBy(col("score").desc, col("split_day"))
+  }
+
   /** Shared 0.7^k weight table for the truncated EWMA: computed ONCE in
     * Scala and embedded as the same 17-digit double literals in both the
     * Spark plan and the oracle SQL — pow() is not guaranteed
@@ -586,6 +619,7 @@ object StatsOps {
     "q_stats_ewma" -> ewma,
     "q_stats_jackknife" -> jackknife,
     "q_stats_cusum" -> cusum,
+    "q_stats_changepoint" -> changepoint,
     "q_stats_winsorize" -> winsorize,
     "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
@@ -772,6 +806,31 @@ object StatsOps {
                 floor((s / n + 1.96 * se) * 1000000 + 0.5) / 1000000.0
                   AS ci_hi
          FROM a2""",
+    "q_stats_changepoint" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts)::BIGINT // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                        CAST(sum(c) AS BIGINT) AS t FROM daily),
+         x AS (SELECT day, c,
+                      row_number() OVER (ORDER BY day) AS rn,
+                      CAST(sum(c) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM daily),
+         y AS (SELECT day, CAST(rn - 1 AS BIGINT) AS n1, cum - c AS t1,
+                      nd - rn + 1 AS n2, t
+               FROM x, tot WHERE rn >= 2),
+         z AS (SELECT day, n1, n2,
+                      CAST(t1 AS DOUBLE) / n1 AS m1,
+                      CAST(t - t1 AS DOUBLE) / n2 AS m2
+               FROM y)
+         SELECT day AS split_day, n1, n2,
+                floor(m1 * 1000000 + 0.5) / 1000000.0 AS mean_before,
+                floor(m2 * 1000000 + 0.5) / 1000000.0 AS mean_after,
+                floor((n1 * n2 / CAST(n1 + n2 AS DOUBLE) * (m1 - m2)
+                  * (m1 - m2)) * 1000000 + 0.5) / 1000000.0 AS score
+         FROM z ORDER BY score DESC, split_day""",
     "q_stats_cusum" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

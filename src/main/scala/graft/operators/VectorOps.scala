@@ -279,6 +279,66 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** k-center / farthest-point diversity sampling — the coreset seeding
+    * pass a curation pipeline uses to pick a maximally-spread subset:
+    * greedily add the point farthest (1 − cosine, r6-rounded before the
+    * argmax so both engines rank identical values) from the chosen set.
+    * k=8 rounds; smallest-id start and tie-breaks. Driver state is k
+    * rows — the bounded-collect pattern of the k-means trainer; each
+    * round is one broadcast-literal dot pass + a TakeOrdered(1). The
+    * emitted radius sequence is the classic 2-approximation coverage
+    * certificate (non-increasing). Rounds recompute the lineage chain
+    * (k² cheap passes at bench scale); at 100 TB persist the running
+    * min-distance frame per round instead — the algorithm is unchanged. */
+  private val sampleKcenter: Q = (s, d) => {
+    val k = 8
+    val e = vecs(s, d)
+    val c0 = e.orderBy("vec_id").limit(1).collect()(0)
+    var sel = Vector[(Int, Long, Int, Double)](
+      (0, c0.getLong(0), c0.getInt(1), 2.0))
+    var dist = e.withColumn("cv", typedLit(c0.getSeq[Float](2)))
+      .withColumn("dist", r6(lit(1.0) - expr("graft_dot(v, cv)")))
+      .drop("cv")
+    for (i <- 1 until k) {
+      val nxt = dist.orderBy(col("dist").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      sel = sel :+ ((i, nxt.getLong(0), nxt.getInt(1), nxt.getDouble(3)))
+      dist = dist.withColumn("cv", typedLit(nxt.getSeq[Float](2)))
+        .withColumn("dist",
+          least(col("dist"), r6(lit(1.0) - expr("graft_dot(v, cv)"))))
+        .drop("cv")
+    }
+    s.createDataFrame(sel).toDF("round", "vec_id", "label", "radius")
+      .orderBy("round")
+  }
+
+  private def kcenterSql: String = {
+    val k = 8
+    def rdist(v: String, c: String) =
+      s"floor((1 - list_inner_product($v, $c)) * 1000000 + 0.5) / 1000000.0"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, label,
+                     CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       s0 AS (SELECT 0 AS round, vec_id, label, 2.0 AS radius, v
+              FROM e ORDER BY vec_id LIMIT 1),
+       m0 AS (SELECT e.vec_id, e.label, e.v,
+                     ${rdist("e.v", "s0.v")} AS dist FROM e, s0)"""
+    for (i <- 1 until k) {
+      sb ++= s""",
+       s$i AS (SELECT $i AS round, vec_id, label, dist AS radius, v
+              FROM m${i - 1} ORDER BY dist DESC, vec_id LIMIT 1)"""
+      if (i < k - 1)
+        sb ++= s""",
+       m$i AS (SELECT m.vec_id, m.label, m.v,
+                      least(m.dist, ${rdist("m.v", s"s$i.v")}) AS dist
+              FROM m${i - 1} m, s$i)"""
+    }
+    sb ++= (0 until k)
+      .map(i => s"SELECT round, vec_id, label, radius FROM s$i")
+      .mkString("\n       ", "\n       UNION ALL ", "\n       ORDER BY round")
+    sb.toString
+  }
+
   /** Recall@3 audit of the IVF probe against the exact brute-force
     * top-3 — the third member of the eval-harness family (LSH pairs,
     * MinHash pairs, now ANN retrieval): every approximate index this
@@ -772,6 +832,7 @@ object VectorOps {
     "q_ann_ivf" -> annIvf,
     "q_vec_margin" -> vecMargin,
     "q_vec_label_noise" -> labelNoise,
+    "q_sample_kcenter" -> sampleKcenter,
     "q_eval_ivf_recall" -> evalIvfRecall)
 
   /** Shared oracle fragment: the PQ training chain (8 subspaces × k=4,
@@ -1165,6 +1226,7 @@ object VectorOps {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
          ORDER BY sim_r DESC, va, vb LIMIT 10""",
     "q_dedup_embed" -> embedExactSql,
+    "q_sample_kcenter" -> kcenterSql,
     "q_eval_lsh_recall" ->
       s"""WITH exact AS ($embedExactSql),
          lsh AS ($embedLshSql)

@@ -77,6 +77,43 @@ class CurationR6Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_stats_changepoint scores match brute force over the day census") {
+    val rows = SparkEntry.queries("q_stats_changepoint")(spark, sfDir)
+      .collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.length === daily.length - 1, "one candidate per non-first day")
+    rows.foreach { r =>
+      val day = r.getAs[Long]("split_day")
+      val (before, after) = daily.partition(_._1 < day)
+      val (n1, n2) = (before.length.toLong, after.length.toLong)
+      val m1 = before.map(_._2).sum.toDouble / n1
+      val m2 = after.map(_._2).sum.toDouble / n2
+      val score = n1 * n2 / (n1 + n2).toDouble * (m1 - m2) * (m1 - m2)
+      assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+      assert(r.getAs[Double]("score") ===
+        math.floor(score * 1e6 + 0.5) / 1e6, s"day $day")
+    }
+  }
+
+  test("q_sample_kcenter: k distinct centers, non-increasing radii") {
+    val rows = SparkEntry.queries("q_sample_kcenter")(spark, sfDir)
+      .collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 8,
+      "centers are distinct points")
+    val radii = rows.sortBy(_.getAs[Int]("round")).map(_.getAs[Double]("radius"))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"coverage radius must be non-increasing: $a -> $b")
+    }
+    val minId = Tables.embeddings(spark, sfDir)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    assert(rows.minBy(_.getAs[Int]("round")).getAs[Long]("vec_id") === minId,
+      "deterministic smallest-id start")
+  }
+
   test("q_dedup_prefix_filter is bit-identical to the all-pairs baseline") {
     val pruned = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
       .collect().map(_.toSeq).toSeq

@@ -57,6 +57,7 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_events_bursts",       // |hours| spine
       "q_events_rolling_7d",   // |days| spine
       "q_stats_cusum",         // |days| census
+      "q_stats_changepoint",   // |days| census
       "q_stats_decompose",     // |days| census
       "q_stats_anomaly_stl",   // |days| census
       "q_stats_ewma")          // |days| census
