@@ -391,6 +391,30 @@ object StatsOps {
       .orderBy(col("score").desc, col("split_day"))
   }
 
+  /** Neyman (optimal) stratified-sampling allocation: budget 1000 rows
+    * split across event_type strata ∝ Nh·Sh, against the proportional
+    * allocation for contrast — the sampling-design step before any
+    * stratified draw (q_sample_stratified executes one). Per-stratum
+    * stddev is r6-rounded FIRST and the Nh·Sh weights go through the
+    * floor(w·1e6)-as-long trick, so the normalizing sum is exact integer
+    * arithmetic — the Σ of raw doubles would be add-order-dependent
+    * across engines. |event_type|-row census; one scan. */
+  private val sampleNeyman: Q = (s, d) => {
+    val strata = Tables.events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_h"),
+        r6(stddev_samp(col("value"))).as("sd_h"))
+      .withColumn("wh", floor(col("n_h") * col("sd_h") * 1e6).cast("long"))
+    val tot = strata.agg(sum(col("wh")).as("z"), sum(col("n_h")).as("n_tot"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_h"), col("sd_h"),
+        r6(col("wh") / col("z").cast("double")).as("w_share"),
+        floor(lit(1000.0) * col("wh") / col("z")).cast("long")
+          .as("alloc_neyman"),
+        floor(lit(1000.0) * col("n_h") / col("n_tot")).cast("long")
+          .as("alloc_prop"))
+      .orderBy("event_type")
+  }
+
   /** Shared 0.7^k weight table for the truncated EWMA: computed ONCE in
     * Scala and embedded as the same 17-digit double literals in both the
     * Spark plan and the oracle SQL — pow() is not guaranteed
@@ -620,6 +644,7 @@ object StatsOps {
     "q_stats_jackknife" -> jackknife,
     "q_stats_cusum" -> cusum,
     "q_stats_changepoint" -> changepoint,
+    "q_sample_neyman" -> sampleNeyman,
     "q_stats_winsorize" -> winsorize,
     "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
@@ -806,6 +831,23 @@ object StatsOps {
                 floor((s / n + 1.96 * se) * 1000000 + 0.5) / 1000000.0
                   AS ci_hi
          FROM a2""",
+    "q_sample_neyman" ->
+      """WITH strata AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+                  floor(stddev_samp(value) * 1000000 + 0.5) / 1000000.0
+                    AS sd_h
+           FROM events GROUP BY event_type),
+         w AS (SELECT event_type, n_h, sd_h,
+                      CAST(floor(n_h * sd_h * 1000000) AS BIGINT) AS wh
+               FROM strata),
+         t AS (SELECT CAST(sum(wh) AS BIGINT) AS z,
+                      CAST(sum(n_h) AS BIGINT) AS n_tot FROM w)
+         SELECT event_type, n_h, sd_h,
+                floor((wh / CAST(z AS DOUBLE)) * 1000000 + 0.5)
+                  / 1000000.0 AS w_share,
+                CAST(floor(1000.0 * wh / z) AS BIGINT) AS alloc_neyman,
+                CAST(floor(1000.0 * n_h / n_tot) AS BIGINT) AS alloc_prop
+         FROM w, t ORDER BY event_type""",
     "q_stats_changepoint" ->
       """WITH daily AS (
            SELECT epoch_us(ts)::BIGINT // 86400000000 AS day,

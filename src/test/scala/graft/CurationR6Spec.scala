@@ -114,6 +114,17 @@ class CurationR6Spec extends SparkSpec {
       "deterministic smallest-id start")
   }
 
+  test("q_sample_neyman allocations stay within budget and favor variance") {
+    val rows = SparkEntry.queries("q_sample_neyman")(spark, sfDir).collect()
+    val neyman = rows.map(_.getAs[Long]("alloc_neyman")).sum
+    val prop = rows.map(_.getAs[Long]("alloc_prop")).sum
+    assert(neyman <= 1000 && neyman > 1000 - rows.length,
+      "floored allocations sum to within one unit per stratum of budget")
+    assert(prop <= 1000 && prop > 1000 - rows.length)
+    val shares = rows.map(_.getAs[Double]("w_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
   test("q_dedup_prefix_filter is bit-identical to the all-pairs baseline") {
     val pruned = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
