@@ -187,6 +187,46 @@ object GraphOps {
       .select(col("doc_id").as("part"), col("cluster_rep").as("component"))
       .orderBy("part")
 
+  /** Modularity decomposition of the component partition of the
+    * co-purchase graph: per community c, Q_c = e_c/m − (d_c/2m)² — the
+    * Newman-Girvan quality each community contributes (for a
+    * connected-component partition every edge is intra, so ΣQ_c is the
+    * partition's upper-bound modularity any refinement is measured
+    * against). Exact integer censuses (edge count, degree sums) with
+    * one pinned double expression per community row; community labels
+    * come from the cached distributed components, so this adds two hash
+    * aggregates and two label joins — no new iteration. */
+  private val modularity: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val comp = DedupOps.connectedComponents(s,
+        e.select(col("x").as("a"), col("y").as("b")), s"graph::$d")
+      .select(col("doc_id").as("v"), col("cluster_rep").as("component"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("x").as("v"))
+      .union(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(comp, Seq("v"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = e
+      .join(comp.select(col("v").as("x"), col("component").as("cx")),
+        Seq("x"))
+      .join(comp.select(col("v").as("y"), col("component").as("cy")),
+        Seq("y"))
+      .filter(col("cx") === col("cy"))
+      .groupBy(col("cx").as("component"))
+      .agg(count(lit(1)).as("intra_edges"))
+    dsum.join(intra, Seq("component"))
+      .crossJoin(broadcast(m))
+      .withColumn("contribution",
+        r6(col("intra_edges").cast("double") / col("m") -
+          (col("deg_sum") / (lit(2.0) * col("m"))) *
+          (col("deg_sum") / (lit(2.0) * col("m")))))
+      .select(col("component"), col("n_nodes"), col("deg_sum"),
+        col("intra_edges"), col("contribution"))
+      .orderBy("component")
+  }
+
   /** Degree distribution of the support-2 co-purchase graph (degree →
     * node count) — the graph-shape profile that decides orientation and
     * salting strategy for the wedge joins. Two bounded hash aggregates
@@ -319,6 +359,7 @@ object GraphOps {
     "q_graph_reach" -> reach,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
+    "q_graph_modularity" -> modularity,
     "q_graph_link_jaccard" -> linkJaccard,
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
@@ -400,6 +441,39 @@ object GraphOps {
          deg AS (SELECT v, count(*) AS degree FROM und GROUP BY v)
          SELECT degree, count(*) AS n_nodes
          FROM deg GROUP BY degree ORDER BY degree""",
+    "q_graph_modularity" ->
+      """WITH RECURSIVE op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x AS a, y AS b FROM e
+                 UNION ALL SELECT y AS a, x AS b FROM e),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         comp AS (SELECT src AS v, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+                 GROUP BY v),
+         ds AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(sum(deg) AS BIGINT) AS deg_sum
+                FROM deg JOIN comp USING (v) GROUP BY component),
+         intra AS (SELECT cx.component,
+                          CAST(count(*) AS BIGINT) AS intra_edges
+                   FROM e JOIN comp cx ON e.x = cx.v
+                          JOIN comp cy ON e.y = cy.v
+                   WHERE cx.component = cy.component
+                   GROUP BY cx.component)
+         SELECT ds.component, n_nodes, deg_sum, intra_edges,
+                floor((CAST(intra_edges AS DOUBLE) / m
+                       - (deg_sum / (2.0 * m)) * (deg_sum / (2.0 * m)))
+                  * 1000000 + 0.5) / 1000000.0 AS contribution
+         FROM ds JOIN intra USING (component), m
+         ORDER BY component""",
     "q_graph_components" ->
       """WITH RECURSIVE op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

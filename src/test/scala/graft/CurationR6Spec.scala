@@ -125,6 +125,20 @@ class CurationR6Spec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-4)
   }
 
+  test("q_graph_modularity: component partition accounts for every edge") {
+    val rows = SparkEntry.queries("q_graph_modularity")(spark, sfDir)
+      .collect()
+    val m = rows.map(_.getAs[Long]("intra_edges")).sum
+    val degSum = rows.map(_.getAs[Long]("deg_sum")).sum
+    assert(degSum === 2 * m,
+      "degree sum over all communities must equal 2m (handshake lemma; " +
+        "for a component partition every edge is intra)")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("contribution") <= 1.0)
+      assert(r.getAs[Long]("n_nodes") >= 2, "components come from edges")
+    }
+  }
+
   test("q_dedup_prefix_filter is bit-identical to the all-pairs baseline") {
     val pruned = SparkEntry.queries("q_dedup_prefix_filter")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
