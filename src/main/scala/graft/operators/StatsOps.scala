@@ -126,6 +126,75 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Mann–Whitney U rank-sum test: do purchase and click events draw
+    * their `value` from the same distribution? The nonparametric
+    * complement to q_stats_ttest (no normality assumption — exactly the
+    * test an experimentation pipeline reaches for on skewed revenue
+    * values). Average ranks come from the SAME distributed machinery as
+    * q_stats_ks: one hash aggregate per distinct value, then
+    * Dist.withPrefixSumsLong over the value order — never a
+    * single-partition rank window. Every rank is an integer or exact
+    * half (ties average), so the rank-sum accumulates EXACTLY in
+    * doubles in any partition order; tie counts stay integer through
+    * the variance correction and only the final z divides. */
+  private val mannwhitney: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value").as("p"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+    val per = ev.groupBy("p")
+      .agg(sum(col("isp")).as("np"), count(lit(1)).as("cnt"))
+    val ranked = Dist.withPrefixSumsLong(per,
+        Seq("cum" -> col("cnt")), Seq(col("p")))
+      .withColumn("avg_rank",
+        (col("cum") - col("cnt")).cast("double") +
+          (col("cnt") + 1).cast("double") / 2.0)
+    val agg = ranked.agg(
+      sum(col("np")).as("n1"), sum(col("cnt")).as("n"),
+      sum(col("np") * col("avg_rank")).as("rp"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+    val n1 = col("n1"); val n2 = col("n") - col("n1"); val n = col("n")
+    val u = col("rp") - (n1 * (n1 + 1)).cast("double") / 2.0
+    val mu = (n1 * n2).cast("double") / 2.0
+    val varU = (n1 * n2).cast("double") / 12.0 *
+      ((n + 1).cast("double") -
+        col("tie").cast("double") / (n * (n - 1)).cast("double"))
+    agg.select(n1.as("n_purchase"), n2.as("n_click"),
+      u.as("u_stat"), r6((u - mu) / sqrt(varU)).as("z_stat"))
+  }
+
+  /** Mann–Kendall trend test on the daily event-count series — the
+    * significance twin of q_stats_theil_sen's slope (same series, same
+    * bounded pair census): S = Σ sign(c_j − c_i) over ordered day
+    * pairs, tie-corrected normal approximation, continuity-corrected z.
+    * The series is |days|-bounded after one hash aggregate (30 rows
+    * here; at 100 TB still |days|), so the pair join is a bounded
+    * census, and counts are integers — every sign comparison is exact,
+    * no float ordering hazard. One division at the end. */
+  private val mannKendall: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val sF = daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val nF = daily.agg(count(lit(1)).as("n_days"))
+    val tieF = daily.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+        lit(0L)).as("tie"))
+    val n = col("n_days")
+    val varS = ((n * (n - 1) * (lit(2) * n + 5) - col("tie")))
+      .cast("double") / 18.0
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    broadcast(nF).crossJoin(broadcast(sF)).crossJoin(broadcast(tieF))
+      .select(col("n_days"), col("s_stat"), r6(z).as("z_stat"),
+        when(r6(z) > 1.96, "increasing").when(r6(z) < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   /** Least-squares regression diagnostics per return flag: slope,
     * intercept, and R² of extendedprice ~ quantity via the SQL-standard
     * regr_* aggregates (one hash-aggregate pass, map-side partial — the
@@ -652,6 +721,8 @@ object StatsOps {
     "q_stats_ks" -> ks,
     "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
+    "q_stats_mannwhitney" -> mannwhitney,
+    "q_stats_mann_kendall" -> mannKendall,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
     "q_stats_entropy" -> entropy,
@@ -679,6 +750,65 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stats_mannwhitney" ->
+      """WITH ev AS (
+           SELECT value AS p,
+                  CAST(event_type = 'purchase' AS BIGINT) AS isp
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         per AS (SELECT p, CAST(sum(isp) AS BIGINT) AS np,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM ev GROUP BY p),
+         r AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY p) AS BIGINT) AS cum
+               FROM per),
+         a AS (SELECT CAST(sum(np) AS BIGINT) AS n1,
+                      CAST(sum(cnt) AS BIGINT) AS n,
+                      sum(np * (CAST(cum - cnt AS DOUBLE)
+                                + (cnt + 1) / 2.0)) AS rp,
+                      CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+               FROM r)
+         SELECT n1 AS n_purchase, n - n1 AS n_click,
+                rp - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+                floor(((rp - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                        - CAST(n1 * (n - n1) AS DOUBLE) / 2.0)
+                       / sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12.0
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST(tie AS DOUBLE)
+                                   / CAST(n * (n - 1) AS DOUBLE))))
+                      * 1000000 + 0.5) / 1000000.0 AS z_stat
+         FROM a""",
+    "q_stats_mann_kendall" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         sf AS (SELECT CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+                FROM daily a JOIN daily b ON b.day > a.day),
+         nf AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         tf AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                            AS BIGINT) AS tie
+                FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                      FROM daily GROUP BY c)),
+         z AS (SELECT n_days, s_stat,
+                      CASE WHEN s_stat > 0 THEN
+                             CAST(s_stat - 1 AS DOUBLE)
+                             / sqrt(CAST(n_days * (n_days - 1)
+                                         * (2 * n_days + 5) - tie AS DOUBLE)
+                                    / 18.0)
+                           WHEN s_stat < 0 THEN
+                             CAST(s_stat + 1 AS DOUBLE)
+                             / sqrt(CAST(n_days * (n_days - 1)
+                                         * (2 * n_days + 5) - tie AS DOUBLE)
+                                    / 18.0)
+                           ELSE 0.0 END AS zraw
+               FROM nf CROSS JOIN sf CROSS JOIN tf)
+         SELECT n_days, s_stat,
+                floor(zraw * 1000000 + 0.5) / 1000000.0 AS z_stat,
+                CASE WHEN floor(zraw * 1000000 + 0.5) / 1000000.0 > 1.96
+                       THEN 'increasing'
+                     WHEN floor(zraw * 1000000 + 0.5) / 1000000.0 < -1.96
+                       THEN 'decreasing'
+                     ELSE 'no_trend' END AS trend
+         FROM z""",
     "q_eval_quantile_sample" ->
       s"""WITH h AS (
             SELECT l_extendedprice,

@@ -106,6 +106,42 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(r.fieldIndex("s")) - 1.0) < 1e-3))
   }
 
+  test("mann-whitney U matches the brute-force pair count") {
+    val r = operators.StatsOps.queries("q_stats_mannwhitney")(spark, sfDir)
+      .collect().head
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val p = ev.filter(_._1 == "purchase").map(_._2)
+    val c = ev.filter(_._1 == "click").map(_._2)
+    val uBrute = p.iterator.map(x =>
+      c.count(_ < x) + 0.5 * c.count(_ == x)).sum
+    assert(r.getLong(r.fieldIndex("n_purchase")) == p.length)
+    assert(r.getLong(r.fieldIndex("n_click")) == c.length)
+    assert(math.abs(r.getDouble(r.fieldIndex("u_stat")) - uBrute) < 1e-6)
+    assert(!r.getDouble(r.fieldIndex("z_stat")).isNaN)
+  }
+
+  test("mann-kendall S matches the brute-force sign census") {
+    val r = operators.StatsOps.queries("q_stats_mann_kendall")(spark, sfDir)
+      .collect().head
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val sBrute = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong).sum
+    assert(r.getLong(r.fieldIndex("n_days")) == daily.length)
+    assert(r.getLong(r.fieldIndex("s_stat")) == sBrute)
+    val z = r.getDouble(r.fieldIndex("z_stat"))
+    val trend = r.getString(r.fieldIndex("trend"))
+    assert(if (z > 1.96) trend == "increasing"
+           else if (z < -1.96) trend == "decreasing"
+           else trend == "no_trend")
+  }
+
   test("mad is nonnegative and outliers are a strict minority per type") {
     val rows = operators.StatsOps.queries("q_stats_mad")(spark, sfDir)
       .collect()
