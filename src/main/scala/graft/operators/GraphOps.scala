@@ -353,7 +353,81 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** HITS hubs & authorities (2 iterations) on the DIRECTED bipartite
+    * customer→part purchase graph — the query-independent "important
+    * customers / flagship parts" ranking PageRank's undirected walk
+    * blurs. Same shuffle shape as pagerank (edges ⋈ scores → groupBy
+    * other side, one shuffle per half-iteration, nothing collected);
+    * directed edges come FROM the shared bipartite cache (its 'c'-src
+    * rows are exactly the original orientation). Scores are carried as
+    * LONG MICROS end to end (the q_embed_pq integer-distance
+    * discipline): raw sums are exact long arithmetic, each L1
+    * normalization is ONE double division floored back to micros — so
+    * iteration k+1 starts from identical integers in both engines and
+    * no float-sum ordering ever matters. Top-20 per role via
+    * TakeOrderedAndProject. */
+  private val hits: Q = (s, d) => {
+    val e = biEdges(s, d).filter(col("src").startsWith("c"))
+      .select(col("src").as("c"), col("dst").as("p"))
+    def norm(raw: DataFrame, key: String, in: String, out: String) = {
+      val tot = raw.agg(sum(col(in)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          floor(col(in).cast("double") / col("tot") * 1000000L + 0.5)
+            .as(out))
+    }
+    var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
+        "p", "ar", "a")
+      hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
+        "c", "hr", "h")
+    }
+    auth.orderBy(col("a").desc, col("p")).limit(20)
+      .select(lit("authority").as("role"), col("p").as("node"),
+        (col("a") / lit(1000000.0)).as("score"))
+      .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
+        .select(lit("hub").as("role"), col("c").as("node"),
+          (col("h") / lit(1000000.0)).as("score")))
+      .orderBy(col("role"), col("score").desc, col("node"))
+  }
+
+  /** Local clustering coefficient per node of the support-2 co-purchase
+    * graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the per-node
+    * refinement of the global triangle census (how clique-like each
+    * part's neighborhood is; the feature behind "bought-together
+    * bundles"). Per-node triangle counts reuse the oriented wedge join
+    * (each triangle surfaces each of its three corners exactly once),
+    * so the plan is the triangles plan + two hash aggregates + one
+    * |V|-sized join; degree-1 nodes get lcc = 0 by definition. Exact
+    * integers until the single rounded division. */
+  private val clustering: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy(col("x").as("part")).agg(count(lit(1)).as("deg"))
+    val tri = e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("b2"), col("y").as("c")),
+        col("b") === col("b2"))
+      .join(e.select(col("x").as("a3"), col("y").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val tcount = tri.select(col("a").as("part"))
+      .unionAll(tri.select(col("b").as("part")))
+      .unionAll(tri.select(col("c").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("tri"))
+    deg.join(tcount, Seq("part"), "left")
+      .na.fill(0L, Seq("tri"))
+      .select(col("part"), col("deg"), col("tri"),
+        r6(when(col("deg") >= 2,
+            lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0))).as("lcc"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_hits" -> hits,
+    "q_graph_clustering" -> clustering,
     "q_graph_kcore" -> kcore,
     "q_graph_assortativity" -> assortativity,
     "q_graph_reach" -> reach,
@@ -372,6 +446,66 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_hits" ->
+      """WITH ed AS (
+           SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                           'p' || CAST(l_partkey AS VARCHAR) AS p
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM ed),
+         ar1 AS (SELECT p, CAST(sum(h) AS BIGINT) AS ar
+                 FROM ed JOIN h0 USING (c) GROUP BY p),
+         a1 AS (SELECT p, CAST(floor(CAST(ar AS DOUBLE)
+                    / (SELECT CAST(sum(ar) AS BIGINT) FROM ar1)
+                    * 1000000 + 0.5) AS BIGINT) AS a FROM ar1),
+         hr1 AS (SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                 FROM ed JOIN a1 USING (p) GROUP BY c),
+         h1 AS (SELECT c, CAST(floor(CAST(hr AS DOUBLE)
+                    / (SELECT CAST(sum(hr) AS BIGINT) FROM hr1)
+                    * 1000000 + 0.5) AS BIGINT) AS h FROM hr1),
+         ar2 AS (SELECT p, CAST(sum(h) AS BIGINT) AS ar
+                 FROM ed JOIN h1 USING (c) GROUP BY p),
+         a2 AS (SELECT p, CAST(floor(CAST(ar AS DOUBLE)
+                    / (SELECT CAST(sum(ar) AS BIGINT) FROM ar2)
+                    * 1000000 + 0.5) AS BIGINT) AS a FROM ar2),
+         hr2 AS (SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                 FROM ed JOIN a2 USING (p) GROUP BY c),
+         h2 AS (SELECT c, CAST(floor(CAST(hr AS DOUBLE)
+                    / (SELECT CAST(sum(hr) AS BIGINT) FROM hr2)
+                    * 1000000 + 0.5) AS BIGINT) AS h FROM hr2)
+         SELECT role, node, score FROM (
+           (SELECT 'authority' AS role, p AS node,
+                   a / 1000000.0 AS score
+            FROM a2 ORDER BY a DESC, p LIMIT 20)
+           UNION ALL
+           (SELECT 'hub' AS role, c AS node, h / 1000000.0 AS score
+            FROM h2 ORDER BY h DESC, c LIMIT 20))
+         ORDER BY role, score DESC, node""",
+    "q_graph_clustering" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         deg AS (SELECT x AS part, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY x),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                 FROM e e1
+                 JOIN e e2 ON e1.y = e2.x
+                 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         tc AS (SELECT part, CAST(count(*) AS BIGINT) AS tri
+                FROM (SELECT a AS part FROM tri
+                      UNION ALL SELECT b AS part FROM tri
+                      UNION ALL SELECT c AS part FROM tri) t
+                GROUP BY part)
+         SELECT deg.part, deg.deg, CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+                floor((CASE WHEN deg.deg >= 2
+                            THEN 2.0 * coalesce(tc.tri, 0)
+                                 / (deg.deg * (deg.deg - 1))
+                            ELSE 0.0 END) * 1000000 + 0.5)
+                  / 1000000.0 AS lcc
+         FROM deg LEFT JOIN tc ON deg.part = tc.part
+         ORDER BY deg.part""",
     "q_graph_kcore" ->
       """WITH op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -53,6 +53,43 @@ class SeriesGraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("hits: 20 per role, scores in (0,1], hubs are customers") {
+    val rows = operators.GraphOps.queries("q_graph_hits")(spark, sfDir)
+      .collect()
+    val byRole = rows.groupBy(_.getString(0))
+    assert(byRole.keySet == Set("authority", "hub"))
+    byRole.foreach { case (role, rs) =>
+      assert(rs.length == 20, s"$role had ${rs.length}")
+      val pfx = if (role == "hub") "c" else "p"
+      rs.foreach { r =>
+        assert(r.getString(1).startsWith(pfx))
+        val sc = r.getDouble(2)
+        assert(sc > 0.0 && sc <= 1.0)
+      }
+      // within a role the dump is score-descending
+      val scores = rs.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
+
+  test("clustering coefficient: bounded, zero iff zero triangles") {
+    val rows = operators.GraphOps.queries("q_graph_clustering")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // 3 * total triangles = sum of per-node incidences
+    val triTotal = operators.GraphOps.queries("q_graph_triangles")(
+      spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == 3 * triTotal)
+    rows.foreach { r =>
+      val deg = r.getLong(1); val tri = r.getLong(2)
+      val lcc = r.getDouble(3)
+      assert(lcc >= 0.0 && lcc <= 1.0, s"lcc $lcc out of range")
+      assert((tri == 0) == (lcc == 0.0) || deg < 2)
+      // tri cannot exceed the neighborhood pair count
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+  }
+
   test("decompose: components re-sum to the observation") {
     val rows = operators.StatsOps.queries("q_stats_decompose")(spark, sfDir)
       .collect()
