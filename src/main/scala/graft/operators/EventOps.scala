@@ -475,6 +475,31 @@ object EventOps {
         r2(expr("percentile(gap, 0.9)")).as("p90_days"))
   }
 
+  /** Inter-arrival time profile per event type: gap to the same user's
+    * previous event of that type in exact integer microseconds
+    * (user-partitioned lag — never a global window; partitions by the
+    * same (user, type) key the sessionizers shuffle on), rolled up per
+    * type into count / mean / median / p95 seconds. The rate census
+    * behind capacity planning and bot detection (a p50 of seconds where
+    * humans take minutes is the classic automation tell). Long gap sums
+    * stay exact; one double division per statistic. */
+  private val interarrival: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        r2(sum(col("gap_us")).cast("double") / count(lit(1)) /
+          lit(1000000.0)).as("mean_sec"),
+        r2(expr("percentile(gap_us, 0.5)") / lit(1000000.0)).as("p50_sec"),
+        r2(expr("percentile(gap_us, 0.95)") / lit(1000000.0)).as("p95_sec"))
+      .orderBy("event_type")
+  }
+
   /** Traffic-burst detection: hourly counts → global mean+2σ threshold
     * (computed on the bounded hour frame, broadcast back, r6-rounded so
     * the flag compare is identical cross-engine) → adjacent flagged
@@ -794,6 +819,7 @@ object EventOps {
     "q_events_bursts" -> bursts,
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
+    "q_events_interarrival" -> interarrival,
     "q_events_rolling_uniques" -> rollingUniques,
     "q_events_funnel_time" -> funnelTime,
     "q_events_attribution" -> attribution,
@@ -1043,6 +1069,26 @@ object EventOps {
                   / 1000000.0 AS share
          FROM b CROSS JOIN tot
          GROUP BY dow, hod, tot ORDER BY dow, hod""",
+    "q_events_interarrival" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_us(ts) AS ts_us
+           FROM events),
+         g AS (
+           SELECT event_type,
+                  ts_us - lag(ts_us, 1) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts_us, event_id) AS gap_us
+           FROM ev)
+         SELECT event_type, count(*) AS n_gaps,
+                floor((CAST(sum(gap_us) AS DOUBLE) / count(*)
+                       / 1000000.0) * 100 + 0.5) / 100.0 AS mean_sec,
+                floor((quantile_cont(gap_us, 0.5) / 1000000.0)
+                  * 100 + 0.5) / 100.0 AS p50_sec,
+                floor((quantile_cont(gap_us, 0.95) / 1000000.0)
+                  * 100 + 0.5) / 100.0 AS p95_sec
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "q_orders_gap" ->
       """WITH d AS (
            SELECT o_custkey, o_orderkey,

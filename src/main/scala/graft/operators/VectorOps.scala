@@ -734,6 +734,22 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** The shared 8×64 Rademacher (±1) projection matrix, md5-seeded in
+    * the 'proj:' domain — built once per consumer, broadcast; both
+    * q_vec_project and q_eval_rp_distortion read THIS matrix so the
+    * audit measures exactly the projection the operator serves. */
+  private def rpPlanes(s: SparkSession): DataFrame =
+    s.range(8L).toDF("k")
+      .withColumn("j", explode(expr("sequence(0, 63)")))
+      .withColumn("sgn", expr(
+        """CAST(CASE WHEN (position(substring(
+          |md5(concat('proj:', cast(k AS string), ':', cast(j AS string))),
+          |1, 1), '0123456789abcdef') - 1) % 2 = 1
+          |THEN 1.0 ELSE -1.0 END AS FLOAT)""".stripMargin))
+      .groupBy("k")
+      .agg(expr("transform(array_sort(collect_list(struct(j, sgn))), x -> x.sgn)")
+        .as("parr"))
+
   /** Johnson–Lindenstrauss random projection 64→8 dims — the
     * dimensionality-reduction scale lever BETWEEN full vectors and
     * int8 quantization (q_embed_quantize): a Rademacher (±1) projection
@@ -746,23 +762,90 @@ object VectorOps {
     * (vec_id, k, proj) keeps the comparator array-free; the vec_id < 20
     * filter only bounds the oracle dump. */
   private val vecProject: Q = (s, d) => {
-    val kDims = 8; val dim = 64
-    val planes = s.range(kDims.toLong).toDF("k")
-      .withColumn("j", explode(expr(s"sequence(0, ${dim - 1})")))
-      .withColumn("sgn", expr(
-        """CAST(CASE WHEN (position(substring(
-          |md5(concat('proj:', cast(k AS string), ':', cast(j AS string))),
-          |1, 1), '0123456789abcdef') - 1) % 2 = 1
-          |THEN 1.0 ELSE -1.0 END AS FLOAT)""".stripMargin))
-      .groupBy("k")
-      .agg(expr("transform(array_sort(collect_list(struct(j, sgn))), x -> x.sgn)")
-        .as("parr"))
+    val kDims = 8
+    val planes = rpPlanes(s)
     vecs(s, d).filter(col("vec_id") < 20)
       .crossJoin(broadcast(planes))
       .select(col("vec_id"), col("k"),
         r6(expr("graft_dot(v, parr)") / lit(math.sqrt(kDims.toDouble)))
           .as("proj"))
       .orderBy("vec_id", "k")
+  }
+
+  /** JL distortion audit for the q_vec_project matrix — the eval-harness
+    * member that prices the 64→8 compression the way q_eval_pq_recall
+    * prices PQ: pairwise squared-distance ratio projected/original over
+    * the deterministic 1-in-5 vec_id sample (sampling IS the 100 TB
+    * shape for a pairwise audit; the estimate needs pairs, not the
+    * corpus). All distance arithmetic is exact integer micros: original
+    * d² = 2·(1e6 − dot_micros) on unit vectors, projected d² sums 8
+    * squared micro-differences as longs, and the ratio is ONE double
+    * division of two exact integers — no float-sum ordering anywhere.
+    * The mean rides on long micro sums; p05/p95 interpolate over
+    * micros-valued doubles (identical inputs ⇒ identical outputs). */
+  private val rpDistortion: Q = (s, d) => {
+    val proj = vecs(s, d).filter(col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(rpPlanes(s)))
+      .select(col("vec_id"), col("k"),
+        floor(expr("graft_dot(v, parr)") / lit(math.sqrt(8.0))
+          * 1000000L + 0.5).as("pm"))
+    val sample = vecs(s, d).filter(col("vec_id") % 5 === 0)
+    val pairs = sample.select(col("vec_id").as("va"), col("v").as("x"))
+      .join(broadcast(sample.select(col("vec_id").as("vb"),
+        col("v").as("y"))), col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (lit(2L) * (lit(1000000L) -
+          floor(expr(dotExpr) * 1000000L + 0.5))).as("d2o_m"))
+      .filter(col("d2o_m") > 0)
+    val d2p = proj.select(col("vec_id").as("va"), col("k"),
+        col("pm").as("pa"))
+      .join(proj.select(col("vec_id").as("vb"), col("k"),
+        col("pm").as("pb")), Seq("k"))
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb")
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb")))
+        .as("d2p_m2"))
+    pairs.join(d2p, Seq("va", "vb"))
+      .select(floor(col("d2p_m2").cast("double") /
+        (col("d2o_m").cast("double") * 1000000.0) * 1000000L + 0.5)
+        .as("rm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        r6(sum(col("rm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mean_ratio"),
+        r6(expr("percentile(rm / 1000000.0, 0.05)")).as("p05_ratio"),
+        r6(expr("percentile(rm / 1000000.0, 0.95)")).as("p95_ratio"),
+        r6(count(when(abs(col("rm") / lit(1000000.0) - 1.0) <= 0.5, 1))
+          .cast("double") / count(lit(1))).as("within_50pct_rate"))
+  }
+
+  /** Similarity-score calibration curve: bin pairwise cosine into 10
+    * equal bins over [−1, 1] and report the same-label rate per bin —
+    * the audit that turns a raw embedding score into "probability these
+    * two are related", and the pre-flight check for any cosine
+    * threshold a dedup/retrieval stage wants to hardcode. Runs on the
+    * deterministic 1-in-5 sample (pairwise audits sample, never scan,
+    * at scale); cosines are floored to exact integer micros before
+    * binning and averaging, so bin membership and the per-bin mean are
+    * integer arithmetic with one rounded division each. */
+  private val vecCalibration: Q = (s, d) => {
+    val sample = vecs(s, d).filter(col("vec_id") % 5 === 0)
+    val a = sample.select(col("vec_id").as("va"), col("label").as("la"),
+      col("v").as("x"))
+    val b = sample.select(col("vec_id").as("vb"), col("label").as("lb"),
+      col("v").as("y"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .select((col("la") === col("lb")).cast("long").as("same"),
+        floor(expr(dotExpr) * 1000000L + 0.5).as("cm"))
+      .select(col("same"), col("cm"),
+        least(floor((col("cm") / lit(1000000.0) + 1.0) * 5.0), lit(9.0))
+          .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same"),
+        r6(sum(col("same")).cast("double") / count(lit(1)))
+          .as("same_rate"),
+        r6(sum(col("cm")).cast("double") / count(lit(1)) / 1e6)
+          .as("avg_cos"))
+      .orderBy("bin")
   }
 
   /** Nearest-centroid classifier with its confusion-matrix eval in one
@@ -814,6 +897,8 @@ object VectorOps {
     "q_embed_norm_stats" -> embedNormStats,
     "q_vec_centroid_classify" -> centroidClassify,
     "q_vec_project" -> vecProject,
+    "q_eval_rp_distortion" -> rpDistortion,
+    "q_vec_calibration" -> vecCalibration,
     "q_embed_pca_top1" -> pcaTop1,
     "q_eval_lsh_recall" -> lshRecall,
     "q_embed_drift" -> embedDrift,
@@ -1083,6 +1168,71 @@ object VectorOps {
                 CAST(count(*) AS BIGINT) AS n
          FROM best WHERE rn = 1
          GROUP BY true_label, cand ORDER BY true_label, pred_label""",
+    "q_eval_rp_distortion" ->
+      """WITH pl AS (
+           SELECT k, j,
+                  CASE WHEN (strpos('0123456789abcdef', substring(
+                    md5('proj:' || CAST(k AS VARCHAR) || ':' ||
+                        CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+                  THEN 1.0 ELSE -1.0 END AS sgn
+           FROM (SELECT unnest(generate_series(0, 7)) AS k) ks,
+                (SELECT unnest(generate_series(0, 63)) AS j) js),
+         pa AS (SELECT k, list(sgn ORDER BY j) AS parr
+                FROM pl GROUP BY k),
+         sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS varr
+                FROM embeddings WHERE vec_id % 5 = 0),
+         proj AS (SELECT vec_id, k,
+                         CAST(floor(list_inner_product(varr, parr)
+                           / sqrt(8.0) * 1000000 + 0.5) AS BIGINT) AS pm
+                  FROM sv CROSS JOIN pa),
+         pairs AS (SELECT * FROM (
+                     SELECT a.vec_id AS va, b.vec_id AS vb,
+                            CAST(2 * (1000000 -
+                              floor(list_inner_product(a.varr, b.varr)
+                                * 1000000 + 0.5)) AS BIGINT) AS d2o_m
+                     FROM sv a JOIN sv b ON a.vec_id < b.vec_id)
+                   WHERE d2o_m > 0),
+         pd AS (SELECT p1.vec_id AS va, p2.vec_id AS vb,
+                       CAST(sum((p1.pm - p2.pm) * (p1.pm - p2.pm))
+                         AS BIGINT) AS d2p_m2
+                FROM proj p1 JOIN proj p2
+                  ON p1.k = p2.k AND p1.vec_id < p2.vec_id
+                GROUP BY 1, 2),
+         rr AS (SELECT CAST(floor(CAST(d2p_m2 AS DOUBLE)
+                    / (CAST(d2o_m AS DOUBLE) * 1000000.0)
+                    * 1000000 + 0.5) AS BIGINT) AS rm
+                FROM pairs JOIN pd USING (va, vb))
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                floor((CAST(sum(rm) AS DOUBLE) / count(*) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000.0 AS mean_ratio,
+                floor(quantile_cont(rm / 1000000.0, 0.05)
+                  * 1000000 + 0.5) / 1000000.0 AS p05_ratio,
+                floor(quantile_cont(rm / 1000000.0, 0.95)
+                  * 1000000 + 0.5) / 1000000.0 AS p95_ratio,
+                floor((CAST(count(*) FILTER (
+                        WHERE abs(rm / 1000000.0 - 1.0) <= 0.5)
+                      AS DOUBLE) / count(*))
+                  * 1000000 + 0.5) / 1000000.0 AS within_50pct_rate
+         FROM rr""",
+    "q_vec_calibration" ->
+      """WITH sv AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS varr
+                     FROM embeddings WHERE vec_id % 5 = 0),
+         p AS (SELECT CAST(a.label = b.label AS BIGINT) AS same,
+                      CAST(floor(list_inner_product(a.varr, b.varr)
+                        * 1000000 + 0.5) AS BIGINT) AS cm
+               FROM sv a JOIN sv b ON a.vec_id < b.vec_id),
+         bb AS (SELECT same, cm,
+                       CAST(least(floor((cm / 1000000.0 + 1.0) * 5.0),
+                         9.0) AS INT) AS bin
+                FROM p)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(same) AS BIGINT) AS n_same,
+                floor((CAST(sum(same) AS DOUBLE) / count(*))
+                  * 1000000 + 0.5) / 1000000.0 AS same_rate,
+                floor((CAST(sum(cm) AS DOUBLE) / count(*) / 1000000.0)
+                  * 1000000 + 0.5) / 1000000.0 AS avg_cos
+         FROM bb GROUP BY bin ORDER BY bin""",
     "q_vec_project" ->
       """WITH pl AS (
            SELECT k, j,

@@ -42,4 +42,61 @@ class EventsR6Spec extends SparkSpec {
     val starts = rows.map(_.getAs[Long]("n_starts")).sum
     assert(starts === nSessions)
   }
+
+  test("q_events_interarrival: gap census balances events minus chains") {
+    val rows = operators.EventOps.queries("q_events_interarrival")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    // n_gaps per type = n_events(type) - n_distinct (user, type) chains
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nChains = ev.select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(r.fieldIndex("n_gaps")) == nEvents(t) - nChains(t))
+      // quantiles ordered, all positive (ties at identical us possible)
+      val p50 = r.getDouble(r.fieldIndex("p50_sec"))
+      val p95 = r.getDouble(r.fieldIndex("p95_sec"))
+      assert(p50 >= 0 && p95 >= p50)
+      assert(r.getDouble(r.fieldIndex("mean_sec")) > 0)
+    }
+  }
+
+  test("q_eval_rp_distortion: JL ratio concentrates around 1") {
+    val r = operators.VectorOps.queries("q_eval_rp_distortion")(
+      spark, sfDir).collect().head
+    val mean = r.getDouble(r.fieldIndex("mean_ratio"))
+    val p05 = r.getDouble(r.fieldIndex("p05_ratio"))
+    val p95 = r.getDouble(r.fieldIndex("p95_ratio"))
+    assert(r.getLong(r.fieldIndex("n_pairs")) > 0)
+    assert(p05 <= mean && mean <= p95)
+    // an 8-dim Rademacher projection is unbiased: mean within 25% of 1
+    assert(mean > 0.75 && mean < 1.25, s"mean ratio $mean")
+    assert(r.getDouble(r.fieldIndex("within_50pct_rate")) > 0.5)
+  }
+
+  test("q_vec_calibration: bins partition the sample pairs") {
+    val rows = operators.VectorOps.queries("q_vec_calibration")(
+      spark, sfDir).collect()
+    val nSample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum ==
+      nSample * (nSample - 1) / 2)
+    rows.foreach { r =>
+      val bin = r.getInt(r.fieldIndex("bin"))
+      assert(bin >= 0 && bin <= 9)
+      val rate = r.getDouble(r.fieldIndex("same_rate"))
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_same")) <=
+        r.getLong(r.fieldIndex("n_pairs")))
+      // avg_cos must land inside its bin's [lo, hi) interval
+      val avg = r.getDouble(r.fieldIndex("avg_cos"))
+      assert(avg >= bin / 5.0 - 1.0 - 1e-6 &&
+        avg <= (bin + 1) / 5.0 - 1.0 + 1e-6)
+    }
+  }
 }
