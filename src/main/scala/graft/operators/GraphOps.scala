@@ -369,7 +369,14 @@ object GraphOps {
   private val hits: Q = (s, d) => {
     val e = biEdges(s, d).filter(col("src").startsWith("c"))
       .select(col("src").as("c"), col("dst").as("p"))
-    def norm(raw: DataFrame, key: String, in: String, out: String) = {
+    // Each half-iteration materializes via localCheckpoint (the kcore
+    // discipline): `raw` is referenced twice (total + normalize) and
+    // feeds the next round's join, so an uncheckpointed chain re-expands
+    // the edge join once per later reference — measured 21 s vs ~1 s
+    // checkpointed at sf0.1. Frames are node-bounded (|customers| /
+    // |parts| rows), so the materialization is cheap.
+    def norm(raw0: DataFrame, key: String, in: String, out: String) = {
+      val raw = raw0.localCheckpoint()
       val tot = raw.agg(sum(col(in)).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(key),

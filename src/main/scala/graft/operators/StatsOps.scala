@@ -163,6 +163,50 @@ object StatsOps {
       u.as("u_stat"), r6((u - mu) / sqrt(varU)).as("z_stat"))
   }
 
+  /** Kruskal–Wallis H test across ALL FIVE event types' value
+    * distributions — the k-sample generalization of q_stats_mannwhitney
+    * (same distributed average-rank machinery: per-value hash
+    * aggregate, one prefix-sum pass, never a global rank window). Per
+    * type the rank sum accumulates exactly (integer-or-half ranks ×
+    * integer counts); H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1), divided by
+    * the tie-correction factor 1 − Σ(t³−t)/(N³−N). Output is the
+    * |types|-bounded per-group census plus the H statistic replicated
+    * per row (the q_stats_ks single-frame convention). */
+  private val kruskal: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("value").as("p"), col("event_type").as("g"))
+    val per = ev.groupBy("p", "g").agg(count(lit(1)).as("cg"))
+    val perV = per.groupBy("p").agg(sum(col("cg")).as("cnt"))
+    val ranked = Dist.withPrefixSumsLong(perV,
+        Seq("cum" -> col("cnt")), Seq(col("p")))
+      .withColumn("avg_rank",
+        (col("cum") - col("cnt")).cast("double") +
+          (col("cnt") + 1).cast("double") / 2.0)
+    val groups = per.join(ranked.select("p", "avg_rank"), "p")
+      .groupBy("g")
+      .agg(sum(col("cg")).as("n_g"),
+        sum(col("cg") * col("avg_rank")).as("r_g"))
+      .withColumn("t",
+        col("r_g") * col("r_g") / col("n_g").cast("double"))
+    val totals = ranked.agg(sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+    // Σ R_g²/n_g folds SEQUENTIALLY in group order (the graft_dot
+    // discipline): per-group rank sums are exact half-integers, but the
+    // five quotients are arbitrary doubles, so a partition-order sum
+    // could differ by ulps between runs/engines — a g-sorted left fold
+    // cannot.
+    val folded = groups.agg(count(lit(1)).as("n_groups"),
+      expr("aggregate(transform(array_sort(collect_list(struct(g, t)))," +
+        " x -> x.t), 0D, (acc, v) -> acc + v)").as("srr"))
+    val n = col("n")
+    val corr = lit(1.0) -
+      col("tie").cast("double") / (n * n * n - n).cast("double")
+    folded.crossJoin(broadcast(totals))
+      .select(col("n_groups"), col("n").as("n_total"),
+        r6((lit(12.0) / (n * (n + 1)).cast("double") * col("srr") -
+          lit(3.0) * (n + 1).cast("double")) / corr).as("h_stat"))
+  }
+
   /** Mann–Kendall trend test on the daily event-count series — the
     * significance twin of q_stats_theil_sen's slope (same series, same
     * bounded pair census): S = Σ sign(c_j − c_i) over ordered day
@@ -722,6 +766,7 @@ object StatsOps {
     "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
     "q_stats_mannwhitney" -> mannwhitney,
+    "q_stats_kruskal" -> kruskal,
     "q_stats_mann_kendall" -> mannKendall,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
@@ -776,6 +821,38 @@ object StatsOps {
                                    / CAST(n * (n - 1) AS DOUBLE))))
                       * 1000000 + 0.5) / 1000000.0 AS z_stat
          FROM a""",
+    "q_stats_kruskal" ->
+      """WITH ev AS (SELECT value AS p, event_type AS g FROM events),
+         per AS (SELECT p, g, CAST(count(*) AS BIGINT) AS cg
+                 FROM ev GROUP BY p, g),
+         perv AS (SELECT p, CAST(sum(cg) AS BIGINT) AS cnt
+                  FROM per GROUP BY p),
+         r AS (SELECT p, cnt,
+                      CAST(sum(cnt) OVER (ORDER BY p) AS BIGINT) AS cum
+               FROM perv),
+         ranked AS (SELECT p,
+                           CAST(cum - cnt AS DOUBLE)
+                             + (cnt + 1) / 2.0 AS avg_rank
+                    FROM r),
+         grp AS (SELECT g, CAST(sum(cg) AS BIGINT) AS n_g,
+                        sum(cg * avg_rank) AS r_g
+                 FROM per JOIN ranked USING (p) GROUP BY g),
+         fold AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                         list_reduce(
+                           list(r_g * r_g / CAST(n_g AS DOUBLE)
+                                ORDER BY g),
+                           (acc, v) -> acc + v) AS srr
+                  FROM grp),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                        CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+                 FROM perv)
+         SELECT n_groups, n AS n_total,
+                floor(((12.0 / CAST(n * (n + 1) AS DOUBLE) * srr
+                        - 3.0 * CAST(n + 1 AS DOUBLE))
+                       / (1.0 - CAST(tie AS DOUBLE)
+                                / CAST(n * n * n - n AS DOUBLE)))
+                  * 1000000 + 0.5) / 1000000.0 AS h_stat
+         FROM fold CROSS JOIN tot""",
     "q_stats_mann_kendall" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

@@ -123,6 +123,34 @@ class StatsSpec extends SparkSpec {
     assert(!r.getDouble(r.fieldIndex("z_stat")).isNaN)
   }
 
+  test("kruskal-wallis H matches the brute-force rank computation") {
+    val r = operators.StatsOps.queries("q_stats_kruskal")(spark, sfDir)
+      .collect().head
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    // brute-force average ranks over the pooled sample
+    val sorted = ev.map(_._2).sorted
+    val rankOf = ev.map(_._2).distinct.map { v =>
+      val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      v -> (lt + (eq + 1) / 2.0)
+    }.toMap
+    val n = ev.length.toDouble
+    val byG = ev.groupBy(_._1)
+    val srr = byG.toSeq.sortBy(_._1).map { case (_, xs) =>
+      val rg = xs.map(x => rankOf(x._2)).sum
+      rg * rg / xs.length
+    }.sum
+    val ties = ev.map(_._2).groupBy(identity).values
+      .map(g => g.length.toLong)
+      .map(t => t * t * t - t).sum
+    val hBrute = (12.0 / (n * (n + 1)) * srr - 3 * (n + 1)) /
+      (1.0 - ties / (n * n * n - n))
+    assert(r.getLong(r.fieldIndex("n_groups")) == byG.size)
+    assert(r.getLong(r.fieldIndex("n_total")) == ev.length)
+    assert(math.abs(r.getDouble(r.fieldIndex("h_stat")) - hBrute) < 1e-4)
+  }
+
   test("mann-kendall S matches the brute-force sign census") {
     val r = operators.StatsOps.queries("q_stats_mann_kendall")(spark, sfDir)
       .collect().head
