@@ -142,7 +142,18 @@ object ExplainAudit {
     "q_text_vocab_drift",
     // the custom whole-operator path: TopKPerGroupExec (bounded per-group
     // heap) in place of WindowExec after the same group-key exchange
-    "q_win_topk_native")
+    "q_win_topk_native",
+    // round-6 session 4: the rank tests' prefix-sum shape (Dist caveat —
+    // bounded per-partition offset collects run during plan
+    // construction), Mann-Kendall's |days|-bounded pair census, the
+    // per-node wedge-join clustering coefficient, the 1-in-5-sample
+    // broadcast pair joins of the calibration + JL-distortion audits,
+    // and the (user, type)-partitioned interarrival lag.
+    // (q_graph_hits is EXCLUDED for the kcore reason: each
+    // half-iteration eager-localCheckpoints its score frame.)
+    "q_stats_mannwhitney", "q_stats_kruskal", "q_stats_mann_kendall",
+    "q_graph_clustering", "q_vec_calibration", "q_eval_rp_distortion",
+    "q_events_interarrival")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
