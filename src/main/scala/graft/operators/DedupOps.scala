@@ -683,7 +683,41 @@ object DedupOps {
       .orderBy("pos")
   }
 
+  /** IEEE-exact x^n for power-of-two n as a textual squaring chain
+    * ((x·x)·(x·x)…) — pow()'s correct rounding is not guaranteed
+    * identical across engines, chained multiplication is. Shared by the
+    * Spark AND DuckDB sides of q_dedup_lsh_planner. */
+  private def powChain(x: String, n: Int): String =
+    if (n == 1) x
+    else { val h = powChain(x, n / 2); s"($h * $h)" }
+
+  /** The (bands × rows) configurations of a 16-hash MinHash signature. */
+  private val lshConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** LSH banding planner — the design table behind q_dedup_minhash's
+    * 4×4 choice: for every (bands b × rows r) split of the 16-hash
+    * signature and a grid of true Jaccard similarities s, the
+    * candidate-pair probability 1 − (1 − s^r)^b. This is the S-curve an
+    * engineer reads to place the threshold knee before launching a
+    * 100 TB dedup (band joins are priced in candidate volume; the
+    * planner turns the (b, r) knob into numbers). Pure bounded census —
+    * 5 configs × 19 grid points; all powers evaluate as the SAME
+    * squaring chain in both engines, so every probability is
+    * bit-identical before its r6. */
+  private val lshPlanner: Q = (s, d) => {
+    val frames = lshConfigs.map { case (b, r) =>
+      val p = s"1.0 - ${powChain(s"(1.0 - ${powChain("s", r)})", b)}"
+      s.range(1L, 20L).toDF("k")
+        .select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+          (col("k") / lit(20.0)).as("s"))
+        .withColumn("p_candidate", r6(expr(p)))
+    }
+    frames.reduce(_ unionAll _)
+      .orderBy("n_bands", "s")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_lsh_planner" -> lshPlanner,
     "q_pipeline_export" -> pipelineExport,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_cluster_sizes" -> clusterSizes,
@@ -808,6 +842,18 @@ object DedupOps {
            FROM cand)"""
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_lsh_planner" -> {
+      val branches = lshConfigs.map { case (b, r) =>
+        val p = s"1.0 - ${powChain(s"(1.0 - ${powChain("s", r)})", b)}"
+        s"""SELECT $b AS n_bands, $r AS n_rows, s,
+               floor(($p) * 1000000 + 0.5) / 1000000.0 AS p_candidate
+            FROM g"""
+      }.mkString("\n UNION ALL\n ")
+      s"""WITH g AS (SELECT CAST(unnest(generate_series(1, 19)) AS BIGINT)
+                       / 20.0 AS s)
+          $branches
+          ORDER BY n_bands, s"""
+    },
     "q_dedup_incremental" ->
       s"""WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cutoff
                        FROM documents)

@@ -424,6 +424,29 @@ object TextOps {
         length(col("text")).as("n_chars_check"))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility per language — the tokenizer-health audit a
+    * multilingual pipeline runs before committing to a vocab: per lang,
+    * BPE-ish subword tokens per whitespace word (fertility) and chars
+    * per subword token, over the SAME three token definitions as
+    * q_text_tokencount (one shared contract — the fertility table and
+    * the per-doc counts cannot drift). High-fertility languages are the
+    * ones a token budget silently under-serves. One hash aggregate of
+    * exact integer counts; two rounded divisions per row. */
+  private val fertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(size(toks())).as("n_ws"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")))
+          .as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_ws"),
+        col("n_bpe"),
+        r6(col("n_bpe").cast("double") / col("n_ws")).as("fertility"),
+        r6(col("n_chars").cast("double") / col("n_bpe"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+
   /** Rolling-window document fingerprint: min-md5 over all 8-char shingles
     * (winnowing-style). Near-identical docs collide; linear work. */
   private val fingerprint: Q = (s, d) =>
@@ -1493,6 +1516,7 @@ object TextOps {
     "q_text_langid" -> langid,
     "q_text_quality" -> quality,
     "q_text_tokencount" -> tokencount,
+    "q_text_fertility" -> fertility,
     "q_text_fingerprint" -> fingerprint,
     "q_text_span_dedup" -> spanDedup,
     "q_text_nfc" -> textNfc,
@@ -2318,6 +2342,21 @@ object TextOps {
          FROM (SELECT doc_id, n_chars, $qualityStatsColsSql
                FROM documents) t
          ORDER BY doc_id""",
+    "q_text_fertility" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(text)) AS BIGINT) AS n_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+                CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}', 0)))
+                  AS BIGINT) AS n_bpe,
+                floor((CAST(sum(len(regexp_extract_all(text,
+                         '[a-z]{1,4}', 0))) AS DOUBLE)
+                       / sum(len(string_split(text, ' '))))
+                  * 1000000 + 0.5) / 1000000.0 AS fertility,
+                floor((CAST(sum(len(text)) AS DOUBLE)
+                       / sum(len(regexp_extract_all(text,
+                           '[a-z]{1,4}', 0))))
+                  * 1000000 + 0.5) / 1000000.0 AS chars_per_token
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_text_tokencount" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,

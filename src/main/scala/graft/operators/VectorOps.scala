@@ -818,6 +818,39 @@ object VectorOps {
           .cast("double") / count(lit(1))).as("within_50pct_rate"))
   }
 
+  /** Embedding effective rank (participation ratio) — the
+    * "is my embedding space collapsed" audit: erank = (Σ_d v_d)² /
+    * Σ_d v_d² over the 64 per-dimension variances. Isotropic space ⇒
+    * erank ≈ 64; rank-collapsed representations (the classic failure
+    * after bad contrastive training) ⇒ erank ≪ dims, with NO
+    * eigendecomposition — two hash aggregates, 64-row intermediate.
+    * Determinism: coordinates quantize to integer micros FIRST, so the
+    * per-dim moment sums are exact longs in any partition order (a raw
+    * var_samp merge is partial-order-dependent), each variance is one
+    * closed-form double expression over exact integers, and variances
+    * re-quantize to micros before the final ratio — integer arithmetic
+    * end to end, one rounded division per output. */
+  private val embedErank: Q = (s, d) => {
+    val q = dims(s, d)
+      .select(col("pos"),
+        floor(col("val") * 1000000L + 0.5).as("vm"))
+    val perPos = q.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+        sum(col("vm") * col("vm")).as("svv"))
+      .select(col("pos"),
+        floor((col("svv").cast("double") -
+            col("sv").cast("double") * col("sv") / col("n")) /
+          (col("n") - 1) / 1e12 * 1000000L + 0.5).as("varm"))
+    perPos.agg(count(lit(1)).as("n_dims"),
+        sum(col("varm")).as("tv"), sum(col("varm") * col("varm")).as("tvv"))
+      .select(col("n_dims"),
+        r6(col("tv").cast("double") / 1e6).as("total_var"),
+        r6(col("tv").cast("double") * col("tv") / col("tvv"))
+          .as("erank"),
+        r6(col("tv").cast("double") * col("tv") / col("tvv") /
+          col("n_dims")).as("erank_ratio"))
+  }
+
   /** Similarity-score calibration curve: bin pairwise cosine into 10
     * equal bins over [−1, 1] and report the same-label rate per bin —
     * the audit that turns a raw embedding score into "probability these
@@ -899,6 +932,7 @@ object VectorOps {
     "q_vec_project" -> vecProject,
     "q_eval_rp_distortion" -> rpDistortion,
     "q_vec_calibration" -> vecCalibration,
+    "q_embed_erank" -> embedErank,
     "q_embed_pca_top1" -> pcaTop1,
     "q_eval_lsh_recall" -> lshRecall,
     "q_embed_drift" -> embedDrift,
@@ -1214,6 +1248,35 @@ object VectorOps {
                       AS DOUBLE) / count(*))
                   * 1000000 + 0.5) / 1000000.0 AS within_50pct_rate
          FROM rr""",
+    "q_embed_erank" ->
+      """WITH dm AS (
+           SELECT CAST(unnest(generate_series(1, len(embedding))) - 1
+                    AS INTEGER) AS pos,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT) AS vm
+           FROM embeddings),
+         pp AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(vm) AS BIGINT) AS sv,
+                       CAST(sum(vm * vm) AS BIGINT) AS svv
+                FROM dm GROUP BY pos),
+         pv AS (SELECT pos,
+                       CAST(floor((CAST(svv AS DOUBLE)
+                           - CAST(sv AS DOUBLE) * sv / n)
+                         / (n - 1) / 1e12 * 1000000 + 0.5) AS BIGINT)
+                         AS varm
+                FROM pp),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+                      CAST(sum(varm) AS BIGINT) AS tv,
+                      CAST(sum(varm * varm) AS BIGINT) AS tvv
+               FROM pv)
+         SELECT n_dims,
+                floor((CAST(tv AS DOUBLE) / 1e6) * 1000000 + 0.5)
+                  / 1000000.0 AS total_var,
+                floor((CAST(tv AS DOUBLE) * tv / tvv)
+                  * 1000000 + 0.5) / 1000000.0 AS erank,
+                floor((CAST(tv AS DOUBLE) * tv / tvv / n_dims)
+                  * 1000000 + 0.5) / 1000000.0 AS erank_ratio
+         FROM t""",
     "q_vec_calibration" ->
       """WITH sv AS (SELECT vec_id, label,
                             CAST(embedding AS DOUBLE[]) AS varr

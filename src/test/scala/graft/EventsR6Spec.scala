@@ -79,6 +79,57 @@ class EventsR6Spec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("within_50pct_rate")) > 0.5)
   }
 
+  test("q_embed_erank: near-isotropic corpus has high effective rank") {
+    val r = operators.VectorOps.queries("q_embed_erank")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_dims")) == 64)
+    assert(r.getDouble(r.fieldIndex("total_var")) > 0.0)
+    val erank = r.getDouble(r.fieldIndex("erank"))
+    val ratio = r.getDouble(r.fieldIndex("erank_ratio"))
+    assert(erank > 32.0 && erank <= 64.0 + 1e-6, s"erank $erank")
+    assert(math.abs(ratio - erank / 64) < 1e-5)
+  }
+
+  test("q_dedup_lsh_planner: S-curves are monotone and band-ordered") {
+    val rows = operators.DedupOps.queries("q_dedup_lsh_planner")(
+      spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 5 * 19)
+    rows.foreach { case (b, rr, _, p) =>
+      assert(b * rr == 16); assert(p >= 0.0 && p <= 1.0)
+    }
+    // monotone nondecreasing in s within each config
+    rows.groupBy(x => (x._1, x._2)).values.foreach { g =>
+      val ps = g.sortBy(_._3).map(_._4).toSeq
+      assert(ps == ps.sorted)
+    }
+    // more bands => more candidates at every s
+    val byS = rows.groupBy(_._3)
+    byS.values.foreach { g =>
+      val sorted = g.sortBy(_._1).map(_._4).toSeq // ascending bands
+      assert(sorted == sorted.sorted)
+    }
+  }
+
+  test("q_text_fertility: exact counts consistent with the ratios") {
+    val rows = operators.TextOps.queries("q_text_fertility")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("de", "en", "es", "fr", "zh"))
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val chars = r.getLong(r.fieldIndex("n_chars"))
+      val bpe = r.getLong(r.fieldIndex("n_bpe"))
+      val ws = r.getLong(r.fieldIndex("n_ws"))
+      val fert = r.getDouble(r.fieldIndex("fertility"))
+      assert(math.abs(fert - bpe.toDouble / ws) < 1e-5)
+      assert(math.abs(r.getDouble(r.fieldIndex("chars_per_token")) -
+        chars.toDouble / bpe) < 1e-5)
+      assert(fert >= 1.0, "a whitespace word yields at least one subword")
+    }
+  }
+
   test("q_vec_calibration: bins partition the sample pairs") {
     val rows = operators.VectorOps.queries("q_vec_calibration")(
       spark, sfDir).collect()
