@@ -850,6 +850,44 @@ object RelationalOps {
       .orderBy("relation")
   }
 
+  /** Data-quality circuit breaker — the write-audit-publish gate: five
+    * independent expectation checks (FK orphans, duplicate primary keys,
+    * empty text, event timestamps outside the expected month, events at
+    * the value-domain floor) each reduce to ONE bounded aggregate, and
+    * the union is the go/no-go table a pipeline reads before promoting
+    * a batch. Every check is count-shaped (exact integers, map-side
+    * partial), so the gate costs one pass per audited table at any
+    * scale; thresholds ride in the output so a failing run
+    * self-describes. The operator twin of IngestCanarySpec. */
+  private val dqGate: Q = (s, d) => {
+    def check(name: String, observed: DataFrame, threshold: Long) =
+      observed.select(lit(name).as("check"),
+        col("observed").cast("long").as("observed"),
+        lit(threshold).as("threshold"),
+        (col("observed") <= threshold).as("passed"))
+    val orphans = Tables.orders(s, d).select(col("o_custkey").as("fk"))
+      .join(Tables.customer(s, d).select(col("c_custkey").as("pk")),
+        col("fk") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("observed"))
+    val dupDocs = Tables.documents(s, d)
+      .agg((count(lit(1)) - countDistinct(col("doc_id"))).as("observed"))
+    val emptyText = Tables.documents(s, d)
+      .agg(count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("observed"))
+    val tsRange = Tables.events(s, d)
+      .agg(count(when(col("ts") < lit("2024-01-01").cast("timestamp_ntz")
+          || col("ts") >= lit("2024-02-01").cast("timestamp_ntz"), 1))
+        .as("observed"))
+    val valFloor = Tables.events(s, d)
+      .agg(count(when(col("value") <= 0.0, 1)).as("observed"))
+    check("orders_customer_orphans", orphans, 0L)
+      .unionAll(check("documents_duplicate_ids", dupDocs, 0L))
+      .unionAll(check("documents_empty_text", emptyText, 0L))
+      .unionAll(check("events_ts_outside_month", tsRange, 0L))
+      .unionAll(check("events_nonpositive_value", valFloor, 0L))
+      .orderBy("check")
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** FLAGSHIP — TPC-H Q1-style pricing summary. Hash aggregate with
@@ -1743,6 +1781,7 @@ object RelationalOps {
     "q_map_funcs" -> mapFuncs,
     "q_win_pct" -> winPct,
     "q_quality_fk_audit" -> fkAudit,
+    "q_quality_dq_gate" -> dqGate,
     "q_tpch_q10" -> tpchQ10,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_fuzzy" -> joinFuzzy,
@@ -2136,6 +2175,39 @@ object RelationalOps {
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderkey""",
+    "q_quality_dq_gate" ->
+      """WITH c1 AS (SELECT CAST(count(*) AS BIGINT) AS observed
+                     FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)),
+         c2 AS (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                  AS observed FROM documents),
+         c3 AS (SELECT CAST(count(*) FILTER (
+                  WHERE text IS NULL OR len(text) = 0) AS BIGINT)
+                  AS observed FROM documents),
+         c4 AS (SELECT CAST(count(*) FILTER (
+                  WHERE ts < TIMESTAMP '2024-01-01'
+                     OR ts >= TIMESTAMP '2024-02-01') AS BIGINT)
+                  AS observed FROM events),
+         c5 AS (SELECT CAST(count(*) FILTER (WHERE value <= 0.0)
+                  AS BIGINT) AS observed FROM events)
+         SELECT * FROM (
+           SELECT 'orders_customer_orphans' AS "check", observed,
+                  CAST(0 AS BIGINT) AS threshold,
+                  observed <= 0 AS passed FROM c1
+           UNION ALL
+           SELECT 'documents_duplicate_ids', observed,
+                  CAST(0 AS BIGINT), observed <= 0 FROM c2
+           UNION ALL
+           SELECT 'documents_empty_text', observed,
+                  CAST(0 AS BIGINT), observed <= 0 FROM c3
+           UNION ALL
+           SELECT 'events_ts_outside_month', observed,
+                  CAST(0 AS BIGINT), observed <= 0 FROM c4
+           UNION ALL
+           SELECT 'events_nonpositive_value', observed,
+                  CAST(0 AS BIGINT), observed <= 0 FROM c5)
+         ORDER BY "check"""",
     "q_quality_fk_audit" ->
       """SELECT 'lineitem_orders' AS relation, count(*) AS n_rows,
                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)

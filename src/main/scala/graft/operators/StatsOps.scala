@@ -207,6 +207,44 @@ object StatsOps {
           lit(3.0) * (n + 1).cast("double")) / corr).as("h_stat"))
   }
 
+  /** Spearman rank correlation between event `value` and the numeric
+    * JSON payload `props.k` — the monotone-association measure that
+    * survives outliers and nonlinearity where q_agg_corr's Pearson does
+    * not (and the third member of the rank family: two-sample MW,
+    * k-sample KW, bivariate Spearman — ONE shared prefix-sum rank
+    * machinery). DOUBLED average ranks are integers (2·rank = 2·|below|
+    * + |ties| + 1), so every moment accumulates as an exact long in any
+    * partition order (the 2× factors cancel in ρ); the five-moment
+    * Pearson-over-ranks formula runs once on exact integers with two
+    * IEEE sqrts. Ranks join back by value equality — two |distinct|-
+    * bounded rank tables, two hash joins, linear at any scale. */
+  private val spearman: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("int").as("y"))
+    def ranks2(c: String, out: String): DataFrame = {
+      val per = ev.groupBy(c).agg(count(lit(1)).as("cnt"))
+      Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
+          Seq(col(c)))
+        .select(col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as(out))
+    }
+    val j = ev.join(ranks2("x", "rx2"), "x").join(ranks2("y", "ry2"), "y")
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+      sum(col("rx2") * col("ry2")).as("sxy"),
+      sum(col("rx2") * col("rx2")).as("sxx"),
+      sum(col("ry2") * col("ry2")).as("syy"))
+    val nD = col("n").cast("double")
+    m.select(col("n"),
+      r6((nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy")) /
+        (sqrt(nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx")) *
+         sqrt(nD * col("syy").cast("double") -
+           col("sy").cast("double") * col("sy")))).as("rho_spearman"))
+  }
+
   /** Mann–Kendall trend test on the daily event-count series — the
     * significance twin of q_stats_theil_sen's slope (same series, same
     * bounded pair census): S = Σ sign(c_j − c_i) over ordered day
@@ -767,6 +805,7 @@ object StatsOps {
     "q_stats_regression" -> regression,
     "q_stats_mannwhitney" -> mannwhitney,
     "q_stats_kruskal" -> kruskal,
+    "q_stats_spearman" -> spearman,
     "q_stats_mann_kendall" -> mannKendall,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
@@ -821,6 +860,41 @@ object StatsOps {
                                    / CAST(n * (n - 1) AS DOUBLE))))
                       * 1000000 + 0.5) / 1000000.0 AS z_stat
          FROM a""",
+    "q_stats_spearman" ->
+      """WITH ev AS (
+           SELECT value AS x,
+                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS y
+           FROM events),
+         px AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+                FROM ev GROUP BY x),
+         rx AS (SELECT x,
+                       2 * (CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT)
+                            - cnt) + cnt + 1 AS rx2
+                FROM px),
+         py AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                FROM ev GROUP BY y),
+         ry AS (SELECT y,
+                       2 * (CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT)
+                            - cnt) + cnt + 1 AS ry2
+                FROM py),
+         j AS (SELECT rx2, ry2
+               FROM ev JOIN rx USING (x) JOIN ry USING (y)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(rx2) AS BIGINT) AS sx,
+                      CAST(sum(ry2) AS BIGINT) AS sy,
+                      CAST(sum(rx2 * ry2) AS BIGINT) AS sxy,
+                      CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+                      CAST(sum(ry2 * ry2) AS BIGINT) AS syy
+               FROM j)
+         SELECT n,
+                floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * sy)))
+                  * 1000000 + 0.5) / 1000000.0 AS rho_spearman
+         FROM m""",
     "q_stats_kruskal" ->
       """WITH ev AS (SELECT value AS p, event_type AS g FROM events),
          per AS (SELECT p, g, CAST(count(*) AS BIGINT) AS cg

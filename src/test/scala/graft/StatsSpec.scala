@@ -170,6 +170,44 @@ class StatsSpec extends SparkSpec {
            else trend == "no_trend")
   }
 
+  test("spearman rho matches the brute-force rank correlation") {
+    val r = operators.StatsOps.queries("q_stats_spearman")(spark, sfDir)
+      .collect().head
+    val ev = Tables.events(spark, sfDir)
+      .select(col("value"),
+        get_json_object(col("props"), "$.k").cast("int"))
+      .collect().map(x => (x.getDouble(0), x.getInt(1)))
+    def avgRanks[T](xs: Array[T])(implicit o: Ordering[T]): Map[T, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lt = sorted.count(o.lt(_, v)); val eq = sorted.count(o.equiv(_, v))
+        v -> (lt + (eq + 1) / 2.0)
+      }.toMap
+    }
+    val rx = avgRanks(ev.map(_._1)); val ry = avgRanks(ev.map(_._2))
+    val pairs = ev.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(r.getLong(r.fieldIndex("n")) == ev.length)
+    assert(math.abs(r.getDouble(r.fieldIndex("rho_spearman")) - rho) < 1e-4)
+  }
+
+  test("dq gate: five checks, all green on the clean corpus") {
+    val rows = operators.RelationalOps.queries("q_quality_dq_gate")(
+      spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("observed")) == 0L,
+        s"${r.getString(0)} observed nonzero")
+      assert(r.getBoolean(r.fieldIndex("passed")))
+    }
+  }
+
   test("mad is nonnegative and outliers are a strict minority per type") {
     val rows = operators.StatsOps.queries("q_stats_mad")(spark, sfDir)
       .collect()
