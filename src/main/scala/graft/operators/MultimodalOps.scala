@@ -132,7 +132,39 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Perceptual average-hash (aHash) bucketing — the image-near-dup
+    * fingerprint, run over the deterministic fake-decode contract (the
+    * first 64 "pixels" = byte values of the payload, the FakeDecoder
+    * scaling law without the /256): bit_i = pixel_i above the asset's
+    * own 64-pixel mean, compared EXACTLY as p_i·64 > Σp (integer cross
+    * multiply — no float mean), bits assembled in pixel order into a
+    * 64-char fingerprint. Identical-looking assets (the corpus's
+    * engineered near-dups) collide; the bucket census is the dedup
+    * work-list. Linear: 64 rows per asset, two hash aggregates, no
+    * pairwise scan — at 100 TB the buckets feed the same banded-verify
+    * machinery as simhash. */
+  private val multimodalPhash: Q = (s, d) => {
+    val px = Tables.documents(s, d).filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, 64)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        ascii(expr("substring(text, i, 1)")).as("v"))
+    val tot = px.groupBy("doc_id").agg(sum(col("v")).as("st"))
+    px.join(tot, "doc_id")
+      .select(col("doc_id"), col("i"),
+        when(col("v") * 64 > col("st"), lit("1")).otherwise(lit("0"))
+          .as("b"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(i, b))), x -> x.b), '')").as("ahash"))
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("ahash")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_frame_sample" -> multimodalFrameSample,
     "q_multimodal_storage_audit" -> multimodalStorageAudit,
     "q_multimodal_features" -> multimodalFeatures,
@@ -140,6 +172,24 @@ object MultimodalOps {
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_phash" ->
+      """WITH px AS (
+           SELECT doc_id, i, ascii(substring(text, i, 1)) AS v
+           FROM documents
+           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 64)) AS INT)
+                         AS i)
+           WHERE len(text) >= 64),
+         tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS st
+                 FROM px GROUP BY doc_id),
+         bits AS (SELECT doc_id,
+                         string_agg(CASE WHEN v * 64 > st THEN '1'
+                                         ELSE '0' END, ''
+                                    ORDER BY i) AS ahash
+                  FROM px JOIN tot USING (doc_id) GROUP BY doc_id)
+         SELECT ahash, CAST(count(*) AS BIGINT) AS n_assets,
+                min(doc_id) AS rep_doc
+         FROM bits GROUP BY ahash HAVING count(*) >= 2
+         ORDER BY ahash""",
     "q_multimodal_frame_sample" ->
       """WITH a AS (SELECT doc_id, text,
                            CAST(length(text) // 64 AS INT) AS n_frames

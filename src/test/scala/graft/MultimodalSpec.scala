@@ -61,4 +61,25 @@ class MultimodalSpec extends SparkSpec {
     // block lengths: sum over all blocks of blen equals total bytes
     assert(bt >= nBlocks) // every block has at least 1 byte
   }
+
+  test("phash: 64-bit fingerprints, buckets are real collisions") {
+    val rows = operators.MultimodalOps.queries("q_multimodal_phash")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty, "engineered near-dups must collide")
+    rows.foreach { r =>
+      val h = r.getString(0)
+      assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+      assert(r.getLong(r.fieldIndex("n_assets")) >= 2)
+    }
+    // bucket members must genuinely share the hash: recompute one
+    // bucket's fingerprint for its representative doc by brute force
+    val rep = rows.head.getLong(rows.head.fieldIndex("rep_doc"))
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === rep).select("text")
+      .collect().head.getString(0)
+    val px = text.take(64).map(_.toInt)
+    val s = px.sum
+    val expect = px.map(p => if (p * 64 > s) '1' else '0').mkString
+    assert(rows.head.getString(0) == expect)
+  }
 }
