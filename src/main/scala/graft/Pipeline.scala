@@ -71,6 +71,36 @@ object Pipeline {
       }
       .start()
 
+  /** Live suggestion-index pipeline: document stream → running
+    * per-(prefix, token) counts (streaming.StreamingOps.suggestStream,
+    * complete mode — the state IS the |vocab|-bounded index) →
+    * foreachBatch ranks top-`k` per prefix over the full counts and
+    * upserts `(prefix, rank)`-keyed suggestion docs. The streaming twin
+    * of [[suggestionIndex]]/[[publishSuggestions]]: what a user sees
+    * after the stream has absorbed a corpus equals the batch build over
+    * that corpus (proven by PipelineSpec), which is the
+    * backfill-vs-live agreement the curation pipeline also pins. */
+  def suggestionPipeline(spark: SparkSession, docs: DataFrame,
+      writer: Sinks.IndexWriter, checkpointDir: String,
+      k: Int = 3): StreamingQuery =
+    streaming.StreamingOps.suggestStream(docs)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("prefix")
+          .orderBy(col("cnt").desc, col("token"))
+        val top = batch
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .withColumn("sug_id",
+            concat_ws("|", col("prefix"), col("rank").cast("string")))
+        Sinks.writeToIndex(top, "suggestions_live", "sug_id", writer,
+          batchId)
+      }
+      .start()
+
   /** Streaming event pipeline: source → hourly aggregates → foreachBatch
     * into the index writer. Checkpointing + idempotent (batchId,
     * partition) writes give end-to-end exactly-once to an idempotent

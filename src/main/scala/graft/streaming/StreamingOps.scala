@@ -179,6 +179,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("content_hash")
       .select(col("doc_id"), col("ts"), col("quality_r"))
 
+  /** Streaming suggestion-index maintenance — the reference's core loop
+    * (text → token counts → ranked suggestions) as a stream: running
+    * per-(prefix, token) counts via streaming aggregation. State is
+    * |vocab|-bounded BY CONSTRUCTION (token counts, not documents), so
+    * no watermark/eviction is needed and `complete` output mode is the
+    * scale-correct delivery: every batch emits the whole current index,
+    * the downstream foreachBatch ranks top-k per prefix over the FULL
+    * counts (an update-mode slice would rank a prefix against only the
+    * tokens that changed this batch — silently wrong suggestions), and
+    * idempotent (index, id) upserts make redelivery safe. */
+  def suggestStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("prefix", substring(col("token"), 1, 1))
+      .groupBy("prefix", "token")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Output row of [[userRunningState]]. */
   case class UserState(user_id: Long, n_events: Long, total_value: Double)
 

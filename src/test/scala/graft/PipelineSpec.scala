@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import graft.sources.Sinks
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 class PipelineSpec extends SparkSpec {
@@ -107,6 +108,57 @@ class PipelineSpec extends SparkSpec {
         .flatMap(f => Files.readAllLines(f.toPath).asScala)
       assert(lines.exists(_.contains(""""event_type":"click"""")))
       assert(lines.exists(_.contains(""""_index":"event_aggs"""")))
+    } finally q.stop()
+  }
+
+  test("streaming suggestion index converges to the batch build") {
+    val dir = Files.createTempDirectory("graft-suggest-out").toString
+    val ckpt = Files.createTempDirectory("graft-suggest-ckpt").toString
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[Doc]
+    val q = Pipeline.suggestionPipeline(spark, ms.toDF(),
+      new Sinks.FileIndexWriter(dir), ckpt, k = 2)
+    try {
+      // two batches: 'apple' overtakes 'ant' only after the second
+      ms.addData(
+        Doc(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          "ant ant apple bee"),
+        Doc(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"),
+          "bee bat"))
+      q.processAllAvailable()
+      ms.addData(
+        Doc(3, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"),
+          "apple apple bee"))
+      q.processAllAvailable()
+      def latestTop(prefix: String): Seq[String] = {
+        val lines = new java.io.File(dir).listFiles().toSeq
+          .sortBy(_.getName)
+          .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        // last delivery of each sug_id wins (idempotent upsert contract)
+        val byId = scala.collection.mutable.LinkedHashMap[String, String]()
+        lines.grouped(2).foreach { case Seq(meta, doc) =>
+          val id = meta.split("\"_id\":\"")(1).split("\"")(0)
+          byId(id) = doc
+        }
+        byId.toSeq.filter(_._1.startsWith(prefix + "|")).sortBy(_._1)
+          .map(_._2.split("\"token\":\"")(1).split("\"")(0))
+      }
+      // cumulative counts: apple=3, ant=2 | bee=3, bat=1
+      assert(latestTop("a") == Seq("apple", "ant"))
+      assert(latestTop("b") == Seq("bee", "bat"))
+      // and the stream's final index equals the batch build on the
+      // union corpus (same counts for the a/b prefixes)
+      val batch = Seq("ant ant apple bee", "bee bat", "apple apple bee")
+        .toDF("text")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(substring(col("token"), 1, 1).as("prefix"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(batch.contains(("a", "apple", 3L)))
+      assert(batch.contains(("a", "ant", 2L)))
     } finally q.stop()
   }
 
