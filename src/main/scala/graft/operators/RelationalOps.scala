@@ -181,6 +181,37 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** ASOF join with a max-staleness TOLERANCE (the pandas
+    * merge_asof(tolerance=...) / kdb wj semantics q_join_asof lacks):
+    * match each event to the user's latest order no older than 9000
+    * days (the corpus's 2024 events vs 1995-2001 orders make ~24.6
+    * years the band that splits users into matched/stale — a tighter
+    * bound would be all-NULL on this data, a looser one equals plain
+    * asof), and KEEP unmatched events with a NULL match plus a
+    * staleness-day census. Same scale shape as the plain asof (equi
+    * join on the partition key, per-event row_number argmax — the band
+    * predicate prunes the candidate fan-in before the window), with a
+    * left join back onto the event spine so tolerance misses are
+    * first-class rows, not silent drops. */
+  private val joinAsofTolerance: Q = (s, d) => {
+    val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderdate")
+    val matched = e.join(o,
+      col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts") &&
+        col("o_orderdate") >= col("ts") - expr("INTERVAL 9000 DAYS"))
+    val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc)
+    val best = matched.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id").as("me"),
+        col("o_orderdate").as("last_order_date"))
+    e.join(best, col("event_id") === col("me"), "left")
+      .select(col("event_id"), col("user_id"), col("last_order_date"),
+        datediff(col("ts").cast("date"),
+          col("last_order_date").cast("date")).as("staleness_days"))
+      .orderBy("event_id")
+  }
+
   /** Salted fact⋈dim join (the explicit skew remediation of Skew.scala,
     * surfaced as an oracle-checked key): lineitem rows get a deterministic
     * salt derived from (l_orderkey, l_linenumber), orders is replicated
@@ -1773,6 +1804,7 @@ object RelationalOps {
     // row-identical. Oracle contract unchanged.
     "q_join_theta_range" -> joinRangeBucket,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_salted" -> joinSalted,
     "q_join_range_bucket" -> joinRangeBucket,
     "q_tpch_shipping" -> tpchShipping,
@@ -2014,6 +2046,24 @@ object RelationalOps {
       """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
          FROM events e ASOF JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "q_join_asof_tolerance" ->
+      """WITH m AS (
+           SELECT e.event_id, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY o.o_orderdate DESC) AS rn
+           FROM events e JOIN orders o
+             ON e.user_id = o.o_custkey
+            AND o.o_orderdate <= e.ts
+            AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY)
+         SELECT e.event_id, e.user_id,
+                b.o_orderdate AS last_order_date,
+                CAST(datediff('day', CAST(b.o_orderdate AS DATE),
+                              CAST(e.ts AS DATE)) AS INTEGER)
+                  AS staleness_days
+         FROM events e
+         LEFT JOIN (SELECT event_id, o_orderdate FROM m WHERE rn = 1) b
+           ON e.event_id = b.event_id
          ORDER BY e.event_id""",
     // The salted plan must equal the PLAIN join — the oracle deliberately
     // knows nothing about salting.

@@ -79,6 +79,25 @@ class EventsR6Spec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("within_50pct_rate")) > 0.5)
   }
 
+  test("q_join_asof_tolerance: staleness bounded, misses preserved") {
+    val df = operators.RelationalOps.queries("q_join_asof_tolerance")(
+      spark, sfDir)
+    val n = df.count()
+    assert(n == Tables.events(spark, sfDir).count(),
+      "left join keeps every event")
+    val matched = df.filter(col("last_order_date").isNotNull)
+    // tolerance is a hard bound on staleness; asof direction => >= 0
+    assert(matched.filter(col("staleness_days") < 0 ||
+      col("staleness_days") > 9000).count() == 0)
+    // matched rows agree with the plain asof on the same events
+    val plain = operators.RelationalOps.queries("q_join_asof")(spark, sfDir)
+      .select(col("event_id").as("pe"), col("last_order_date").as("pd"))
+    val disagree = matched.join(plain, col("event_id") === col("pe"))
+      .filter(col("last_order_date") =!= col("pd"))
+    assert(disagree.count() == 0,
+      "within tolerance the match equals plain asof")
+  }
+
   test("q_embed_erank: near-isotropic corpus has high effective rank") {
     val r = operators.VectorOps.queries("q_embed_erank")(spark, sfDir)
       .collect().head
