@@ -475,6 +475,70 @@ object EventOps {
         r2(expr("percentile(gap, 0.9)")).as("p90_days"))
   }
 
+  /** Kaplan–Meier survival curve for time-to-first-purchase — funnel
+    * latency with CENSORING done right (q_events_funnel_time averages
+    * the converters; this estimates the whole curve without
+    * survivorship bias): per user, duration = days from first activity
+    * to first purchase; users who never purchase are CENSORED at their
+    * observation end (corpus max day), leaving the risk set without
+    * counting as conversions. Per duration t: hazard = conversions(t)
+    * / at-risk entering t, S(t) = Π_{t'≤t} (1 − hazard) — the
+    * probability of still being purchase-free after t days. The
+    * duration census is |days|-bounded after one per-user aggregate,
+    * so the product runs as ONE sequential array fold in duration
+    * order (the kruskal discipline — identical multiply sequence in
+    * both engines, replayed by the oracle as a recursive CTE); integer
+    * at-risk/event arithmetic, one division per duration. */
+  private val survival: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("first_day"),
+        min(when(col("event_type") === "purchase",
+          expr("(ts_ns div 1000) div 86400000000"))).as("p_day"),
+        max(expr("(ts_ns div 1000) div 86400000000")).as("last_day"))
+    val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+    val census = perUser.crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p_day").isNotNull, col("p_day") - col("first_day"))
+          .otherwise(col("max_day") - col("first_day")).as("t"),
+        col("p_day").isNotNull.cast("long").as("is_ev"))
+      .groupBy("t")
+      .agg(sum(col("is_ev")).as("ev"),
+        (count(lit(1)) - sum(col("is_ev"))).as("cen"))
+    val hz = "(CAST(x.ev AS DOUBLE) / acc.risk)"
+    val outT = "ARRAY<STRUCT<t: BIGINT, n_at_risk: BIGINT, " +
+      "n_converted: BIGINT, n_censored: BIGINT, hazard: DOUBLE, " +
+      "survival: DOUBLE>>"
+    census
+      .agg(expr("array_sort(collect_list(struct(t, ev, cen)))").as("arr"))
+      .select(explode(expr(
+        s"""aggregate(
+              arr,
+              named_struct(
+                'risk', aggregate(arr, CAST(0 AS BIGINT),
+                                  (a, x) -> a + x.ev + x.cen),
+                'surv', CAST(1.0 AS DOUBLE),
+                'out', CAST(array() AS $outT)),
+              (acc, x) -> named_struct(
+                'risk', acc.risk - x.ev - x.cen,
+                'surv', acc.surv * (1.0 - $hz),
+                'out', array_append(acc.out, named_struct(
+                  't', x.t,
+                  'n_at_risk', acc.risk,
+                  'n_converted', x.ev,
+                  'n_censored', x.cen,
+                  'hazard', $hz,
+                  'survival', acc.surv * (1.0 - $hz)))),
+              acc -> acc.out)""")).as("r"))
+      .select(col("r.t").as("t"),
+        col("r.n_at_risk").as("n_at_risk"),
+        col("r.n_converted").as("n_converted"),
+        col("r.n_censored").as("n_censored"),
+        r6(col("r.hazard")).as("hazard"),
+        r6(col("r.survival")).as("survival"))
+      .orderBy("t")
+  }
+
   /** Inter-arrival time profile per event type: gap to the same user's
     * previous event of that type in exact integer microseconds
     * (user-partitioned lag — never a global window; partitions by the
@@ -820,6 +884,7 @@ object EventOps {
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
     "q_events_interarrival" -> interarrival,
+    "q_events_survival" -> survival,
     "q_events_rolling_uniques" -> rollingUniques,
     "q_events_funnel_time" -> funnelTime,
     "q_events_attribution" -> attribution,
@@ -1069,6 +1134,44 @@ object EventOps {
                   / 1000000.0 AS share
          FROM b CROSS JOIN tot
          GROUP BY dow, hod, tot ORDER BY dow, hod""",
+    "q_events_survival" ->
+      """WITH RECURSIVE u AS (
+           SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS first_day,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) // 86400000000 END) AS p_day,
+                  max(epoch_us(ts) // 86400000000) AS last_day
+           FROM events GROUP BY user_id),
+         mx AS (SELECT max(last_day) AS m FROM u),
+         census AS (
+           SELECT CASE WHEN p_day IS NOT NULL THEN p_day - first_day
+                       ELSE mx.m - first_day END AS t,
+                  CAST(sum(CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ev,
+                  CAST(sum(CASE WHEN p_day IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cen
+           FROM u CROSS JOIN mx GROUP BY 1),
+         ds AS (SELECT t, ev, cen,
+                       CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                         AS rn
+                FROM census),
+         tot AS (SELECT CAST(sum(ev + cen) AS BIGINT) AS n FROM census),
+         rec(rn, t, ev, cen, risk, hazard, surv) AS (
+           SELECT d.rn, d.t, d.ev, d.cen, tot.n,
+                  (CAST(d.ev AS DOUBLE) / tot.n),
+                  1.0 * (1.0 - (CAST(d.ev AS DOUBLE) / tot.n))
+           FROM ds d, tot WHERE d.rn = 1
+           UNION ALL
+           SELECT d.rn, d.t, d.ev, d.cen, r.risk - r.ev - r.cen,
+                  (CAST(d.ev AS DOUBLE) / (r.risk - r.ev - r.cen)),
+                  r.surv * (1.0 - (CAST(d.ev AS DOUBLE)
+                                   / (r.risk - r.ev - r.cen)))
+           FROM rec r JOIN ds d ON d.rn = r.rn + 1)
+         SELECT t, risk AS n_at_risk, ev AS n_converted,
+                cen AS n_censored,
+                floor(hazard * 1000000 + 0.5) / 1000000.0 AS hazard,
+                floor(surv * 1000000 + 0.5) / 1000000.0 AS survival
+         FROM rec ORDER BY t""",
     "q_events_interarrival" ->
       """WITH ev AS (
            SELECT user_id, event_type, event_id,

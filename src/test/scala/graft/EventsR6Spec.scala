@@ -79,6 +79,46 @@ class EventsR6Spec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("within_50pct_rate")) > 0.5)
   }
 
+  test("q_events_survival: Kaplan-Meier identities hold") {
+    val rows = operators.EventOps.queries("q_events_survival")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute force from the raw events
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("fd"),
+        min(when(col("event_type") === "purchase",
+          expr("(ts_ns div 1000) div 86400000000"))).as("pd"),
+        max(expr("(ts_ns div 1000) div 86400000000")).as("ld"))
+      .collect()
+    val maxDay = perUser.map(_.getLong(3)).max
+    val durs = perUser.map { r =>
+      val fd = r.getLong(1)
+      if (!r.isNullAt(2)) (r.getLong(2) - fd, true)
+      else (maxDay - fd, false)
+    }
+    var risk = durs.length.toLong; var surv = 1.0
+    val expected = durs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, xs) =>
+        val ev = xs.count(_._2).toLong; val cen = xs.size - ev
+        val h = ev.toDouble / risk
+        surv = surv * (1.0 - h)
+        val row = (t, risk, ev, cen.toLong, h, surv)
+        risk -= ev + cen
+        row
+    }
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (t, rk, ev, cen, h, sv)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == rk &&
+        r.getLong(2) == ev && r.getLong(3) == cen)
+      assert(math.abs(r.getDouble(4) - h) < 1e-5)
+      assert(math.abs(r.getDouble(5) - sv) < 1e-5)
+    }
+    // survival is nonincreasing and ends where risk set empties
+    val svs = rows.map(_.getDouble(5)).toSeq
+    assert(svs == svs.sorted.reverse)
+  }
+
   test("q_join_asof_tolerance: staleness bounded, misses preserved") {
     val df = operators.RelationalOps.queries("q_join_asof_tolerance")(
       spark, sfDir)
