@@ -539,6 +539,75 @@ object EventOps {
       .orderBy("t")
   }
 
+  /** Log-rank test between two experiment arms' time-to-first-purchase
+    * curves (arm = user_id parity — the deterministic A/B assignment):
+    * the hypothesis test that pairs with q_events_survival's estimate,
+    * answering "does arm A convert faster" WITHOUT discarding censored
+    * users the way a converters-only t-test would. At each duration t
+    * the expected arm-A conversions under H0 are d·n_A/n, with the
+    * hypergeometric variance; O−E and V accumulate THROUGH the same
+    * sequential duration-order fold as the survival product (exact
+    * integer risk sets; the double E/V updates run in one pinned
+    * order, replayed by the oracle's recursive CTE), and the single
+    * final division yields z and χ². */
+  private val logrank: Q = (s, d) => {
+    val dayE = "(ts_ns div 1000) div 86400000000"
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(expr(dayE)).as("first_day"),
+        min(when(col("event_type") === "purchase", expr(dayE)))
+          .as("p_day"),
+        max(expr(dayE)).as("last_day"))
+    val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
+    val census = perUser.crossJoin(broadcast(maxDay))
+      .select(
+        when(col("p_day").isNotNull, col("p_day") - col("first_day"))
+          .otherwise(col("max_day") - col("first_day")).as("t"),
+        col("p_day").isNotNull.cast("long").as("is_ev"),
+        (col("user_id") % 2 === 0).cast("long").as("is_a"))
+      .groupBy("t")
+      .agg(sum(col("is_ev") * col("is_a")).as("ev_a"),
+        sum(col("is_ev") * (lit(1) - col("is_a"))).as("ev_b"),
+        sum((lit(1) - col("is_ev")) * col("is_a")).as("cen_a"),
+        sum((lit(1) - col("is_ev")) * (lit(1) - col("is_a"))).as("cen_b"))
+    val dEx = "CAST(x.ev_a + x.ev_b AS DOUBLE)"
+    val n = "(acc.risk_a + acc.risk_b)"
+    val eaStep = s"($dEx * acc.risk_a / $n)"
+    val vStep = s"(CASE WHEN $n > 1 THEN $dEx * acc.risk_a / $n" +
+      s" * acc.risk_b / $n * ($n - x.ev_a - x.ev_b) / ($n - 1)" +
+      " ELSE 0.0 END)"
+    census
+      .agg(expr("array_sort(collect_list(" +
+        "struct(t, ev_a, ev_b, cen_a, cen_b)))").as("arr"))
+      .select(expr(
+        s"""aggregate(
+              arr,
+              named_struct(
+                'risk_a', aggregate(arr, CAST(0 AS BIGINT),
+                                    (a, x) -> a + x.ev_a + x.cen_a),
+                'risk_b', aggregate(arr, CAST(0 AS BIGINT),
+                                    (a, x) -> a + x.ev_b + x.cen_b),
+                'oa', CAST(0 AS BIGINT),
+                'ea', CAST(0.0 AS DOUBLE),
+                'v', CAST(0.0 AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'risk_a', acc.risk_a - x.ev_a - x.cen_a,
+                'risk_b', acc.risk_b - x.ev_b - x.cen_b,
+                'oa', acc.oa + x.ev_a,
+                'ea', acc.ea + $eaStep,
+                'v', acc.v + $vStep),
+              acc -> acc)""").as("f"),
+        expr("aggregate(arr, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x.ev_a + x.cen_a)").as("n_a"),
+        expr("aggregate(arr, CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x.ev_b + x.cen_b)").as("n_b"))
+      .select(col("n_a"), col("n_b"), col("f.oa").as("o_a"),
+        r6(col("f.ea")).as("e_a"),
+        r6((col("f.oa") - col("f.ea")) / sqrt(col("f.v"))).as("z_stat"),
+        r6((col("f.oa") - col("f.ea")) * (col("f.oa") - col("f.ea")) /
+          col("f.v")).as("chi2"))
+  }
+
   /** Inter-arrival time profile per event type: gap to the same user's
     * previous event of that type in exact integer microseconds
     * (user-partitioned lag — never a global window; partitions by the
@@ -885,6 +954,7 @@ object EventOps {
     "q_orders_gap" -> orderGaps,
     "q_events_interarrival" -> interarrival,
     "q_events_survival" -> survival,
+    "q_events_logrank" -> logrank,
     "q_events_rolling_uniques" -> rollingUniques,
     "q_events_funnel_time" -> funnelTime,
     "q_events_attribution" -> attribution,
@@ -1134,6 +1204,63 @@ object EventOps {
                   / 1000000.0 AS share
          FROM b CROSS JOIN tot
          GROUP BY dow, hod, tot ORDER BY dow, hod""",
+    "q_events_logrank" ->
+      """WITH RECURSIVE u AS (
+           SELECT user_id,
+                  min(epoch_us(ts) // 86400000000) AS first_day,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) // 86400000000 END) AS p_day,
+                  max(epoch_us(ts) // 86400000000) AS last_day
+           FROM events GROUP BY user_id),
+         mx AS (SELECT max(last_day) AS m FROM u),
+         census AS (
+           SELECT CASE WHEN p_day IS NOT NULL THEN p_day - first_day
+                       ELSE mx.m - first_day END AS t,
+                  CAST(sum(CASE WHEN p_day IS NOT NULL
+                                 AND user_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS ev_a,
+                  CAST(sum(CASE WHEN p_day IS NOT NULL
+                                 AND user_id % 2 <> 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS ev_b,
+                  CAST(sum(CASE WHEN p_day IS NULL AND user_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS cen_a,
+                  CAST(sum(CASE WHEN p_day IS NULL AND user_id % 2 <> 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS cen_b
+           FROM u CROSS JOIN mx GROUP BY 1),
+         ds AS (SELECT *, CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                            AS rn
+                FROM census),
+         tot AS (SELECT CAST(sum(ev_a + cen_a) AS BIGINT) AS na,
+                        CAST(sum(ev_b + cen_b) AS BIGINT) AS nb
+                 FROM census),
+         rec(rn, risk_a, risk_b, oa, ea, v) AS (
+           SELECT CAST(0 AS BIGINT), na, nb, CAST(0 AS BIGINT),
+                  CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+           FROM tot
+           UNION ALL
+           SELECT d.rn,
+                  r.risk_a - d.ev_a - d.cen_a,
+                  r.risk_b - d.ev_b - d.cen_b,
+                  r.oa + d.ev_a,
+                  r.ea + (CAST(d.ev_a + d.ev_b AS DOUBLE) * r.risk_a
+                          / (r.risk_a + r.risk_b)),
+                  r.v + (CASE WHEN (r.risk_a + r.risk_b) > 1
+                              THEN CAST(d.ev_a + d.ev_b AS DOUBLE)
+                                   * r.risk_a / (r.risk_a + r.risk_b)
+                                   * r.risk_b / (r.risk_a + r.risk_b)
+                                   * ((r.risk_a + r.risk_b)
+                                      - d.ev_a - d.ev_b)
+                                   / ((r.risk_a + r.risk_b) - 1)
+                              ELSE 0.0 END)
+           FROM rec r JOIN ds d ON d.rn = r.rn + 1)
+         SELECT tot.na AS n_a, tot.nb AS n_b, rec.oa AS o_a,
+                floor(rec.ea * 1000000 + 0.5) / 1000000.0 AS e_a,
+                floor(((rec.oa - rec.ea) / sqrt(rec.v))
+                  * 1000000 + 0.5) / 1000000.0 AS z_stat,
+                floor(((rec.oa - rec.ea) * (rec.oa - rec.ea) / rec.v)
+                  * 1000000 + 0.5) / 1000000.0 AS chi2
+         FROM rec CROSS JOIN tot
+         WHERE rec.rn = (SELECT max(rn) FROM ds)""",
     "q_events_survival" ->
       """WITH RECURSIVE u AS (
            SELECT user_id,

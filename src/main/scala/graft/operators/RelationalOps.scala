@@ -588,6 +588,55 @@ object RelationalOps {
     * offsets) — the same range shuffle a real
     * repartitionByRange(zval).write pays, never a single-partition sort
     * of the fact table. All-integer output. */
+  /** Small-files compaction planner — the OPTIMIZE/rewrite step of
+    * lakehouse table maintenance as a query: treat each (source, lang)
+    * slice of the corpus as one "file" (its byte weight = Σ n_chars),
+    * order files canonically, and GREEDILY pack them into bins of
+    * ~total/8 bytes (open a new bin when the next file would overflow a
+    * non-empty bin — first-fit-in-order, the actual algorithm compaction
+    * jobs run). The file census is |sources|×|langs|-bounded after one
+    * hash aggregate, so the sequential greedy runs as the same
+    * duration-order array fold as q_events_survival (exact integer
+    * fills; the oracle replays it as a recursive CTE), and the output is
+    * the per-bin manifest a rewrite job would execute. */
+  private val layoutCompactionPlan: Q = (s, d) => {
+    val files = Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_chars")).as("bytes"))
+      .select(concat_ws("|", col("source"), col("lang")).as("file"),
+        col("bytes"))
+    val outT = "ARRAY<STRUCT<file: STRING, bytes: BIGINT, bin: BIGINT>>"
+    val overflow = "(acc.fill > 0 AND acc.fill + x.bytes > acc.target)"
+    files
+      .agg(expr("array_sort(collect_list(struct(file, bytes)))").as("arr"))
+      .select(explode(expr(
+        s"""aggregate(
+              arr,
+              named_struct(
+                'target', greatest(CAST(1 AS BIGINT),
+                  aggregate(arr, CAST(0 AS BIGINT),
+                            (a, x) -> a + x.bytes) div 8),
+                'bin', CAST(0 AS BIGINT),
+                'fill', CAST(0 AS BIGINT),
+                'out', CAST(array() AS $outT)),
+              (acc, x) -> named_struct(
+                'target', acc.target,
+                'bin', CASE WHEN $overflow THEN acc.bin + 1
+                            ELSE acc.bin END,
+                'fill', CASE WHEN $overflow THEN x.bytes
+                             ELSE acc.fill + x.bytes END,
+                'out', array_append(acc.out, named_struct(
+                  'file', x.file, 'bytes', x.bytes,
+                  'bin', CASE WHEN $overflow THEN acc.bin + 1
+                              ELSE acc.bin END))),
+              acc -> acc.out)""")).as("r"))
+      .groupBy(col("r.bin").as("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("r.bytes")).as("bytes"),
+        min(col("r.file")).as("first_file"),
+        max(col("r.file")).as("last_file"))
+      .orderBy("bin")
+  }
+
   private val layoutSkipping: Q = (s, d) => {
     // zorderBase is a cheap scan projection — recomputing it per layout
     // pass beats materializing it (measured: a localCheckpoint here was
@@ -1859,6 +1908,7 @@ object RelationalOps {
     "q_agg_merge_days" -> aggMergeDays,
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
+    "q_layout_compaction_plan" -> layoutCompactionPlan,
     "q_layout_partition_prune" -> layoutPartitionPrune,
     "q_layout_dpp" -> layoutDpp,
     "q_layout_bucket_join" -> layoutBucketJoin,
@@ -2138,6 +2188,33 @@ object RelationalOps {
                 floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_layout_compaction_plan" ->
+      """WITH RECURSIVE f AS (
+           SELECT source || '|' || lang AS file,
+                  CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY source, lang),
+         ds AS (SELECT file, bytes,
+                       CAST(row_number() OVER (ORDER BY file, bytes)
+                         AS BIGINT) AS rn
+                FROM f),
+         tgt AS (SELECT greatest(CAST(1 AS BIGINT),
+                          CAST(sum(bytes) AS BIGINT) // 8) AS target
+                 FROM f),
+         rec(rn, file, bytes, bin, fill) AS (
+           SELECT CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+                  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT d.rn, d.file, d.bytes,
+                  CASE WHEN r.fill > 0 AND r.fill + d.bytes > tgt.target
+                       THEN r.bin + 1 ELSE r.bin END,
+                  CASE WHEN r.fill > 0 AND r.fill + d.bytes > tgt.target
+                       THEN d.bytes ELSE r.fill + d.bytes END
+           FROM rec r JOIN ds d ON d.rn = r.rn + 1 CROSS JOIN tgt)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(bytes) AS BIGINT) AS bytes,
+                min(file) AS first_file, max(file) AS last_file
+         FROM rec WHERE rn > 0
+         GROUP BY bin ORDER BY bin""",
     "q_layout_skipping" ->
       s"""$zvalCtes,
          fn AS (SELECT zx, zy, ntile(16) OVER (

@@ -119,6 +119,48 @@ class EventsR6Spec extends SparkSpec {
     assert(svs == svs.sorted.reverse)
   }
 
+  test("q_events_logrank: arm censuses balance; null split is quiet") {
+    val r = operators.EventOps.queries("q_events_logrank")(spark, sfDir)
+      .collect().head
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getLong(r.fieldIndex("n_a")) +
+      r.getLong(r.fieldIndex("n_b")) == nUsers)
+    // O_a is bounded by arm size; E_a by total conversions
+    assert(r.getLong(r.fieldIndex("o_a")) <=
+      r.getLong(r.fieldIndex("n_a")))
+    assert(r.getDouble(r.fieldIndex("e_a")) > 0.0)
+    // chi2 = z^2 by construction
+    val z = r.getDouble(r.fieldIndex("z_stat"))
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - z * z) < 1e-3)
+    // a parity split is not a real treatment: no extreme significance
+    assert(math.abs(z) < 5.0)
+  }
+
+  test("q_layout_compaction_plan: bins partition files, fills bounded") {
+    val rows = operators.RelationalOps.queries("q_layout_compaction_plan")(
+      spark, sfDir).collect()
+    val files = Tables.documents(spark, sfDir)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_chars")).as("bytes")).collect()
+    val totalBytes = files.map(_.getLong(2)).sum
+    val target = math.max(1L, totalBytes / 8)
+    assert(rows.map(_.getLong(1)).sum == files.length,
+      "every file lands in exactly one bin")
+    assert(rows.map(_.getLong(2)).sum == totalBytes)
+    // greedy invariant: a bin only exceeds target by its last file, and
+    // every bin except the final one is "full" (adding the next file's
+    // minimum would overflow is not checkable per-bin here, but no bin
+    // other than a singleton may be more than target + max_file bytes)
+    val maxFile = files.map(_.getLong(2)).max
+    rows.foreach { r =>
+      assert(r.getLong(2) <= target + maxFile)
+      assert(r.getString(3) <= r.getString(4)) // first <= last
+    }
+    // bins are dense 0..k
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+  }
+
   test("q_join_asof_tolerance: staleness bounded, misses preserved") {
     val df = operators.RelationalOps.queries("q_join_asof_tolerance")(
       spark, sfDir)
