@@ -143,6 +143,49 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(10)
 
+  /** Suggestion-quality evaluation (MRR@10 / hit@1 / hit@10) — the
+    * eval harness for the suggestion index the reference serves: build
+    * the per-prefix top-10 from EVEN doc_ids (the "index" split), query
+    * it with every (prefix, token) occurrence from ODD doc_ids (the
+    * held-out traffic), score each query 1/rank of its true token.
+    * Exactness: each query's contribution is weight·(2520/rank) — 2520
+    * = lcm(1..10) makes every reciprocal an INTEGER, so the MRR
+    * numerator sums exactly in any partition order and only the final
+    * normalization divides. |vocab|-bounded index join, linear scan of
+    * the query side. */
+  private val suggestEval: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val idx = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(toks()).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix", substring(col("token"), 1, 1))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("cnt").desc, col("token"))
+    val top = idx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("prefix"), col("token").as("sug"), col("rank"))
+    val queries = docs.filter(col("doc_id") % 2 === 1)
+      .select(explode(toks()).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("weight"))
+      .withColumn("prefix", substring(col("token"), 1, 1))
+    queries
+      .join(top, queries("prefix") === top("prefix") &&
+        queries("token") === top("sug"), "left")
+      .agg(sum(col("weight")).as("n_queries"),
+        coalesce(sum(when(col("rank") === 1, col("weight"))), lit(0L))
+          .as("n_hit1"),
+        coalesce(sum(when(col("rank").isNotNull, col("weight"))), lit(0L))
+          .as("n_hit10"),
+        coalesce(sum(when(col("rank").isNotNull,
+          col("weight") * expr("CAST(2520 div rank AS BIGINT)"))),
+          lit(0L)).as("mrr_num"))
+      .select(col("n_queries"), col("n_hit1"), col("n_hit10"),
+        r6(col("n_hit1").cast("double") / col("n_queries")).as("hit1"),
+        r6(col("n_hit10").cast("double") / col("n_queries")).as("hit10"),
+        r6(col("mrr_num").cast("double") /
+          (lit(2520.0) * col("n_queries"))).as("mrr"))
+  }
+
   private val fuzzyQueries = Seq("spakr", "qurey", "fst", "mrege", "joni")
 
   /** Edit-distance-tolerant autocomplete — the fuzzy half of the
@@ -1517,6 +1560,7 @@ object TextOps {
     "q_text_quality" -> quality,
     "q_text_tokencount" -> tokencount,
     "q_text_fertility" -> fertility,
+    "q_text_suggest_eval" -> suggestEval,
     "q_text_fingerprint" -> fingerprint,
     "q_text_span_dedup" -> spanDedup,
     "q_text_nfc" -> textNfc,
@@ -2342,6 +2386,44 @@ object TextOps {
          FROM (SELECT doc_id, n_chars, $qualityStatsColsSql
                FROM documents) t
          ORDER BY doc_id""",
+    "q_text_suggest_eval" ->
+      """WITH idx AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+                  substring(token, 1, 1) AS prefix
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE doc_id % 2 = 0)
+           GROUP BY token),
+         top AS (SELECT prefix, token AS sug,
+                        CAST(row_number() OVER (
+                          PARTITION BY prefix
+                          ORDER BY cnt DESC, token) AS BIGINT) AS rank
+                 FROM idx
+                 QUALIFY rank <= 10),
+         q AS (SELECT token, CAST(count(*) AS BIGINT) AS weight,
+                      substring(token, 1, 1) AS prefix
+               FROM (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents WHERE doc_id % 2 = 1)
+               GROUP BY token),
+         j AS (SELECT q.weight, top.rank
+               FROM q LEFT JOIN top
+                 ON q.prefix = top.prefix AND q.token = top.sug),
+         a AS (SELECT CAST(sum(weight) AS BIGINT) AS n_queries,
+                      CAST(coalesce(sum(CASE WHEN rank = 1
+                        THEN weight END), 0) AS BIGINT) AS n_hit1,
+                      CAST(coalesce(sum(CASE WHEN rank IS NOT NULL
+                        THEN weight END), 0) AS BIGINT) AS n_hit10,
+                      CAST(coalesce(sum(CASE WHEN rank IS NOT NULL
+                        THEN weight * (2520 // rank) END), 0)
+                        AS BIGINT) AS mrr_num
+               FROM j)
+         SELECT n_queries, n_hit1, n_hit10,
+                floor((CAST(n_hit1 AS DOUBLE) / n_queries)
+                  * 1000000 + 0.5) / 1000000.0 AS hit1,
+                floor((CAST(n_hit10 AS DOUBLE) / n_queries)
+                  * 1000000 + 0.5) / 1000000.0 AS hit10,
+                floor((CAST(mrr_num AS DOUBLE) / (2520.0 * n_queries))
+                  * 1000000 + 0.5) / 1000000.0 AS mrr
+         FROM a""",
     "q_text_fertility" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(len(text)) AS BIGINT) AS n_chars,

@@ -119,6 +119,25 @@ class EventsR6Spec extends SparkSpec {
     assert(svs == svs.sorted.reverse)
   }
 
+  test("q_text_suggest_eval: metric algebra holds") {
+    val r = operators.TextOps.queries("q_text_suggest_eval")(spark, sfDir)
+      .collect().head
+    val nq = r.getLong(r.fieldIndex("n_queries"))
+    val h1 = r.getLong(r.fieldIndex("n_hit1"))
+    val h10 = r.getLong(r.fieldIndex("n_hit10"))
+    assert(nq > 0 && h1 <= h10 && h10 <= nq)
+    val mrr = r.getDouble(r.fieldIndex("mrr"))
+    val hit1 = r.getDouble(r.fieldIndex("hit1"))
+    val hit10 = r.getDouble(r.fieldIndex("hit10"))
+    // MRR is sandwiched: hit1 <= MRR <= hit10 (reciprocal ranks <= 1)
+    assert(hit1 - 1e-9 <= mrr && mrr <= hit10 + 1e-9)
+    // n_queries equals total odd-doc token occurrences
+    val odd = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    assert(nq == odd)
+  }
+
   test("q_events_logrank: arm censuses balance; null split is quiet") {
     val r = operators.EventOps.queries("q_events_logrank")(spark, sfDir)
       .collect().head
