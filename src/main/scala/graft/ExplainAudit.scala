@@ -153,7 +153,17 @@ object ExplainAudit {
     // half-iteration eager-localCheckpoints its score frame.)
     "q_stats_mannwhitney", "q_stats_kruskal", "q_stats_mann_kendall",
     "q_graph_clustering", "q_vec_calibration", "q_eval_rp_distortion",
-    "q_events_interarrival")
+    "q_events_interarrival",
+    // session-4 continued: Spearman's two rank joins, the DQ gate's five
+    // bounded count aggregates, the micros-quantized per-dim moment
+    // pass, the bounded S-curve/fertility censuses, the aHash double
+    // aggregate, the tolerance-banded asof argmax, the
+    // survival/logrank/compaction sequential folds over bounded
+    // censuses, and the split-corpus MRR join
+    "q_stats_spearman", "q_quality_dq_gate", "q_embed_erank",
+    "q_dedup_lsh_planner", "q_text_fertility", "q_multimodal_phash",
+    "q_join_asof_tolerance", "q_events_survival", "q_events_logrank",
+    "q_layout_compaction_plan", "q_text_suggest_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
