@@ -938,7 +938,91 @@ object EventOps {
       .orderBy("day_num")
   }
 
+  /** Misra-Gries (Frequent) candidate pass, run per partition: a map of
+    * at most `cap` counters; an incoming item either increments its
+    * counter, claims a free slot, or decrements every live counter
+    * (dropping zeros). Classic guarantee: any item whose true partition
+    * count exceeds N_p/cap survives the pass. Across partitions, an item
+    * with GLOBAL count > N/cap must exceed N_p/cap in at least one
+    * partition (pigeonhole), so the UNION of per-partition candidate
+    * sets is a complete superset of the global heavy hitters — no
+    * counter merging needed when a cheap exact second pass follows. */
+  private[graft] def mgCandidates[T](cap: Int)(it: Iterator[T]): Iterator[T] = {
+    val m = scala.collection.mutable.HashMap.empty[T, Long]
+    it.foreach { x =>
+      m.get(x) match {
+        case Some(c) => m(x) = c + 1
+        case None if m.size < cap => m(x) = 1L
+        case None =>
+          // decrement-all: each stored count unit is spent at most once,
+          // so total decrement work is amortized O(1) per input item.
+          val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+          dead.foreach(m.remove)
+          m.mapValuesInPlace((_, c) => c - 1)
+      }
+    }
+    m.keysIterator
+  }
+
+  /** Provable heavy hitters over user activity — the mergeable-sketch
+    * shape for "who dominates the stream" at 100 TB: a per-partition
+    * Misra-Gries(256) pass reduces the raw stream to ≤256 candidate ids
+    * per partition WITHOUT a shuffle (the union of partition summaries
+    * is a complete superset of every user with count > N/256 — see
+    * mgCandidates), then one exact count pass over the semi-joined
+    * stream verifies candidates and keeps exactly those above the
+    * guarantee threshold. The emitted set is therefore EXACT (all and
+    * only the >N/256 users, with exact counts) regardless of sketch
+    * internals — which is what makes it oracle-checkable; the sketch
+    * only bounds the shuffle to candidates. Eviction behavior under
+    * skew is pinned separately in EventsR6Spec on a synthetic stream. */
+  private val heavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val cap = 256
+    val ev = Tables.events(s, d)
+    val cands = ev.select(col("user_id")).as[Long]
+      .mapPartitions(mgCandidates[Long](cap))
+      .toDF("user_id").distinct()
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    ev.join(cands, Seq("user_id"), "left_semi")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * cap > col("n_total"))
+      .select(col("user_id"), col("cnt"),
+        r6(col("cnt").cast("double") / col("n_total")).as("share"))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
+  /** Daily + whole-corpus distinct users via 32-bit-word bitmap algebra —
+    * the Druid/ClickHouse pattern that replaces countDistinct's row
+    * expansion with mergeable integer words: user u sets bit (u mod 32)
+    * of word (u div 32); per-(day, word) bit_or is a map-side-combinable
+    * hash aggregate; popcount sums give exact daily uniques, and the
+    * SAME day-level words re-merge (bit_or again) into the whole-corpus
+    * count — demonstrating why bitmap distinct is re-aggregable where
+    * daily countDistinct results are not additive. 32-bit words (not
+    * 64) because a 1<<63 shift overflows the oracle engine's BIGINT;
+    * width only changes the word census, not the algebra. Emitted as
+    * per-day rows plus a day=-1 corpus row. */
+  private val bitmapDistinct: Q = (s, d) => {
+    val words = Tables.events(s, d)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day"),
+        expr("user_id div 32").as("w"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("m"))
+      .groupBy("day", "w").agg(expr("bit_or(m)").as("bm"))
+    val daily = words.groupBy("day")
+      .agg(sum(expr("CAST(bit_count(bm) AS BIGINT)")).as("uniques"),
+        count(lit(1)).as("n_words"))
+    val corpus = words.groupBy("w").agg(expr("bit_or(bm)").as("bm"))
+      .agg(sum(expr("CAST(bit_count(bm) AS BIGINT)")).as("uniques"),
+        count(lit(1)).as("n_words"))
+      .select(lit(-1L).as("day"), col("uniques"), col("n_words"))
+    daily.unionAll(corpus).orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_heavy_hitters" -> heavyHitters,
+    "q_agg_bitmap_distinct" -> bitmapDistinct,
     "q_events_streaks" -> streaks,
     "q_events_concurrency" -> concurrency,
     "q_events_lateness" -> lateness,
@@ -976,6 +1060,37 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY user_id),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+         SELECT user_id, cnt,
+                floor((CAST(cnt AS DOUBLE) / n_total) * 1000000 + 0.5)
+                  / 1000000.0 AS share
+         FROM c CROSS JOIN t
+         WHERE cnt * 256 > n_total
+         ORDER BY cnt DESC, user_id""",
+    "q_agg_bitmap_distinct" ->
+      """WITH words AS (
+           SELECT epoch_us(ts)::BIGINT // 86400000000 AS day,
+                  user_id // 32 AS w,
+                  bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+           FROM events GROUP BY day, w),
+         daily AS (
+           SELECT day,
+                  CAST(sum(CAST(bit_count(bm) AS BIGINT)) AS BIGINT)
+                    AS uniques,
+                  CAST(count(*) AS BIGINT) AS n_words
+           FROM words GROUP BY day),
+         corpus0 AS (SELECT w, bit_or(bm) AS bm FROM words GROUP BY w),
+         corpus AS (
+           SELECT CAST(-1 AS BIGINT) AS day,
+                  CAST(sum(CAST(bit_count(bm) AS BIGINT)) AS BIGINT)
+                    AS uniques,
+                  CAST(count(*) AS BIGINT) AS n_words
+           FROM corpus0)
+         SELECT * FROM daily UNION ALL SELECT * FROM corpus
+         ORDER BY day""",
     "q_events_streaks" ->
       """WITH d AS (
            SELECT DISTINCT user_id,

@@ -270,4 +270,54 @@ class EventsR6Spec extends SparkSpec {
         avg <= (bin + 1) / 5.0 - 1.0 + 1e-6)
     }
   }
+
+  test("mgCandidates: skewed stream with tiny capacity keeps all heavy items") {
+    // 1000×'7' + 500×'8' + 300×'9' + 200 singletons, shuffled
+    // deterministically; cap=4 → threshold N/4 = 500. Guarantee: every
+    // item with count > 500 (just item 7) must survive eviction; with
+    // count == 500 (item 8) survival is NOT guaranteed — only > counts.
+    val stream = new scala.util.Random(42).shuffle(
+      Seq.fill(1000)(7L) ++ Seq.fill(500)(8L) ++ Seq.fill(300)(9L) ++
+        (100L until 300L))
+    val cands = operators.EventOps.mgCandidates[Long](4)(stream.iterator).toSet
+    assert(cands.size <= 4, "candidate set bounded by capacity")
+    assert(cands.contains(7L), "item above N/cap must survive the MG pass")
+  }
+
+  test("q_events_heavy_hitters: exact result, complete above threshold") {
+    val r = SparkEntry.queries("q_events_heavy_hitters")(spark, sfDir)
+      .collect()
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    val brute = ev.groupBy("user_id").count()
+      .filter(col("count") * 256 > n)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = r.map(x =>
+      x.getAs[Long]("user_id") -> x.getAs[Long]("cnt")).toMap
+    assert(got === brute,
+      "sketch+verify must equal the exact >N/256 heavy-hitter set")
+    r.foreach(x => assert(x.getAs[Long]("cnt") * 256 > n))
+  }
+
+  test("q_agg_bitmap_distinct: bitmap algebra equals countDistinct") {
+    val rows = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sfDir)
+      .collect()
+    val exactDaily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val (corpus, daily) = rows.partition(_.getAs[Long]("day") == -1L)
+    assert(corpus.length == 1)
+    assert(corpus.head.getAs[Long]("uniques") === exactAll,
+      "re-merged day words must give the exact corpus distinct")
+    daily.foreach { x =>
+      assert(x.getAs[Long]("uniques") ===
+        exactDaily(x.getAs[Long]("day")),
+        s"daily bitmap distinct mismatch on day ${x.getAs[Long]("day")}")
+    }
+    // non-additivity: summing daily uniques overcounts returning users
+    assert(daily.map(_.getAs[Long]("uniques")).sum >= exactAll)
+  }
 }
