@@ -784,7 +784,78 @@ object StatsOps {
         r6(abs(col("est_p95") - col("true_p95"))).as("err_p95"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily-count delta signs — the
+    * nonparametric "is the series random?" companion to Mann-Kendall
+    * (which asks about trend; runs asks about serial clustering of ups
+    * and downs). The sign sequence and run boundaries are pure integer
+    * censuses over the |days|-bounded daily frame (two global windows —
+    * census-window argument); expected runs and variance come from the
+    * exact n_up/n_down counts, so the only doubles are the final
+    * moment/z expressions, written as ONE identical formula text in
+    * both engines. */
+  private val runsTest: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day")
+    val signs = daily
+      .withColumn("df", col("c") - lag(col("c"), 1).over(w))
+      .filter(col("df").isNotNull && col("df") =!= 0)
+      .withColumn("sgn", when(col("df") > 0, 1L).otherwise(-1L))
+    signs
+      .withColumn("new_run",
+        when(lag(col("sgn"), 1).over(w).isNull ||
+          lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(col("new_run")).as("n_runs"))
+      .select(col("n_up"), col("n_down"), col("n_runs"),
+        r6(expr("2.0 * n_up * n_down / (n_up + n_down) + 1.0"))
+          .as("e_runs"),
+        r6(expr("(n_runs - (2.0 * n_up * n_down / (n_up + n_down)" +
+          " + 1.0)) / sqrt((2.0 * n_up * n_down * (2.0 * n_up * n_down" +
+          " - (n_up + n_down))) / (CAST(n_up + n_down AS DOUBLE)" +
+          " * (n_up + n_down) * (n_up + n_down - 1)))")).as("z"))
+  }
+
+  /** One-way ANOVA F across the five event types on `value` — the
+    * parametric mean-comparison that generalizes q_stats_ttest the way
+    * Kruskal-Wallis generalizes Mann-Whitney. Per-group moments (n,
+    * mean, variance) are ONE filtered hash aggregate; each is r6-pinned
+    * BEFORE any cross-group arithmetic (the jackknife round-then-replay
+    * discipline), then the three cross-group sums fold SEQUENTIALLY in
+    * group order on the 5-row frame — no partition-order float sum
+    * anywhere. Two 5-element folds + one broadcast; linear at any
+    * scale. */
+  private val anova: Q = (s, d) => {
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type").as("g"))
+      .agg(count(lit(1)).as("n_g"),
+        r6(avg(col("value"))).as("m_g"),
+        r6(var_samp(col("value"))).as("v_g"))
+      .withColumn("nm", col("n_g").cast("double") * col("m_g"))
+      .withColumn("wv", (col("n_g") - 1).cast("double") * col("v_g"))
+    def fold(field: String) =
+      expr(s"aggregate(transform(array_sort(collect_list(" +
+        s"struct(g, $field))), x -> x.$field), 0D, (acc, v) -> acc + v)")
+    val totals = g.agg(count(lit(1)).as("k"),
+      sum(col("n_g")).as("n_total"),
+      fold("nm").as("sw"), fold("wv").as("ssw"))
+    g.crossJoin(broadcast(totals))
+      .withColumn("ssb_g", col("n_g").cast("double") *
+        (col("m_g") - col("sw") / col("n_total")) *
+        (col("m_g") - col("sw") / col("n_total")))
+      .groupBy("k", "n_total", "ssw")
+      .agg(fold("ssb_g").as("ssb"))
+      .select(col("k"), col("n_total"),
+        (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"),
+        r6(expr("(ssb / (k - 1)) / (ssw / (n_total - k))")).as("f_stat"),
+        r6(expr("ssb / (ssb + ssw)")).as("eta_sq"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_runs_test" -> runsTest,
+    "q_stats_anova" -> anova,
     "q_eval_quantile_sample" -> evalQuantileSample,
     "q_stats_dispersion" -> dispersion,
     "q_stats_bootstrap" -> bootstrap,
@@ -834,6 +905,73 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stats_runs_test" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         dif AS (SELECT day, c - lag(c) OVER (ORDER BY day) AS df
+                 FROM daily),
+         sg AS (SELECT day,
+                       CASE WHEN df > 0 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(-1 AS BIGINT) END AS sgn
+                FROM dif WHERE df IS NOT NULL AND df <> 0),
+         rn AS (SELECT sgn,
+                       CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                              OR lag(sgn) OVER (ORDER BY day) <> sgn
+                            THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS new_run
+                FROM sg),
+         a AS (SELECT
+                 CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+                 CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+                 CAST(sum(new_run) AS BIGINT) AS n_runs
+               FROM rn)
+         SELECT n_up, n_down, n_runs,
+                floor((2.0 * n_up * n_down / (n_up + n_down) + 1.0)
+                  * 1000000 + 0.5) / 1000000.0 AS e_runs,
+                floor(((n_runs - (2.0 * n_up * n_down / (n_up + n_down)
+                        + 1.0))
+                       / sqrt((2.0 * n_up * n_down
+                               * (2.0 * n_up * n_down - (n_up + n_down)))
+                              / (CAST(n_up + n_down AS DOUBLE)
+                                 * (n_up + n_down)
+                                 * (n_up + n_down - 1))))
+                  * 1000000 + 0.5) / 1000000.0 AS z
+         FROM a""",
+    "q_stats_anova" ->
+      """WITH g0 AS (
+           SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_g,
+                  floor(avg(value) * 1000000 + 0.5) / 1000000.0 AS m_g,
+                  floor(var_samp(value) * 1000000 + 0.5) / 1000000.0
+                    AS v_g
+           FROM events GROUP BY event_type),
+         g1 AS (SELECT *, CAST(n_g AS DOUBLE) * m_g AS nm,
+                       CAST(n_g - 1 AS DOUBLE) * v_g AS wv
+                FROM g0),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                        CAST(sum(n_g) AS BIGINT) AS n_total,
+                        list_reduce(list(nm ORDER BY g),
+                          (acc, v) -> acc + v) AS sw,
+                        list_reduce(list(wv ORDER BY g),
+                          (acc, v) -> acc + v) AS ssw
+                 FROM g1),
+         s2 AS (SELECT k, n_total, ssw,
+                       list_reduce(
+                         list(CAST(n_g AS DOUBLE)
+                              * (m_g - sw / n_total)
+                              * (m_g - sw / n_total) ORDER BY g),
+                         (acc, v) -> acc + v) AS ssb
+                FROM g1 CROSS JOIN tot
+                GROUP BY k, n_total, ssw, sw)
+         SELECT k, n_total, k - 1 AS df1, n_total - k AS df2,
+                floor(((ssb / (k - 1)) / (ssw / (n_total - k)))
+                  * 1000000 + 0.5) / 1000000.0 AS f_stat,
+                floor((ssb / (ssb + ssw)) * 1000000 + 0.5) / 1000000.0
+                  AS eta_sq
+         FROM s2""",
     "q_stats_mannwhitney" ->
       """WITH ev AS (
            SELECT value AS p,

@@ -218,4 +218,52 @@ class StatsSpec extends SparkSpec {
         r.getLong(r.fieldIndex("n")))
     }
   }
+
+  test("runs test: census matches a driver-side replay of the sign walk") {
+    val r = operators.StatsOps.queries("q_stats_runs_test")(spark, sfDir)
+      .collect().head
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("day").collect().map(_.getLong(1))
+    val signs = daily.sliding(2).collect {
+      case Array(a, b) if b != a => if (b > a) 1 else -1
+    }.toSeq
+    val runs = if (signs.isEmpty) 0
+      else 1 + signs.sliding(2).count {
+        case Seq(a, b) => a != b; case _ => false }
+    assert(r.getAs[Long]("n_up") === signs.count(_ == 1).toLong)
+    assert(r.getAs[Long]("n_down") === signs.count(_ == -1).toLong)
+    assert(r.getAs[Long]("n_runs") === runs.toLong)
+    // a z that large in magnitude would mean the walk is degenerate
+    assert(math.abs(r.getAs[Double]("z")) < 6.0)
+    assert(r.getAs[Double]("e_runs") > 0.0)
+  }
+
+  test("anova: F from a driver-side replay of the rounded group moments") {
+    val r = operators.StatsOps.queries("q_stats_anova")(spark, sfDir)
+      .collect().head
+    val g = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        var_samp("value").as("v"))
+      .orderBy("event_type").collect()
+      .map(x => (x.getLong(1),
+        math.floor(x.getDouble(2) * 1e6 + 0.5) / 1e6,
+        math.floor(x.getDouble(3) * 1e6 + 0.5) / 1e6))
+    val k = g.length
+    val nTot = g.map(_._1).sum
+    val grand = g.map(x => x._1 * x._2).sum / nTot
+    val ssb = g.map(x => x._1 * (x._2 - grand) * (x._2 - grand)).sum
+    val ssw = g.map(x => (x._1 - 1) * x._3).sum
+    val f = (ssb / (k - 1)) / (ssw / (nTot - k))
+    assert(r.getAs[Long]("k") === k.toLong)
+    assert(r.getAs[Long]("n_total") === nTot)
+    assert(r.getAs[Long]("df1") === (k - 1).toLong)
+    assert(r.getAs[Long]("df2") === nTot - k)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-4)
+    val eta = ssb / (ssb + ssw)
+    assert(math.abs(r.getAs[Double]("eta_sq") - eta) < 1e-6)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
 }
