@@ -1020,7 +1020,65 @@ object EventOps {
     daily.unionAll(corpus).orderBy("day")
   }
 
+  /** Holt double-exponential smoothing (level + trend, α=0.5, β=0.25)
+    * of the daily count series, with a 7-day-ahead linear forecast —
+    * the trend-aware upgrade of q_stats_ewma (which cannot track a
+    * drifting mean) and of q_events_forecast_naive (which has no
+    * model at all). A recursive smoother has unbounded memory of the
+    * past, so cross-engine parity comes from the survival/kruskal
+    * discipline: the |days|-bounded daily census folds SEQUENTIALLY in
+    * day order through ONE aggregate() whose update expression is the
+    * same text the oracle replays as a recursive CTE — bit-identical
+    * doubles, r6 only at the output boundary. Init l₁=y₁, b₁=0;
+    * constants written CAST(0.5 AS DOUBLE) in both engines because a
+    * bare 0.5 literal is DECIMAL in the oracle engine (the ewma
+    * lesson). Forecast rows carry c=-1 and fit = lₙ + h·bₙ. */
+  private val holt: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val lNew = "CAST(0.5 AS DOUBLE) * x.c" +
+      " + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)"
+    val bNew = s"CAST(0.25 AS DOUBLE) * (($lNew) - acc.l)" +
+      " + CAST(0.75 AS DOUBLE) * acc.b"
+    val rowT = "STRUCT<day: BIGINT, c: BIGINT, l: DOUBLE, b: DOUBLE," +
+      " fit: DOUBLE>"
+    val folded = daily.agg(expr(
+      s"""aggregate(
+            array_sort(collect_list(struct(day, c))),
+            named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+              'i', CAST(0 AS BIGINT),
+              'tr', CAST(array() AS ARRAY<$rowT>)),
+            (acc, x) -> CASE WHEN acc.i = 0 THEN named_struct(
+                'l', CAST(x.c AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+                'i', CAST(1 AS BIGINT),
+                'tr', array(named_struct('day', x.day, 'c', x.c,
+                  'l', CAST(x.c AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+                  'fit', CAST(x.c AS DOUBLE))))
+              ELSE named_struct(
+                'l', $lNew, 'b', $bNew, 'i', acc.i + 1,
+                'tr', concat(acc.tr, array(named_struct('day', x.day,
+                  'c', x.c, 'l', $lNew, 'b', $bNew,
+                  'fit', acc.l + acc.b))))
+              END)""").as("acc"))
+    val trace = folded
+      .select(explode(col("acc.tr")).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("c"),
+        r6(col("r.l")).as("level"), r6(col("r.b")).as("trend"),
+        r6(col("r.fit")).as("fit"))
+    val fc = folded.select(explode(expr(
+        "transform(sequence(1, 7), h -> named_struct(" +
+          "'day', element_at(acc.tr, -1).day + h," +
+          " 'c', CAST(-1 AS BIGINT), 'l', acc.l, 'b', acc.b," +
+          " 'fit', acc.l + h * acc.b))")).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("c"),
+        r6(col("r.l")).as("level"), r6(col("r.b")).as("trend"),
+        r6(col("r.fit")).as("fit"))
+    trace.unionAll(fc).orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_holt" -> holt,
     "q_events_heavy_hitters" -> heavyHitters,
     "q_agg_bitmap_distinct" -> bitmapDistinct,
     "q_events_streaks" -> streaks,
@@ -1060,6 +1118,44 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_holt" ->
+      """WITH RECURSIVE daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         ds AS (SELECT day, c,
+                       CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                         AS rn
+                FROM daily),
+         rec(rn, day, c, l, b, fit) AS (
+           SELECT rn, day, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(c AS DOUBLE)
+           FROM ds WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.day, d.c,
+                  CAST(0.5 AS DOUBLE) * d.c
+                    + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+                  CAST(0.25 AS DOUBLE)
+                    * ((CAST(0.5 AS DOUBLE) * d.c
+                        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                    + CAST(0.75 AS DOUBLE) * r.b,
+                  r.l + r.b
+           FROM rec r JOIN ds d ON d.rn = r.rn + 1),
+         lastrow AS (SELECT day, l, b FROM rec
+                     WHERE rn = (SELECT max(rn) FROM rec)),
+         fc AS (SELECT lastrow.day + h.h AS day,
+                       CAST(-1 AS BIGINT) AS c,
+                       lastrow.l AS l, lastrow.b AS b,
+                       lastrow.l + h.h * lastrow.b AS fit
+                FROM lastrow CROSS JOIN
+                  (SELECT unnest(generate_series(1, 7)) AS h) h)
+         SELECT day, c,
+                floor(l * 1000000 + 0.5) / 1000000.0 AS level,
+                floor(b * 1000000 + 0.5) / 1000000.0 AS trend,
+                floor(fit * 1000000 + 0.5) / 1000000.0 AS fit
+         FROM (SELECT day, c, l, b, fit FROM rec
+               UNION ALL SELECT * FROM fc)
+         ORDER BY day""",
     "q_events_heavy_hitters" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
                     FROM events GROUP BY user_id),

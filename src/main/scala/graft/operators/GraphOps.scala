@@ -432,7 +432,35 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** Resource-allocation link-prediction index over the co-purchase
+    * graph — the degree-weighted upgrade of q_graph_link_jaccard: a
+    * candidate pair (a,c) scores Σ over common neighbors b of 1/deg(b),
+    * so wedges through PROMISCUOUS hubs contribute less than wedges
+    * through selective nodes (the Zhou-Lü-Zhang index; Adamic-Adar's
+    * 1/log cousin with exactly computable weights). Each wedge's weight
+    * is the INTEGER 1000000 div deg(b) — exact in any partition order,
+    * engine-identical (1/log would hit libm divergence). Same oriented
+    * wedge join + anti-join-on-existing-edges shape as link_jaccard;
+    * top-20 by (score, a, c) via TakeOrderedAndProject. */
+  private val raIndex: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
+    val cn = und.select(col("x").as("a"), col("y").as("b"))
+      .join(und.select(col("x").as("b"), col("y").as("c")), Seq("b"))
+      .filter(col("a") < col("c"))
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), Seq("b"))
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div db")).as("ra_micro"))
+    cn.join(e.select(col("x").as("a"), col("y").as("c")),
+        Seq("a", "c"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("a"), col("c"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_ra_index" -> raIndex,
     "q_graph_hits" -> hits,
     "q_graph_clustering" -> clustering,
     "q_graph_kcore" -> kcore,
@@ -453,6 +481,25 @@ object GraphOps {
         FROM e JOIN $prev ON e.src = $prev.node GROUP BY dst"""
 
   val oracle: Map[String, String] = Map(
+    "q_graph_ra_index" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY x),
+         cn AS (SELECT u1.x AS a, u2.y AS c, count(*) AS cn,
+                       CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_micro
+                FROM und u1
+                JOIN und u2 ON u1.y = u2.x AND u1.x < u2.y
+                JOIN deg d ON d.x = u1.y
+                GROUP BY 1, 2)
+         SELECT a, c, cn, ra_micro FROM cn
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.x = cn.a AND e.y = cn.c)
+         ORDER BY ra_micro DESC, a, c LIMIT 20""",
     "q_graph_hits" ->
       """WITH ed AS (
            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,

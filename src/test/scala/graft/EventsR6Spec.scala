@@ -320,4 +320,48 @@ class EventsR6Spec extends SparkSpec {
     // non-additivity: summing daily uniques overcounts returning users
     assert(daily.map(_.getAs[Long]("uniques")).sum >= exactAll)
   }
+
+  test("q_events_holt: smoother replays driver-side; forecast is linear") {
+    val rows = SparkEntry.queries("q_events_holt")(spark, sfDir).collect()
+    val (fc, trace) = rows.partition(_.getAs[Long]("c") == -1L)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(trace.length === daily.length)
+    assert(fc.length === 7)
+    // driver-side replay of the exact recursion
+    var l = daily.head._2.toDouble; var b = 0.0
+    daily.tail.foreach { case (_, y) =>
+      val l2 = 0.5 * y + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b; l = l2
+    }
+    val lastTrace = trace.maxBy(_.getAs[Long]("day"))
+    assert(math.abs(lastTrace.getAs[Double]("level") - l) < 1e-6)
+    assert(math.abs(lastTrace.getAs[Double]("trend") - b) < 1e-6)
+    // forecasts are the straight line l + h*b off the corpus edge
+    val maxDay = daily.last._1
+    fc.sortBy(_.getAs[Long]("day")).zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(r.getAs[Long]("day") === maxDay + h)
+      assert(math.abs(r.getAs[Double]("fit") - (l + h * b)) < 1e-5)
+    }
+  }
+
+  test("q_graph_ra_index: scores positive, candidates are non-edges") {
+    val rows = SparkEntry.queries("q_graph_ra_index")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("ra_micro"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)),
+      "rows must be ranked by descending RA score")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("c"), "oriented pairs")
+      // each common neighbor contributes at most 1000000/2 (deg >= 2
+      // for any wedge midpoint: it touches both endpoints)
+      assert(r.getAs[Long]("ra_micro") <=
+        r.getAs[Long]("cn") * 500000L)
+    }
+  }
 }
