@@ -1077,7 +1077,36 @@ object EventOps {
     trace.unionAll(fc).orderBy("day")
   }
 
+  /** Sequential-pattern support for consecutive event-type bigrams —
+    * the pattern-mining complement of q_events_markov: markov
+    * row-normalizes TRANSITION COUNTS (how often), support counts
+    * DISTINCT USERS exhibiting the sequence (how widespread) — the
+    * SPADE/PrefixSpan "support" semantics at pattern length 2.
+    * Consecutive pairs come from one lag over the (user_id)-partitioned
+    * stream (the natural shuffle key); support shares divide by the
+    * total-user census via one broadcast row. Integer-exact until the
+    * final r6 share. */
+  private val seqSupport: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("a", lag(col("event_type"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .select(col("user_id"), col("a"), col("event_type").as("b"))
+    val totalUsers = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_users_total"))
+    pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_trans"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(totalUsers))
+      .select(col("a"), col("b"), col("n_trans"), col("n_users"),
+        r6(col("n_users").cast("double") / col("n_users_total"))
+          .as("support"))
+      .orderBy(col("n_trans").desc, col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_seq_support" -> seqSupport,
     "q_events_holt" -> holt,
     "q_events_heavy_hitters" -> heavyHitters,
     "q_agg_bitmap_distinct" -> bitmapDistinct,
@@ -1118,6 +1147,23 @@ object EventOps {
     "q_agg_pivot" -> pivot)
 
   val oracle: Map[String, String] = Map(
+    "q_events_seq_support" ->
+      """WITH p AS (
+           SELECT user_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS a,
+                  event_type AS b
+           FROM events),
+         tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS n_users_total FROM events),
+         g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_trans,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM p WHERE a IS NOT NULL GROUP BY a, b)
+         SELECT a, b, n_trans, n_users,
+                floor((CAST(n_users AS DOUBLE) / n_users_total)
+                  * 1000000 + 0.5) / 1000000.0 AS support
+         FROM g CROSS JOIN tot
+         ORDER BY n_trans DESC, a, b""",
     "q_events_holt" ->
       """WITH RECURSIVE daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

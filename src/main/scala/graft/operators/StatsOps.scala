@@ -853,7 +853,53 @@ object StatsOps {
         r6(expr("ssb / (ssb + ssw)")).as("eta_sq"))
   }
 
+  /** Two-proportion experiment sizing — the power-analysis step that
+    * pairs with q_stats_prop_test (which judges a finished experiment;
+    * this sizes the next one): arms = user parity, conversion = ever
+    * purchased; required n/arm for α=0.05 two-sided, 80 % power at the
+    * OBSERVED effect via n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))²/δ².
+    * The z quantiles are 17-digit pinned literals in both engines (the
+    * ewma-weight discipline — no erf/qnorm cross-libm call); every
+    * input is an exact integer census, p-hats are r6-pinned before the
+    * formula (round-then-replay), so both engines evaluate one
+    * identical double expression. δ=0 degenerates to n=-1 sentinel. */
+  private val power: Q = (s, d) => {
+    // CAST guards: a bare high-precision literal types as DECIMAL in
+    // both engines; forcing DOUBLE at the literal keeps every product
+    // in pure IEEE arithmetic (the ewma-weight lesson).
+    val za = "CAST(1.9599639845400545 AS DOUBLE)"  // Φ⁻¹(0.975)
+    val zb = "CAST(0.8416212335729143 AS DOUBLE)"  // Φ⁻¹(0.80)
+    val arms = Tables.events(s, d)
+      .groupBy(expr("user_id % 2").as("arm"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val p = arms.select(col("arm"), col("n_users"), col("n_conv"),
+      r6(col("n_conv").cast("double") / col("n_users")).as("ph"))
+    val wide = p.filter(col("arm") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("c0"),
+        col("ph").as("p0"))
+      .crossJoin(broadcast(p.filter(col("arm") === 1)
+        .select(col("n_users").as("n1"), col("n_conv").as("c1"),
+          col("ph").as("p1"))))
+    wide
+      // pow() is not a cross-engine contract (lsh_planner lesson):
+      // square by explicit multiplication of a named intermediate
+      .withColumn("zsum", expr(
+        s"$za * sqrt(2.0 * ((p0 + p1) / 2.0)" +
+          s" * (1.0 - (p0 + p1) / 2.0))" +
+          s" + $zb * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))"))
+      .select(col("n0"), col("n1"), col("p0"), col("p1"),
+        r6(expr("p1 - p0")).as("delta"),
+        expr("""CASE WHEN p1 = p0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(ceil(zsum * zsum
+              / ((p1 - p0) * (p1 - p0))) AS BIGINT) END""")
+          .as("n_per_arm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_power" -> power,
     "q_stats_runs_test" -> runsTest,
     "q_stats_anova" -> anova,
     "q_eval_quantile_sample" -> evalQuantileSample,
@@ -905,6 +951,39 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stats_power" ->
+      """WITH u AS (
+           SELECT user_id % 2 AS arm, user_id,
+                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY arm, user_id),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                      CAST(sum(conv) AS BIGINT) AS n_conv
+               FROM u GROUP BY arm),
+         p AS (SELECT arm, n_users, n_conv,
+                      floor((CAST(n_conv AS DOUBLE) / n_users)
+                        * 1000000 + 0.5) / 1000000.0 AS ph
+               FROM a),
+         wide AS (
+           SELECT p0.n_users AS n0, p0.n_conv AS c0, p0.ph AS p0,
+                  p1.n_users AS n1, p1.n_conv AS c1, p1.ph AS p1
+           FROM (SELECT * FROM p WHERE arm = 0) p0
+           CROSS JOIN (SELECT * FROM p WHERE arm = 1) p1),
+         z AS (SELECT *,
+                      CAST(1.9599639845400545 AS DOUBLE)
+                          * sqrt(2.0 * ((p0 + p1) / 2.0)
+                          * (1.0 - (p0 + p1) / 2.0))
+                        + CAST(0.8416212335729143 AS DOUBLE)
+                          * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+                        AS zsum
+               FROM wide)
+         SELECT n0, n1, p0, p1,
+                floor((p1 - p0) * 1000000 + 0.5) / 1000000.0 AS delta,
+                CASE WHEN p1 = p0 THEN CAST(-1 AS BIGINT)
+                     ELSE CAST(ceil(zsum * zsum
+                       / ((p1 - p0) * (p1 - p0))) AS BIGINT) END
+                  AS n_per_arm
+         FROM z""",
     "q_stats_runs_test" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

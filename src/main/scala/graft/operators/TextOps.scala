@@ -212,6 +212,48 @@ object TextOps {
       .orderBy("qs", "rn")
   }
 
+  /** SymSpell spell correction — the 100 TB path for the fuzzy half of
+    * the suggestion surface: q_text_fuzzy_suggest brute-forces
+    * |queries|×|vocab| levenshtein calls, which dies when the query log
+    * is corpus-sized; SymSpell precomputes DELETE-ONLY variants (depth
+    * ≤2) of both sides and equi-joins on the variant string — ed(q,v)≤2
+    * guarantees a shared delete variant, so the join is a complete
+    * candidate generator and exact levenshtein runs only per candidate.
+    * Variant expansion is ~len²/2 rows per token (bounded, shuffle on
+    * the variant key); the final ranking law is identical to
+    * fuzzy_suggest, and the ORACLE IS fuzzy_suggest's brute-force SQL —
+    * a hash-match is a completeness proof for the candidate generator
+    * (the q_dedup_prefix_filter pattern). */
+  private val symspell: Q = (s, d) => {
+    def del1(src: String): String =
+      s"transform(sequence(0, length($src)), i -> CASE WHEN i = 0" +
+        s" THEN $src ELSE substring($src, 1, i - 1)" +
+        s" || substring($src, i + 1) END)"
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks()).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vv = vocab
+      .withColumn("v1", explode(expr(del1("token"))))
+      .withColumn("v", explode(expr(del1("v1"))))
+      .select("token", "cnt", "v").distinct()
+    val qdf = s.createDataFrame(fuzzyQueries.map(Tuple1(_))).toDF("qs")
+    val qv = qdf
+      .withColumn("v1", explode(expr(del1("qs"))))
+      .withColumn("v", explode(expr(del1("v1"))))
+      .select("qs", "v").distinct()
+    val w = Window.partitionBy("qs")
+      .orderBy(col("dist"), col("cnt").desc, col("token"))
+    vv.join(broadcast(qv), Seq("v"))
+      .select("qs", "token", "cnt").distinct()
+      .withColumn("dist",
+        levenshtein(col("token"), col("qs")).cast("int"))
+      .filter(col("dist") <= 2)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("qs", "rn", "token", "cnt", "dist")
+      .orderBy("qs", "rn")
+  }
+
   /** Exact dedup by content hash, keep min doc_id per group. */
   private val dedupExact: Q = (s, d) => {
     val w = Window.partitionBy("fp").orderBy("doc_id")
@@ -1550,6 +1592,7 @@ object TextOps {
     "q_text_ngram" -> ngram,
     "q_text_prefix_suggest" -> prefixSuggest,
     "q_text_fuzzy_suggest" -> fuzzySuggest,
+    "q_text_symspell" -> symspell,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_dedup_prefix_filter" -> dedupPrefixFilter,
@@ -2149,6 +2192,26 @@ object TextOps {
                     t -> regexp_replace(t, '(ing|ed|s)$', '')),
                   ' ') AS norm
          FROM documents ORDER BY doc_id""",
+    // q_text_symspell's oracle IS the brute-force form: a hash-match
+    // proves the delete-variant candidate generator is complete.
+    "q_text_symspell" ->
+      s"""WITH v AS (
+           SELECT tok AS token, count(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           GROUP BY tok),
+         q AS (SELECT unnest([${fuzzyQueries.map("'" + _ + "'").mkString(", ")}])
+                 AS qs),
+         m AS (
+           SELECT qs, token, cnt,
+                  CAST(levenshtein(token, qs) AS INTEGER) AS dist
+           FROM q JOIN v ON levenshtein(token, qs) <= 2)
+         SELECT qs, CAST(rn AS BIGINT) AS rn, token, cnt, dist FROM (
+           SELECT qs, token, cnt, dist,
+                  row_number() OVER (PARTITION BY qs
+                    ORDER BY dist, cnt DESC, token) AS rn
+           FROM m) t
+         WHERE rn <= 3 ORDER BY qs, rn""",
     "q_text_fuzzy_suggest" ->
       s"""WITH v AS (
            SELECT tok AS token, count(*) AS cnt

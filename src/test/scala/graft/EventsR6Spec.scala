@@ -348,6 +348,52 @@ class EventsR6Spec extends SparkSpec {
     }
   }
 
+  test("q_events_seq_support: transition census balances users") {
+    val rows = SparkEntry.queries("q_events_seq_support")(spark, sfDir)
+      .collect()
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum === nEvents - nUsers,
+      "each user contributes exactly (events - 1) transitions")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_trans"))
+      val s = r.getAs[Double]("support")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("q_text_symspell equals the brute-force fuzzy ranking exactly") {
+    // the completeness proof for the delete-variant candidate
+    // generator: SymSpell prunes candidates, never results
+    val sym = SparkEntry.queries("q_text_symspell")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val brute = SparkEntry.queries("q_text_fuzzy_suggest")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(sym.toSeq === brute.toSeq)
+  }
+
+  test("q_stats_power: formula replays from the exact censuses") {
+    val r = operators.StatsOps.queries("q_stats_power")(spark, sfDir)
+      .collect().head
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === nUsers)
+    val (p0, p1) = (r.getAs[Double]("p0"), r.getAs[Double]("p1"))
+    assert(p0 >= 0 && p0 <= 1 && p1 >= 0 && p1 <= 1)
+    val n = r.getAs[Long]("n_per_arm")
+    if (p0 != p1) {
+      val pb = (p0 + p1) / 2
+      val zsum = 1.9599639845400545 * math.sqrt(2.0 * pb * (1 - pb)) +
+        0.8416212335729143 * math.sqrt(p0 * (1 - p0) + p1 * (1 - p1))
+      val expect = math.ceil(zsum * zsum / ((p1 - p0) * (p1 - p0))).toLong
+      assert(n === expect)
+      // sanity: detecting the observed delta needs at least a handful
+      // of users and not an absurd number
+      assert(n >= 1)
+    } else assert(n === -1L)
+  }
+
   test("q_graph_ra_index: scores positive, candidates are non-edges") {
     val rows = SparkEntry.queries("q_graph_ra_index")(spark, sfDir)
       .collect()
