@@ -667,6 +667,91 @@ object RelationalOps {
       .orderBy("layout")
   }
 
+  /** One step of the integer curve-index fold shared by q_layout_hilbert
+    * and its oracle. The (x, y, d) state packs into ONE BIGINT
+    * (d·2³² + x·2¹⁶ + y, 8-bit coords so the pack never overflows),
+    * because the oracle engine's list_reduce carries a same-typed
+    * accumulator; the lambda text is IDENTICAL in both engines except
+    * the integer-div token (`div` vs `//`). Hilbert per level: quadrant
+    * digit (3·rx)⊕ry written as a CASE (no cross-engine xor), then the
+    * flip+swap rotation of the standard xy2d recurrence; Morton is the
+    * same fold without rotation (digit rx + 2·ry). */
+  private def curveStepSql(divTok: String, morton: Boolean): String = {
+    val X = s"((acc $divTok 65536) % 256)"
+    val Y = "(acc % 256)"
+    val D = s"(acc $divTok 4294967296)"
+    val rx = s"((($X) $divTok s) % 2)"
+    val ry = s"((($Y) $divTok s) % 2)"
+    if (morton)
+      s"($D + s * s * ($rx + 2 * ($ry))) * 4294967296" +
+        s" + ($X) * 65536 + ($Y)"
+    else {
+      val q = s"CASE WHEN $rx = 0 AND $ry = 0 THEN 0" +
+        s" WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END"
+      val x2 = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN 255 - $Y ELSE $Y END) ELSE $X END"
+      val y2 = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN 255 - $X ELSE $X END) ELSE $Y END"
+      s"($D + s * s * ($q)) * 4294967296 + ($x2) * 65536 + ($y2)"
+    }
+  }
+  private val curveLevels = "128, 64, 32, 16, 8, 4, 2, 1"
+
+  /** Spark column computing the 8-bit Hilbert (or Morton) index of
+    * (hx, hy) via the packed-accumulator fold. */
+  private[graft] def curveCol(morton: Boolean) = expr(
+    s"aggregate(array(${curveLevels.split(", ").map(_ + "L").mkString(", ")})," +
+      s" CAST(hx * 65536 + hy AS BIGINT)," +
+      s" (acc, s) -> ${curveStepSql("div", morton)}," +
+      " acc -> acc div 4294967296)")
+
+  /** Hilbert-vs-Morton data-skipping audit — the layout question
+    * q_layout_skipping leaves open: Morton (z-order) has ONE seam per
+    * bit level where the curve teleports across the grid, so a range
+    * query straddling the 128-boundary touches many disjoint curve
+    * runs; Hilbert's rotation keeps every step adjacent, so the same
+    * box stays in few runs. Quantified exactly like q_layout_skipping
+    * (16 exact-ntile "files" per layout via the distributed
+    * Dist.withNtile range shuffle, min/max footer stats, box-miss skip
+    * test) but with a MID-GRID 32×32 box [112,143]² that crosses the
+    * top-level seam — the case where the two curves genuinely differ;
+    * on corner-aligned power-of-two boxes they tie by construction.
+    * Curve indices are identical integer folds in both engines
+    * (curveStepSql), so the whole audit is integer-exact. */
+  private val layoutHilbert: Q = (s, d) => {
+    // grid coords = 8-bit md5 buckets of the two keys (real curve
+    // layouts bucket high-cardinality dims first); hashing keeps the
+    // full 0..255 range populated at EVERY scale factor — l_suppkey
+    // % 256 would leave the seam box empty below ~sf0.1
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      TextOps.hex2(md5(concat(lit("x:"),
+        col("l_partkey").cast("string")))).as("hx"),
+      TextOps.hex2(md5(concat(lit("y:"),
+        col("l_suppkey").cast("string")))).as("hy"))
+      .withColumn("hil", curveCol(morton = false))
+      .withColumn("mor", curveCol(morton = true))
+    def files(layout: String, ord: Seq[Column]) =
+      Dist.withNtile(base, "f", 16, Nil, ord)
+        .groupBy(lit(layout).as("layout"), col("f"))
+        .agg(count(lit(1)).as("rows"),
+          min(col("hx")).as("x0"), max(col("hx")).as("x1"),
+          min(col("hy")).as("y0"), max(col("hy")).as("y1"))
+    files("hilbert", Seq(col("hil"), col("l_orderkey"), col("l_linenumber")))
+      .unionAll(files("morton",
+        Seq(col("mor"), col("l_orderkey"), col("l_linenumber"))))
+      .unionAll(files("natural",
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("skip",
+        when(col("x1") < 112 || col("x0") > 143 ||
+          col("y1") < 112 || col("y0") > 143, 1L).otherwise(0L))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"), sum(col("skip")).as("n_skipped"),
+        sum(when(col("skip") === 0, col("rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .orderBy("layout")
+  }
+
   /** Exact-decimal money aggregation — the DecimalType path a financial
     * pipeline needs (SURVEY §1.2 notes the testdata carries no decimals,
     * so money is ingested as double). The double→decimal boundary NEVER
@@ -1908,6 +1993,7 @@ object RelationalOps {
     "q_agg_merge_days" -> aggMergeDays,
     "q_eval_kmv_error" -> evalKmvError,
     "q_layout_skipping" -> layoutSkipping,
+    "q_layout_hilbert" -> layoutHilbert,
     "q_layout_compaction_plan" -> layoutCompactionPlan,
     "q_layout_partition_prune" -> layoutPartitionPrune,
     "q_layout_dpp" -> layoutDpp,
@@ -2215,6 +2301,52 @@ object RelationalOps {
                 min(file) AS first_file, max(file) AS last_file
          FROM rec WHERE rn > 0
          GROUP BY bin ORDER BY bin""",
+    "q_layout_hilbert" ->
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber,
+                  ${TextOps.hex2Sql("md5('x:' || CAST(l_partkey AS VARCHAR))")} AS hx,
+                  ${TextOps.hex2Sql("md5('y:' || CAST(l_suppkey AS VARCHAR))")} AS hy
+           FROM lineitem),
+         z AS (SELECT *,
+           list_reduce(list_prepend(CAST(hx * 65536 + hy AS BIGINT),
+             [$curveLevels]::BIGINT[]),
+             (acc, s) -> ${curveStepSql("//", morton = false)})
+             // 4294967296 AS hil,
+           list_reduce(list_prepend(CAST(hx * 65536 + hy AS BIGINT),
+             [$curveLevels]::BIGINT[]),
+             (acc, s) -> ${curveStepSql("//", morton = true)})
+             // 4294967296 AS mor
+           FROM c),
+         fh AS (SELECT hx, hy, ntile(16) OVER (
+                  ORDER BY hil, l_orderkey, l_linenumber) AS f FROM z),
+         fm AS (SELECT hx, hy, ntile(16) OVER (
+                  ORDER BY mor, l_orderkey, l_linenumber) AS f FROM z),
+         fn AS (SELECT hx, hy, ntile(16) OVER (
+                  ORDER BY l_orderkey, l_linenumber) AS f FROM z),
+         stats AS (
+           SELECT 'hilbert' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
+                  min(hx) AS x0, max(hx) AS x1,
+                  min(hy) AS y0, max(hy) AS y1
+           FROM fh GROUP BY f
+           UNION ALL
+           SELECT 'morton' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
+                  min(hx) AS x0, max(hx) AS x1,
+                  min(hy) AS y0, max(hy) AS y1
+           FROM fm GROUP BY f
+           UNION ALL
+           SELECT 'natural' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
+                  min(hx) AS x0, max(hx) AS x1,
+                  min(hy) AS y0, max(hy) AS y1
+           FROM fn GROUP BY f),
+         sk AS (SELECT layout, nr,
+                       CASE WHEN x1 < 112 OR x0 > 143
+                              OR y1 < 112 OR y0 > 143
+                            THEN 1 ELSE 0 END AS skip
+                FROM stats)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+                CAST(sum(skip) AS BIGINT) AS n_skipped,
+                CAST(sum(CASE WHEN skip = 0 THEN nr ELSE 0 END)
+                  AS BIGINT) AS rows_scanned
+         FROM sk GROUP BY layout ORDER BY layout""",
     "q_layout_skipping" ->
       s"""$zvalCtes,
          fn AS (SELECT zx, zy, ntile(16) OVER (

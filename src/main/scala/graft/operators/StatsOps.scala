@@ -898,7 +898,58 @@ object StatsOps {
           .as("n_per_arm"))
   }
 
+  /** CUPED variance reduction — the experimentation workhorse that
+    * pairs with q_stats_power (sizing) and q_stats_prop_test (verdict):
+    * adjust each user's post-period purchase spend y by their
+    * PRE-period spend x via θ = cov(x,y)/var(x), which shrinks metric
+    * variance by ρ² without biasing the arm contrast. Every moment is
+    * an EXACT LONG: spend quantizes per event (floor(value·100+0.5) —
+    * one double each, deterministic), per-user sums and the five global
+    * moments are integer aggregates in any partition order; θ, x̄ and
+    * the ρ² reduction are single identical-text double expressions on
+    * the 1-row moment frame (products cast to double BEFORE
+    * multiplying — Σx·Σy overflows int64 at ~sf1). Arm rows then
+    * derive adjusted means from their own exact sums + the broadcast
+    * θ/x̄. One user-keyed aggregate + two bounded frames — linear. */
+  private val cuped: Q = (s, d) => {
+    val minDay = Tables.events(s, d)
+      .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("d0"))
+    val perUser = Tables.events(s, d)
+      .crossJoin(broadcast(minDay))
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("is_pre",
+        expr("(ts_ns div 1000) div 86400000000 - d0 < 15"))
+      .groupBy(expr("user_id % 2").as("arm"), col("user_id"))
+      .agg(sum(when(col("is_pre") && col("event_type") === "purchase",
+          col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("is_pre") && col("event_type") === "purchase",
+          col("cents")).otherwise(0L)).as("y"))
+    val cov = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+    val vx = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+    val vy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+    val glob = perUser
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(
+        expr(s"$cov / $vx").as("theta"),
+        expr(s"($cov * $cov) / ($vx * $vy)").as("var_reduction"),
+        expr("CAST(sx AS DOUBLE) / n").as("xbar"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("ax"),
+        sum("y").as("ay"))
+      .crossJoin(broadcast(glob))
+      .select(col("arm"), col("n_users"),
+        r6(expr("CAST(ay AS DOUBLE) / n_users / 100.0")).as("mean_y"),
+        r6(expr("(CAST(ay AS DOUBLE) - theta * (CAST(ax AS DOUBLE)" +
+          " - n_users * xbar)) / n_users / 100.0")).as("mean_y_adj"),
+        r6(col("theta")).as("theta"),
+        r6(col("var_reduction")).as("var_reduction"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cuped" -> cuped,
     "q_stats_power" -> power,
     "q_stats_runs_test" -> runsTest,
     "q_stats_anova" -> anova,
@@ -951,6 +1002,58 @@ object StatsOps {
                 FROM tr)"""
 
   val oracle: Map[String, String] = Map(
+    "q_stats_cuped" ->
+      """WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
+                     FROM events),
+         pu AS (
+           SELECT user_id % 2 AS arm, user_id,
+                  CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) - d0
+                                     < 15 AND event_type = 'purchase'
+                                THEN CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN NOT ((epoch_us(ts) // 86400000000)
+                                          - d0 < 15)
+                                     AND event_type = 'purchase'
+                                THEN CAST(floor(value * 100 + 0.5)
+                                          AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS y
+           FROM events CROSS JOIN d0 GROUP BY arm, user_id),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(x) AS BIGINT) AS sx,
+                        CAST(sum(y) AS BIGINT) AS sy,
+                        CAST(sum(x * x) AS BIGINT) AS sxx,
+                        CAST(sum(x * y) AS BIGINT) AS sxy,
+                        CAST(sum(y * y) AS BIGINT) AS syy
+                 FROM pu),
+         gm AS (SELECT
+                    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                      / (CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n) AS theta,
+                    ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                     * (CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sy / n))
+                      / ((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sx / n)
+                         * (CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * sy / n))
+                      AS var_reduction,
+                    CAST(sx AS DOUBLE) / n AS xbar
+                  FROM mom),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                      CAST(sum(x) AS BIGINT) AS ax,
+                      CAST(sum(y) AS BIGINT) AS ay
+               FROM pu GROUP BY arm)
+         SELECT arm, n_users,
+                floor((CAST(ay AS DOUBLE) / n_users / 100.0)
+                  * 1000000 + 0.5) / 1000000.0 AS mean_y,
+                floor(((CAST(ay AS DOUBLE) - theta * (CAST(ax AS DOUBLE)
+                        - n_users * xbar)) / n_users / 100.0)
+                  * 1000000 + 0.5) / 1000000.0 AS mean_y_adj,
+                floor(theta * 1000000 + 0.5) / 1000000.0 AS theta,
+                floor(var_reduction * 1000000 + 0.5) / 1000000.0
+                  AS var_reduction
+         FROM a CROSS JOIN gm ORDER BY arm""",
     "q_stats_power" ->
       """WITH u AS (
            SELECT user_id % 2 AS arm, user_id,

@@ -1333,9 +1333,9 @@ object TextOps {
   /** 2-hex-digit md5 decode (exact 0..255 integer, both engines) — the
     * bucket assigner for the hashing-trick features and the count-min
     * sketch below. */
-  private def hex2(c: Column): Column =
+  private[graft] def hex2(c: Column): Column =
     conv(substring(c, 31, 2), 16, 10).cast("long")
-  private def hex2Sql(e: String): String =
+  private[graft] def hex2Sql(e: String): String =
     s"((CAST(strpos('0123456789abcdef', substring($e, 31, 1)) AS BIGINT)" +
       s" - 1) * 16 + (CAST(strpos('0123456789abcdef', substring($e, 32, 1))" +
       s" AS BIGINT) - 1))"

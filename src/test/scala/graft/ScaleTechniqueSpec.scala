@@ -213,4 +213,66 @@ class ScaleTechniqueSpec extends SparkSpec {
       assert(viaUnionFind.nonEmpty)
     } finally DedupOps.DriverCcEdgeThreshold = saved
   }
+
+  /** Reference xy2d Hilbert (Wikipedia-standard recurrence) for the
+    * curve-expression parity checks. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, dd) = (x0, y0, 0L)
+    var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      dd += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255 - x; y = 255 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    dd
+  }
+
+  test("hilbert curve expression matches the reference recurrence") {
+    import graft.operators.RelationalOps
+    // deterministic sample of the 256x256 grid incl. the seam band
+    val pts = ((for (x <- 0 until 256 by 7; y <- 0 until 256 by 11)
+      yield (x.toLong, y.toLong)) ++
+      Seq((0L, 0L), (255L, 255L), (127L, 128L), (128L, 127L))).distinct
+    val df = pts.toDF("hx", "hy")
+      .withColumn("hil", RelationalOps.curveCol(morton = false))
+      .collect()
+    df.foreach { r =>
+      assert(r.getAs[Long]("hil") ===
+        hilbertRef(r.getAs[Long]("hx"), r.getAs[Long]("hy")),
+        s"mismatch at (${r.getAs[Long]("hx")}, ${r.getAs[Long]("hy")})")
+    }
+    // bijectivity on the sample: distinct cells -> distinct indices
+    assert(df.map(_.getAs[Long]("hil")).distinct.length === pts.length)
+  }
+
+  test("hilbert adjacency: consecutive indices are grid neighbors") {
+    // the locality property Morton lacks — walk a full 16x16 subcurve
+    val inv = (for (x <- 0L until 256L; y <- 0L until 256L
+      if x < 16 && y < 16) yield (hilbertRef(x, y), (x, y))).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = inv(d); val (x2, y2) = inv(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"teleport between d=$d and ${d + 1}")
+    }
+  }
+
+  test("q_layout_hilbert: hilbert skips at least as well as morton") {
+    val rows = SparkEntry.queries("q_layout_hilbert")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("n_skipped"),
+          r.getAs[Long]("rows_scanned"))).toMap
+    assert(rows.keySet === Set("hilbert", "morton", "natural"))
+    rows.values.foreach { case (nf, ns, _) =>
+      assert(nf === 16L); assert(ns >= 0 && ns < 16)
+    }
+    // the seam-crossing box is where hilbert's locality pays
+    assert(rows("hilbert")._2 >= rows("morton")._2,
+      "hilbert should skip at least as many files as morton here")
+    assert(rows("natural")._2 <= rows("hilbert")._2)
+  }
 }

@@ -240,6 +240,45 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("e_runs") > 0.0)
   }
 
+  test("cuped: theta and reduction replay from exact per-user cents") {
+    val rows = operators.StatsOps.queries("q_stats_cuped")(spark, sfDir)
+      .collect()
+    assert(rows.length === 2)
+    val minDay = Tables.events(spark, sfDir)
+      .agg(min(expr("(ts_ns div 1000) div 86400000000"))).collect()
+      .head.getLong(0)
+    val pu = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        (expr("(ts_ns div 1000) div 86400000000") < minDay + 15)
+          .as("pre"))
+      .collect().groupBy(_.getLong(0)).map { case (_, rs) =>
+        (rs.filter(_.getBoolean(2)).map(_.getLong(1)).sum,
+          rs.filterNot(_.getBoolean(2)).map(_.getLong(1)).sum)
+      }.toSeq
+    // users with zero purchases still count: censused via all events
+    val nAll = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val zeros = nAll - pu.size
+    val xs = pu.map(_._1.toDouble) ++ Seq.fill(zeros.toInt)(0.0)
+    val ys = pu.map(_._2.toDouble) ++ Seq.fill(zeros.toInt)(0.0)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val cov = xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy / n
+    val vx = xs.map(a => a * a).sum - sx * sx / n
+    val vy = ys.map(a => a * a).sum - sy * sy / n
+    val theta = cov / vx
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-3)
+      val vr = r.getAs[Double]("var_reduction")
+      assert(math.abs(vr - cov * cov / (vx * vy)) < 1e-3)
+      assert(vr >= 0.0 && vr <= 1.0)
+      assert(r.getAs[Double]("mean_y") >= 0.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).sum === nAll)
+  }
+
   test("anova: F from a driver-side replay of the rounded group moments") {
     val r = operators.StatsOps.queries("q_stats_anova")(spark, sfDir)
       .collect().head
