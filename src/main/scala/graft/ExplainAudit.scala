@@ -163,7 +163,21 @@ object ExplainAudit {
     "q_stats_spearman", "q_quality_dq_gate", "q_embed_erank",
     "q_dedup_lsh_planner", "q_text_fertility", "q_multimodal_phash",
     "q_join_asof_tolerance", "q_events_survival", "q_events_logrank",
-    "q_layout_compaction_plan", "q_text_suggest_eval")
+    "q_layout_compaction_plan", "q_text_suggest_eval",
+    // round-6 session 5: the MG heavy-hitter shape (shuffle-free
+    // mapPartitions candidate pass → semi-join → exact recount), the
+    // map-side-combinable bit_or bitmap-distinct words, SymSpell's
+    // delete-variant equi-join (candidates, never |q|×|vocab|), the
+    // Hilbert/Morton curve folds feeding the same exact-ntile audit
+    // (Dist caveat), CUPED's one user-keyed aggregate + two bounded
+    // moment frames, windowFunnel's user-keyed band joins, the RA
+    // index's weighted wedge join, and the runs/ANOVA/holt bounded
+    // census folds
+    "q_events_heavy_hitters", "q_agg_bitmap_distinct",
+    "q_text_symspell", "q_layout_hilbert", "q_stats_cuped",
+    "q_events_window_funnel", "q_graph_ra_index", "q_stats_runs_test",
+    "q_stats_anova", "q_events_holt", "q_events_seq_support",
+    "q_stats_power", "q_events_markov_stationary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

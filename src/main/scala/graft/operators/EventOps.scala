@@ -1105,7 +1105,94 @@ object EventOps {
       .orderBy(col("n_trans").desc, col("a"), col("b"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * q_events_markov reports the one-step transition matrix, this
+    * power-iterates π' = πP to the long-run occupancy (4 rounds from
+    * uniform — the chain is 5-state, aperiodic and well-mixed, so 4
+    * rounds converge to r6 resolution; the iteration count is part of
+    * the declared semantics, the pagerank discipline). P is r6-pinned
+    * BEFORE iterating and each π is r6-pinned per round, so both
+    * engines replay identical doubles; the 5-term mix Σπ(i)p(i,j)
+    * folds sequentially in source order (kruskal discipline). All
+    * frames are |types|²-bounded after one linear lag pass. */
+  private val markovStationary: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val wSrc = Window.partitionBy("a")
+    val p = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("a"),
+        col("ts_ns"), col("event_id"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n") / sum(col("n")).over(wSrc)))
+      .select("a", "b", "p")
+    val pi0 = p.select(col("a").as("t")).distinct()
+      .withColumn("pi", lit(1.0) / lit(5.0))
+    val piN = (1 to 4).foldLeft(pi0) { (pi, _) =>
+      p.join(pi, col("a") === col("t"))
+        .withColumn("term", col("pi") * col("p"))
+        .groupBy(col("b").as("t2"))
+        .agg(expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(a, term))), x -> x.term), 0D," +
+          " (acc, v) -> acc + v)").as("mix"))
+        .select(col("t2").as("t"), r6(col("mix")).as("pi"))
+    }
+    piN.select(col("t").as("event_type"), col("pi"),
+        lit(4L).as("n_iter"))
+      .orderBy("event_type")
+  }
+
+  /** Time-bounded funnel census (the windowFunnel semantics): how deep
+    * into signup→click→purchase does each user get INSIDE a 30-minute
+    * window anchored at a signup? Differs from q_events_funnel (whole-
+    * period ordering, no deadline) — this is the activation-flow
+    * metric. Greedy-earliest chaining (first qualifying click after
+    * the anchor, then first purchase after that click) is depth-
+    * optimal for a chain — taking the earliest step can only extend
+    * the remaining window — so max depth per user is exact. All joins
+    * are user-keyed equi joins with band residuals (never cartesian);
+    * integer µs arithmetic; the census is |depths|-bounded. */
+  private val windowFunnel: Q = (s, d) => {
+    val bandUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    def step(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val s1 = step("signup")
+      .select(col("user_id"), col("event_id").as("s_id"),
+        col("ts_us").as("s_us"))
+    val c1 = s1.join(step("click")
+        .select(col("user_id"), col("ts_us").as("c_us")), Seq("user_id"))
+      .filter(col("c_us") > col("s_us") &&
+        col("c_us") <= col("s_us") + bandUs)
+      .groupBy("user_id", "s_id", "s_us")
+      .agg(min(col("c_us")).as("c1_us"))
+    val p1 = c1.join(step("purchase")
+        .select(col("user_id"), col("ts_us").as("p_us")), Seq("user_id"))
+      .filter(col("p_us") > col("c1_us") &&
+        col("p_us") <= col("s_us") + bandUs)
+      .groupBy("user_id", "s_id").agg(min(col("p_us")).as("p1_us"))
+    val depthPerAnchor = s1
+      .join(c1.select(col("s_id"), lit(1L).as("has_c")), Seq("s_id"), "left")
+      .join(p1.select(col("s_id"), lit(1L).as("has_p")), Seq("s_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + coalesce(col("has_c"), lit(0L)) +
+          coalesce(col("has_p"), lit(0L))).as("depth"))
+    val perUser = Tables.events(s, d).select("user_id").distinct()
+      .join(depthPerAnchor.groupBy("user_id")
+        .agg(max(col("depth")).as("depth")), Seq("user_id"), "left")
+      .select(coalesce(col("depth"), lit(0L)).as("depth"))
+    val total = perUser.agg(count(lit(1)).as("n_total"))
+    perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("depth"), col("n_users"),
+        r6(col("n_users").cast("double") / col("n_total")).as("share"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_window_funnel" -> windowFunnel,
+    "q_events_markov_stationary" -> markovStationary,
     "q_events_seq_support" -> seqSupport,
     "q_events_holt" -> holt,
     "q_events_heavy_hitters" -> heavyHitters,
@@ -1146,7 +1233,73 @@ object EventOps {
     "q_stream_left_join" -> intervalJoinLeft,
     "q_agg_pivot" -> pivot)
 
+  /** One πP oracle iteration (markovStationary): prev CTE name → next
+    * select, replaying the r6-per-round sequential mix fold. */
+  private def piIterSql(prev: String): String =
+    s"""SELECT p.b AS t,
+           floor(list_reduce(list($prev.pi * p.p ORDER BY p.a),
+                   (acc, v) -> acc + v) * 1000000 + 0.5) / 1000000.0
+             AS pi
+        FROM p JOIN $prev ON p.a = $prev.t GROUP BY p.b"""
+
   val oracle: Map[String, String] = Map(
+    "q_events_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+                            epoch_us(ts) AS ts_us
+                     FROM events),
+         s1 AS (SELECT user_id, event_id AS s_id, ts_us AS s_us
+                FROM ev WHERE event_type = 'signup'),
+         c1 AS (SELECT s1.user_id, s_id, s_us,
+                       min(c.ts_us) AS c1_us
+                FROM s1 JOIN ev c ON c.user_id = s1.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts_us > s_us AND c.ts_us <= s_us + 1800000000
+                GROUP BY s1.user_id, s_id, s_us),
+         p1 AS (SELECT c1.user_id, s_id, min(p.ts_us) AS p1_us
+                FROM c1 JOIN ev p ON p.user_id = c1.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.ts_us > c1_us AND p.ts_us <= s_us + 1800000000
+                GROUP BY c1.user_id, s_id),
+         da AS (SELECT s1.user_id,
+                       1 + (CASE WHEN c1.s_id IS NOT NULL THEN 1 ELSE 0
+                            END)
+                         + (CASE WHEN p1.s_id IS NOT NULL THEN 1 ELSE 0
+                            END) AS depth
+                FROM s1
+                LEFT JOIN c1 ON c1.s_id = s1.s_id
+                LEFT JOIN p1 ON p1.s_id = s1.s_id),
+         pu AS (SELECT u.user_id,
+                       CAST(coalesce(mx.depth, 0) AS BIGINT) AS depth
+                FROM (SELECT DISTINCT user_id FROM ev) u
+                LEFT JOIN (SELECT user_id, max(depth) AS depth
+                           FROM da GROUP BY user_id) mx
+                  ON mx.user_id = u.user_id),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu)
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_users,
+                floor((CAST(count(*) AS DOUBLE) / n_total)
+                  * 1000000 + 0.5) / 1000000.0 AS share
+         FROM pu CROSS JOIN tot
+         GROUP BY depth, n_total ORDER BY depth""",
+    "q_events_markov_stationary" ->
+      s"""WITH pr AS (
+           SELECT user_id, event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS b
+           FROM events),
+         cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                 FROM pr WHERE b IS NOT NULL GROUP BY a, b),
+         p AS (SELECT a, b,
+                      floor((CAST(n AS DOUBLE)
+                             / sum(n) OVER (PARTITION BY a))
+                        * 1000000 + 0.5) / 1000000.0 AS p
+               FROM cnt),
+         pi0 AS (SELECT DISTINCT a AS t, 1.0 / 5.0 AS pi FROM p),
+         pi1 AS (${piIterSql("pi0")}),
+         pi2 AS (${piIterSql("pi1")}),
+         pi3 AS (${piIterSql("pi2")}),
+         pi4 AS (${piIterSql("pi3")})
+         SELECT t AS event_type, pi, CAST(4 AS BIGINT) AS n_iter
+         FROM pi4 ORDER BY event_type""",
     "q_events_seq_support" ->
       """WITH p AS (
            SELECT user_id,

@@ -331,6 +331,47 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of the batch Misra-Gries heavy-hitter candidate
+    * pass (EventOps q_events_heavy_hitters): MG counter maps live in
+    * flatMapGroupsWithState, SHARDED by user_id % nShards so state
+    * stays bounded (nShards × cap counters total) while each user's
+    * full count accumulates in exactly one shard — which makes the
+    * guarantee even cleaner than the batch partition-union argument:
+    * count > N/cap ≥ N_shard/cap ⟹ the user survives its shard's MG.
+    * Each micro-batch emits the shard's current candidate set (Update
+    * mode); downstream does the exact recount exactly like the batch
+    * path. Spec-verified on a skewed MemoryStream against the batch
+    * threshold law. */
+  def heavyHittersStream(events: DataFrame, cap: Int = 64,
+      nShards: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"))
+      .as[Long]
+      .groupByKey(_ % nShards)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[Long],
+         state: GroupState[Map[Long, Long]]) =>
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(m ++= _)
+          rows.foreach { u =>
+            m.get(u) match {
+              case Some(c) => m(u) = c + 1
+              case None if m.size < cap => m(u) = 1L
+              case None =>
+                val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+                dead.foreach(m.remove)
+                m.mapValuesInPlace((_, c) => c - 1)
+            }
+          }
+          state.update(m.toMap)
+          m.keysIterator.map(u => (shard, u)).toSeq.iterator
+      }
+      .toDF("shard", "user_id")
+  }
+
   /** Stream-STATIC broadcast join twin of the batch z-score outlier
     * query (EventOps q_events_anomaly): per-type (mu, sigma) come from a
     * batch frame — the offline-recomputed stats artifact every streaming

@@ -394,6 +394,51 @@ class EventsR6Spec extends SparkSpec {
     } else assert(n === -1L)
   }
 
+  test("q_events_markov_stationary: a probability vector that replays") {
+    val rows = SparkEntry.queries("q_events_markov_stationary")(
+      spark, sfDir).collect()
+    assert(rows.length === 5)
+    val piSum = rows.map(_.getAs[Double]("pi")).sum
+    assert(math.abs(piSum - 1.0) < 1e-4,
+      s"stationary vector must stay a distribution (sum=$piSum)")
+    rows.foreach(r => assert(r.getAs[Double]("pi") > 0.0 &&
+      r.getAs[Double]("pi") < 1.0))
+    // driver-side replay: same P (r6), same 4 r6-rounded iterations
+    val p = SparkEntry.queries("q_events_markov")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("p")).toMap
+    val types = p.keys.map(_._1).toSeq.distinct.sorted
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    var pi = types.map(_ -> 0.2).toMap
+    (1 to 4).foreach { _ =>
+      pi = types.map { b =>
+        b -> r6d(types.sorted.map(a =>
+          pi(a) * p.getOrElse((a, b), 0.0)).sum)
+      }.toMap
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pi") -
+        pi(r.getString(0))) < 1e-6,
+        s"pi mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("q_events_window_funnel: census partitions all users") {
+    val rows = SparkEntry.queries("q_events_window_funnel")(spark, sfDir)
+      .collect()
+    val ev = Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === nUsers)
+    assert(rows.forall(r => (0L to 3L).contains(r.getAs[Long]("depth"))))
+    val withSignup = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    val depthGe1 = rows.filter(_.getAs[Long]("depth") >= 1)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(depthGe1 === withSignup,
+      "depth>=1 must be exactly the users with a signup anchor")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
   test("q_graph_ra_index: scores positive, candidates are non-edges") {
     val rows = SparkEntry.queries("q_graph_ra_index")(spark, sfDir)
       .collect()

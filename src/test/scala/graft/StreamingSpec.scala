@@ -504,4 +504,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head._2 >= 0.95)
     } finally q.stop()
   }
+
+  test("streaming MG heavy-hitter shards keep every above-threshold user") {
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // skewed synthetic stream fed across three micro-batches: user 7
+    // dominates, a rotating tail pressures the tiny cap=4 counters
+    val rnd = new scala.util.Random(7)
+    val batches: Seq[Seq[Ev]] = (0 until 3).map { b =>
+      rnd.shuffle(
+        Seq.fill(300)(7L) ++ Seq.fill(120)(8L) ++
+          (100L + b * 50 until 150L + b * 50)).zipWithIndex.map {
+        case (u, i) => ev(b * 1000L + i, "2024-01-01 10:00:00", uid = u)
+      }
+    }
+    val q = StreamingOps.heavyHittersStream(ms.toDF(), cap = 4,
+        nShards = 4)
+      .writeStream.format("memory").queryName("t_hh")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      // candidates surviving in the LAST emission of each shard
+      val cands = spark.table("t_hh").select("user_id").collect()
+        .map(_.getLong(0)).toSet
+      val all = batches.flatten
+      val n = all.size
+      val exact = all.groupBy(_.user_id).view.mapValues(_.size).toMap
+      val heavy = exact.filter { case (_, c) => c * 4 > n }.keySet
+      assert(heavy.nonEmpty && heavy.contains(7L))
+      assert(heavy.subsetOf(cands),
+        s"every >N/cap user must survive its shard: missing ${heavy -- cands}")
+    } finally q.stop()
+  }
 }
