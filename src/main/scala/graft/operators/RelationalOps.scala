@@ -181,6 +181,34 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** ASOF join, NEAREST direction (pandas merge_asof
+    * direction='nearest') — the third member of the asof family:
+    * q_join_asof looks backward, q_join_asof_tolerance looks backward
+    * with a staleness bound, this one matches each event to the
+    * customer's temporally CLOSEST order in either direction. Distance
+    * is exact integer µs (|order epoch − event epoch|); ties break to
+    * the earlier date (a declared law, not an accident). Same scale
+    * shape as the siblings: equi join on the partition key, per-event
+    * row_number argmin — never a cross product. */
+  private val joinAsofNearest: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("e_us"))
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_us"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("dist_us"), col("o_orderdate"))
+    e.join(o, col("user_id") === col("o_custkey"))
+      .withColumn("dist_us", abs(col("o_us") - col("e_us")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("nearest_order_date"),
+        expr("dist_us div 86400000000").as("days_off"))
+      .orderBy("event_id")
+  }
+
   /** ASOF join with a max-staleness TOLERANCE (the pandas
     * merge_asof(tolerance=...) / kdb wj semantics q_join_asof lacks):
     * match each event to the user's latest order no older than 9000
@@ -1938,6 +1966,7 @@ object RelationalOps {
     // row-identical. Oracle contract unchanged.
     "q_join_theta_range" -> joinRangeBucket,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_nearest" -> joinAsofNearest,
     "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_salted" -> joinSalted,
     "q_join_range_bucket" -> joinRangeBucket,
@@ -2178,6 +2207,22 @@ object RelationalOps {
           AND b.ts > a.ts
           AND b.ts <= a.ts + INTERVAL 10 MINUTE
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           epoch_us(ts) AS e_us
+                    FROM events),
+         o AS (SELECT o_custkey, o_orderdate,
+                      epoch_us(o_orderdate) AS o_us
+               FROM orders),
+         j AS (SELECT event_id, user_id, o_orderdate,
+                      abs(o_us - e_us) AS dist_us,
+                      row_number() OVER (PARTITION BY event_id
+                        ORDER BY abs(o_us - e_us), o_orderdate) AS rn
+               FROM e JOIN o ON user_id = o_custkey)
+         SELECT event_id, user_id,
+                o_orderdate AS nearest_order_date,
+                dist_us // 86400000000 AS days_off
+         FROM j WHERE rn = 1 ORDER BY event_id""",
     "q_join_asof" ->
       """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
          FROM events e ASOF JOIN orders o

@@ -948,7 +948,42 @@ object StatsOps {
       .orderBy("arm")
   }
 
+  /** Granger-style lead-lag test on the daily series — completes the
+    * time-series family (trend: mann_kendall/theil_sen, smoothing:
+    * ewma/holt, randomness: runs_test): does yesterday's CLICK count
+    * predict today's PURCHASE count beyond purchases' own lag? Full
+    * model y_t ~ y_{t-1} + x_{t-1} vs restricted y_t ~ y_{t-1}, F on
+    * the SSE drop. The lag frame is a |days|-bounded self-join on
+    * day+1 (NO global window needed), daily counts are integers so
+    * every raw moment is an EXACT LONG in any partition order; the
+    * closed-form 2-regressor OLS runs once on the 1-row moment frame
+    * as identical-text double expressions. */
+  private val granger: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val lagged = daily.select(col("day"), col("x").as("x1"),
+        col("y").as("y1"))
+      .join(daily.select((col("day") - 1).as("day"), col("y").as("y0")),
+        Seq("day"))
+    // z1 = own lag y_{t-1}, z2 = cross lag x_{t-1}, response y0 = y_t
+    val m = lagged.agg(count(lit(1)).as("n"),
+      sum(col("y1")).as("s1"), sum(col("x1")).as("s2"),
+      sum(col("y0")).as("sy"),
+      sum(expr("y1 * y1")).as("s11"), sum(expr("y1 * x1")).as("s12"),
+      sum(expr("x1 * x1")).as("s22"), sum(expr("y1 * y0")).as("s1y"),
+      sum(expr("x1 * y0")).as("s2y"), sum(expr("y0 * y0")).as("syy"))
+    // the closed forms are the SHARED gB2/gSseF/gSseR strings the
+    // oracle interpolates — one text, two parsers, zero drift
+    m.select(col("n"),
+      r6(expr(gB2)).as("b_cross"),
+      r6(expr(s"($gSseR - $gSseF) / ($gSseF / (n - 3))")).as("f_granger"),
+      r6(expr(s"($gSseR - $gSseF) / $gSseR")).as("delta_r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_granger" -> granger,
     "q_stats_cuped" -> cuped,
     "q_stats_power" -> power,
     "q_stats_runs_test" -> runsTest,
@@ -1001,7 +1036,51 @@ object StatsOps {
                    * 1000000 + 0.5) / 1000000.0 AS seasonal
                 FROM tr)"""
 
+  /** Shared centered-moment fragments for the granger oracle (same
+    * text as the Spark expressions modulo nothing — both engines parse
+    * the identical string). */
+  private val gC11 = "(CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+  private val gC12 = "(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)"
+  private val gC22 = "(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)"
+  private val gC1y = "(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n)"
+  private val gC2y = "(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n)"
+  private val gCyy = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+  private val gDet = s"($gC11 * $gC22 - $gC12 * $gC12)"
+  private val gB1 = s"(($gC1y * $gC22 - $gC2y * $gC12) / $gDet)"
+  private val gB2 = s"(($gC2y * $gC11 - $gC1y * $gC12) / $gDet)"
+  private val gSseF = s"($gCyy - $gB1 * $gC1y - $gB2 * $gC2y)"
+  private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
+
   val oracle: Map[String, String] = Map(
+    "q_stats_granger" ->
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                    AS x,
+                  CAST(count(*) FILTER (event_type = 'purchase')
+                    AS BIGINT) AS y
+           FROM events GROUP BY day),
+         lagged AS (
+           SELECT a.day, a.x AS x1, a.y AS y1, b.y AS y0
+           FROM daily a JOIN daily b ON b.day - 1 = a.day),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y1) AS BIGINT) AS s1,
+                      CAST(sum(x1) AS BIGINT) AS s2,
+                      CAST(sum(y0) AS BIGINT) AS sy,
+                      CAST(sum(y1 * y1) AS BIGINT) AS s11,
+                      CAST(sum(y1 * x1) AS BIGINT) AS s12,
+                      CAST(sum(x1 * x1) AS BIGINT) AS s22,
+                      CAST(sum(y1 * y0) AS BIGINT) AS s1y,
+                      CAST(sum(x1 * y0) AS BIGINT) AS s2y,
+                      CAST(sum(y0 * y0) AS BIGINT) AS syy
+               FROM lagged)
+         SELECT n,
+                floor(($gB2) * 1000000 + 0.5) / 1000000.0 AS b_cross,
+                floor((($gSseR - $gSseF) / ($gSseF / (n - 3)))
+                  * 1000000 + 0.5) / 1000000.0 AS f_granger,
+                floor((($gSseR - $gSseF) / $gSseR) * 1000000 + 0.5)
+                  / 1000000.0 AS delta_r2
+         FROM m""",
     "q_stats_cuped" ->
       """WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
                      FROM events),

@@ -439,6 +439,27 @@ class EventsR6Spec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("q_join_asof_nearest: one row per event, minimal distance") {
+    val rows = SparkEntry.queries("q_join_asof_nearest")(spark, sfDir)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.count() === nEvents, "every event matches SOME order")
+    val sample = rows.limit(10).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), expr("ts_ns div 1000"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach { r =>
+      val best = orders(r.getAs[Long]("user_id"))
+        .map(o => math.abs(o - evs(r.getAs[Long]("event_id")))).min
+      assert(r.getAs[Long]("days_off") === best / 86400000000L,
+        s"event ${r.getAs[Long]("event_id")} not matched to nearest")
+    }
+  }
+
   test("q_graph_ra_index: scores positive, candidates are non-edges") {
     val rows = SparkEntry.queries("q_graph_ra_index")(spark, sfDir)
       .collect()

@@ -279,6 +279,43 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum === nAll)
   }
 
+  test("granger: closed-form OLS replays from the daily census") {
+    val r = operators.StatsOps.queries("q_stats_granger")(spark, sfDir)
+      .collect().head
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+      .orderBy("day").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lagged = daily.sliding(2).collect {
+      case Array((d1, x1, y1), (d2, _, y0)) if d2 == d1 + 1 =>
+        (y1.toDouble, x1.toDouble, y0.toDouble)
+    }.toSeq
+    val n = lagged.size.toDouble
+    assert(r.getAs[Long]("n") === lagged.size.toLong)
+    def c(f: ((Double, Double, Double)) => Double,
+        g: ((Double, Double, Double)) => Double) =
+      lagged.map(t => f(t) * g(t)).sum -
+        lagged.map(f).sum * lagged.map(g).sum / n
+    val (z1, z2, yv) = ((t: (Double, Double, Double)) => t._1,
+      (t: (Double, Double, Double)) => t._2,
+      (t: (Double, Double, Double)) => t._3)
+    val (c11, c12, c22) = (c(z1, z1), c(z1, z2), c(z2, z2))
+    val (c1y, c2y, cyy) = (c(z1, yv), c(z2, yv), c(yv, yv))
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    val sseF = cyy - b1 * c1y - b2 * c2y
+    val sseR = cyy - c1y * c1y / c11
+    val f = (sseR - sseF) / (sseF / (n - 3))
+    assert(math.abs(r.getAs[Double]("b_cross") - b2) < 1e-4)
+    assert(math.abs(r.getAs[Double]("f_granger") - f) < 1e-3)
+    val dr2 = r.getAs[Double]("delta_r2")
+    assert(dr2 >= 0.0 && dr2 < 1.0,
+      "SSE can only drop when adding a regressor")
+  }
+
   test("anova: F from a driver-side replay of the rounded group moments") {
     val r = operators.StatsOps.queries("q_stats_anova")(spark, sfDir)
       .collect().head
