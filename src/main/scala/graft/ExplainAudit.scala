@@ -173,11 +173,14 @@ object ExplainAudit {
     // moment frames, windowFunnel's user-keyed band joins, the RA
     // index's weighted wedge join, and the runs/ANOVA/holt bounded
     // census folds
+    // (q_events_markov_stationary is EXCLUDED for the hits/kcore
+    // reason: its |types|²-row P frame localCheckpoints eagerly so the
+    // 4 πP iterations don't each replay the corpus lag pass.)
     "q_events_heavy_hitters", "q_agg_bitmap_distinct",
     "q_text_symspell", "q_layout_hilbert", "q_stats_cuped",
     "q_events_window_funnel", "q_graph_ra_index", "q_stats_runs_test",
     "q_stats_anova", "q_events_holt", "q_events_seq_support",
-    "q_stats_power", "q_events_markov_stationary")
+    "q_stats_power", "q_join_asof_nearest", "q_stats_granger")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1119,6 +1119,9 @@ object EventOps {
     val w = Window.partitionBy("user_id")
       .orderBy(expr("ts_ns div 1000"), col("event_id"))
     val wSrc = Window.partitionBy("a")
+    // localCheckpoint the |types|²-row P: without it each of the 4
+    // iterations replays the full corpus lag pass (the q_graph_hits
+    // lesson — audited keys exclude eager-checkpoint queries)
     val p = Tables.events(s, d)
       .select(col("user_id"), col("event_type").as("a"),
         col("ts_ns"), col("event_id"))
@@ -1127,6 +1130,7 @@ object EventOps {
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .withColumn("p", r6(col("n") / sum(col("n")).over(wSrc)))
       .select("a", "b", "p")
+      .localCheckpoint()
     val pi0 = p.select(col("a").as("t")).distinct()
       .withColumn("pi", lit(1.0) / lit(5.0))
     val piN = (1 to 4).foldLeft(pi0) { (pi, _) =>

@@ -1391,6 +1391,47 @@ object RelationalOps {
         r6(expr("percentile(value, 0.9)")).as("p90"))
       .orderBy("event_type")
 
+  /** Distributed EXACT quantile — the scale path q_agg_percentile
+    * deliberately is not: percentile() buffers every group value in the
+    * aggregation buffer (memory-unbounded on a 100 TB group), while
+    * this computes the SAME interpolated quantile from a (type, value)
+    * census + cumulative ranks: value v covers ranks (cum−cnt, cum];
+    * the q-quantile interpolates between the values covering 1-based
+    * ranks ⌊q(n−1)⌋+1 and ⌊q(n−1)⌋+2. The cumulative window runs over
+    * the CENSUS (|distinct values| rows, value-range-bounded), never
+    * raw events — that is what makes the 5-partition type window safe
+    * here where q_events_anomaly's scaladoc forbids it on raw data.
+    * Interpolation arithmetic is identical formula text in both
+    * engines (no percentile()/quantile_cont() call anywhere); a spec
+    * additionally pins equality with q_agg_percentile's buffered
+    * implementation. */
+  private val aggQuantileDist: Q = (s, d) => {
+    val census = Tables.events(s, d)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(census.groupBy("event_type")
+        .agg(sum(col("cnt")).as("n"))), Seq("event_type"))
+    def qCols(q: String, name: String) = Seq(
+      min(when(expr(s"cum >= floor($q * (n - 1)) + 1 AND" +
+        s" cum - cnt < floor($q * (n - 1)) + 1"), col("value")))
+        .as(s"${name}_lo"),
+      min(when(expr(s"cum >= floor($q * (n - 1)) + 2 AND" +
+        s" cum - cnt < floor($q * (n - 1)) + 2"), col("value")))
+        .as(s"${name}_hi"),
+      max(expr(s"$q * (n - 1) - floor($q * (n - 1))")).as(s"${name}_f"))
+    ranked.groupBy("event_type")
+      .agg((qCols("0.5", "a") ++ qCols("0.9", "b")).head,
+        (qCols("0.5", "a") ++ qCols("0.9", "b")).tail: _*)
+      .select(col("event_type"),
+        r6(expr("a_lo + a_f * (coalesce(a_hi, a_lo) - a_lo)")).as("p50"),
+        r6(expr("b_lo + b_f * (coalesce(b_hi, b_lo) - b_lo)")).as("p90"))
+      .orderBy("event_type")
+  }
+
   /** GROUPING SETS on (lang), (source), () — null grouping keys coalesced
     * to a sentinel so NULL-ordering differences can't flip row order. */
   private val aggGroupingSets: Q = (s, d) => {
@@ -1966,6 +2007,7 @@ object RelationalOps {
     // row-identical. Oracle contract unchanged.
     "q_join_theta_range" -> joinRangeBucket,
     "q_join_asof" -> joinAsof,
+    "q_agg_quantile_dist" -> aggQuantileDist,
     "q_join_asof_nearest" -> joinAsofNearest,
     "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_salted" -> joinSalted,
@@ -2207,6 +2249,39 @@ object RelationalOps {
           AND b.ts > a.ts
           AND b.ts <= a.ts + INTERVAL 10 MINUTE
          GROUP BY a.user_id ORDER BY a.user_id""",
+    "q_agg_quantile_dist" ->
+      """WITH census AS (SELECT event_type, value,
+                                CAST(count(*) AS BIGINT) AS cnt
+                         FROM events GROUP BY event_type, value),
+         ranked AS (SELECT event_type, value, cnt,
+                           CAST(sum(cnt) OVER (PARTITION BY event_type
+                             ORDER BY value) AS BIGINT) AS cum
+                    FROM census),
+         tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+                 FROM census GROUP BY event_type),
+         j AS (SELECT r.*, n FROM ranked r JOIN tot USING (event_type)),
+         agg AS (SELECT event_type,
+                   min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1
+                              AND cum - cnt < floor(0.5 * (n - 1)) + 1
+                            THEN value END) AS a_lo,
+                   min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 2
+                              AND cum - cnt < floor(0.5 * (n - 1)) + 2
+                            THEN value END) AS a_hi,
+                   max(0.5 * (n - 1) - floor(0.5 * (n - 1))) AS a_f,
+                   min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1
+                              AND cum - cnt < floor(0.9 * (n - 1)) + 1
+                            THEN value END) AS b_lo,
+                   min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 2
+                              AND cum - cnt < floor(0.9 * (n - 1)) + 2
+                            THEN value END) AS b_hi,
+                   max(0.9 * (n - 1) - floor(0.9 * (n - 1))) AS b_f
+                 FROM j GROUP BY event_type)
+         SELECT event_type,
+                floor((a_lo + a_f * (coalesce(a_hi, a_lo) - a_lo))
+                  * 1000000 + 0.5) / 1000000.0 AS p50,
+                floor((b_lo + b_f * (coalesce(b_hi, b_lo) - b_lo))
+                  * 1000000 + 0.5) / 1000000.0 AS p90
+         FROM agg ORDER BY event_type""",
     "q_join_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id,
                            epoch_us(ts) AS e_us

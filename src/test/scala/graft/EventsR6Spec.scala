@@ -439,6 +439,22 @@ class EventsR6Spec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("q_agg_quantile_dist equals the buffered percentile() exactly") {
+    // census+rank quantile (scale path) vs percentile() (buffers every
+    // group value) — same interpolation law, so outputs must agree
+    val dist = SparkEntry.queries("q_agg_quantile_dist")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val buf = SparkEntry.queries("q_agg_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(dist.keySet === buf.keySet)
+    dist.foreach { case (t, (p50, p90)) =>
+      assert(math.abs(p50 - buf(t)._1) < 1e-6, s"p50 mismatch for $t")
+      assert(math.abs(p90 - buf(t)._2) < 1e-6, s"p90 mismatch for $t")
+    }
+  }
+
   test("q_join_asof_nearest: one row per event, minimal distance") {
     val rows = SparkEntry.queries("q_join_asof_nearest")(spark, sfDir)
     val nEvents = Tables.events(spark, sfDir).count()
