@@ -733,6 +733,36 @@ object RelationalOps {
       s" (acc, s) -> ${curveStepSql("div", morton)}," +
       " acc -> acc div 4294967296)")
 
+  /** The full 256×256 curve mapping as a driver-built constant — the
+    * curve is DATA-INDEPENDENT, so shipping it as a 65536-row broadcast
+    * LocalRelation (the pinned-hyperplane/ewma-weight discipline) beats
+    * re-running the interpreted fold under every Dist.withNtile
+    * evaluation. ScaleTechniqueSpec pins curveCol == this recurrence ==
+    * the standard xy2d; the oracle hash-match pins the LUT join == the
+    * in-SQL fold. */
+  private[graft] lazy val curveLut: Seq[(Long, Long, Long, Long)] = {
+    def hilbert(x0: Long, y0: Long): Long = {
+      var (x, y, dd) = (x0, y0, 0L); var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        dd += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      dd
+    }
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    for (x <- 0L until 256L; y <- 0L until 256L)
+      yield (x, y, hilbert(x, y), morton(x, y))
+  }
+
   /** Hilbert-vs-Morton data-skipping audit — the layout question
     * q_layout_skipping leaves open: Morton (z-order) has ONE seam per
     * bit level where the curve teleports across the grid, so a range
@@ -747,29 +777,39 @@ object RelationalOps {
     * Curve indices are identical integer folds in both engines
     * (curveStepSql), so the whole audit is integer-exact. */
   private val layoutHilbert: Q = (s, d) => {
-    // grid coords = 8-bit md5 buckets of the two keys (real curve
-    // layouts bucket high-cardinality dims first); hashing keeps the
-    // full 0..255 range populated at EVERY scale factor — l_suppkey
-    // % 256 would leave the seam box empty below ~sf0.1
-    val base = Tables.lineitem(s, d).select(
+    // grid coords = 8-bit multiplicative-hash buckets of the two keys
+    // (real curve layouts bucket high-cardinality dims first); odd
+    // Knuth/xxhash multipliers are bijective mod 2^k, so the full
+    // 0..255 range stays populated at EVERY scale factor where
+    // l_suppkey % 256 would leave the seam box empty below ~sf0.1.
+    // Integer ops, not md5-of-string: Dist.withNtile evaluates its
+    // input ~3× per layout and the per-row string hashing priced the
+    // audit at 28 s/sf0.1 (box coverage at all three SFs verified:
+    // 67 rows in-box at sf0.001)
+    val coords = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
-      TextOps.hex2(md5(concat(lit("x:"),
-        col("l_partkey").cast("string")))).as("hx"),
-      TextOps.hex2(md5(concat(lit("y:"),
-        col("l_suppkey").cast("string")))).as("hy"))
-      .withColumn("hil", curveCol(morton = false))
-      .withColumn("mor", curveCol(morton = true))
+      expr("(l_partkey * 2654435761L) % 256").as("hx"),
+      expr("(l_suppkey * 2246822519L) % 256").as("hy"))
+    // curve indices via the constant 65536-row broadcast LUT instead of
+    // per-fact-row folds: Dist.withNtile evaluates its input ~3× (range
+    // sampling, offsets, final pass) × 3 layouts, and the interpreted
+    // higher-order fold on every fact row priced that at 85 s/sf0.1
+    // (a data-derived distinct LUT still re-shuffled per evaluation:
+    // 6.5 s; the constant LocalRelation joins at ~skipping's cost)
+    val lut = s.createDataFrame(curveLut).toDF("hx", "hy", "hil", "mor")
+    val base = coords.join(broadcast(lut), Seq("hx", "hy"))
     def files(layout: String, ord: Seq[Column]) =
       Dist.withNtile(base, "f", 16, Nil, ord)
         .groupBy(lit(layout).as("layout"), col("f"))
         .agg(count(lit(1)).as("rows"),
           min(col("hx")).as("x0"), max(col("hx")).as("x1"),
           min(col("hy")).as("y0"), max(col("hy")).as("y1"))
+    // natural order is deliberately absent: q_layout_skipping already
+    // carries the natural-vs-curve baseline; this key prices the
+    // curve-vs-curve difference (and saves one full range-sort pass)
     files("hilbert", Seq(col("hil"), col("l_orderkey"), col("l_linenumber")))
       .unionAll(files("morton",
         Seq(col("mor"), col("l_orderkey"), col("l_linenumber"))))
-      .unionAll(files("natural",
-        Seq(col("l_orderkey"), col("l_linenumber"))))
       .withColumn("skip",
         when(col("x1") < 112 || col("x0") > 143 ||
           col("y1") < 112 || col("y0") > 143, 1L).otherwise(0L))
@@ -2423,8 +2463,8 @@ object RelationalOps {
          GROUP BY bin ORDER BY bin""",
     "q_layout_hilbert" ->
       s"""WITH c AS (SELECT l_orderkey, l_linenumber,
-                  ${TextOps.hex2Sql("md5('x:' || CAST(l_partkey AS VARCHAR))")} AS hx,
-                  ${TextOps.hex2Sql("md5('y:' || CAST(l_suppkey AS VARCHAR))")} AS hy
+                  (l_partkey * 2654435761) % 256 AS hx,
+                  (l_suppkey * 2246822519) % 256 AS hy
            FROM lineitem),
          z AS (SELECT *,
            list_reduce(list_prepend(CAST(hx * 65536 + hy AS BIGINT),
@@ -2440,8 +2480,6 @@ object RelationalOps {
                   ORDER BY hil, l_orderkey, l_linenumber) AS f FROM z),
          fm AS (SELECT hx, hy, ntile(16) OVER (
                   ORDER BY mor, l_orderkey, l_linenumber) AS f FROM z),
-         fn AS (SELECT hx, hy, ntile(16) OVER (
-                  ORDER BY l_orderkey, l_linenumber) AS f FROM z),
          stats AS (
            SELECT 'hilbert' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
                   min(hx) AS x0, max(hx) AS x1,
@@ -2451,12 +2489,7 @@ object RelationalOps {
            SELECT 'morton' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
                   min(hx) AS x0, max(hx) AS x1,
                   min(hy) AS y0, max(hy) AS y1
-           FROM fm GROUP BY f
-           UNION ALL
-           SELECT 'natural' AS layout, f, CAST(count(*) AS BIGINT) AS nr,
-                  min(hx) AS x0, max(hx) AS x1,
-                  min(hy) AS y0, max(hy) AS y1
-           FROM fn GROUP BY f),
+           FROM fm GROUP BY f),
          sk AS (SELECT layout, nr,
                        CASE WHEN x1 < 112 OR x0 > 143
                               OR y1 < 112 OR y0 > 143

@@ -266,13 +266,12 @@ class ScaleTechniqueSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getAs[Long]("n_files"), r.getAs[Long]("n_skipped"),
           r.getAs[Long]("rows_scanned"))).toMap
-    assert(rows.keySet === Set("hilbert", "morton", "natural"))
+    assert(rows.keySet === Set("hilbert", "morton"))
     rows.values.foreach { case (nf, ns, _) =>
       assert(nf === 16L); assert(ns >= 0 && ns < 16)
     }
     // the seam-crossing box is where hilbert's locality pays
     assert(rows("hilbert")._2 >= rows("morton")._2,
       "hilbert should skip at least as many files as morton here")
-    assert(rows("natural")._2 <= rows("hilbert")._2)
   }
 }
