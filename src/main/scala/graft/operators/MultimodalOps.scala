@@ -163,7 +163,30 @@ object MultimodalOps {
       .orderBy("ahash")
   }
 
+  /** Downsample/resize over opaque asset bytes — the "make a thumbnail"
+    * step of a multimodal pipeline, on the same stand-in payload as the
+    * aHash (first 64 bytes = an 8×8 grayscale tile): 2×2 average-pool
+    * to 4×4, pooled value = floor of the 4-byte sum div 4 — pure
+    * integer arithmetic, engine-identical. Long-form output (doc_id,
+    * cell, pooled) for doc_id < 30 bounds the oracle compare; the plan
+    * is corpus-shaped (explode 64 positions → one (doc, cell) hash
+    * aggregate — linear, shuffle on doc_id only). A real decoder slots
+    * in via multimodal.Multimodal's Decoder the same way. */
+  private val multimodalResize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 30 && length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, 63)")).as("i"))
+      .select(col("doc_id"),
+        expr("CAST((i div 8) div 2 * 4 + (i % 8) div 2 AS BIGINT)")
+          .as("cell"),
+        ascii(expr("substring(text, i + 1, 1)")).as("v"))
+      .groupBy("doc_id", "cell")
+      .agg(expr("sum(v) div 4").as("pooled"))
+      .orderBy("doc_id", "cell")
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_resize" -> multimodalResize,
     "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_frame_sample" -> multimodalFrameSample,
     "q_multimodal_storage_audit" -> multimodalStorageAudit,
@@ -172,6 +195,17 @@ object MultimodalOps {
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      """WITH px AS (
+           SELECT doc_id, i,
+                  (i // 8) // 2 * 4 + (i % 8) // 2 AS cell,
+                  ascii(substring(text, i + 1, 1)) AS v
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) s
+           WHERE doc_id < 30 AND length(text) >= 64)
+         SELECT doc_id, cell, CAST(sum(v) // 4 AS BIGINT) AS pooled
+         FROM px GROUP BY doc_id, cell
+         ORDER BY doc_id, cell""",
     "q_multimodal_phash" ->
       """WITH px AS (
            SELECT doc_id, i, ascii(substring(text, i, 1)) AS v

@@ -82,4 +82,28 @@ class MultimodalSpec extends SparkSpec {
     val expect = px.map(p => if (p * 64 > s) '1' else '0').mkString
     assert(rows.head.getString(0) == expect)
   }
+
+  test("q_multimodal_resize: 16 pooled cells per asset, byte-bounded") {
+    val rows = SparkEntry.queries("q_multimodal_resize")(spark, sfDir)
+      .collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { case (doc, cells) =>
+      assert(cells.length === 16, s"doc $doc must pool to a 4x4 tile")
+      cells.foreach { c =>
+        val p = c.getAs[Long]("pooled")
+        assert(p >= 0 && p <= 255, "pooled byte mean stays a byte")
+      }
+    }
+    // driver replay for one doc: pooled cell 0 = floor(mean of the
+    // 2x2 block at rows {0,1} x cols {0,1} of the 8x8 tile)
+    val minDoc = perDoc.keys.min
+    val doc = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === minDoc)
+      .select("text").collect().head.getString(0)
+    val quad = Seq(doc(0), doc(1), doc(8), doc(9)).map(_.toInt)
+    val got = rows.filter(r => r.getLong(0) == minDoc &&
+      r.getAs[Long]("cell") == 0L).head.getAs[Long]("pooled")
+    assert(got === quad.sum / 4)
+  }
 }
