@@ -58,3 +58,41 @@ class ParquetReplaySource(sfDir: String) extends SourceFactory {
     }
   }
 }
+
+/** Corrupt-tolerant JSON ingest — the write-audit-publish guard at the
+  * pipeline's edge: PERMISSIVE parsing with an explicit
+  * `_corrupt_record` column splits each batch into a clean frame (the
+  * declared events schema, corrupt column dropped) and a quarantine
+  * frame carrying the raw offending line — malformed bus messages land
+  * in a dead-letter table instead of either poisoning the pipeline
+  * (FAILFAST) or silently vanishing (DROPMALFORMED). The returned
+  * frames share ONE parse pass; a count on the quarantine side is the
+  * DQ-gate input (graft q_quality_dq_gate pattern). */
+object JsonIngest {
+  import org.apache.spark.sql.types._
+
+  /** events schema + the corrupt-record capture column. */
+  private val auditedSchema = StructType(
+    graft.Tables.eventsMicrosSchema.fields :+
+      StructField("_corrupt_record", StringType))
+
+  /** (clean events, quarantined raw lines). */
+  def readAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(auditedSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark parses lazily per column: cache so the clean/quarantine
+      // split reads one materialization, and because a filter on ONLY
+      // the corrupt column over a fresh scan is unsupported (Spark
+      // raises UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+}

@@ -72,6 +72,32 @@ class SourceFormatSpec extends SparkSpec {
     assert(math.abs(sum1 - sum2) < 1e-6)
   }
 
+  test("json ingest quarantines corrupt lines instead of dropping them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+      .toString
+    val good =
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7,
+         |"event_type": "click", "value": 1.5, "props": "{\"k\": 3}"}"""
+        .stripMargin.replace("\n", " ")
+    val bad1 = """{"event_id": "NOT_A_NUMBER_{", "ts": 12"""
+    val bad2 = """this is not json at all"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      java.util.Arrays.asList(good, bad1, good.replace(": 1,", ": 2,"),
+        bad2))
+    val (clean, quarantine) =
+      sources.JsonIngest.readAudited(spark, dir)
+    assert(clean.count() === 2)
+    assert(clean.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(clean.select("event_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    val q = quarantine.collect().map(_.getString(0))
+    assert(q.length === 2, "both malformed lines must be quarantined")
+    assert(q.exists(_.contains("NOT_A_NUMBER")))
+    assert(q.exists(_.contains("not json at all")))
+  }
+
   test("GraftExtensions installs graft_dot via withExtensions") {
     // force the shared session's existence first, then clear the default
     // so getOrCreate genuinely builds a NEW session (over the same
