@@ -55,6 +55,28 @@ class IngestCanarySpec extends SparkSpec {
     }
   }
 
+  test("every declared schema column exists in the parquet footer") {
+    // Declared-schema reads NULL-fill columns missing from the file —
+    // a regen that renames or drops a column would surface as a spread
+    // of null-driven hash misses, not a pointed error. Sniff each
+    // footer (schema-inference read, no data scan) and demand every
+    // declared field is physically present.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); t <- tables) {
+      val declared = Tables.load(spark, s"/root/testdata/$sf", t)
+        .schema.fieldNames.toSet
+      val inFooter = spark.read
+        .parquet(s"/root/testdata/$sf/$t.parquet").schema.fieldNames.toSet
+      val missing = declared -- inFooter
+      assert(missing.isEmpty,
+        s"$sf/$t: declared column(s) $missing absent from the parquet " +
+          s"footer (footer has $inFooter) — the generator changed the " +
+          "table layout; update Tables schemas before trusting any " +
+          "hash results")
+    }
+  }
+
   test("ts_ns is exact ns and consistent with ts at µs precision") {
     val ev = Tables.events(spark, sfDir)
       .select(col("ts_ns"), unix_micros(col("ts").cast("timestamp")).as("us"))
