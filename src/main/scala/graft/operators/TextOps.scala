@@ -1271,6 +1271,53 @@ object TextOps {
       .limit(20)
   }
 
+  /** Iterative BPE tokenizer TRAINING — q_text_bpe_pairs counts one
+    * round of pair statistics; this runs the actual merge loop (5
+    * rounds): count adjacent-symbol pairs weighted by word frequency,
+    * adopt the (cnt DESC, pair) argmax as a merge rule, rewrite the
+    * symbol sequences, repeat. The industrial scale shape: training
+    * runs entirely on the |unique words| CENSUS (corpus scanned once;
+    * at 100 TB the census is vocabulary-bounded), each round's winner
+    * broadcasts back. Symbol sequences are DOUBLE-space-delimited
+    * strings with single-space ends, so one leftmost-non-overlapping
+    * replace() of ' x  y ' with ' xy ' merges every non-overlapping
+    * occurrence and keeps the delimiter invariant (a single-space
+    * encoding loses the shared delimiter and silently skips alternate
+    * occurrences — verified against the reference fold in the spec).
+    * The census and each winner localCheckpoint (the markov-P lesson:
+    * round r's plan would otherwise re-derive all prior rounds). */
+  private val bpeTrain: Q = (s, d) => {
+    val pairsOf = "CASE WHEN size(split(trim(sym), '  ')) < 2" +
+      " THEN array() ELSE transform(" +
+      "sequence(1, size(split(trim(sym), '  ')) - 1)," +
+      " i -> concat(element_at(split(trim(sym), '  '), i), ' '," +
+      " element_at(split(trim(sym), '  '), i + 1))) END"
+    var state = Tables.documents(s, d)
+      .select(explode(toks()).as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        expr("array_join(split(w, ''), '  ')"), lit(" ")).as("sym"),
+        col("f"))
+      .localCheckpoint()
+    val merges = (1 to 5).map { round =>
+      val best = state
+        .select(col("f"), explode(expr(pairsOf)).as("pr"))
+        .groupBy("pr").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1)
+        .select(lit(round.toLong).as("round"),
+          col("pr").as("merge_rule"), col("cnt"))
+        .localCheckpoint()
+      state = state.crossJoin(broadcast(best.select(col("merge_rule"))))
+        .select(expr("replace(sym, ' ' || replace(merge_rule, ' ', '  ')" +
+          " || ' ', ' ' || replace(merge_rule, ' ', '') || ' ')").as("sym"),
+          col("f"))
+        .localCheckpoint()
+      best
+    }
+    merges.reduce(_ unionAll _).orderBy("round")
+  }
+
   /** Temperature-based language mixing (the multilingual sampling rule:
     * q_i ∝ p_i^α with α=0.7) — flattens the language distribution so
     * low-resource languages are upsampled without drowning the head.
@@ -1593,6 +1640,7 @@ object TextOps {
     "q_text_prefix_suggest" -> prefixSuggest,
     "q_text_fuzzy_suggest" -> fuzzySuggest,
     "q_text_symspell" -> symspell,
+    "q_text_bpe_train" -> bpeTrain,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_dedup_prefix_filter" -> dedupPrefixFilter,
@@ -2192,6 +2240,39 @@ object TextOps {
                     t -> regexp_replace(t, '(ing|ed|s)$', '')),
                   ' ') AS norm
          FROM documents ORDER BY doc_id""",
+    "q_text_bpe_train" -> {
+      def round(prev: String, r: Int): String =
+        s"""r${r}p AS (
+             SELECT pr, CAST(sum(f) AS BIGINT) AS cnt FROM (
+               SELECT f, unnest(list_transform(
+                   generate_series(1,
+                     len(string_split(trim(sym), '  ')) - 1),
+                   i -> string_split(trim(sym), '  ')[i] || ' ' ||
+                        string_split(trim(sym), '  ')[i + 1])) AS pr
+               FROM $prev) t
+             GROUP BY pr),
+           r${r}b AS (SELECT CAST($r AS BIGINT) AS round,
+                             pr AS merge_rule, cnt
+                      FROM r${r}p ORDER BY cnt DESC, pr LIMIT 1),
+           r$r AS (SELECT replace(sym,
+                     ' ' || replace(merge_rule, ' ', '  ') || ' ',
+                     ' ' || replace(merge_rule, ' ', '') || ' ') AS sym, f
+                   FROM $prev CROSS JOIN r${r}b)"""
+      s"""WITH wf AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           WHERE len(w) > 1 GROUP BY w),
+         r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                         || ' ' AS sym, f
+                FROM wf),
+         ${(1 to 5).map(r => round(s"r${r - 1}", r)).mkString(",\n")}
+         SELECT round, merge_rule, cnt FROM (
+           SELECT * FROM r1b UNION ALL SELECT * FROM r2b
+           UNION ALL SELECT * FROM r3b UNION ALL SELECT * FROM r4b
+           UNION ALL SELECT * FROM r5b) u
+         ORDER BY round"""
+    },
     // q_text_symspell's oracle IS the brute-force form: a hash-match
     // proves the delete-variant candidate generator is complete.
     "q_text_symspell" ->

@@ -439,6 +439,47 @@ class EventsR6Spec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("q_text_bpe_train replays a canonical list-based trainer") {
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("round"),
+        r.getAs[String]("merge_rule"), r.getAs[Long]("cnt")))
+    assert(got.length === 5)
+    // independent reference: symbol LISTS, not the delimited-string
+    // encoding — validates the double-space replace() trick end to end
+    var census: Seq[(Vector[String], Long)] =
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 1)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .collect().map(r =>
+          (r.getString(0).map(_.toString).toVector, r.getLong(1))).toSeq
+    def mergeWord(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    val expect = (1 to 5).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      census.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, s"$x $y") }.head
+      census = census.map { case (syms, f) => (mergeWord(syms, a, b), f) }
+      (round.toLong, s"$a $b", cnt)
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("q_agg_quantile_dist equals the buffered percentile() exactly") {
     // census+rank quantile (scale path) vs percentile() (buffers every
     // group value) — same interpolation law, so outputs must agree
