@@ -1286,7 +1286,8 @@ object TextOps {
     * occurrences — verified against the reference fold in the spec).
     * The census and each winner localCheckpoint (the markov-P lesson:
     * round r's plan would otherwise re-derive all prior rounds). */
-  private val bpeTrain: Q = (s, d) => {
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
     val pairsOf = "CASE WHEN size(split(trim(sym), '  ')) < 2" +
       " THEN array() ELSE transform(" +
       "sequence(1, size(split(trim(sym), '  ')) - 1)," +
@@ -1315,8 +1316,27 @@ object TextOps {
         .localCheckpoint()
       best
     }
-    merges.reduce(_ unionAll _).orderBy("round")
+    (merges, state)
   }
+
+  private val bpeTrain: Q = (s, d) =>
+    bpeTrained(s, d)._1.reduce(_ unionAll _).orderBy("round")
+
+  /** BPE ENCODE — the serving half of the trainer: after the 5 learned
+    * merges are applied, the census's symbol sequences ARE the
+    * tokenized corpus; this emits the resulting subword vocabulary
+    * ranked by corpus frequency (subword, n_words it appears in, total
+    * occurrences). Same census-bounded frames as the trainer; the
+    * oracle replays the merge rounds and explodes the final state. */
+  private val bpeEncode: Q = (s, d) =>
+    bpeTrained(s, d)._2
+      .select(col("sym"), col("f"),
+        explode(expr("split(trim(sym), '  ')")).as("subword"))
+      .groupBy("subword")
+      .agg(countDistinct(col("sym")).as("n_words"),
+        sum(col("f")).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("subword"))
+      .limit(20)
 
   /** Temperature-based language mixing (the multilingual sampling rule:
     * q_i ∝ p_i^α with α=0.7) — flattens the language distribution so
@@ -1641,6 +1661,7 @@ object TextOps {
     "q_text_fuzzy_suggest" -> fuzzySuggest,
     "q_text_symspell" -> symspell,
     "q_text_bpe_train" -> bpeTrain,
+    "q_text_bpe_encode" -> bpeEncode,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_near" -> dedupNear,
     "q_dedup_prefix_filter" -> dedupPrefixFilter,
@@ -1681,6 +1702,39 @@ object TextOps {
               coalesce(b.lex_lang, 'und') = d.lang AS is_correct
        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
        ORDER BY d.doc_id"""
+
+  /** Shared CTE chain for the BPE oracles: word-frequency census →
+    * double-space symbol encoding → five merge rounds (r1..r5, with
+    * per-round argmax CTEs r1b..r5b) — the same replace() arithmetic
+    * the Spark trainer runs. */
+  private val bpeOracleCtes: String = {
+    def round(prev: String, r: Int): String =
+      s"""r${r}p AS (
+           SELECT pr, CAST(sum(f) AS BIGINT) AS cnt FROM (
+             SELECT f, unnest(list_transform(
+                 generate_series(1,
+                   len(string_split(trim(sym), '  ')) - 1),
+                 i -> string_split(trim(sym), '  ')[i] || ' ' ||
+                      string_split(trim(sym), '  ')[i + 1])) AS pr
+             FROM $prev) t
+           GROUP BY pr),
+         r${r}b AS (SELECT CAST($r AS BIGINT) AS round,
+                           pr AS merge_rule, cnt
+                    FROM r${r}p ORDER BY cnt DESC, pr LIMIT 1),
+         r$r AS (SELECT replace(sym,
+                   ' ' || replace(merge_rule, ' ', '  ') || ' ',
+                   ' ' || replace(merge_rule, ' ', '') || ' ') AS sym, f
+                 FROM $prev CROSS JOIN r${r}b)"""
+    s"""WITH wf AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS f
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents) t
+         WHERE len(w) > 1 GROUP BY w),
+       r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                       || ' ' AS sym, f
+              FROM wf),
+       ${(1 to 5).map(r => round(s"r${r - 1}", r)).mkString(",\n")}"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_stopword_discover" ->
@@ -2240,39 +2294,22 @@ object TextOps {
                     t -> regexp_replace(t, '(ing|ed|s)$', '')),
                   ' ') AS norm
          FROM documents ORDER BY doc_id""",
-    "q_text_bpe_train" -> {
-      def round(prev: String, r: Int): String =
-        s"""r${r}p AS (
-             SELECT pr, CAST(sum(f) AS BIGINT) AS cnt FROM (
-               SELECT f, unnest(list_transform(
-                   generate_series(1,
-                     len(string_split(trim(sym), '  ')) - 1),
-                   i -> string_split(trim(sym), '  ')[i] || ' ' ||
-                        string_split(trim(sym), '  ')[i + 1])) AS pr
-               FROM $prev) t
-             GROUP BY pr),
-           r${r}b AS (SELECT CAST($r AS BIGINT) AS round,
-                             pr AS merge_rule, cnt
-                      FROM r${r}p ORDER BY cnt DESC, pr LIMIT 1),
-           r$r AS (SELECT replace(sym,
-                     ' ' || replace(merge_rule, ' ', '  ') || ' ',
-                     ' ' || replace(merge_rule, ' ', '') || ' ') AS sym, f
-                   FROM $prev CROSS JOIN r${r}b)"""
-      s"""WITH wf AS (
-           SELECT w, CAST(count(*) AS BIGINT) AS f
-           FROM (SELECT unnest(string_split(text, ' ')) AS w
-                 FROM documents) t
-           WHERE len(w) > 1 GROUP BY w),
-         r0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
-                         || ' ' AS sym, f
-                FROM wf),
-         ${(1 to 5).map(r => round(s"r${r - 1}", r)).mkString(",\n")}
+    "q_text_bpe_train" ->
+      s"""$bpeOracleCtes
          SELECT round, merge_rule, cnt FROM (
            SELECT * FROM r1b UNION ALL SELECT * FROM r2b
            UNION ALL SELECT * FROM r3b UNION ALL SELECT * FROM r4b
            UNION ALL SELECT * FROM r5b) u
-         ORDER BY round"""
-    },
+         ORDER BY round""",
+    "q_text_bpe_encode" ->
+      s"""$bpeOracleCtes
+         SELECT subword, CAST(count(DISTINCT sym) AS BIGINT) AS n_words,
+                CAST(sum(f) AS BIGINT) AS occurrences
+         FROM (SELECT sym, f,
+                      unnest(string_split(trim(sym), '  ')) AS subword
+               FROM r5) t
+         GROUP BY subword
+         ORDER BY occurrences DESC, subword LIMIT 20""",
     // q_text_symspell's oracle IS the brute-force form: a hash-match
     // proves the delete-variant candidate generator is complete.
     "q_text_symspell" ->

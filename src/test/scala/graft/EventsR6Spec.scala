@@ -480,6 +480,23 @@ class EventsR6Spec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("q_text_bpe_encode: learned merges surface in the subword census") {
+    val merges = SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .collect().map(_.getAs[String]("merge_rule").replace(" ", ""))
+    val subs = SparkEntry.queries("q_text_bpe_encode")(spark, sfDir)
+      .collect()
+    val names = subs.map(_.getAs[String]("subword")).toSet
+    // every learned merge that wasn't consumed by a LATER merge must
+    // exist as a subword; the first round's merge may be eaten, so
+    // assert a majority survive and all rows are sane
+    assert(merges.count(names.contains) >= 3,
+      s"learned merges $merges barely present in census $names")
+    subs.foreach { r =>
+      assert(r.getAs[Long]("occurrences") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[String]("subword").nonEmpty)
+    }
+  }
+
   test("q_agg_quantile_dist equals the buffered percentile() exactly") {
     // census+rank quantile (scale path) vs percentile() (buffers every
     // group value) — same interpolation law, so outputs must agree
