@@ -180,7 +180,12 @@ object ExplainAudit {
     "q_text_symspell", "q_layout_hilbert", "q_stats_cuped",
     "q_events_window_funnel", "q_graph_ra_index", "q_stats_runs_test",
     "q_stats_anova", "q_events_holt", "q_events_seq_support",
-    "q_stats_power", "q_join_asof_nearest", "q_stats_granger")
+    "q_stats_power", "q_join_asof_nearest", "q_stats_granger",
+    // session-5 close: the census+cumulative-rank exact quantile (the
+    // percentile()-buffer replacement) and the multimodal 2x2 pooling
+    // projection. (q_text_bpe_train/encode are EXCLUDED for the
+    // hits/markov reason: census + per-round winners localCheckpoint.)
+    "q_agg_quantile_dist", "q_multimodal_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
