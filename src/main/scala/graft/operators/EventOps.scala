@@ -1033,7 +1033,14 @@ object EventOps {
     * constants written CAST(0.5 AS DOUBLE) in both engines because a
     * bare 0.5 literal is DECIMAL in the oracle engine (the ewma
     * lesson). Forecast rows carry c=-1 and fit = lₙ + h·bₙ. */
-  private val holt: Q = (s, d) => {
+  private val holt: Q = (s, d) => holtWithForecast(s, d)
+
+  /** The Holt fold's 1-row frame: acc.tr = per-day trace (day, c, l, b,
+    * fit) where fit is the ONE-STEP-AHEAD prediction from the strict
+    * prefix — which is what makes the trace directly reusable as a
+    * rolling-origin backtest (q_eval_holt_backtest) without retraining
+    * per cutoff. */
+  private def holtFolded(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
@@ -1061,6 +1068,11 @@ object EventOps {
                   'c', x.c, 'l', $lNew, 'b', $bNew,
                   'fit', acc.l + acc.b))))
               END)""").as("acc"))
+    folded
+  }
+
+  private def holtWithForecast(s: SparkSession, d: String): DataFrame = {
+    val folded = holtFolded(s, d)
     val trace = folded
       .select(explode(col("acc.tr")).as("r"))
       .select(col("r.day").as("day"), col("r.c").as("c"),
@@ -1075,6 +1087,32 @@ object EventOps {
         r6(col("r.l")).as("level"), r6(col("r.b")).as("trend"),
         r6(col("r.fit")).as("fit"))
     trace.unionAll(fc).orderBy("day")
+  }
+
+  /** Rolling-origin forecast backtest — the model-selection eval that
+    * tells you whether the Holt smoother actually beats the seasonal-
+    * naive baseline on THIS series, instead of assuming it: for every
+    * day t ≥ 8 the Holt one-step prediction (the fold's fit(t) — by
+    * construction trained only on the strict prefix, so NO retraining
+    * per cutoff) and the week-ago-naive c(t−7) are scored against the
+    * actual. One census-bounded self-join on day−7 + one final
+    * aggregate; identical-text MAE/MAPE double expressions. */
+  private val holtBacktest: Q = (s, d) => {
+    val trace = holtFolded(s, d)
+      .select(explode(col("acc.tr")).as("r"))
+      .select(col("r.day").as("day"), col("r.c").as("c"),
+        col("r.fit").as("fit"))
+    val naive = trace.select((col("day") + 7).as("day"),
+      col("c").as("naive7"))
+    trace.join(naive, Seq("day"))
+      .agg(count(lit(1)).as("n_days"),
+        r6(avg(abs(col("c") - col("fit")))).as("mae_holt"),
+        r6(avg(abs((col("c") - col("naive7")).cast("double"))))
+          .as("mae_naive"),
+        r6(avg(abs(col("c") - col("fit")) / col("c")))
+          .as("mape_holt"),
+        r6(avg(abs((col("c") - col("naive7")).cast("double"))
+          / col("c"))).as("mape_naive"))
   }
 
   /** Sequential-pattern support for consecutive event-type bigrams —
@@ -1195,6 +1233,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_eval_holt_backtest" -> holtBacktest,
     "q_events_window_funnel" -> windowFunnel,
     "q_events_markov_stationary" -> markovStationary,
     "q_events_seq_support" -> seqSupport,
@@ -1236,6 +1275,33 @@ object EventOps {
     "q_stream_interval_join" -> intervalJoin,
     "q_stream_left_join" -> intervalJoinLeft,
     "q_agg_pivot" -> pivot)
+
+  /** Shared recursive-CTE chain replaying the Holt fold (daily census →
+    * rn-ordered recursion carrying level/trend/one-step fit) — used by
+    * the forecast oracle and the rolling-origin backtest oracle. */
+  private val holtRecCtes: String =
+    """WITH RECURSIVE daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+         ds AS (SELECT day, c,
+                       CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                         AS rn
+                FROM daily),
+         rec(rn, day, c, l, b, fit) AS (
+           SELECT rn, day, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(c AS DOUBLE)
+           FROM ds WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.day, d.c,
+                  CAST(0.5 AS DOUBLE) * d.c
+                    + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+                  CAST(0.25 AS DOUBLE)
+                    * ((CAST(0.5 AS DOUBLE) * d.c
+                        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                    + CAST(0.75 AS DOUBLE) * r.b,
+                  r.l + r.b
+           FROM rec r JOIN ds d ON d.rn = r.rn + 1)"""
 
   /** One πP oracle iteration (markovStationary): prev CTE name → next
     * select, replaying the r6-per-round sequential mix fold. */
@@ -1322,28 +1388,7 @@ object EventOps {
          FROM g CROSS JOIN tot
          ORDER BY n_trans DESC, a, b""",
     "q_events_holt" ->
-      """WITH RECURSIVE daily AS (
-           SELECT epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY day),
-         ds AS (SELECT day, c,
-                       CAST(row_number() OVER (ORDER BY day) AS BIGINT)
-                         AS rn
-                FROM daily),
-         rec(rn, day, c, l, b, fit) AS (
-           SELECT rn, day, c, CAST(c AS DOUBLE), CAST(0 AS DOUBLE),
-                  CAST(c AS DOUBLE)
-           FROM ds WHERE rn = 1
-           UNION ALL
-           SELECT d.rn, d.day, d.c,
-                  CAST(0.5 AS DOUBLE) * d.c
-                    + CAST(0.5 AS DOUBLE) * (r.l + r.b),
-                  CAST(0.25 AS DOUBLE)
-                    * ((CAST(0.5 AS DOUBLE) * d.c
-                        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
-                    + CAST(0.75 AS DOUBLE) * r.b,
-                  r.l + r.b
-           FROM rec r JOIN ds d ON d.rn = r.rn + 1),
+      s"""$holtRecCtes,
          lastrow AS (SELECT day, l, b FROM rec
                      WHERE rn = (SELECT max(rn) FROM rec)),
          fc AS (SELECT lastrow.day + h.h AS day,
@@ -1359,6 +1404,21 @@ object EventOps {
          FROM (SELECT day, c, l, b, fit FROM rec
                UNION ALL SELECT * FROM fc)
          ORDER BY day""",
+    "q_eval_holt_backtest" ->
+      s"""$holtRecCtes,
+         naive AS (SELECT day + 7 AS day, c AS naive7 FROM rec),
+         j AS (SELECT r.day, r.c, r.fit, n.naive7
+               FROM rec r JOIN naive n ON n.day = r.day)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+                floor(avg(abs(c - fit)) * 1000000 + 0.5) / 1000000.0
+                  AS mae_holt,
+                floor(avg(abs(CAST(c - naive7 AS DOUBLE)))
+                  * 1000000 + 0.5) / 1000000.0 AS mae_naive,
+                floor(avg(abs(c - fit) / c) * 1000000 + 0.5)
+                  / 1000000.0 AS mape_holt,
+                floor(avg(abs(CAST(c - naive7 AS DOUBLE)) / c)
+                  * 1000000 + 0.5) / 1000000.0 AS mape_naive
+         FROM j""",
     "q_events_heavy_hitters" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
                     FROM events GROUP BY user_id),

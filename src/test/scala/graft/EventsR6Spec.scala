@@ -321,6 +321,26 @@ class EventsR6Spec extends SparkSpec {
     assert(daily.map(_.getAs[Long]("uniques")).sum >= exactAll)
   }
 
+  test("q_eval_holt_backtest: scores replay from the holt trace") {
+    val r = SparkEntry.queries("q_eval_holt_backtest")(spark, sfDir)
+      .collect().head
+    val trace = SparkEntry.queries("q_events_holt")(spark, sfDir)
+      .collect().filter(_.getAs[Long]("c") >= 0)
+      .map(x => x.getAs[Long]("day") ->
+        (x.getAs[Long]("c"), x.getAs[Double]("fit"))).toMap
+    val scored = trace.toSeq.collect {
+      case (day, (c, fit)) if trace.contains(day - 7) =>
+        (math.abs(c - fit), math.abs(c - trace(day - 7)._1).toDouble, c)
+    }
+    assert(r.getAs[Long]("n_days") === scored.size.toLong)
+    assert(math.abs(r.getAs[Double]("mae_holt") -
+      scored.map(_._1).sum / scored.size) < 1e-4)
+    assert(math.abs(r.getAs[Double]("mae_naive") -
+      scored.map(_._2).sum / scored.size) < 1e-4)
+    assert(r.getAs[Double]("mape_holt") > 0 &&
+      r.getAs[Double]("mape_naive") > 0)
+  }
+
   test("q_events_holt: smoother replays driver-side; forecast is linear") {
     val rows = SparkEntry.queries("q_events_holt")(spark, sfDir).collect()
     val (fc, trace) = rows.partition(_.getAs[Long]("c") == -1L)
