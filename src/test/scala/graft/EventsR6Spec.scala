@@ -341,6 +341,39 @@ class EventsR6Spec extends SparkSpec {
       r.getAs[Double]("mape_naive") > 0)
   }
 
+  test("q_events_holt_winters: triple smoother replays driver-side") {
+    val rows = SparkEntry.queries("q_events_holt_winters")(spark, sfDir)
+      .collect()
+    val (fc, trace) = rows.partition(_.getAs[Long]("c") == -1L)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("day").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(trace.length === daily.length && fc.length === 7)
+    var l = daily.head._2.toDouble; var b = 0.0
+    val sArr = Array.fill(7)(0.0)
+    daily.tail.foreach { case (day, y) =>
+      val idx = (day % 7).toInt
+      val l2 = 0.5 * (y - sArr(idx)) + 0.5 * (l + b)
+      b = 0.25 * (l2 - l) + 0.75 * b
+      sArr(idx) = 0.25 * (y - l2) + 0.75 * sArr(idx)
+      l = l2
+    }
+    val last = trace.maxBy(_.getAs[Long]("day"))
+    assert(math.abs(last.getAs[Double]("level") - l) < 1e-6)
+    assert(math.abs(last.getAs[Double]("trend") - b) < 1e-6)
+    val maxDay = daily.last._1
+    fc.sortBy(_.getAs[Long]("day")).zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(r.getAs[Long]("day") === maxDay + h)
+      val expect = l + h * b + sArr(((maxDay + h) % 7).toInt)
+      assert(math.abs(r.getAs[Double]("fit") - expect) < 1e-5)
+    }
+    // the weekly seasonal components must actually differ (the corpus
+    // is engineered weekly-periodic, so a flat s would mean a bug)
+    assert(sArr.max - sArr.min > 1.0)
+  }
+
   test("q_events_holt: smoother replays driver-side; forecast is linear") {
     val rows = SparkEntry.queries("q_events_holt")(spark, sfDir).collect()
     val (fc, trace) = rows.partition(_.getAs[Long]("c") == -1L)
