@@ -277,6 +277,45 @@ object StatsOps {
           .otherwise("no_trend").as("trend"))
   }
 
+  /** Seasonal Mann-Kendall — the trend test the plain MK key gets
+    * WRONG on this corpus: q_stats_mann_kendall compares every day
+    * pair, so the engineered weekly cycle floods S with cross-weekday
+    * noise; the seasonal variant (Hirsch-Slack) computes S and its
+    * variance WITHIN each weekday season (day mod 7 — integer, no
+    * calendar call) and sums across seasons, so only genuine
+    * like-for-like drift counts. Per-season pair joins are
+    * |days/7|²-bounded; tie correction per season; the combined z uses
+    * the same continuity correction as the plain key. One extra
+    * grouping column turns the O(|days|²) census into 7 tiny ones. */
+  private val seasonalMk: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("g", expr("day % 7"))
+    val sF = daily.as("a").join(daily.as("b"),
+        col("b.g") === col("a.g") && col("b.day") > col("a.day"))
+      .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
+    val varF = daily.groupBy("g").agg(count(lit(1)).as("n_g"))
+      .join(daily.groupBy("g", "c").agg(count(lit(1)).as("t"))
+          .groupBy("g")
+          .agg(coalesce(sum(col("t") * (col("t") - 1) *
+            (lit(2) * col("t") + 5)), lit(0L)).as("tie_g")), Seq("g"))
+      .agg(sum(col("n_g")).as("n_days"), count(lit(1)).as("n_seasons"),
+        sum(col("n_g") * (col("n_g") - 1) * (lit(2) * col("n_g") + 5)
+          - col("tie_g")).as("var18"))
+    val varS = col("var18").cast("double") / 18.0
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    broadcast(varF).crossJoin(broadcast(sF))
+      .select(col("n_days"), col("n_seasons"), col("s_stat"),
+        r6(z).as("z_stat"),
+        when(r6(z) > 1.96, "increasing").when(r6(z) < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   /** Least-squares regression diagnostics per return flag: slope,
     * intercept, and R² of extendedprice ~ quantity via the SQL-standard
     * regr_* aggregates (one hash-aggregate pass, map-side partial — the
@@ -983,6 +1022,7 @@ object StatsOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_stats_seasonal_mk" -> seasonalMk,
     "q_stats_granger" -> granger,
     "q_stats_cuped" -> cuped,
     "q_stats_power" -> power,
@@ -1326,6 +1366,45 @@ object StatsOps {
                                 / CAST(n * n * n - n AS DOUBLE)))
                   * 1000000 + 0.5) / 1000000.0 AS h_stat
          FROM fold CROSS JOIN tot""",
+    "q_stats_seasonal_mk" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c,
+                  (epoch_us(ts) // 86400000000) % 7 AS g
+           FROM events GROUP BY 1, 3),
+         sf AS (SELECT CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+                FROM daily a JOIN daily b
+                  ON b.g = a.g AND b.day > a.day),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM daily
+                 GROUP BY g),
+         ties AS (SELECT g,
+                         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                              AS BIGINT) AS tie_g
+                  FROM (SELECT g, CAST(count(*) AS BIGINT) AS t
+                        FROM daily GROUP BY g, c) u
+                  GROUP BY g),
+         vf AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_days,
+                       CAST(count(*) AS BIGINT) AS n_seasons,
+                       CAST(sum(n_g * (n_g - 1) * (2 * n_g + 5) - tie_g)
+                            AS BIGINT) AS var18
+                FROM per JOIN ties USING (g)),
+         z AS (SELECT n_days, n_seasons, s_stat,
+                      CASE WHEN s_stat > 0 THEN
+                             CAST(s_stat - 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                           WHEN s_stat < 0 THEN
+                             CAST(s_stat + 1 AS DOUBLE)
+                             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                           ELSE 0.0 END AS zraw
+               FROM vf CROSS JOIN sf)
+         SELECT n_days, n_seasons, s_stat,
+                floor(zraw * 1000000 + 0.5) / 1000000.0 AS z_stat,
+                CASE WHEN floor(zraw * 1000000 + 0.5) / 1000000.0 > 1.96
+                       THEN 'increasing'
+                     WHEN floor(zraw * 1000000 + 0.5) / 1000000.0 < -1.96
+                       THEN 'decreasing'
+                     ELSE 'no_trend' END AS trend
+         FROM z""",
     "q_stats_mann_kendall" ->
       """WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

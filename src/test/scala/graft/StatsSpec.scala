@@ -279,6 +279,26 @@ class StatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum === nAll)
   }
 
+  test("seasonal mann-kendall: per-season S replays driver-side") {
+    val r = operators.StatsOps.queries("q_stats_seasonal_mk")(spark, sfDir)
+      .collect().head
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val bySeason = daily.groupBy(_._1 % 7)
+    val s = bySeason.values.map { pts =>
+      val sorted = pts.sortBy(_._1)
+      (for { i <- sorted.indices; j <- i + 1 until sorted.length }
+        yield math.signum(sorted(j)._2 - sorted(i)._2)).sum
+    }.sum
+    assert(r.getAs[Long]("s_stat") === s)
+    assert(r.getAs[Long]("n_seasons") === bySeason.size.toLong)
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    assert(Set("increasing", "decreasing", "no_trend")
+      .contains(r.getAs[String]("trend")))
+  }
+
   test("granger: closed-form OLS replays from the daily census") {
     val r = operators.StatsOps.queries("q_stats_granger")(spark, sfDir)
       .collect().head
