@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.TimeOne q_key [q_key ...]" */
 object TimeOne {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Same core-count source as Bench (ADVICE r6): a hardcoded 32 made
+    // TimeOne numbers incomparable to Bench on smaller hosts.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     Tables.configure(spark)

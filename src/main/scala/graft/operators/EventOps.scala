@@ -1175,8 +1175,16 @@ object EventOps {
       .withColumn("p", r6(col("n") / sum(col("n")).over(wSrc)))
       .select("a", "b", "p")
       .localCheckpoint()
-    val pi0 = p.select(col("a").as("t")).distinct()
-      .withColumn("pi", lit(1.0) / lit(5.0))
+    // init weight derived from the data (ADVICE r6): 1/|distinct source
+    // states|, not a hardcoded 1/5 — on data where an event type never
+    // appears as a transition source, a literal 1/5 init would not be a
+    // distribution (and both engines would agree, so the oracle could
+    // not catch it). Same derivation in the oracle SQL.
+    val states = p.select(col("a").as("t")).distinct()
+    val nStates = states.agg(count(lit(1)).as("n_states"))
+    val pi0 = states.crossJoin(broadcast(nStates))
+      .withColumn("pi", lit(1.0) / col("n_states"))
+      .select("t", "pi")
     val piN = (1 to 4).foldLeft(pi0) { (pi, _) =>
       p.join(pi, col("a") === col("t"))
         .withColumn("term", col("pi") * col("p"))
@@ -1478,7 +1486,10 @@ object EventOps {
                              / sum(n) OVER (PARTITION BY a))
                         * 1000000 + 0.5) / 1000000.0 AS p
                FROM cnt),
-         pi0 AS (SELECT DISTINCT a AS t, 1.0 / 5.0 AS pi FROM p),
+         pi0 AS (SELECT DISTINCT a AS t,
+                        CAST(1.0 AS DOUBLE)
+                          / (SELECT count(DISTINCT a) FROM p) AS pi
+                 FROM p),
          pi1 AS (${piIterSql("pi0")}),
          pi2 AS (${piIterSql("pi1")}),
          pi3 AS (${piIterSql("pi2")}),

@@ -67,7 +67,17 @@ class ParquetReplaySource(sfDir: String) extends SourceFactory {
   * in a dead-letter table instead of either poisoning the pipeline
   * (FAILFAST) or silently vanishing (DROPMALFORMED). The returned
   * frames share ONE parse pass; a count on the quarantine side is the
-  * DQ-gate input (graft q_quality_dq_gate pattern). */
+  * DQ-gate input (graft q_quality_dq_gate pattern).
+  *
+  * Two contract notes (ADVICE r6): (1) the shared parse is backed by a
+  * cache the CALLER must release — use `audited(...)(f)`, which scopes
+  * the cache to the closure and unpersists on the way out, or call
+  * `readAudited` and unpersist the returned handle yourself; (2)
+  * PERMISSIVE quarantines only lines that are not valid JSON — a
+  * structurally valid line MISSING required fields parses to a
+  * null-filled row in the clean frame, so schema-incomplete lines must
+  * be caught by the downstream DQ gate (e.g. a null-required-column
+  * check), not by this splitter. */
 object JsonIngest {
   import org.apache.spark.sql.types._
 
@@ -76,9 +86,14 @@ object JsonIngest {
     graft.Tables.eventsMicrosSchema.fields :+
       StructField("_corrupt_record", StringType))
 
-  /** (clean events, quarantined raw lines). */
-  def readAudited(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame) = {
+  /** One audited parse: the clean/quarantine split plus the `release`
+    * hook that unpersists the shared parse cache (ADVICE r6 — nothing
+    * released it before). */
+  final case class AuditedBatch(clean: DataFrame, quarantine: DataFrame,
+      release: () => Unit)
+
+  /** (clean events, quarantined raw lines, cache release hook). */
+  def readAudited(spark: SparkSession, path: String): AuditedBatch = {
     val raw = spark.read
       .schema(auditedSchema)
       .option("mode", "PERMISSIVE")
@@ -93,6 +108,16 @@ object JsonIngest {
       .drop("_corrupt_record")
     val quarantine = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (clean, quarantine)
+    AuditedBatch(clean, quarantine, () => { raw.unpersist(); () })
+  }
+
+  /** Cache-scoped form: runs `f` over the (clean, quarantine) pair and
+    * unpersists the shared parse cache before returning — the
+    * both-counts-then-release shape a DQ gate actually needs. */
+  def audited[T](spark: SparkSession, path: String)(
+      f: (DataFrame, DataFrame) => T): T = {
+    val b = readAudited(spark, path)
+    try f(b.clean, b.quarantine)
+    finally b.release()
   }
 }

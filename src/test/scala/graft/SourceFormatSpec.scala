@@ -85,8 +85,8 @@ class SourceFormatSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "part-0.json"),
       java.util.Arrays.asList(good, bad1, good.replace(": 1,", ": 2,"),
         bad2))
-    val (clean, quarantine) =
-      sources.JsonIngest.readAudited(spark, dir)
+    val batch = sources.JsonIngest.readAudited(spark, dir)
+    val (clean, quarantine) = (batch.clean, batch.quarantine)
     assert(clean.count() === 2)
     assert(clean.columns.toSeq ===
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
@@ -96,6 +96,15 @@ class SourceFormatSpec extends SparkSpec {
     assert(q.length === 2, "both malformed lines must be quarantined")
     assert(q.exists(_.contains("NOT_A_NUMBER")))
     assert(q.exists(_.contains("not json at all")))
+    // the release hook must actually free the shared parse cache
+    // (ADVICE r6: nothing ever unpersisted it). The cached parse RDD is
+    // materialized by the counts above, so it is registered in
+    // getPersistentRDDs; release() must drop it.
+    val nBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(nBefore > 0, "parse cache should be live before release")
+    batch.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < nBefore,
+      "release() must unpersist the shared parse cache")
   }
 
   test("GraftExtensions installs graft_dot via withExtensions") {
