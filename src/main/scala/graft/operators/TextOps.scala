@@ -582,6 +582,37 @@ object TextOps {
     * scans. */
   private val bm25Terms = Seq("spark", "query", "fast")
 
+  /** BM25 oracle CTE chain ending in `bm25(doc_id, score)` — ONE
+    * definition interpolated into both the q_text_search_bm25 oracle
+    * and the RRF fusion oracle's lexical arm, so the two cannot
+    * drift. */
+  private val bm25CtesSql =
+    """tf AS (
+           SELECT doc_id, tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) t
+           WHERE tok IN ('spark', 'query', 'fast')
+           GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tf GROUP BY tok),
+         stats AS (SELECT count(*) AS n_docs,
+                          avg(len(string_split(text, ' '))) AS avgdl
+                   FROM documents),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents),
+         bm25 AS (
+           SELECT tf.doc_id AS doc_id,
+                  floor((sum(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                    (tf * (1.2 + 1) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))))
+                    * 1000000 + 0.5) / 1000000.0 AS score
+           FROM tf
+           JOIN dfreq USING (tok)
+           JOIN dl ON dl.doc_id = tf.doc_id
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)"""
+
   /** (doc_id, dl, tf0..tfN) from ONE corpus pass, cached per (session,
     * dir): the frame feeds tf, df, and the score join without rescans,
     * and repeated builder invocations in one session reuse one persisted
@@ -603,7 +634,15 @@ object TextOps {
           }: _*)
         .persist())
 
-  private val searchBm25: Q = (s, d) => {
+  private val searchBm25: Q = (s, d) =>
+    bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** The full BM25-scored frame (doc_id, score) pre-limit — extracted
+    * (round 7) so the hybrid RRF fusion reuses the lexical arm
+    * verbatim rather than re-deriving it. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val queryTerms = bm25Terms
     val k1 = 1.2
     val b = 0.75
@@ -632,8 +671,50 @@ object TextOps {
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(r6(sum(col("idf") * col("tfn"))).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, k=60) — how a
+    * production search stack actually combines a lexical index with a
+    * dense-vector index: each arm contributes 1/(60+rank) for the docs
+    * in its top-20, absent docs contribute nothing, and the fused
+    * top-10 is re-ranked on the sum. Rank-based fusion needs no score
+    * calibration between arms, which is exactly why it scales — the
+    * arms run independently (BM25 through the inverted index, cosine
+    * through the ANN index at 100 TB; here the exact dense baseline)
+    * and the fusion is a full-outer join of two k-row lists, driver-
+    * trivial at any corpus size. The per-arm rank windows run over
+    * 20-row TakeOrdered frontiers (the q_text_tok_zipf allowlist
+    * argument); both RRF terms are fixed-order IEEE doubles
+    * (1.0/(60+rank)), so the sum needs no rounding machinery. Query =
+    * the fixed bm25Terms on the lexical arm and doc 0's embedding on
+    * the dense arm (arms are pluggable by contract — fusion only sees
+    * ranks). */
+  private val searchRrf: Q = (s, d) => {
+    val k = 60
+    val lex = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "lex_rank")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+      .orderBy(col("sim_r").desc, col("vec_id")).limit(20)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("sim_r").desc, col("vec_id")))
+          .cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("dense_rank")), lit(0.0)))
+      .select("doc_id", "lex_rank", "dense_rank", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** Deterministic hash-Bernoulli keep-predicate — membership is a pure
@@ -1642,6 +1723,7 @@ object TextOps {
     "q_text_pii_mask" -> piiMask,
     "q_text_search_tfidf" -> searchTfidf,
     "q_text_search_bm25" -> searchBm25,
+    "q_search_rrf" -> searchRrf,
     "q_sample_hash" -> sampleHash,
     "q_sample_global_shuffle" -> sampleGlobalShuffle,
     "q_text_token_budget" -> tokenBudget,
@@ -2365,31 +2447,43 @@ object TextOps {
          GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 20""",
     "q_text_search_bm25" ->
-      """WITH tf AS (
-           SELECT doc_id, tok, count(*) AS tf
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents) t
-           WHERE tok IN ('spark', 'query', 'fast')
-           GROUP BY doc_id, tok),
-         dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df
-                   FROM tf GROUP BY tok),
-         stats AS (SELECT count(*) AS n_docs,
-                          avg(len(string_split(text, ' '))) AS avgdl
-                   FROM documents),
-         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
-                FROM documents)
-         SELECT tf.doc_id,
-                floor((sum(
-                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-                  (tf * (1.2 + 1) /
-                   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))))
-                  * 1000000 + 0.5) / 1000000.0 AS score
-         FROM tf
-         JOIN dfreq USING (tok)
-         JOIN dl ON dl.doc_id = tf.doc_id
-         CROSS JOIN stats
-         GROUP BY tf.doc_id
-         ORDER BY score DESC, tf.doc_id LIMIT 20""",
+      s"""WITH $bm25CtesSql
+         SELECT doc_id, score FROM bm25
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    // Both arms replayed verbatim (the bm25 CTE chain is SHARED with
+    // q_text_search_bm25's oracle so the two cannot drift; the dense
+    // arm is the q_sim_cosine_topk scoring), ranked with BIGINT
+    // row_numbers, fused with CAST(1.0 AS DOUBLE)/(60+rank) fixed-order
+    // terms (plain 1.0 is DECIMAL in the oracle engine — decimal
+    // division would diverge).
+    "q_search_rrf" ->
+      s"""WITH $bm25CtesSql,
+         lex AS (SELECT doc_id,
+                        CAST(row_number() OVER
+                          (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+                 FROM (SELECT doc_id, score FROM bm25
+                       ORDER BY score DESC, doc_id LIMIT 20) t),
+         qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         dense_scored AS (
+           SELECT vec_id,
+                  floor((list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(q AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+         dense AS (SELECT vec_id AS doc_id,
+                          CAST(row_number() OVER
+                            (ORDER BY sim_r DESC, vec_id) AS BIGINT)
+                            AS dense_rank
+                   FROM (SELECT vec_id, sim_r FROM dense_scored
+                         ORDER BY sim_r DESC, vec_id LIMIT 20) t)
+         SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+                l.lex_rank, de.dense_rank,
+                coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank),
+                         CAST(0.0 AS DOUBLE))
+                  + coalesce(CAST(1.0 AS DOUBLE) / (60 + de.dense_rank),
+                             CAST(0.0 AS DOUBLE)) AS rrf
+         FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q_text_wordcount" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS token

@@ -585,6 +585,42 @@ object VectorOps {
       java.util.Arrays.asList(cb1.collect(): _*), cb1.schema)
   }
 
+  /** IVF-PQ serving composition — the actual billion-vector ANN layout
+    * (FAISS IVFPQ shape): the TRAINED coarse quantizer (q_ann_kmeans's
+    * 2-round Lloyd) routes the query to ONE inverted list, and ADC
+    * scoring with the TRAINED codebooks (q_embed_pq's) ranks only that
+    * list's members from their 8-byte codes — the float vectors are
+    * never touched at query time. At 100 TB: corpus partitioned by
+    * cid, codes 32× smaller than vectors, query cost = |one list| code
+    * lookups against a 32-row broadcast distance table. Exact integer
+    * micros throughout (the 8-term ADC sums cannot drift); both
+    * trained artifacts are shared with their parent keys, so this key
+    * also pins that the two quantizers compose deterministically. */
+  private val annIvfPq: Q = (s, d) => {
+    val cents = kmeansCentroids(s, d, k = 4, rounds = 2)
+    val assign = assignTo(vecs(s, d), cents)
+    val probe = assign.filter(col("vec_id") === 0).select(col("cid"))
+    val cand = assign.join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+    val sub = pqSub(s, d)
+    val cb = pqCodebook(s, d)
+    val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("m").as("qm"), col("p").as("qp"), col("val").as("qval"))
+    val qd = broadcast(cb).join(broadcast(qsub),
+        col("m") === col("qm") && col("p") === col("qp"))
+      .groupBy("m", "code")
+      .agg(floor(r6(sum((col("qval") - col("c")) * (col("qval") - col("c"))))
+        * 1000000 + 0.5).cast("long").as("dr_micros"))
+    codes.join(cand, Seq("vec_id"))
+      .join(broadcast(qd), Seq("m", "code"))
+      .groupBy("vec_id", "cid")
+      .agg(sum(col("dr_micros")).as("est_micros"))
+      .select(col("vec_id").as("nid"), col("cid"), col("est_micros"))
+      .orderBy(col("est_micros"), col("nid"))
+      .limit(5)
+  }
+
   private val embedPq: Q = (s, d) => {
     // mean distortion through EXACT integer micros (dist_r is a 1e-6
     // multiple): double-summing 100+ rounded values flips the final r6
@@ -890,7 +926,16 @@ object VectorOps {
     * argmax cut with the label as tie-break, so the decision boundary
     * is deterministic cross-engine. Linear: |vectors|×|labels| scores,
     * never vector×vector. */
-  private val centroidClassify: Q = (s, d) => {
+  private val centroidClassify: Q = (s, d) =>
+    centroidPred(s, d)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+
+  /** Per-vector nearest-centroid prediction (vec_id, true_label,
+    * pred_label) — extracted (round 7) so the confusion matrix and the
+    * chance-corrected agreement audit share one definition. */
+  private def centroidPred(s: SparkSession, d: String): DataFrame = {
     val cent = dims(s, d).groupBy(col("label").as("cand"), col("pos"))
       .agg(r6(avg(col("val"))).as("c"))
     val scored = dims(s, d)
@@ -903,9 +948,43 @@ object VectorOps {
       .orderBy(col("score").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("true_label"), col("cand").as("pred_label"))
+      .select(col("vec_id"), col("true_label"),
+        col("cand").as("pred_label"))
+  }
+
+  /** Cohen's kappa of the centroid classifier against ground truth —
+    * chance-corrected agreement, the labeling-pipeline QA statistic
+    * (raw accuracy is inflated exactly when the label distribution is
+    * skewed, which is when an auto-labeler is most dangerous; kappa
+    * prices that chance agreement out). Everything reduces over the
+    * |labels|²-bounded confusion census: row/column marginals, the
+    * Σ row·col chance term, and kappa = (N·agree − Σrc)/(N² − Σrc) as
+    * ONE division of exact longs — no float accumulates anywhere. At
+    * 100 TB the only corpus-sized work is the classifier pass itself
+    * (shared with q_vec_centroid_classify), which is map-side
+    * broadcast scoring. */
+  private val evalKappa: Q = (s, d) => {
+    val conf = centroidPred(s, d)
+      .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n"))
-      .orderBy("true_label", "pred_label")
+    val rows = conf.groupBy(col("true_label").as("c"))
+      .agg(sum(col("n")).as("rown"))
+    val cols = conf.groupBy(col("pred_label").as("c"))
+      .agg(sum(col("n")).as("coln"))
+    val rc = rows.join(cols, Seq("c"), "full_outer")
+      .agg(sum(coalesce(col("rown"), lit(0L))
+        * coalesce(col("coln"), lit(0L))).as("sum_rc"))
+    conf.agg(sum(col("n")).as("n_total"),
+        sum(when(col("true_label") === col("pred_label"), col("n"))
+          .otherwise(0L)).as("n_agree"))
+      .crossJoin(broadcast(rc))
+      .select(col("n_total"), col("n_agree"), col("sum_rc"),
+        r6(col("n_agree").cast("double") / col("n_total")).as("po"),
+        r6(col("sum_rc").cast("double")
+          / (col("n_total") * col("n_total"))).as("pe"),
+        r6((col("n_total") * col("n_agree") - col("sum_rc")).cast("double")
+          / (col("n_total") * col("n_total") - col("sum_rc")))
+          .as("kappa"))
   }
 
   /** Per-label embedding-norm distribution — the embedding-health audit
@@ -926,7 +1005,57 @@ object VectorOps {
         max(col("norm_r")).as("max_norm"))
       .orderBy("label")
 
+  /** NDCG@10 retrieval-quality audit — the eval-harness member for
+    * RANKED retrieval (where the recall audits measure set overlap,
+    * NDCG measures position: a relevant doc at rank 1 is worth more
+    * than at rank 10). Relevance is binary and data-derived: a
+    * retrieved vector is relevant to query q iff it carries q's label.
+    * Three fixed queries (vec_id < 3) rank the corpus exactly (the
+    * q_sim_cosine_topk broadcast shape — at 100 TB the IVF probe
+    * composes in front, and THIS key is how you price that swap).
+    * Float discipline: every DCG/IDCG term is r6-rounded, and both
+    * engines fold the ≤10 terms SEQUENTIALLY in rank order (Spark
+    * aggregate-over-array_sort ↔ DuckDB list_reduce-over-ordered-list
+    * — the kruskal discipline); IDCG's ideal ranks come from an
+    * explicit sequence(1, min(10, n_rel)), so the quotient divides two
+    * bit-identical doubles. */
+  private val evalNdcg: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val dcg = scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .withColumn("term",
+        expr("floor((rel * ln(2.0) / ln(rk + 1.0)) * 1000000 + 0.5)" +
+          " / 1000000.0"))
+      .groupBy("qid")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(rk, term))), x -> x.term), 0D," +
+        " (acc, v) -> acc + v)").as("dcg_r"))
+    val nrel = scored.filter(col("rel") === 1L)
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    dcg.join(nrel, Seq("qid"))
+      .withColumn("idcg_r",
+        expr("aggregate(transform(sequence(1L, least(10L, n_rel))," +
+          " i -> floor((ln(2.0) / ln(i + 1.0)) * 1000000 + 0.5)" +
+          " / 1000000.0), 0D, (acc, v) -> acc + v)"))
+      .select(col("qid"), col("n_rel"), col("dcg_r"), col("idcg_r"),
+        r6(col("dcg_r") / col("idcg_r")).as("ndcg"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_ndcg" -> evalNdcg,
+    "q_eval_kappa" -> evalKappa,
+    "q_ann_ivfpq" -> annIvfPq,
     "q_embed_norm_stats" -> embedNormStats,
     "q_vec_centroid_classify" -> centroidClassify,
     "q_vec_project" -> vecProject,
@@ -994,6 +1123,15 @@ object VectorOps {
                          row_number() OVER (PARTITION BY vec_id, m
                            ORDER BY dist_r, code) AS rn
                   FROM d2) t WHERE rn = 1)"""
+
+  /** pqCtes with every CTE name prefixed `pq_` — needed when the PQ
+    * chain composes with kmeansCtes in ONE WITH clause (both define
+    * `el`/`a1`/`a2`); a mechanical rename of the SAME shared text, so
+    * the training chains still cannot drift between keys. */
+  private val pqCtesPrefixed =
+    Seq("el", "sub", "cb0", "d1", "a1", "cb1", "d2", "a2")
+      .foldLeft(pqCtes)((acc, n) =>
+        acc.replaceAll("\\b" + n + "\\b", "pq_" + n))
 
   /** Shared oracle fragment: the deterministic 2-round Lloyd chain
     * (seeds = vec_id < 4, r6-rounded argmax, ties to lowest cid) —
@@ -1162,22 +1300,11 @@ object VectorOps {
                             AND e.vec_id != probe.qid
            JOIN q ON q.qid = probe.qid)"""
 
-  val oracle: Map[String, String] = Map(
-    "q_embed_norm_stats" ->
-      """WITH n AS (
-           SELECT label,
-                  floor(sqrt(list_inner_product(
-                      CAST(embedding AS DOUBLE[]),
-                      CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5)
-                    / 1000000.0 AS norm_r
-           FROM embeddings)
-         SELECT label, CAST(count(*) AS BIGINT) AS n,
-                floor(avg(norm_r) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
-                min(norm_r) AS min_norm,
-                max(norm_r) AS max_norm
-         FROM n GROUP BY label ORDER BY label""",
-    "q_vec_centroid_classify" ->
-      """WITH el AS (
+  /** Nearest-centroid prediction oracle CTE chain ending in
+    * `pred(vec_id, true_label, pred_label)` — ONE definition shared by
+    * the confusion-matrix and kappa oracles (mirrors centroidPred). */
+  private val centroidPredCtesSql =
+    """el AS (
            SELECT vec_id, label,
                   CAST(unnest(generate_series(1, len(embedding)))
                     AS INTEGER) - 1 AS pos,
@@ -1193,15 +1320,102 @@ object VectorOps {
                     AS score
            FROM el e JOIN cent ON e.pos = cent.pos
            GROUP BY e.vec_id, e.label, cent.cand),
-         best AS (
-           SELECT true_label, cand,
-                  row_number() OVER (PARTITION BY vec_id
-                    ORDER BY score DESC, cand) AS rn
-           FROM sc)
-         SELECT true_label, cand AS pred_label,
-                CAST(count(*) AS BIGINT) AS n
-         FROM best WHERE rn = 1
-         GROUP BY true_label, cand ORDER BY true_label, pred_label""",
+         pred AS (
+           SELECT vec_id, true_label, cand AS pred_label FROM (
+             SELECT vec_id, true_label, cand,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY score DESC, cand) AS rn
+             FROM sc) t WHERE rn = 1)"""
+
+  val oracle: Map[String, String] = Map(
+    // Both engines fold DCG terms sequentially in rank order and build
+    // IDCG from an explicit 1..min(10,n_rel) series; list_reduce's
+    // first-element init matches aggregate's 0D init exactly because
+    // 0.0 + t == t in IEEE for finite t.
+    "q_eval_ndcg" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                           embedding AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT qid, vec_id,
+                  floor((list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r,
+                  CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+           FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+         top AS (
+           SELECT qid, rel, rk FROM (
+             SELECT qid, rel,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY sim_r DESC, vec_id) AS BIGINT) AS rk
+             FROM scored) t WHERE rk <= 10),
+         dcg AS (
+           SELECT qid,
+                  list_reduce(list(
+                    floor((rel * ln(2.0) / ln(rk + 1.0)) * 1000000 + 0.5)
+                      / 1000000.0 ORDER BY rk),
+                    (a, b) -> a + b) AS dcg_r
+           FROM top GROUP BY qid),
+         nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                  FROM scored WHERE rel = 1 GROUP BY qid),
+         j AS (
+           SELECT d.qid AS qid, n_rel, dcg_r,
+                  list_reduce(list_transform(
+                    generate_series(1, CAST(least(10, n_rel) AS BIGINT)),
+                    i -> floor((ln(2.0) / ln(i + 1.0)) * 1000000 + 0.5)
+                           / 1000000.0),
+                    (a, b) -> a + b) AS idcg_r
+           FROM dcg d JOIN nrel USING (qid))
+         SELECT qid, n_rel, dcg_r, idcg_r,
+                floor((dcg_r / idcg_r) * 1000000 + 0.5) / 1000000.0 AS ndcg
+         FROM j ORDER BY qid""",
+    "q_embed_norm_stats" ->
+      """WITH n AS (
+           SELECT label,
+                  floor(sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5)
+                    / 1000000.0 AS norm_r
+           FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                floor(avg(norm_r) * 1000000 + 0.5) / 1000000.0 AS avg_norm,
+                min(norm_r) AS min_norm,
+                max(norm_r) AS max_norm
+         FROM n GROUP BY label ORDER BY label""",
+    "q_vec_centroid_classify" ->
+      s"""WITH $centroidPredCtesSql
+         SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+         FROM pred GROUP BY true_label, pred_label
+         ORDER BY true_label, pred_label""",
+    // kappa = (N·agree − Σ row·col)/(N² − Σ row·col): one division of
+    // exact BIGINTs over the |labels|² confusion census; the pred CTE
+    // chain is SHARED with q_vec_centroid_classify's oracle.
+    "q_eval_kappa" ->
+      s"""WITH $centroidPredCtesSql,
+         conf AS (SELECT true_label, pred_label,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM pred GROUP BY true_label, pred_label),
+         rows_ AS (SELECT true_label AS c, CAST(sum(n) AS BIGINT) AS rown
+                   FROM conf GROUP BY true_label),
+         cols_ AS (SELECT pred_label AS c, CAST(sum(n) AS BIGINT) AS coln
+                   FROM conf GROUP BY pred_label),
+         rc AS (SELECT CAST(sum(coalesce(rown, 0) * coalesce(coln, 0))
+                    AS BIGINT) AS sum_rc
+                FROM rows_ FULL OUTER JOIN cols_ USING (c)),
+         ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(CASE WHEN true_label = pred_label
+                                     THEN n ELSE 0 END) AS BIGINT)
+                         AS n_agree
+                FROM conf)
+         SELECT n_total, n_agree, sum_rc,
+                floor((CAST(n_agree AS DOUBLE) / n_total)
+                  * 1000000 + 0.5) / 1000000.0 AS po,
+                floor((CAST(sum_rc AS DOUBLE) / (n_total * n_total))
+                  * 1000000 + 0.5) / 1000000.0 AS pe,
+                floor((CAST(n_total * n_agree - sum_rc AS DOUBLE)
+                       / (n_total * n_total - sum_rc))
+                  * 1000000 + 0.5) / 1000000.0 AS kappa
+         FROM ag CROSS JOIN rc""",
     "q_eval_rp_distortion" ->
       """WITH pl AS (
            SELECT k, j,
@@ -1385,6 +1599,30 @@ object VectorOps {
                 floor((count(*) / 10.0) * 1000000 + 0.5) / 1000000.0
                   AS recall_r
          FROM adc JOIN ex USING (vec_id)""",
+    // IVF-PQ: the kmeans chain (coarse quantizer) and the pq_ chain
+    // (codebooks, mechanically prefixed) compose in one WITH; ADC runs
+    // only over the probed cluster's members.
+    "q_ann_ivfpq" ->
+      s"""WITH $kmeansCtes,
+         $pqCtesPrefixed,
+         probe AS (SELECT cid FROM a3 WHERE vec_id = 0),
+         cand AS (SELECT a3.vec_id, a3.cid
+                  FROM a3 JOIN probe USING (cid)
+                  WHERE a3.vec_id <> 0),
+         q AS (SELECT m, p, val FROM pq_sub WHERE vec_id = 0),
+         qd AS (SELECT c.m, c.code,
+                       CAST(floor((floor(sum((q.val - c.c) * (q.val - c.c))
+                           * 1000000 + 0.5) / 1000000.0)
+                         * 1000000 + 0.5) AS BIGINT) AS dr_micros
+                FROM pq_cb1 c JOIN q ON c.m = q.m AND c.p = q.p
+                GROUP BY c.m, c.code)
+         SELECT a.vec_id AS nid, c.cid,
+                CAST(sum(qd.dr_micros) AS BIGINT) AS est_micros
+         FROM pq_a2 a
+         JOIN cand c ON a.vec_id = c.vec_id
+         JOIN qd ON a.m = qd.m AND a.code = qd.code
+         GROUP BY a.vec_id, c.cid
+         ORDER BY est_micros, nid LIMIT 5""",
     "q_ann_kmeans" ->
       s"""WITH $kmeansCtes
          SELECT a3.cid, count(*) AS members,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 retrieval/eval additions: RRF hybrid fusion, NDCG@10,
+  * Cohen's kappa, and the IVF-PQ composition. These specs pin the
+  * semantic invariants the DuckDB oracle cannot express (it only pins
+  * value equality): fusion membership, metric ranges, chance-correction
+  * identities, and candidate-set confinement. */
+class RetrievalR7Spec extends SparkSpec {
+
+  test("rrf: fused docs come from the arm top-20s; scores bounded and sorted") {
+    val fused = SparkEntry.queries("q_search_rrf")(spark, sfDir).collect()
+    assert(fused.length == 10)
+    val lex = SparkEntry.queries("q_text_search_bm25")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    fused.foreach { r =>
+      val (lr, dr) = (Option(r.get(1)), Option(r.get(2)))
+      assert(lr.isDefined || dr.isDefined,
+        "fused doc must appear in at least one arm")
+      // lexical-arm membership is independently checkable against the
+      // standalone BM25 key (same scoring, same top-20)
+      if (lr.isDefined) assert(lex.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} claims a lex rank but is not in BM25 top-20")
+      val rrf = r.getDouble(3)
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-12)
+    }
+    val scores = fused.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fused list must be sorted by rrf desc")
+  }
+
+  test("rrf: a doc ranked by both arms outscores the same ranks held singly") {
+    // 1/(60+r1) + 1/(60+r2) > max(1/(60+r1), 1/(60+r2)) — structural
+    // sanity of the fusion formula as implemented (catches a coalesce
+    // that silently zeroes a present rank)
+    val fused = SparkEntry.queries("q_search_rrf")(spark, sfDir).collect()
+    fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
+      val single = math.max(1.0 / (60 + r.getLong(1)), 1.0 / (60 + r.getLong(2)))
+      assert(r.getDouble(3) > single)
+    }
+  }
+
+  test("ndcg: in [0,1], dcg <= idcg, and idcg matches the closed form") {
+    val rows = SparkEntry.queries("q_eval_ndcg")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (nRel, dcg, idcg, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nRel > 0)
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      val m = math.min(10L, nRel).toInt
+      val expected = (1 to m).map(i =>
+        math.floor(math.log(2.0) / math.log(i + 1.0) * 1e6 + 0.5) / 1e6).sum
+      assert(math.abs(idcg - expected) < 1e-9,
+        s"idcg $idcg != closed form $expected for n_rel=$nRel")
+    }
+  }
+
+  test("kappa: consistent with the confusion matrix and the po/pe identity") {
+    val k = SparkEntry.queries("q_eval_kappa")(spark, sfDir).collect().head
+    val (n, agree, sumRc) = (k.getLong(0), k.getLong(1), k.getLong(2))
+    val (po, pe, kappa) = (k.getDouble(3), k.getDouble(4), k.getDouble(5))
+    // the confusion census comes from the SAME shared prediction pass
+    val conf = SparkEntry.queries("q_vec_centroid_classify")(spark, sfDir)
+      .collect()
+    assert(n == conf.map(_.getLong(2)).sum)
+    assert(agree == conf.filter(r => r.get(0) == r.get(1))
+      .map(_.getLong(2)).sum)
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1 && kappa <= 1.0)
+    // kappa = (po - pe) / (1 - pe) up to the r6 rounding of each part
+    val expect = (n.toDouble * agree - sumRc) / (n.toDouble * n - sumRc)
+    assert(math.abs(kappa - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-12)
+  }
+
+  test("ivfpq: results confined to the probed cluster, sorted, 8 subspaces each") {
+    val out = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(2)).toSeq ==
+      out.map(_.getLong(2)).sortBy(identity).toSeq,
+      "ADC distances must ascend")
+    assert(out.map(_.get(1)).distinct.length == 1,
+      "all results must come from the single probed inverted list")
+    // est_micros must be a sum of 8 per-subspace terms -> strictly
+    // positive here (vec 0 is not its own neighbor, distances nonzero)
+    assert(out.forall(_.getLong(2) > 0))
+  }
+}
