@@ -1530,6 +1530,93 @@ object TextOps {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
 
+  /** Distributed full-batch logistic regression — a trained quality
+    * classifier (the fastText-filter shape: CCNet/GPT-3-style corpora
+    * replace hand rules with a learned linear filter). Features are the
+    * 16-bucket hashing trick (hex2 md5, the q_text_feature_hash
+    * assigner) + a bias bucket; the label is the shared quality-gate
+    * predicate, so the classifier learns to imitate the gate from
+    * token counts alone — and the final pass reports how well (train
+    * accuracy), the eval-harness discipline.
+    *
+    * This is the 100 TB TRAINING shape, which is the point: one GD
+    * step = one map-side-combinable aggregate. The per-doc logit is an
+    * EXACT long dot product (weights live as integer micros, features
+    * are integer counts); the per-(doc,bucket) gradient term is floored
+    * to micros and summed as longs, so the full-batch gradient is
+    * partition-order-independent — partial aggregation at any
+    * parallelism yields the bit-identical update. σ is computed from
+    * identical micros-derived doubles and r6-pinned (round-then-replay)
+    * before the residual. Each step's 17-row weight vector
+    * materializes to a LocalRelation (the kmeansCentroids bounded-
+    * artifact rule); 2 steps are part of the declared semantics (the
+    * pagerank discipline), replayed by the oracle as chained CTEs. */
+  /** The classifier's training label: the quality-gate keep predicate
+    * as 0/1 (shared with the spec's majority-baseline check). */
+  private[graft] def qualityLabel(s: SparkSession, d: String): DataFrame =
+    withQualityStats(Tables.documents(s, d))
+      .select(col("doc_id"),
+        when(col("n_tok") >= 20 &&
+            col("n_stop") / col("n_tok") >= 0.02 &&
+            lit(1) - col("n_uniq") / col("n_tok").cast("double") <= 0.72,
+          1L).otherwise(0L).as("y"))
+
+  private val qualityClassifier: Q = (s, d) => {
+    val nb = 16
+    val docs = Tables.documents(s, d)
+    val fx = docs
+      .select(col("doc_id"), explode(toks()).as("tok"))
+      .withColumn("b", hex2(md5(col("tok"))) % nb)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+      .unionAll(docs.select(col("doc_id"), lit(nb.toLong).as("b"),
+        lit(1L).as("x")))
+    val lab = qualityLabel(s, d)
+    // one reusable (doc, bucket, x, y) frame: eager-checkpointed so the
+    // 2 gradient passes + eval pass don't re-run the explode each time
+    val f = fx.join(lab, Seq("doc_id")).localCheckpoint()
+    val n = docs.count()
+    import scala.jdk.CollectionConverters._
+    def wDf(w: Map[Long, Long]) =
+      s.createDataFrame(
+        w.toSeq.sortBy(_._1).map { case (b, wm) =>
+          org.apache.spark.sql.Row(b, wm) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("wm",
+            org.apache.spark.sql.types.LongType))))
+    def residuals(w: Map[Long, Long]) =
+      f.join(broadcast(wDf(w)), Seq("b"))
+        .groupBy("doc_id", "y")
+        .agg(sum(col("wm") * col("x")).as("z_micros"))
+        .withColumn("p_r", r6(lit(1.0) /
+          (lit(1.0) + exp(-(col("z_micros") / lit(1000000.0))))))
+        .withColumn("r", col("y") - col("p_r"))
+    var w: Map[Long, Long] = (0L to nb.toLong).map(_ -> 0L).toMap
+    for (_ <- 1 to 2) {
+      val grad = f.join(residuals(w).select("doc_id", "r"), Seq("doc_id"))
+        .withColumn("gm",
+          floor(col("r") * col("x") * 1000000 + 0.5).cast("long"))
+        .groupBy("b").agg(sum(col("gm")).as("grad_micros"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = w.map { case (b, wm) =>
+        b -> (wm + math.floor(
+          0.1 * grad.getOrElse(b, 0L) / n + 0.5).toLong)
+      }
+    }
+    val eval = residuals(w)
+      .agg(sum(when((col("z_micros") >= 0L).cast("int").cast("long")
+          === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("acc_r",
+        r6(col("n_correct").cast("double") / col("n_docs")))
+    wDf(w)
+      .select(col("b").as("bucket"), col("wm").as("w_micros"),
+        (col("wm") / lit(1000000.0)).as("w"))
+      .crossJoin(broadcast(eval))
+      .orderBy("bucket")
+  }
+
   /** Rendezvous (highest-random-weight) sharding — the consistent data-
     * placement primitive: every doc goes to the shard whose
     * md5(shard:doc) weight is lexicographically largest. THE property
@@ -1711,6 +1798,7 @@ object TextOps {
     "q_sample_dsir" -> sampleDsir,
     "q_text_count_min" -> countMin,
     "q_text_feature_hash" -> featureHash,
+    "q_text_quality_classifier" -> qualityClassifier,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -1996,6 +2084,72 @@ object TextOps {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents WHERE doc_id < 50) t
          GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // Two full-batch GD steps replayed as chained CTEs: exact long
+    // logits (micros weights × integer counts), σ r6-pinned before the
+    // residual, per-term gradient micros summed as BIGINTs, and the
+    // bucket spine LEFT-joins each gradient so absent buckets update by
+    // exactly 0 on both engines.
+    "q_text_quality_classifier" ->
+      s"""WITH fx AS (
+           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM (
+             SELECT doc_id, ${hex2Sql("md5(tok)")} % 16 AS b
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents) t) u
+           GROUP BY doc_id, b
+           UNION ALL
+           SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT)
+           FROM documents),
+         lab AS (
+           SELECT doc_id,
+                  CASE WHEN n_tok >= 20 AND n_stop / n_tok >= 0.02
+                        AND 1 - n_uniq / CAST(n_tok AS DOUBLE) <= 0.72
+                  THEN 1 ELSE 0 END AS y
+           FROM (SELECT doc_id, $qualityStatsColsSql FROM documents) q),
+         f AS (SELECT fx.doc_id AS doc_id, b, x, y
+               FROM fx JOIN lab USING (doc_id)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         spine AS (SELECT CAST(unnest(generate_series(0, 16)) AS BIGINT)
+                     AS b),
+         r1 AS (SELECT doc_id,
+                       y - floor((1.0 / (1.0 + exp(-(CAST(0 AS BIGINT)
+                             / 1000000.0)))) * 1000000 + 0.5)
+                           / 1000000.0 AS r
+                FROM lab),
+         g1 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS gm
+                FROM f JOIN r1 USING (doc_id) GROUP BY b),
+         w1 AS (SELECT spine.b AS b,
+                       CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
+                         AS BIGINT) AS wm
+                FROM spine LEFT JOIN g1 USING (b) CROSS JOIN nn),
+         z2 AS (SELECT f.doc_id AS doc_id, y,
+                       CAST(sum(wm * x) AS BIGINT) AS z_micros
+                FROM f JOIN w1 USING (b) GROUP BY f.doc_id, y),
+         r2 AS (SELECT doc_id,
+                       y - floor((1.0 / (1.0 + exp(-(z_micros
+                             / 1000000.0)))) * 1000000 + 0.5)
+                           / 1000000.0 AS r
+                FROM z2),
+         g2 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS gm
+                FROM f JOIN r2 USING (doc_id) GROUP BY b),
+         w2 AS (SELECT w1.b AS b,
+                       w1.wm + CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
+                         AS BIGINT) AS wm
+                FROM w1 LEFT JOIN g2 USING (b) CROSS JOIN nn),
+         z3 AS (SELECT f.doc_id AS doc_id, y,
+                       CAST(sum(wm * x) AS BIGINT) AS z_micros
+                FROM f JOIN w2 USING (b) GROUP BY f.doc_id, y),
+         ev AS (SELECT CAST(sum(CASE WHEN (CASE WHEN z_micros >= 0
+                            THEN 1 ELSE 0 END) = y
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM z3)
+         SELECT b AS bucket, wm AS w_micros, wm / 1000000.0 AS w,
+                n_correct, n_docs,
+                floor((CAST(n_correct AS DOUBLE) / n_docs)
+                  * 1000000 + 0.5) / 1000000.0 AS acc_r
+         FROM w2 CROSS JOIN ev ORDER BY bucket""",
     "q_text_repetition" ->
       """WITH tk AS (
            SELECT doc_id,

@@ -74,6 +74,25 @@ class RetrievalR7Spec extends SparkSpec {
     assert(math.abs(kappa - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-12)
   }
 
+  test("quality classifier: 17 buckets, self-consistent accuracy, beats majority") {
+    val rows = SparkEntry.queries("q_text_quality_classifier")(spark, sfDir)
+      .collect()
+    assert(rows.length == 17)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 16L))
+    val (nCorrect, nDocs, acc) =
+      (rows.head.getLong(3), rows.head.getLong(4), rows.head.getDouble(5))
+    assert(math.abs(acc - math.floor(
+      nCorrect.toDouble / nDocs * 1e6 + 0.5) / 1e6) < 1e-12)
+    // the trained linear filter must do at least as well on its own
+    // training data as the best constant classifier (majority class) —
+    // the minimum bar for "learned something"
+    val lab = operators.TextOps.qualityLabel(spark, sfDir)
+      .agg(avg(col("y").cast("double"))).collect().head.getDouble(0)
+    val majority = math.max(lab, 1.0 - lab)
+    assert(acc >= majority - 1e-9,
+      s"trained accuracy $acc below majority baseline $majority")
+  }
+
   test("ivfpq: results confined to the probed cluster, sorted, 8 subspaces each") {
     val out = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
     assert(out.length == 5)
