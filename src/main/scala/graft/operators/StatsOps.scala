@@ -385,6 +385,65 @@ object StatsOps {
           .as("p_approx"))
   }
 
+  /** Benjamini-Hochberg FDR correction over a FAMILY of tests — what
+    * turns "we ran a test per segment" into an honest report: at 100 TB
+    * a pipeline runs thousands of per-segment hypotheses per day, and
+    * uncorrected α=0.05 manufactures false positives by volume. The
+    * family here: per event_type, a two-sample KS (the q_stats_ks
+    * machinery, exp-bound p — no erf/qnorm cross-libm call, the power
+    * discipline) comparing EVENT VALUES between the md5 A/B user
+    * halves — the null is true by construction (a value is independent
+    * of its user's hash parity), so the REJECT column doubles as an
+    * A/A sanity harness. (Per-day MEANS would break the null: the
+    * smaller arm's means average fewer events — higher variance — and
+    * KS correctly flags the heteroscedasticity; the spec encodes this
+    * lesson.) Values are cent-quantized so the ECDF grid is bounded by
+    * the fixed-point value range, NOT the corpus — the per-type census
+    * windows stay |grid|-bounded at any scale. The BH step-up itself
+    * (rank by p, running min of m·p/i from the worst rank down) runs
+    * on the |types|-row frame — two global census windows,
+    * allowlisted. p and each BH term are r6-pinned before the running
+    * min (round-then-replay). */
+  private val bhFdr: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"),
+        expr("(position(substring(md5(cast(user_id AS string)), 1, 1)," +
+          " '0123456789abcdef') - 1) % 2").as("arm"))
+    val per = ev.groupBy("t", "v").agg(
+      count(when(col("arm") === 0, 1)).as("a"),
+      count(when(col("arm") === 1, 1)).as("b"))
+    val nn = ev.groupBy("t").agg(
+      count(when(col("arm") === 0, 1)).as("na"),
+      count(when(col("arm") === 1, 1)).as("nb"))
+    val wc = Window.partitionBy("t").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dmax = per
+      .withColumn("ca", sum(col("a")).over(wc))
+      .withColumn("cb", sum(col("b")).over(wc))
+      .join(nn, Seq("t"))
+      .select(col("t"), col("na"), col("nb"),
+        abs(col("ca").cast("double") / col("na") -
+          col("cb").cast("double") / col("nb")).as("dd"))
+      .groupBy("t", "na", "nb").agg(max(col("dd")).as("dstat"))
+    val tests = dmax.select(col("t").as("event_type"),
+      r6(col("dstat")).as("d_r"),
+      least(r6(lit(2.0) * exp(lit(-2.0) * col("dstat") * col("dstat") *
+        (col("na") * col("nb")).cast("double") / (col("na") + col("nb")))),
+        lit(1.0)).as("p_r"))
+    val mDf = tests.agg(count(lit(1)).as("m"))
+    val wr = Window.orderBy(col("p_r"), col("event_type"))
+    val wrev = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tests.crossJoin(broadcast(mDf))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("term_r", r6(col("p_r") * col("m") / col("rank")))
+      .withColumn("p_adj", least(min(col("term_r")).over(wrev), lit(1.0)))
+      .withColumn("reject", col("p_adj") <= 0.05)
+      .select("event_type", "d_r", "p_r", "rank", "p_adj", "reject")
+      .orderBy("rank")
+  }
+
   /** Two-proportion z-test on an md5 hash split of users (the synthetic
     * A/B harness): compare purchase-conversion rates between the halves
     * with the pooled-variance z statistic. Per-user conversion is one
@@ -1043,6 +1102,7 @@ object StatsOps {
     "q_stats_autocorr" -> autocorr,
     "q_stats_gini" -> gini,
     "q_stats_prop_test" -> propTest,
+    "q_stats_bh" -> bhFdr,
     "q_stats_ks" -> ks,
     "q_stats_benford" -> benford,
     "q_stats_regression" -> regression,
@@ -1718,6 +1778,58 @@ object StatsOps {
                 ${rsql("2.0 * sum(i * rev) / (count(*) * sum(rev)) " +
                   "- (count(*) + 1.0) / count(*)", 1000000)} AS gini
          FROM rk""",
+    // BH step-up replayed: per-type KS on the A/B per-day means, rank
+    // by p, reverse-rank running min of the r6 m·p/i terms, clamp 1.
+    "q_stats_bh" ->
+      s"""WITH ev AS (
+           SELECT event_type AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  (strpos('0123456789abcdef',
+                     substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                    % 2 AS arm
+           FROM events),
+         per AS (SELECT t, v,
+                        count(*) FILTER (arm = 0) AS a,
+                        count(*) FILTER (arm = 1) AS b
+                 FROM ev GROUP BY t, v),
+         nn AS (SELECT t,
+                       count(*) FILTER (arm = 0) AS na,
+                       count(*) FILTER (arm = 1) AS nb
+                FROM ev GROUP BY t),
+         c AS (SELECT t, v,
+                      sum(a) OVER (PARTITION BY t ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS ca,
+                      sum(b) OVER (PARTITION BY t ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cb
+               FROM per),
+         dmax AS (SELECT c.t AS t, na, nb,
+                         max(abs(CAST(ca AS DOUBLE) / na
+                                 - CAST(cb AS DOUBLE) / nb)) AS dstat
+                  FROM c JOIN nn ON c.t = nn.t GROUP BY c.t, na, nb),
+         tests AS (SELECT t AS event_type,
+                          ${rsql("dstat", 1000000)} AS d_r,
+                          least(${rsql("2.0 * exp(-2.0 * dstat * dstat * " +
+                            "CAST(na * nb AS DOUBLE) / (na + nb))",
+                            1000000)}, CAST(1.0 AS DOUBLE)) AS p_r
+                   FROM dmax),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
+         rk AS (SELECT event_type, d_r, p_r, m,
+                       CAST(row_number() OVER
+                         (ORDER BY p_r, event_type) AS BIGINT) AS rank
+                FROM tests CROSS JOIN mm),
+         tm AS (SELECT event_type, d_r, p_r, rank,
+                       ${rsql("p_r * m / rank", 1000000)} AS term_r
+                FROM rk),
+         adj AS (SELECT event_type, d_r, p_r, rank,
+                        least(min(term_r) OVER (ORDER BY rank DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), CAST(1.0 AS DOUBLE)) AS p_adj
+                 FROM tm)
+         SELECT event_type, d_r, p_r, rank, p_adj,
+                p_adj <= 0.05 AS reject
+         FROM adj ORDER BY rank""",
     "q_stats_prop_test" ->
       s"""WITH pu AS (
            SELECT user_id,

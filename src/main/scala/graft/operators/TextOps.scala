@@ -1561,7 +1561,16 @@ object TextOps {
             lit(1) - col("n_uniq") / col("n_tok").cast("double") <= 0.72,
           1L).otherwise(0L).as("y"))
 
-  private val qualityClassifier: Q = (s, d) => {
+  /** The trained classifier's state: the checkpointed (doc, bucket, x,
+    * y) feature frame, the 17-entry micros weight map after 2 GD
+    * steps, and a scorer producing (doc_id, y, z_micros, p_r, r) under
+    * any weight map — shared by the classifier key and its calibration
+    * audit (q_eval_ece). */
+  private[operators] final case class QclfState(f: DataFrame,
+      w: Map[Long, Long], wDf: Map[Long, Long] => DataFrame,
+      residuals: Map[Long, Long] => DataFrame)
+
+  private[operators] def qclfTrain(s: SparkSession, d: String): QclfState = {
     val nb = 16
     val docs = Tables.documents(s, d)
     val fx = docs
@@ -1604,18 +1613,113 @@ object TextOps {
           0.1 * grad.getOrElse(b, 0L) / n + 0.5).toLong)
       }
     }
-    val eval = residuals(w)
+    QclfState(f, w, wDf, residuals)
+  }
+
+  private val qualityClassifier: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val eval = st.residuals(st.w)
       .agg(sum(when((col("z_micros") >= 0L).cast("int").cast("long")
           === col("y"), 1L).otherwise(0L)).as("n_correct"),
         count(lit(1)).as("n_docs"))
       .withColumn("acc_r",
         r6(col("n_correct").cast("double") / col("n_docs")))
-    wDf(w)
+    st.wDf(st.w)
       .select(col("b").as("bucket"), col("wm").as("w_micros"),
         (col("wm") / lit(1000000.0)).as("w"))
       .crossJoin(broadcast(eval))
       .orderBy("bucket")
   }
+
+  /** Expected calibration error of the trained quality classifier —
+    * the audit that decides whether its probabilities can DRIVE a
+    * pipeline (threshold selection, importance weights) or only rank:
+    * docs bin by predicted p (10 fixed bins), and each bin compares
+    * mean confidence to realized keep-rate; ECE is the doc-weighted
+    * mean gap. Per-bin confidence sums ride as exact micros longs
+    * (p_r is r6 ⇒ its micros are exact integers — the round-then-
+    * aggregate discipline), counts are integers to one division each,
+    * and the |bins|-bounded ECE fold is sequential in bin order on
+    * both engines. The training replay is the SAME chained-CTE chain
+    * as the classifier oracle, so the two keys cannot drift. */
+  private val evalEce: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val bins = st.residuals(st.w)
+      .withColumn("bin", least(floor(col("p_r") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("p_r") * 1000000 + 0.5).cast("long")).as("conf_micros"),
+        sum(col("y")).as("n_pos"))
+      .withColumn("conf_r", r6(col("conf_micros") / (col("n") * lit(1000000.0))))
+      .withColumn("acc_r", r6(col("n_pos").cast("double") / col("n")))
+    val ece = bins
+      .withColumn("gap_w",
+        r6(abs(col("acc_r") - col("conf_r")) * col("n")))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(bin, gap_w))), x -> x.gap_w), 0D," +
+        " (acc, v) -> acc + v)").as("gap_sum"),
+        sum(col("n")).as("n_total"))
+      .select(r6(col("gap_sum") / col("n_total")).as("ece_r"))
+    bins.select(col("bin"), col("n"), col("n_pos"), col("conf_r"),
+        col("acc_r"))
+      .crossJoin(broadcast(ece))
+      .orderBy("bin")
+  }
+
+  /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
+    * two GD steps (w1, w2) and the final logit pass (z3). ONE
+    * definition shared by the classifier and ECE oracles. */
+  private val qclfCtesSql =
+    s"""fx AS (
+           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM (
+             SELECT doc_id, ${hex2Sql("md5(tok)")} % 16 AS b
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents) t) u
+           GROUP BY doc_id, b
+           UNION ALL
+           SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT)
+           FROM documents),
+         lab AS (
+           SELECT doc_id,
+                  CASE WHEN n_tok >= 20 AND n_stop / n_tok >= 0.02
+                        AND 1 - n_uniq / CAST(n_tok AS DOUBLE) <= 0.72
+                  THEN 1 ELSE 0 END AS y
+           FROM (SELECT doc_id, $qualityStatsColsSql FROM documents) q),
+         f AS (SELECT fx.doc_id AS doc_id, b, x, y
+               FROM fx JOIN lab USING (doc_id)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         spine AS (SELECT CAST(unnest(generate_series(0, 16)) AS BIGINT)
+                     AS b),
+         r1 AS (SELECT doc_id,
+                       y - floor((1.0 / (1.0 + exp(-(CAST(0 AS BIGINT)
+                             / 1000000.0)))) * 1000000 + 0.5)
+                           / 1000000.0 AS r
+                FROM lab),
+         g1 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS gm
+                FROM f JOIN r1 USING (doc_id) GROUP BY b),
+         w1 AS (SELECT spine.b AS b,
+                       CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
+                         AS BIGINT) AS wm
+                FROM spine LEFT JOIN g1 USING (b) CROSS JOIN nn),
+         z2 AS (SELECT f.doc_id AS doc_id, y,
+                       CAST(sum(wm * x) AS BIGINT) AS z_micros
+                FROM f JOIN w1 USING (b) GROUP BY f.doc_id, y),
+         r2 AS (SELECT doc_id,
+                       y - floor((1.0 / (1.0 + exp(-(z_micros
+                             / 1000000.0)))) * 1000000 + 0.5)
+                           / 1000000.0 AS r
+                FROM z2),
+         g2 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS gm
+                FROM f JOIN r2 USING (doc_id) GROUP BY b),
+         w2 AS (SELECT w1.b AS b,
+                       w1.wm + CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
+                         AS BIGINT) AS wm
+                FROM w1 LEFT JOIN g2 USING (b) CROSS JOIN nn),
+         z3 AS (SELECT f.doc_id AS doc_id, y,
+                       CAST(sum(wm * x) AS BIGINT) AS z_micros
+                FROM f JOIN w2 USING (b) GROUP BY f.doc_id, y)"""
 
   /** Rendezvous (highest-random-weight) sharding — the consistent data-
     * placement primitive: every doc goes to the shard whose
@@ -1799,6 +1903,7 @@ object TextOps {
     "q_text_count_min" -> countMin,
     "q_text_feature_hash" -> featureHash,
     "q_text_quality_classifier" -> qualityClassifier,
+    "q_eval_ece" -> evalEce,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2088,58 +2193,10 @@ object TextOps {
     // logits (micros weights × integer counts), σ r6-pinned before the
     // residual, per-term gradient micros summed as BIGINTs, and the
     // bucket spine LEFT-joins each gradient so absent buckets update by
-    // exactly 0 on both engines.
+    // exactly 0 on both engines. The training chain (qclfCtesSql) is
+    // SHARED with q_eval_ece's oracle.
     "q_text_quality_classifier" ->
-      s"""WITH fx AS (
-           SELECT doc_id, b, CAST(count(*) AS BIGINT) AS x FROM (
-             SELECT doc_id, ${hex2Sql("md5(tok)")} % 16 AS b
-             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                   FROM documents) t) u
-           GROUP BY doc_id, b
-           UNION ALL
-           SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT)
-           FROM documents),
-         lab AS (
-           SELECT doc_id,
-                  CASE WHEN n_tok >= 20 AND n_stop / n_tok >= 0.02
-                        AND 1 - n_uniq / CAST(n_tok AS DOUBLE) <= 0.72
-                  THEN 1 ELSE 0 END AS y
-           FROM (SELECT doc_id, $qualityStatsColsSql FROM documents) q),
-         f AS (SELECT fx.doc_id AS doc_id, b, x, y
-               FROM fx JOIN lab USING (doc_id)),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-         spine AS (SELECT CAST(unnest(generate_series(0, 16)) AS BIGINT)
-                     AS b),
-         r1 AS (SELECT doc_id,
-                       y - floor((1.0 / (1.0 + exp(-(CAST(0 AS BIGINT)
-                             / 1000000.0)))) * 1000000 + 0.5)
-                           / 1000000.0 AS r
-                FROM lab),
-         g1 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS gm
-                FROM f JOIN r1 USING (doc_id) GROUP BY b),
-         w1 AS (SELECT spine.b AS b,
-                       CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
-                         AS BIGINT) AS wm
-                FROM spine LEFT JOIN g1 USING (b) CROSS JOIN nn),
-         z2 AS (SELECT f.doc_id AS doc_id, y,
-                       CAST(sum(wm * x) AS BIGINT) AS z_micros
-                FROM f JOIN w1 USING (b) GROUP BY f.doc_id, y),
-         r2 AS (SELECT doc_id,
-                       y - floor((1.0 / (1.0 + exp(-(z_micros
-                             / 1000000.0)))) * 1000000 + 0.5)
-                           / 1000000.0 AS r
-                FROM z2),
-         g2 AS (SELECT b, CAST(sum(CAST(floor(r * x * 1000000 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS gm
-                FROM f JOIN r2 USING (doc_id) GROUP BY b),
-         w2 AS (SELECT w1.b AS b,
-                       w1.wm + CAST(floor(0.1 * coalesce(gm, 0) / n + 0.5)
-                         AS BIGINT) AS wm
-                FROM w1 LEFT JOIN g2 USING (b) CROSS JOIN nn),
-         z3 AS (SELECT f.doc_id AS doc_id, y,
-                       CAST(sum(wm * x) AS BIGINT) AS z_micros
-                FROM f JOIN w2 USING (b) GROUP BY f.doc_id, y),
+      s"""WITH $qclfCtesSql,
          ev AS (SELECT CAST(sum(CASE WHEN (CASE WHEN z_micros >= 0
                             THEN 1 ELSE 0 END) = y
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -2150,6 +2207,38 @@ object TextOps {
                 floor((CAST(n_correct AS DOUBLE) / n_docs)
                   * 1000000 + 0.5) / 1000000.0 AS acc_r
          FROM w2 CROSS JOIN ev ORDER BY bucket""",
+    // Calibration: same trained chain, probabilities binned ×10, per-
+    // bin confidence as exact micros; the ECE fold is sequential in
+    // bin order (list_reduce over the ordered list).
+    "q_eval_ece" ->
+      s"""WITH $qclfCtesSql,
+         p AS (SELECT doc_id, y,
+                      floor((1.0 / (1.0 + exp(-(z_micros / 1000000.0))))
+                        * 1000000 + 0.5) / 1000000.0 AS p_r
+               FROM z3),
+         bins AS (SELECT least(CAST(floor(p_r * 10) AS BIGINT),
+                               CAST(9 AS BIGINT)) AS bin,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(floor(p_r * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS conf_micros,
+                         CAST(sum(y) AS BIGINT) AS n_pos
+                  FROM p GROUP BY bin),
+         b2 AS (SELECT bin, n, n_pos,
+                       floor((conf_micros / (n * 1000000.0))
+                         * 1000000 + 0.5) / 1000000.0 AS conf_r,
+                       floor((CAST(n_pos AS DOUBLE) / n)
+                         * 1000000 + 0.5) / 1000000.0 AS acc_r
+                FROM bins),
+         g AS (SELECT bin, n, n_pos, conf_r, acc_r,
+                      floor((abs(acc_r - conf_r) * n) * 1000000 + 0.5)
+                        / 1000000.0 AS gap_w
+               FROM b2),
+         e AS (SELECT floor((list_reduce(list(gap_w ORDER BY bin),
+                        (a, b) -> a + b)
+                      / sum(n)) * 1000000 + 0.5) / 1000000.0 AS ece_r
+               FROM g)
+         SELECT bin, n, n_pos, conf_r, acc_r, ece_r
+         FROM g CROSS JOIN e ORDER BY bin""",
     "q_text_repetition" ->
       """WITH tk AS (
            SELECT doc_id,

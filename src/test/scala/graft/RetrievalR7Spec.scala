@@ -93,6 +93,45 @@ class RetrievalR7Spec extends SparkSpec {
       s"trained accuracy $acc below majority baseline $majority")
   }
 
+  test("ece: bins partition the corpus; ece is the doc-weighted mean gap") {
+    val rows = SparkEntry.queries("q_eval_ece")(spark, sfDir).collect()
+    val n = rows.map(_.getLong(1)).sum
+    val nDocs = SparkEntry.queries("q_text_quality_classifier")(spark, sfDir)
+      .collect().head.getLong(4)
+    assert(n == nDocs, "ECE bins must partition the classifier's corpus")
+    rows.foreach { r =>
+      val (bin, nb, nPos, conf, acc) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9 && nPos <= nb)
+      assert(conf >= 0.0 && conf <= 1.0 && acc >= 0.0 && acc <= 1.0)
+      // a bin's confidences live inside the bin's probability range
+      // (bin 9 also absorbs p=1.0)
+      assert(conf >= bin / 10.0 - 1e-6 && conf <= (bin + 1) / 10.0 + 1e-6)
+    }
+    val ece = rows.head.getDouble(5)
+    val expect = rows.map(r => math.floor(math.abs(
+      r.getDouble(4) - r.getDouble(3)) * r.getLong(1) * 1e6 + 0.5) / 1e6)
+      .sum / n
+    assert(math.abs(ece - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("bh: adjusted p monotone, >= raw p, and the A/A family rejects nothing") {
+    val rows = SparkEntry.queries("q_stats_bh")(spark, sfDir).collect()
+    assert(rows.length == 5, "one test per event type")
+    val byRank = rows.sortBy(_.getLong(3))
+    byRank.foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-9,
+        "BH-adjusted p must not be below the raw p")
+      assert(r.getDouble(4) <= 1.0)
+      // the md5 split is a true null — FDR control must not reject
+      assert(!r.getBoolean(5),
+        s"A/A split rejected ${r.getString(0)} (p_adj=${r.getDouble(4)})")
+    }
+    val adj = byRank.map(_.getDouble(4))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "adjusted p must be nondecreasing in rank")
+  }
+
   test("ivfpq: results confined to the probed cluster, sorted, 8 subspaces each") {
     val out = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
     assert(out.length == 5)
