@@ -1231,6 +1231,55 @@ object RelationalOps {
         .as("est_users"))
       .orderBy("event_type")
 
+  /** KMV sketch MERGE proof — the re-aggregability contract that makes
+    * sketch-based distinct counting work at 100 TB: per-day sketch
+    * states (each day's k smallest distinct hashes) merge by
+    * union-then-re-truncate into the corpus estimate, and the merged
+    * estimate is BIT-IDENTICAL to the direct one — provably: a hash in
+    * the global k-minimum set has fewer than k smaller hashes globally,
+    * so on any day it appears it is inside that day's k-minimum too;
+    * the union can never lose it. The output pins the proof as data
+    * (merge_exact = true per group, oracle-checked), which is exactly
+    * the property HLL merges claim but cannot oracle-check — KMV can.
+    * Day-state frames are |days|·k-bounded; the windows partition by
+    * (type, day) and type over those bounded frames. The decode and
+    * estimate expressions mirror graft_kmv's eval to the IEEE
+    * operation. */
+  private val aggKmvMerge: Q = (s, d) => {
+    val h = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("t"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val wd = Window.partitionBy("t", "day").orderBy("h")
+    val dayStates = h.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") <= KmvK).select("t", "h").distinct()
+    val wt = Window.partitionBy("t").orderBy("h")
+    val nd = dayStates.groupBy("t").agg(count(lit(1)).as("n_state"))
+    val kth = dayStates.withColumn("rn", row_number().over(wt))
+      .filter(col("rn") === KmvK)
+      .select(col("t"),
+        greatest(conv(substring(col("h"), 1, 15), 16, 10).cast("long"),
+          lit(1L)).as("v"))
+    val merged = nd.join(kth, Seq("t"), "left")
+      .select(col("t"),
+        when(col("v").isNull, col("n_state"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(math.pow(16.0, 15.0)) / col("v").cast("double"))
+            .cast("long"))
+          .as("est_merged"))
+    val direct = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"))
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)")
+        .as("est_direct"))
+    direct.join(merged, Seq("t"))
+      .select(col("t").as("event_type"), col("est_direct"),
+        col("est_merged"),
+        (col("est_direct") === col("est_merged")).as("merge_exact"))
+      .orderBy("event_type")
+  }
+
   /** Sketch-error audit for the KMV distinct estimator — the eval
     * harness a sketch ships with (the q_eval_*_recall pattern applied
     * to cardinality estimation): per-group KMV estimate joined to the
@@ -2089,6 +2138,7 @@ object RelationalOps {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
+    "q_agg_kmv_merge" -> aggKmvMerge,
     "q_agg_filtered" -> aggFiltered,
     "q_agg_bool" -> aggBool,
     "q_quality_skew_audit" -> skewAudit,
@@ -2717,6 +2767,56 @@ object RelationalOps {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
                 count(DISTINCT o_orderpriority) AS n_prio, count(*) AS cnt
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Merged-vs-direct KMV: day sketches (k smallest per type×day)
+    // union-truncate to the corpus sketch; the estimate formula mirrors
+    // graft_kmv's eval and the direct CTE mirrors the standalone key.
+    "q_agg_kmv_merge" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type AS t,
+                  epoch_us(ts) // 86400000000 AS day,
+                  md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+         ds AS (SELECT t, h FROM (
+                  SELECT t, day, h,
+                         row_number() OVER (PARTITION BY t, day
+                           ORDER BY h) AS rn
+                  FROM h) x WHERE rn <= $KmvK),
+         dsu AS (SELECT DISTINCT t, h FROM ds),
+         nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_state
+                FROM dsu GROUP BY t),
+         kth AS (SELECT t, greatest($hexValSql, 1) AS v FROM (
+                   SELECT t, h,
+                          row_number() OVER (PARTITION BY t
+                            ORDER BY h) AS rn
+                   FROM dsu) x WHERE rn = $KmvK),
+         merged AS (
+           SELECT nd.t AS t,
+                  CAST(CASE WHEN kth.v IS NULL THEN n_state
+                       ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                  / CAST(kth.v AS DOUBLE)) END
+                       AS BIGINT) AS est_merged
+           FROM nd LEFT JOIN kth USING (t)),
+         hall AS (SELECT DISTINCT event_type AS t,
+                         md5(CAST(user_id AS VARCHAR)) AS h
+                  FROM events WHERE user_id IS NOT NULL),
+         nda AS (SELECT t, CAST(count(*) AS BIGINT) AS nd
+                 FROM hall GROUP BY t),
+         ktha AS (SELECT t, greatest($hexValSql, 1) AS v FROM (
+                    SELECT t, h,
+                           row_number() OVER (PARTITION BY t
+                             ORDER BY h) AS rn
+                    FROM hall) x WHERE rn = $KmvK),
+         direct AS (
+           SELECT nda.t AS t,
+                  CAST(CASE WHEN ktha.v IS NULL THEN nd
+                       ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                  / CAST(ktha.v AS DOUBLE)) END
+                       AS BIGINT) AS est_direct
+           FROM nda LEFT JOIN ktha USING (t))
+         SELECT direct.t AS event_type, est_direct, est_merged,
+                est_direct = est_merged AS merge_exact
+         FROM direct JOIN merged USING (t)
+         ORDER BY event_type""",
     "q_agg_approx_distinct_kmv" ->
       s"""WITH g AS (SELECT DISTINCT event_type FROM events),
           h AS (

@@ -1095,6 +1095,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram-LM perplexity — the step from the unigram
+    * proxy (q_text_perplexity) to a real left-to-right LM quality
+    * filter (the KenLM-filter shape): per bigram occurrence,
+    * p = λ·c(ab)/c(a) + (1−λ)·c(b)/N with λ=0.7 — interpolation, not
+    * backoff, so p is one fixed-shape IEEE expression both engines
+    * evaluate on identical integer counts. Bigrams are built IN-ROW
+    * (transform over the token array — no window, no extra shuffle);
+    * the LM tables are corpus aggregates broadcast back; each
+    * occurrence's −ln p is floored to micros and the per-doc mean is a
+    * LONG sum to one division — partition-order-independent, the
+    * gradient-micros discipline. High ppl_bi = improbable token
+    * transitions = boilerplate/gibberish the unigram filter misses. */
+  private val perplexityBigram: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), toks().as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = Tables.documents(s, d)
+      .select(explode(toks()).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").cast("double").as("total"))
+    val bi = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    bg.join(broadcast(bi), Seq("a", "b"))
+      .join(broadcast(uni.select(col("tok").as("a"), col("c").as("ca"))),
+        Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("c").as("cb"))),
+        Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nm", floor(-log(
+        lit(0.7) * (col("cab").cast("double") / col("ca")) +
+          lit(0.3) * (col("cb").cast("double") / col("total")))
+        * 1000000 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nm")).as("nm_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("nm_sum") / (col("n_bigrams") * lit(1000000.0)))
+          .as("ppl_bi"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing — the context-window packing step of LLM training
     * pipelines: documents are laid out in deterministic doc_id order and
     * assigned to fixed-size token bins by their START offset in the
@@ -1910,6 +1953,7 @@ object TextOps {
     "q_dedup_containment" -> dedupContainment,
     "q_sample_split" -> sampleSplit,
     "q_text_perplexity" -> perplexity,
+    "q_text_perplexity_bigram" -> perplexityBigram,
     "q_text_pmi" -> pmiCollocations,
     "q_text_pack" -> textPack,
     "q_text_decontaminate" -> decontaminate,
@@ -2328,6 +2372,38 @@ object TextOps {
                    FROM tok t JOIN vc USING (tok) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_tok,
                 floor(avg(nll) * 1000000 + 0.5) / 1000000.0 AS ppl_proxy
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // λ-interpolated bigram LM: in-row bigram enumeration (1-based list
+    // indexing here vs 0-based arrays in the engine — same pairs),
+    // −ln p floored to micros, BIGINT mean to one division.
+    "q_text_perplexity_bigram" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+         bgx AS (SELECT doc_id,
+                        unnest(generate_series(1, len(t) - 1)) AS i, t
+                 FROM tk WHERE len(t) >= 2),
+         bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM bgx),
+         uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents) u GROUP BY tok),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+         bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+                FROM bg GROUP BY a, b),
+         sc AS (SELECT doc_id,
+                       CAST(floor((-ln(
+                         CAST(0.7 AS DOUBLE)
+                           * (CAST(cab AS DOUBLE) / ca.c)
+                         + CAST(0.3 AS DOUBLE)
+                           * (CAST(cb.c AS DOUBLE) / total)))
+                         * 1000000 + 0.5) AS BIGINT) AS nm
+                FROM bg
+                JOIN bi USING (a, b)
+                JOIN uni ca ON bg.a = ca.tok
+                JOIN uni cb ON bg.b = cb.tok
+                CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                floor((CAST(sum(nm) AS DOUBLE) / (count(*) * 1000000.0))
+                  * 1000000 + 0.5) / 1000000.0 AS ppl_bi
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pmi" ->
       """WITH tokp AS (

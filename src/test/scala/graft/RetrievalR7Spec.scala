@@ -132,6 +132,34 @@ class RetrievalR7Spec extends SparkSpec {
       "adjusted p must be nondecreasing in rank")
   }
 
+  test("kmv merge: day-sketch union reproduces the direct sketch exactly") {
+    val rows = SparkEntry.queries("q_agg_kmv_merge")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: merged ${r.getLong(2)} != direct ${r.getLong(1)}")
+    }
+    // and the direct column IS the standalone key (shared estimator)
+    val standalone = SparkEntry.queries("q_agg_approx_distinct_kmv")(
+      spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(standalone(r.getString(0)) == r.getLong(1)))
+  }
+
+  test("bigram perplexity: one score per multi-token doc, n_bigrams = n_tok - 1") {
+    val ppl = SparkEntry.queries("q_text_perplexity_bigram")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val uni = SparkEntry.queries("q_text_perplexity")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = uni.filter(_._2 >= 2)
+    assert(ppl.keySet == multi.keySet,
+      "every doc with >= 2 tokens gets a bigram score, none else")
+    multi.foreach { case (id, nTok) =>
+      val (nBg, score) = ppl(id)
+      assert(nBg == nTok - 1, s"doc $id: $nBg bigrams for $nTok tokens")
+      assert(score > 0.0, "mean -ln p must be positive for p < 1")
+    }
+  }
+
   test("ivfpq: results confined to the probed cluster, sorted, 8 subspaces each") {
     val out = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
     assert(out.length == 5)
