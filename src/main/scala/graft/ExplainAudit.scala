@@ -185,7 +185,18 @@ object ExplainAudit {
     // percentile()-buffer replacement) and the multimodal 2x2 pooling
     // projection. (q_text_bpe_train/encode are EXCLUDED for the
     // hits/markov reason: census + per-round winners localCheckpoint.)
-    "q_agg_quantile_dist", "q_multimodal_resize")
+    "q_agg_quantile_dist", "q_multimodal_resize",
+    // round 7: RRF's full-outer fuse of two 20-row arm frontiers,
+    // NDCG's broadcast query scoring + per-qid windows, kappa's
+    // |labels|²-census reductions over the shared prediction pass, the
+    // BH family's bounded ECDF/step-up windows, the bigram LM's in-row
+    // pair enumeration + broadcast LM joins, and the KMV merge's
+    // (type, day)-bounded sketch-state windows.
+    // (q_ann_ivfpq and q_text_quality_classifier/q_eval_ece are
+    // EXCLUDED for the kmeans reason: constructing them trains the
+    // quantizers / runs the GD collects.)
+    "q_search_rrf", "q_eval_ndcg", "q_eval_kappa", "q_stats_bh",
+    "q_text_perplexity_bigram", "q_agg_kmv_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

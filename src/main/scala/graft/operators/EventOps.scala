@@ -658,6 +658,69 @@ object EventOps {
       .orderBy("start_hr")
   }
 
+  /** Interval-OVERLAP join — the missing member of the interval-join
+    * family (asof = nearest point, theta_range = containment band;
+    * this is set-vs-set overlap): which user sessions overlapped a
+    * traffic burst, and for how long — the incident-impact query every
+    * ops pipeline runs. Both interval sets derive in-plan (30-min-gap
+    * sessions; mean+2σ hourly bursts, the q_events_bursts definition).
+    * Scale shape: intervals explode into covered HOUR buckets and the
+    * join is an EQUI-join on the bucket — never interval × interval —
+    * with each true pair matched exactly once at the bucket of its
+    * overlap start (= greatest of the two start hours, which both
+    * sides provably cover) and a residual half-open overlap test.
+    * Overlap lengths are exact integer micros summed as longs; the
+    * seconds column is BIGINT/10⁶ (the decimal-contract form). */
+  private val intervalOverlap: Q = (s, d) => {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(runW))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts_us")).as("s_us"), max(col("ts_us")).as("e_us"))
+    val hourly = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val thr = hourly.agg(
+      r6(avg(col("c")) + lit(2.0) *
+        stddev_samp(col("c").cast("double"))).as("thr"))
+    val wb = Window.orderBy("hr")
+    val burstIv = hourly.crossJoin(broadcast(thr))
+      .filter(col("c") > col("thr"))
+      .withColumn("grp", col("hr") - row_number().over(wb))
+      .groupBy("grp")
+      .agg(min(col("hr")).as("b_start_hr"), max(col("hr")).as("b_end_hr"))
+      .select(col("b_start_hr"), col("b_end_hr"),
+        (col("b_start_hr") * 3600000000L).as("b_s_us"),
+        ((col("b_end_hr") + 1) * 3600000000L).as("b_e_us"))
+    // equi-join on the covered-hour bucket; h == greatest(start hours)
+    // picks exactly ONE bucket per true pair (no post-join distinct)
+    val sessB = sessions
+      .withColumn("h", explode(expr(
+        "sequence(s_us div 3600000000, e_us div 3600000000)")))
+    val burstB = burstIv
+      .withColumn("h", explode(expr("sequence(b_start_hr, b_end_hr)")))
+    sessB.join(burstB, Seq("h"))
+      .filter(col("h") === greatest(expr("s_us div 3600000000"),
+        col("b_start_hr")))
+      .withColumn("ov_us",
+        least(col("e_us") + 1, col("b_e_us"))
+          - greatest(col("s_us"), col("b_s_us")))
+      .filter(col("ov_us") > 0)
+      .groupBy("b_start_hr", "b_end_hr")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("ov_us")).as("overlap_us_sum"))
+      .withColumn("overlap_s", col("overlap_us_sum") / lit(1000000.0))
+      .orderBy("b_start_hr")
+  }
+
   /** Purchase-churn snapshot: users who purchased in the body of the
     * window but not in its final week, with the churn rate among
     * early purchasers. Windows are integer epoch-day arithmetic
@@ -1266,6 +1329,7 @@ object EventOps {
     "q_events_churn" -> churn,
     "q_win_rolling_median" -> rollingMedian,
     "q_events_bursts" -> bursts,
+    "q_join_interval_overlap" -> intervalOverlap,
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
     "q_events_interarrival" -> interarrival,
@@ -1806,6 +1870,55 @@ object EventOps {
                 floor(quantile_cont(rev, 0.5) * 100 + 0.5) / 100.0 AS med7
          FROM daily JOIN spine ON day_num >= day - 6 AND day_num <= day
          GROUP BY day ORDER BY day""",
+    // Session×burst interval overlap: the oracle needs no blocking —
+    // it joins the two interval CTEs on the raw half-open overlap
+    // predicate; the engine's bucketed plan must produce identical
+    // pairs (completeness proof for the blocking scheme).
+    "q_join_interval_overlap" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                            > 1800000000 THEN 1
+                       WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+                       ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ), sessed AS (
+           SELECT *, sum(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM flagged
+         ), sess AS (
+           SELECT user_id, sess, min(ts_us) AS s_us, max(ts_us) AS e_us
+           FROM sessed GROUP BY user_id, sess
+         ), hourly AS (
+           SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           FROM events GROUP BY hr
+         ), thr AS (
+           SELECT floor((avg(c) + 2.0 * stddev_samp(c)) * 1000000 + 0.5)
+                    / 1000000.0 AS thr
+           FROM hourly
+         ), bflag AS (
+           SELECT hr FROM hourly CROSS JOIN thr WHERE c > thr
+         ), biv AS (
+           SELECT min(hr) AS b_start_hr, max(hr) AS b_end_hr,
+                  min(hr) * 3600000000 AS b_s_us,
+                  (max(hr) + 1) * 3600000000 AS b_e_us
+           FROM (SELECT hr, hr - row_number() OVER (ORDER BY hr) AS grp
+                 FROM bflag) g GROUP BY grp
+         ), pairs AS (
+           SELECT b_start_hr, b_end_hr, user_id,
+                  least(e_us + 1, b_e_us) - greatest(s_us, b_s_us) AS ov_us
+           FROM sess JOIN biv
+             ON s_us < b_e_us AND b_s_us <= e_us
+           WHERE least(e_us + 1, b_e_us) - greatest(s_us, b_s_us) > 0)
+         SELECT b_start_hr, b_end_hr,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(ov_us) AS BIGINT) AS overlap_us_sum,
+                CAST(sum(ov_us) AS BIGINT) / 1000000.0 AS overlap_s
+         FROM pairs GROUP BY b_start_hr, b_end_hr
+         ORDER BY b_start_hr""",
     "q_events_bursts" ->
       """WITH hourly AS (
            SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c

@@ -442,7 +442,27 @@ object VectorOps {
     * index artifact, 4×64 doubles — same rule as the vocab dictionary),
     * so round N+1's plan starts from a LocalRelation instead of
     * re-deriving every earlier round's crossJoin per reference. */
+  /** Trained-quantizer caches (round 7): the coarse centroids and PQ
+    * codebook are session-lifetime index artifacts (the bm25DocCache /
+    * simhash rationale) — q_ann_kmeans, q_dedup_semantic, q_ann_ivfpq
+    * and the PQ keys each used to re-run the Lloyd collects. Values
+    * are driver-local LocalRelation frames (nothing persisted on
+    * executors), so release is a no-op. */
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+  private val pqCbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(kmeansCache,
+    (k: (SparkSession, String, Int, Int)) => k._2, (_: DataFrame) => ())
+  graft.Caches.registerMap(pqCbCache,
+    (k: (SparkSession, String)) => k._2, (_: DataFrame) => ())
+
   private def kmeansCentroids(s: SparkSession, d: String,
+      k: Int, rounds: Int): DataFrame =
+    kmeansCache.computeIfAbsent((s, d, k, rounds), _ =>
+      kmeansCentroidsUncached(s, d, k, rounds))
+
+  private def kmeansCentroidsUncached(s: SparkSession, d: String,
       k: Int, rounds: Int): DataFrame = {
     val e = vecs(s, d)
     var cents = e.filter(col("vec_id") < k)
@@ -573,17 +593,18 @@ object VectorOps {
   /** Trained per-subspace codebook (1 Lloyd round from vec_id<4 seeds),
     * materialized to a LocalRelation (256 bounded rows — the
     * kmeansCentroids rule). */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
-    val sub = pqSub(s, d)
-    val cb0 = sub.filter(col("vec_id") < 4)
-      .select(col("m"), col("vec_id").as("code"), col("p"),
-        col("val").as("c"))
-    val a1 = pqAssign(sub, cb0)
-    val cb1 = sub.join(a1.select("vec_id", "m", "code"), Seq("vec_id", "m"))
-      .groupBy("m", "code", "p").agg(avg(col("val")).as("c"))
-    s.createDataFrame(
-      java.util.Arrays.asList(cb1.collect(): _*), cb1.schema)
-  }
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqCbCache.computeIfAbsent((s, d), _ => {
+      val sub = pqSub(s, d)
+      val cb0 = sub.filter(col("vec_id") < 4)
+        .select(col("m"), col("vec_id").as("code"), col("p"),
+          col("val").as("c"))
+      val a1 = pqAssign(sub, cb0)
+      val cb1 = sub.join(a1.select("vec_id", "m", "code"), Seq("vec_id", "m"))
+        .groupBy("m", "code", "p").agg(avg(col("val")).as("c"))
+      s.createDataFrame(
+        java.util.Arrays.asList(cb1.collect(): _*), cb1.schema)
+    })
 
   /** IVF-PQ serving composition — the actual billion-vector ANN layout
     * (FAISS IVFPQ shape): the TRAINED coarse quantizer (q_ann_kmeans's
