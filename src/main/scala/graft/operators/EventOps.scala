@@ -658,6 +658,39 @@ object EventOps {
       .orderBy("start_hr")
   }
 
+  /** Token-bucket rate-limit replay — the batch twin of ingest-edge
+    * admission control (what-if capacity planning: how much would each
+    * user have been throttled under capacity C=1.5 tokens, refill 1
+    * token/hour? — strict enough to throttle within-session bursts
+    * (4.5% of events dropped at sf0.01)). A token bucket is inherently sequential state, so
+    * this is the survival/kruskal discipline at its purest: per user,
+    * the event times fold LEFT in time order with the bucket state as
+    * a 3-slot BIGINT array [last_ts, micro_tokens, n_admitted] —
+    * all-integer arithmetic (micro-tokens; refill = Δus/3600 capped at
+    * C), so the fold is bit-identical in any engine that folds the
+    * same order. Equal timestamps commute (every event costs one
+    * token), so sorting by ts alone is a total enough order. One
+    * shuffle on user_id; per-user arrays are |user events|-bounded.
+    * The oracle folds the identical lambda via list_reduce with the
+    * init element prepended. */
+  private val rateLimit: Q = (s, d) => {
+    val refill = "least(1500000L, acc[1] + (e[0] - acc[0]) div 3600)"
+    val step = s"(acc, e) -> array(e[0]," +
+      s" CASE WHEN $refill >= 1000000 THEN $refill - 1000000L" +
+      s" ELSE $refill END," +
+      s" acc[2] + CASE WHEN $refill >= 1000000 THEN 1L ELSE 0L END)"
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("aggregate(transform(array_sort(collect_list(ts_us))," +
+          " t -> array(t, 0L, 0L)), array(0L, 1500000L, 0L)," +
+          s" $step)[2]").as("n_admitted"))
+      .select(col("user_id"), col("n_events"), col("n_admitted"),
+        (col("n_events") - col("n_admitted")).as("n_dropped"))
+      .orderBy("user_id")
+  }
+
   /** Interval-OVERLAP join — the missing member of the interval-join
     * family (asof = nearest point, theta_range = containment band;
     * this is set-vs-set overlap): which user sessions overlapped a
@@ -1330,6 +1363,7 @@ object EventOps {
     "q_win_rolling_median" -> rollingMedian,
     "q_events_bursts" -> bursts,
     "q_join_interval_overlap" -> intervalOverlap,
+    "q_events_rate_limit" -> rateLimit,
     "q_events_seasonality" -> seasonality,
     "q_orders_gap" -> orderGaps,
     "q_events_interarrival" -> interarrival,
@@ -1870,6 +1904,33 @@ object EventOps {
                 floor(quantile_cont(rev, 0.5) * 100 + 0.5) / 100.0 AS med7
          FROM daily JOIN spine ON day_num >= day - 6 AND day_num <= day
          GROUP BY day ORDER BY day""",
+    // Token bucket folded with the identical integer lambda; the init
+    // state is prepended (list_reduce seeds from the first element).
+    "q_events_rate_limit" ->
+      """WITH u AS (
+           SELECT user_id, list(epoch_us(ts) ORDER BY epoch_us(ts)) AS ts
+           FROM events GROUP BY user_id),
+         f AS (
+           SELECT user_id, len(ts) AS n_events,
+                  list_reduce(
+                    list_prepend([CAST(0 AS BIGINT), 1500000, 0],
+                      list_transform(ts,
+                        t -> [t, CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+                    (acc, e) -> [e[1],
+                      CASE WHEN least(1500000, acc[2] + (e[1] - acc[1]) // 3600)
+                                >= 1000000
+                           THEN least(1500000,
+                                  acc[2] + (e[1] - acc[1]) // 3600) - 1000000
+                           ELSE least(1500000,
+                                  acc[2] + (e[1] - acc[1]) // 3600) END,
+                      acc[3] + CASE WHEN least(1500000,
+                                  acc[2] + (e[1] - acc[1]) // 3600) >= 1000000
+                                    THEN 1 ELSE 0 END])[3] AS n_admitted
+           FROM u)
+         SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_admitted AS BIGINT) AS n_admitted,
+                CAST(n_events - n_admitted AS BIGINT) AS n_dropped
+         FROM f ORDER BY user_id""",
     // Session×burst interval overlap: the oracle needs no blocking —
     // it joins the two interval CTEs on the raw half-open overlap
     // predicate; the engine's bucketed plan must produce identical

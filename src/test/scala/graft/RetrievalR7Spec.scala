@@ -160,6 +160,29 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("rate limit: matches an independent bucket replay; first event admitted") {
+    val out = SparkEntry.queries("q_events_rate_limit")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.values.foreach { case (n, adm) =>
+      assert(adm >= 1 && adm <= n, "bucket starts full: first event admits")
+    }
+    // independent replay (plain Scala loop, no Spark) for every user
+    val ts = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts_ns div 1000 AS ts_us")
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getLong(1)).sorted }
+    ts.foreach { case (u, times) =>
+      var last = 0L; var tokens = 1500000L; var adm = 0L
+      times.foreach { t =>
+        tokens = math.min(1500000L, tokens + (t - last) / 3600)
+        last = t
+        if (tokens >= 1000000L) { tokens -= 1000000L; adm += 1 }
+      }
+      assert(out(u) == (times.length.toLong, adm),
+        s"user $u: plan ${out(u)} != replay (${times.length}, $adm)")
+    }
+  }
+
   test("ivfpq: results confined to the probed cluster, sorted, 8 subspaces each") {
     val out = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect()
     assert(out.length == 5)
