@@ -2488,10 +2488,14 @@ object RelationalOps {
                   CAST(sum(price * rem) AS DECIMAL(18,4)) AS sdp
            FROM c GROUP BY l_returnflag)
          SELECT l_returnflag, n,
-                CAST(sp * 100 AS BIGINT) AS sum_price_cents,
-                CAST(sdp * 10000 AS BIGINT) AS sum_disc_price_e4,
-                CAST(sp * 100 AS BIGINT) / 100.0 AS sum_price,
-                CAST(sdp * 10000 AS BIGINT) / 10000.0 AS sum_disc_price
+                CAST(CAST(sp AS DECIMAL(28,2)) * 100 AS BIGINT)
+                  AS sum_price_cents,
+                CAST(CAST(sdp AS DECIMAL(28,4)) * 10000 AS BIGINT)
+                  AS sum_disc_price_e4,
+                CAST(CAST(sp AS DECIMAL(28,2)) * 100 AS BIGINT) / 100.0
+                  AS sum_price,
+                CAST(CAST(sdp AS DECIMAL(28,4)) * 10000 AS BIGINT) / 10000.0
+                  AS sum_disc_price
          FROM g ORDER BY l_returnflag""",
     // The partitioned layout must serve the same rows the flat table
     // filters to — the oracle knows nothing about the physical layout.
