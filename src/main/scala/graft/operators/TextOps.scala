@@ -1609,11 +1609,11 @@ object TextOps {
     * steps, and a scorer producing (doc_id, y, z_micros, p_r, r) under
     * any weight map — shared by the classifier key and its calibration
     * audit (q_eval_ece). */
-  private[operators] final case class QclfState(f: DataFrame,
+  private[graft] final case class QclfState(f: DataFrame,
       w: Map[Long, Long], wDf: Map[Long, Long] => DataFrame,
       residuals: Map[Long, Long] => DataFrame)
 
-  private[operators] def qclfTrain(s: SparkSession, d: String): QclfState = {
+  private[graft] def qclfTrain(s: SparkSession, d: String): QclfState = {
     val nb = 16
     val docs = Tables.documents(s, d)
     val fx = docs
@@ -1707,6 +1707,38 @@ object TextOps {
         col("acc_r"))
       .crossJoin(broadcast(ece))
       .orderBy("bin")
+  }
+
+  /** ROC-AUC of the trained quality classifier — the threshold-free
+    * ranking metric completing its eval family (accuracy in the key
+    * itself, calibration in q_eval_ece, discrimination here). AUC is
+    * computed EXACTLY via its rank-sum identity (AUC = (R₁ − n₁(n₁+1)/2)
+    * / (n₁n₀), Mann-Whitney): logits are exact long micros, so the
+    * per-value census + the distributed inclusive prefix sum
+    * (Dist.withPrefixSumsLong — the q_stats_ks machinery, no
+    * single-partition window) yield DOUBLED average ranks as exact
+    * longs (2C(v) − cnt(v) + 1 handles ties as average rank), and the
+    * whole statistic reduces to ONE division of exact longs. Ties get
+    * the standard ½ credit automatically. */
+  private val evalAuroc: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
+    val per = sc.groupBy("v").agg(
+      sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0"))
+    val cum = graft.operators.Dist.withPrefixSumsLong(per,
+      Seq("c" -> (col("n1") + col("n0"))), Seq(col("v")))
+    val r1d = cum
+      .select((col("n1") * (lit(2L) * col("c")
+        - (col("n1") + col("n0")) + 1)).as("t"))
+      .agg(sum(col("t")).as("r1d"))
+    val tot = sc.agg(sum(col("y")).as("n1t"),
+      sum(lit(1L) - col("y")).as("n0t"))
+    r1d.crossJoin(broadcast(tot))
+      .select(col("n1t"), col("n0t"),
+        r6((col("r1d") - col("n1t") * (col("n1t") + 1)).cast("double")
+          / (lit(2L) * col("n1t") * col("n0t"))).as("auc"))
+      .withColumn("gini_r", r6(lit(2.0) * col("auc") - 1))
   }
 
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
@@ -1947,6 +1979,7 @@ object TextOps {
     "q_text_feature_hash" -> featureHash,
     "q_text_quality_classifier" -> qualityClassifier,
     "q_eval_ece" -> evalEce,
+    "q_eval_auroc" -> evalAuroc,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2251,6 +2284,33 @@ object TextOps {
                 floor((CAST(n_correct AS DOUBLE) / n_docs)
                   * 1000000 + 0.5) / 1000000.0 AS acc_r
          FROM w2 CROSS JOIN ev ORDER BY bucket""",
+    // AUC via the exact rank-sum identity on the trained logits; the
+    // doubled-rank census keeps every intermediate a BIGINT.
+    "q_eval_auroc" ->
+      s"""WITH $qclfCtesSql,
+         scv AS (SELECT z_micros AS v, y FROM z3),
+         per AS (SELECT v, CAST(sum(y) AS BIGINT) AS n1,
+                        CAST(sum(1 - y) AS BIGINT) AS n0
+                 FROM scv GROUP BY v),
+         c AS (SELECT v, n1, n0,
+                      sum(n1 + n0) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS c
+               FROM per),
+         rsum AS (SELECT CAST(sum(n1 * (2 * c - (n1 + n0) + 1))
+                    AS BIGINT) AS r1d FROM c),
+         tot AS (SELECT CAST(sum(y) AS BIGINT) AS n1t,
+                        CAST(sum(1 - y) AS BIGINT) AS n0t
+                 FROM scv),
+         a AS (SELECT n1t, n0t,
+                      floor((CAST(r1d - n1t * (n1t + 1) AS DOUBLE)
+                             / (2 * n1t * n0t)) * 1000000 + 0.5)
+                        / 1000000.0 AS auc
+               FROM rsum CROSS JOIN tot)
+         SELECT n1t, n0t, auc,
+                floor((2.0 * auc - 1) * 1000000 + 0.5) / 1000000.0
+                  AS gini_r
+         FROM a""",
     // Calibration: same trained chain, probabilities binned ×10, per-
     // bin confidence as exact micros; the ECE fold is sequential in
     // bin order (list_reduce over the ordered list).

@@ -288,6 +288,63 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Output row of [[rateLimitState]]. */
+  case class BucketState(user_id: Long, n_events: Long, n_admitted: Long)
+
+  /** Streaming twin of the batch token-bucket replay
+    * (EventOps q_events_rate_limit): per-user admission control at the
+    * ingest edge via transformWithState. SAME all-integer state law —
+    * capacity 1.5 tokens (1 500 000 micro-tokens), refill Δµs/3600
+    * capped at capacity, cost 1 000 000 per event — so a full-stream
+    * replay converges to the batch key's per-user counts exactly
+    * (RetrievalR7Spec proves it event-per-micro-batch). State per user
+    * is [last_ts, micro_tokens, n_events, n_admitted] — four longs,
+    * sharded on user_id, RocksDB-backed in production. Rows apply in
+    * (ts, event_id) order within a micro-batch; cross-batch order is
+    * the watermark's job upstream (the DecayProcessor contract). */
+  class BucketProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), BucketState] {
+    @transient private var state: org.apache.spark.sql.streaming
+      .ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long, Long)](
+        "userBucket",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[BucketState] = {
+      val (last0, tok0, n0, adm0) =
+        Option(state.get()).getOrElse((0L, 1500000L, 0L, 0L))
+      var last = last0; var tokens = tok0; var n = n0; var adm = adm0
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _) =>
+        tokens = math.min(1500000L, tokens + (ts - last) / 3600)
+        last = ts
+        if (tokens >= 1000000L) { tokens -= 1000000L; adm += 1 }
+        n += 1
+      }
+      state.update((last, tokens, n, adm))
+      Iterator.single(BucketState(uid, n, adm))
+    }
+  }
+
+  /** Per-user token-bucket admission via transformWithState. */
+  def rateLimitState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BucketProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Output row of [[funnel]]: the user's stage timestamps (µs), null
     * until the stage is reached in order. */
   case class FunnelStage(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -160,6 +160,28 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("auroc: exact rank-sum AUC matches a brute-force pair count") {
+    val r = SparkEntry.queries("q_eval_auroc")(spark, sfDir).collect().head
+    val (n1, n0, auc, gini) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(auc > 0.5 && auc <= 1.0, "a working classifier ranks above chance")
+    assert(math.abs(gini - (math.floor((2.0 * auc - 1) * 1e6 + 0.5) / 1e6))
+      < 1e-12)
+    // brute force: P(score_pos > score_neg) + 0.5 P(tie) over all pairs
+    val st = operators.TextOps.qclfTrain(spark, sfDir)
+    val sc = st.residuals(st.w).select("z_micros", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pos = sc.filter(_._2 == 1L).map(_._1)
+    val neg = sc.filter(_._2 == 0L).map(_._1)
+    assert(pos.length.toLong == n1 && neg.length.toLong == n0)
+    var num = 0.0
+    pos.foreach(p => neg.foreach(q =>
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)))
+    val brute = num / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - math.floor(brute * 1e6 + 0.5) / 1e6) < 1e-9,
+      s"rank-sum auc $auc != brute pair-count ${brute}")
+  }
+
   test("rate limit: matches an independent bucket replay; first event admitted") {
     val out = SparkEntry.queries("q_events_rate_limit")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

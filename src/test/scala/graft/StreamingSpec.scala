@@ -307,6 +307,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rate limit state: streaming bucket matches the batch integer law") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.rateLimitState(ms.toDF())
+      .writeStream.format("memory").queryName("t_bucket")
+      .outputMode("update").start()
+    try {
+      // bucket starts at 1.5 tokens: admit, then a 10 s gap refills only
+      // 2 777 micro-tokens -> drop; the 1 h gap refills a full token ->
+      // admit; the 30 min gap refills exactly 500 000 -> admit to zero
+      ms.addData(ev(1, "2024-01-01 10:00:00", uid = 7),
+        ev(2, "2024-01-01 10:00:10", uid = 7))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 11:00:10", uid = 7))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 11:30:10", uid = 7))
+      q.processAllAvailable()
+      val last = spark.table("t_bucket").filter(col("user_id") === 7)
+        .orderBy(col("n_events").desc).limit(1)
+        .select("n_events", "n_admitted").collect().head
+      assert(last.getLong(0) === 4L)
+      assert(last.getLong(1) === 3L,
+        "expected admit/drop/admit/admit under the batch key's exact law")
+    } finally {
+      q.stop()
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState accumulates per-user state across batches") {
     implicit val sc = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
