@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Par.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the purchase-derived graphs (SURVEY.md §2
@@ -186,6 +187,42 @@ object GraphOps {
         s"graph::$d")
       .select(col("doc_id").as("part"), col("cluster_rep").as("component"))
       .orderBy("part")
+
+  private val LpaRounds = 3
+
+  /** Synchronous label propagation (3 fixed Pregel-style supersteps)
+    * over the co-purchase graph — community detection FINER than
+    * connected components (q_graph_components finds one giant blob on
+    * this graph; LPA splits it along dense neighborhoods). Each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLER label — the synchronous+min-label
+    * variant is fully deterministic on both engines (classic async LPA
+    * is visit-order-dependent and could never oracle-match). Cost
+    * shape per round = edges ⋈ labels on the neighbor key (ONE
+    * shuffle), a (node,label) hash count, and a per-node argmax window
+    * (partitioned by node, never global) — linear in edges, the
+    * pagerank discipline; labels are localCheckpointed per round so
+    * the 3-round lineage never re-expands (the kcore/HITS lesson).
+    * Output = the community census after round 3. */
+  private val lpa: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.select(col("x").as("v"), col("y").as("u"))
+      .union(e.select(col("y").as("v"), col("x").as("u")))
+    var lbl = und.select("v").distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to LpaRounds) {
+      val cnt = und
+        .join(lbl.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v")
+        .orderBy(col("c").desc, col("lbl").asc)
+      lbl = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("v", "lbl")
+        .localCheckpoint()
+    }
+    lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy("community")
+  }
 
   /** Modularity decomposition of the component partition of the
     * co-purchase graph: per community c, Q_c = e_c/m − (d_c/2m)² — the
@@ -468,6 +505,7 @@ object GraphOps {
     "q_graph_reach" -> reach,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
+    "q_graph_lpa" -> lpa,
     "q_graph_modularity" -> modularity,
     "q_graph_link_jaccard" -> linkJaccard,
     "q_graph_pagerank" -> pagerank,
@@ -662,6 +700,30 @@ object GraphOps {
                   * 1000000 + 0.5) / 1000000.0 AS contribution
          FROM ds JOIN intra USING (component), m
          ORDER BY component""",
+    // Three synchronous min-label supersteps as chained CTEs (the
+    // markov piIter pattern) — argmax by (count DESC, label ASC)
+    // row_number, exactly the Spark window.
+    "q_graph_lpa" -> {
+      def round(prev: String, r: Int): String =
+        s"""l$r AS (SELECT v, lbl FROM (
+               SELECT u.v AS v, l.lbl AS lbl,
+                      row_number() OVER (PARTITION BY u.v
+                        ORDER BY count(*) DESC, l.lbl) AS rn
+               FROM und u JOIN $prev l ON l.v = u.u
+               GROUP BY u.v, l.lbl) t
+             WHERE rn = 1)"""
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                      FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x AS v, y AS u FROM e
+                 UNION ALL SELECT y AS v, x AS u FROM e),
+         l0 AS (SELECT DISTINCT v, v AS lbl FROM und),
+         ${(1 to 3).map(r => round(s"l${r - 1}", r)).mkString(",\n")}
+         SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         FROM l3 GROUP BY lbl ORDER BY community"""
+    },
     "q_graph_components" ->
       """WITH RECURSIVE op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Par.{r2, r6, sql => rsql}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,43 @@ object StatsOps {
         r6(sum(pow(col("obs") - exp, 2) / exp)).as("chi2"),
         ((countDistinct(col("seg")) - 1) * (countDistinct(col("pri")) - 1))
           .as("dof"))
+  }
+
+  /** Sample-ratio-mismatch guard — the first health check of any A/B
+    * experimentation pipeline: users are deterministically assigned to
+    * arms by the md5-digit convention (first hex digit 0-7 → A, 8-f →
+    * B; the q_sample_split hashing), and each event_type's
+    * exposed-user census is tested against the intended 50/50 with the
+    * 1-dof chi-square, which for equal expected halves collapses to
+    * (n_a−n_b)²/n, against the pinned χ²₀.₉₅,₁ critical value. A true
+    * SRM (a logger dropping one arm, a redirect bug) trips the flag
+    * before any metric read is trustworthy. One distinct-(type,user)
+    * census + one distinct-user census for the __ALL__ rollup row
+    * (NOT the per-type sum — a user exposed in several types counts
+    * once overall); output is |types|+1 rows, exact integer counts to
+    * one division per row. */
+  private val srm: Q = (s, d) => {
+    def arm(c: Column) =
+      when(substring(md5(c.cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B")
+    def census(df: DataFrame) = df
+      .withColumn("arm", arm(col("user_id")))
+      .groupBy("event_type").agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+    val ev = Tables.events(s, d)
+    val per = census(ev.select("event_type", "user_id").distinct())
+    val all = census(ev.select("user_id").distinct()
+      .withColumn("event_type", lit("__ALL__")))
+    per.unionByName(all)
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("chi2_r",
+        r6(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / col("n")))
+      .withColumn("srm", col("chi2_r") >
+        lit(3.8414588206941245).cast("double"))
+      .select("event_type", "n_a", "n_b", "n", "chi2_r", "srm")
+      .orderBy("event_type")
   }
 
   /** Shannon entropy of each user's event-type mix (plus the distinct
@@ -1112,6 +1149,7 @@ object StatsOps {
     "q_stats_mann_kendall" -> mannKendall,
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
+    "q_stats_srm" -> srm,
     "q_stats_entropy" -> entropy,
     "q_stats_psi" -> psi,
     "q_stats_mad" -> mad)
@@ -1947,6 +1985,31 @@ object StatsOps {
                   "(CAST(rt * ct AS DOUBLE) / n))", 1000000)} AS chi2,
                 (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof
          FROM cells""",
+    // md5-digit arm assignment (the q_sample_split convention); the
+    // __ALL__ row counts each user once across types, not the per-type
+    // sum. chi2 compare happens on the r6-rounded value on both sides.
+    "q_stats_srm" ->
+      s"""WITH eu AS (SELECT DISTINCT event_type, user_id FROM events),
+         au AS (SELECT DISTINCT '__ALL__' AS event_type, user_id
+                FROM events),
+         per AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN substring(md5(CAST(user_id
+                      AS VARCHAR)), 1, 1) IN
+                      ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN substring(md5(CAST(user_id
+                      AS VARCHAR)), 1, 1) IN
+                      ('0','1','2','3','4','5','6','7')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+           FROM (SELECT * FROM eu UNION ALL SELECT * FROM au) u
+           GROUP BY event_type)
+         SELECT event_type, n_a, n_b, n_a + n_b AS n,
+                ${rsql("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
+                  "(n_a + n_b)", 1000000)} AS chi2_r,
+                ${rsql("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
+                  "(n_a + n_b)", 1000000)} > 3.8414588206941245 AS srm
+         FROM per ORDER BY event_type""",
     "q_stats_entropy" ->
       s"""WITH c AS (
            SELECT user_id, event_type, count(*) AS c

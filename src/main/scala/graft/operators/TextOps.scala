@@ -920,6 +920,58 @@ object TextOps {
     * compare — at 100 TB both snapshots are id-partitioned, so the diff
     * is co-partitioned and shuffle-free, and the status census is a
     * 4-row aggregate. */
+  /** Per-column PROFILE drift between snapshot slices — the schema-
+    * level companion to q_text_dataset_diff (which diffs rows) and
+    * q_stats_psi/q_text_vocab_drift (which diff one distribution):
+    * before accepting a new snapshot, compare every column's null
+    * count, distinct count, and value range against the previous one
+    * and flag shifts — the cheap gate that catches an upstream loader
+    * silently nulling a field or collapsing an enum. Slices are the
+    * dataset_diff md5-digit snapshots (same convention, so the two
+    * audits describe the same pair). One wide aggregate per slice (the
+    * q_data_profile shape — a single pass each at any scale), a
+    * |columns|-row join, integer counts to the one r6 shift ratio. */
+  private val schemaDrift: Q = (s, d) => {
+    def digit(n: Int) = substring(md5(col("doc_id").cast("string")), n, 1)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def profile(df: DataFrame, tag: String) = {
+      val aggs = count(lit(1)).as(s"n_$tag") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L))
+            .as(s"${c}_nulls_$tag"),
+          countDistinct(col(c)).as(s"${c}_distinct_$tag"),
+          min(col(c)).cast("string").as(s"${c}_min_$tag"),
+          max(col(c)).cast("string").as(s"${c}_max_$tag"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      cols.map { c =>
+        wide.select(lit(c).as("column"), col(s"n_$tag"),
+          col(s"${c}_nulls_$tag").as(s"nulls_$tag"),
+          col(s"${c}_distinct_$tag").as(s"distinct_$tag"),
+          col(s"${c}_min_$tag").as(s"min_$tag"),
+          col(s"${c}_max_$tag").as(s"max_$tag"))
+      }.reduce(_.unionAll(_))
+    }
+    val base = Tables.documents(s, d)
+    val a = profile(base.filter(digit(1).isin("0", "1", "2", "3", "4",
+      "5", "6", "7", "8", "9", "a", "b")), "a")
+    val b = profile(base.filter(digit(1).isin("4", "5", "6", "7", "8",
+      "9", "a", "b", "c", "d", "e", "f")), "b")
+    a.join(b, Seq("column"))
+      .withColumn("distinct_shift_r",
+        r6(abs(col("distinct_b") - col("distinct_a")).cast("double")
+          / col("distinct_a")))
+      .withColumn("range_changed",
+        col("min_a") =!= col("min_b") || col("max_a") =!= col("max_b"))
+      .withColumn("drift",
+        col("distinct_shift_r") > 0.2 ||
+          (col("nulls_b").cast("double") / col("n_b")
+            - col("nulls_a").cast("double") / col("n_a")) > 0.01)
+      .select("column", "n_a", "n_b", "nulls_a", "nulls_b",
+        "distinct_a", "distinct_b", "distinct_shift_r",
+        "range_changed", "drift")
+      .orderBy("column")
+  }
+
   private val datasetDiff: Q = (s, d) => {
     def digit(n: Int) = substring(md5(col("doc_id").cast("string")), n, 1)
     val base = Tables.documents(s, d)
@@ -1741,6 +1793,44 @@ object TextOps {
       .withColumn("gini_r", r6(lit(2.0) * col("auc") - 1))
   }
 
+  /** Average precision (area under the precision-recall curve) of the
+    * trained quality classifier — the ranking metric that matters when
+    * positives are rare and ROC-AUC flatters (completing the eval
+    * family: accuracy in the key, calibration in q_eval_ece,
+    * threshold-free discrimination in q_eval_auroc, rare-positive
+    * ranking here). Tie-aware block form: distinct score values sorted
+    * DESCENDING are blocks; block v contributes ΔR·P = (n1_v/n_pos) ·
+    * (cumPos_v/cumTot_v) — the step-interpolation sklearn's
+    * average_precision uses. Every term is rounded to integer micros
+    * with pure long arithmetic ((n1·cumPos·1e6 + cumTot div 2) div
+    * cumTot — exact and identical on both engines, no float-sum order
+    * dependence; products stay < 2⁶³ up to ~10⁸ docs, beyond which
+    * this would move to DECIMAL), so the AP sum is an exact long and
+    * the statistic is ONE division. The descending prefix counts ride
+    * the same Dist range-shuffle + broadcast-offset machinery as
+    * q_eval_auroc — never a single-partition window. */
+  private val evalPrAuc: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
+    val per = sc.groupBy("v").agg(
+      sum(col("y")).as("n1"),
+      sum(lit(1L) - col("y")).as("n0"))
+    val cum = graft.operators.Dist.withPrefixSumsLong(per,
+      Seq("cum_tot" -> (col("n1") + col("n0")), "cum_pos" -> col("n1")),
+      Seq(col("v").desc))
+    val apm = cum
+      .select(expr("(n1 * cum_pos * 1000000L + cum_tot div 2) div cum_tot")
+        .as("t"))
+      .agg(sum(col("t")).as("ap_micros"))
+    val tot = sc.agg(sum(col("y")).as("n_pos"),
+      sum(lit(1L) - col("y")).as("n_neg"))
+    apm.crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"),
+        r6(col("n_pos").cast("double") / (col("n_pos") + col("n_neg")))
+          .as("prevalence_r"),
+        r6(col("ap_micros") / (col("n_pos") * lit(1000000.0))).as("ap_r"))
+  }
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -1980,6 +2070,7 @@ object TextOps {
     "q_text_quality_classifier" -> qualityClassifier,
     "q_eval_ece" -> evalEce,
     "q_eval_auroc" -> evalAuroc,
+    "q_eval_pr_auc" -> evalPrAuc,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -1999,6 +2090,7 @@ object TextOps {
     "q_text_token_budget" -> tokenBudget,
     "q_pipeline_mix" -> pipelineMix,
     "q_text_dataset_diff" -> datasetDiff,
+    "q_quality_schema_drift" -> schemaDrift,
     "q_text_vocab_drift" -> vocabDrift,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_reservoir" -> sampleReservoir,
@@ -2311,6 +2403,33 @@ object TextOps {
                 floor((2.0 * auc - 1) * 1000000 + 0.5) / 1000000.0
                   AS gini_r
          FROM a""",
+    // Tie-aware block AP: same z3 score chain, descending prefix
+    // counts, per-block integer-micros term ((n1·cumPos·1e6 +
+    // cumTot//2) // cumTot) — mirrors the Spark long `div` exactly.
+    "q_eval_pr_auc" ->
+      s"""WITH $qclfCtesSql,
+         scv AS (SELECT z_micros AS v, y FROM z3),
+         per AS (SELECT v, CAST(sum(y) AS BIGINT) AS n1,
+                        CAST(sum(1 - y) AS BIGINT) AS n0
+                 FROM scv GROUP BY v),
+         c AS (SELECT v, n1, n0,
+                      CAST(sum(n1 + n0) OVER (ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tot,
+                      CAST(sum(n1) OVER (ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_pos
+               FROM per),
+         apm AS (SELECT CAST(sum((n1 * cum_pos * 1000000 + cum_tot // 2)
+                           // cum_tot) AS BIGINT) AS ap_micros FROM c),
+         tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                        CAST(sum(1 - y) AS BIGINT) AS n_neg FROM scv)
+         SELECT n_pos, n_neg,
+                floor((CAST(n_pos AS DOUBLE) / (n_pos + n_neg)) * 1000000
+                  + 0.5) / 1000000.0 AS prevalence_r,
+                floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
+                  / 1000000.0 AS ap_r
+         FROM apm CROSS JOIN tot""",
     // Calibration: same trained chain, probabilities binned ×10, per-
     // bin confidence as exact micros; the ECE fold is sequential in
     // bin order (list_reduce over the ordered list).
@@ -2422,6 +2541,43 @@ object TextOps {
                   AS INTEGER) AS subsumed
          FROM sz LEFT JOIN sup ON sup.a = sz.doc_id
          ORDER BY sz.doc_id""",
+    // One profile pass per md5-digit slice (q_data_profile shape), the
+    // rounded shift ratio feeds the drift flag on both sides.
+    "q_quality_schema_drift" -> {
+      val colsD = Seq("doc_id", "text", "lang", "source", "n_chars")
+      def prof(tag: String) = colsD.map { c =>
+        s"""SELECT '$c' AS "column",
+               CAST(count(*) AS BIGINT) AS n_$tag,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nulls_$tag,
+               count(DISTINCT $c) AS distinct_$tag,
+               CAST(min($c) AS VARCHAR) AS min_$tag,
+               CAST(max($c) AS VARCHAR) AS max_$tag
+            FROM s$tag"""
+      }.mkString(" UNION ALL ")
+      s"""WITH sa AS (SELECT * FROM documents
+             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+               ('0','1','2','3','4','5','6','7','8','9','a','b')),
+         sb AS (SELECT * FROM documents
+             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+               ('4','5','6','7','8','9','a','b','c','d','e','f')),
+         pa AS (${prof("a")}),
+         pb AS (${prof("b")}),
+         j AS (SELECT pa."column" AS "column", n_a, n_b, nulls_a,
+                      nulls_b, distinct_a, distinct_b,
+                      min_a, min_b, max_a, max_b,
+                      floor((CAST(abs(distinct_b - distinct_a) AS DOUBLE)
+                             / distinct_a) * 1000000 + 0.5) / 1000000.0
+                        AS distinct_shift_r
+               FROM pa JOIN pb ON pa."column" = pb."column")
+         SELECT "column", n_a, n_b, nulls_a, nulls_b,
+                distinct_a, distinct_b, distinct_shift_r,
+                (min_a <> min_b OR max_a <> max_b) AS range_changed,
+                (distinct_shift_r > 0.2 OR
+                 (CAST(nulls_b AS DOUBLE) / n_b
+                  - CAST(nulls_a AS DOUBLE) / n_a) > 0.01) AS drift
+         FROM j ORDER BY "column""""
+    },
     "q_text_perplexity" ->
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split(text, ' ')) AS tok

@@ -182,6 +182,22 @@ class RetrievalR7Spec extends SparkSpec {
       s"rank-sum auc $auc != brute pair-count ${brute}")
   }
 
+  test("schema drift: key column stays fully distinct, clean corpus flags no drift") {
+    val rows = SparkEntry.queries("q_quality_schema_drift")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    val id = rows("doc_id")
+    // the id column's distinct count must equal the slice row count on
+    // both sides — a broken loader (dup/null ids) trips exactly here
+    assert(id.getLong(5) == id.getLong(1) && id.getLong(6) == id.getLong(2))
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == 0 && r.getLong(4) == 0, "corpus has no nulls")
+      assert(!r.getBoolean(9),
+        s"${r.getString(0)}: two slices of one clean corpus must not drift")
+    }
+  }
+
   test("rate limit: matches an independent bucket replay; first event admitted") {
     val out = SparkEntry.queries("q_events_rate_limit")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -216,5 +232,53 @@ class RetrievalR7Spec extends SparkSpec {
     // est_micros must be a sum of 8 per-subspace terms -> strictly
     // positive here (vec 0 is not its own neighbor, distances nonzero)
     assert(out.forall(_.getLong(2) > 0))
+  }
+
+  test("pr_auc: bounded, beats prevalence, and agrees with auroc's census") {
+    val r = SparkEntry.queries("q_eval_pr_auc")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (nPos, nNeg, prev, ap) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(ap > 0.0 && ap <= 1.0 + 1e-9)
+    // a trained classifier must rank above the random baseline, whose
+    // expected AP is the prevalence
+    assert(ap > prev, s"AP $ap must beat the prevalence baseline $prev")
+    assert(math.abs(prev -
+      math.floor(nPos.toDouble / (nPos + nNeg) * 1e6 + 0.5) / 1e6) < 1e-12)
+    val auc = SparkEntry.queries("q_eval_auroc")(spark, sfDir).collect()(0)
+    assert(auc.getLong(0) == nPos && auc.getLong(1) == nNeg,
+      "pr_auc and auroc must score the identical positive/negative census")
+  }
+
+  test("srm: chi2 and flag replay exactly; __ALL__ counts users once") {
+    val rows = SparkEntry.queries("q_stats_srm")(spark, sfDir).collect()
+    val crit = 3.8414588206941245
+    rows.foreach { r =>
+      val (na, nb, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == na + nb)
+      val chi2 = math.floor((na - nb).toDouble * (na - nb) / n * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(4) == chi2)
+      assert(r.getBoolean(5) == (chi2 > crit))
+    }
+    val all = rows.find(_.getString(0) == "__ALL__").get
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(all.getLong(3) == nUsers,
+      "__ALL__ must count each user once, not once per event type")
+    assert(rows.map(_.getLong(3)).sum > nUsers,
+      "per-type rows re-count multi-type users — sanity of the census split")
+  }
+
+  test("lpa: a partition of the graph's nodes, at least as fine as components") {
+    val lpa = SparkEntry.queries("q_graph_lpa")(spark, sfDir).collect()
+    val comp = SparkEntry.queries("q_graph_components")(spark, sfDir).collect()
+    val nodes = comp.map(_.getLong(0)).toSet
+    assert(lpa.map(_.getLong(1)).sum == nodes.size,
+      "community sizes must sum to the node count (each node one label)")
+    assert(lpa.forall(r => nodes.contains(r.getLong(0))),
+      "every community label is a node id (init = id, min-label ties)")
+    val nComponents = comp.map(_.getLong(1)).distinct.length
+    assert(lpa.length >= nComponents,
+      "labels cannot cross components, so LPA is >= as fine as components")
   }
 }
