@@ -988,6 +988,48 @@ object StatsOps {
         r6(expr("ssb / (ssb + ssw)")).as("eta_sq"))
   }
 
+  /** Brown–Forsythe test (Levene's test with median centers) for
+    * equality of variances across event types — the precondition gate
+    * for the pooled-variance tests (q_stats_ttest / q_stats_anova
+    * assume homoscedasticity; this key tests it, robustly, since the
+    * median center stays honest under the heavy tails q_stats_mad
+    * documents). It IS one-way ANOVA applied to z = |x − median_g|,
+    * so the plan reuses the anova discipline verbatim: per-type exact
+    * median (r6-pinned, the mad idiom) broadcast back, ONE hash
+    * aggregate for (n, mean_z, var_z) per type, and the
+    * |types|-bounded sorted-list fold for every cross-group sum
+    * (deterministic accumulation order on both engines). */
+  private val levene: Q = (s, d) => {
+    val med = Tables.events(s, d).groupBy("event_type")
+      .agg(r6(expr("percentile(value, 0.5)")).as("med"))
+    val z = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type").as("g"),
+        abs(col("value") - col("med")).as("z"))
+    val g = z.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        r6(avg(col("z"))).as("m_g"),
+        r6(var_samp(col("z"))).as("v_g"))
+      .withColumn("nm", col("n_g").cast("double") * col("m_g"))
+      .withColumn("wv", (col("n_g") - 1).cast("double") * col("v_g"))
+    def fold(field: String) =
+      expr(s"aggregate(transform(array_sort(collect_list(" +
+        s"struct(g, $field))), x -> x.$field), 0D, (acc, v) -> acc + v)")
+    val totals = g.agg(count(lit(1)).as("k"),
+      sum(col("n_g")).as("n_total"),
+      fold("nm").as("sw"), fold("wv").as("ssw"))
+    g.crossJoin(broadcast(totals))
+      .withColumn("ssb_g", col("n_g").cast("double") *
+        (col("m_g") - col("sw") / col("n_total")) *
+        (col("m_g") - col("sw") / col("n_total")))
+      .groupBy("k", "n_total", "ssw")
+      .agg(fold("ssb_g").as("ssb"))
+      .select(col("k"), col("n_total"),
+        (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"),
+        r6(expr("(ssb / (k - 1)) / (ssw / (n_total - k))")).as("w_stat"))
+  }
+
   /** Two-proportion experiment sizing — the power-analysis step that
     * pairs with q_stats_prop_test (which judges a finished experiment;
     * this sizes the next one): arms = user parity, conversion = ever
@@ -1150,6 +1192,7 @@ object StatsOps {
     "q_stats_ttest" -> ttest,
     "q_stats_chisq" -> chisq,
     "q_stats_srm" -> srm,
+    "q_stats_levene" -> levene,
     "q_stats_entropy" -> entropy,
     "q_stats_psi" -> psi,
     "q_stats_mad" -> mad)
@@ -2010,6 +2053,44 @@ object StatsOps {
                 ${rsql("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
                   "(n_a + n_b)", 1000000)} > 3.8414588206941245 AS srm
          FROM per ORDER BY event_type""",
+    // ANOVA's oracle chain applied to z = |x − per-type median|; the
+    // sorted list_reduce keeps the cross-group accumulation order
+    // identical to Spark's array_sort fold.
+    "q_stats_levene" ->
+      s"""WITH med AS (
+           SELECT event_type,
+                  ${rsql("quantile_cont(value, 0.5)", 1000000)} AS med
+           FROM events GROUP BY event_type),
+         zt AS (SELECT events.event_type AS g, abs(value - med) AS z
+                FROM events JOIN med
+                  ON events.event_type = med.event_type),
+         g0 AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                  floor(avg(z) * 1000000 + 0.5) / 1000000.0 AS m_g,
+                  floor(var_samp(z) * 1000000 + 0.5) / 1000000.0 AS v_g
+           FROM zt GROUP BY g),
+         g1 AS (SELECT *, CAST(n_g AS DOUBLE) * m_g AS nm,
+                       CAST(n_g - 1 AS DOUBLE) * v_g AS wv
+                FROM g0),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                        CAST(sum(n_g) AS BIGINT) AS n_total,
+                        list_reduce(list(nm ORDER BY g),
+                          (acc, v) -> acc + v) AS sw,
+                        list_reduce(list(wv ORDER BY g),
+                          (acc, v) -> acc + v) AS ssw
+                 FROM g1),
+         s2 AS (SELECT k, n_total, ssw,
+                       list_reduce(
+                         list(CAST(n_g AS DOUBLE)
+                              * (m_g - sw / n_total)
+                              * (m_g - sw / n_total) ORDER BY g),
+                         (acc, v) -> acc + v) AS ssb
+                FROM g1 CROSS JOIN tot
+                GROUP BY k, n_total, ssw, sw)
+         SELECT k, n_total, k - 1 AS df1, n_total - k AS df2,
+                floor(((ssb / (k - 1)) / (ssw / (n_total - k)))
+                  * 1000000 + 0.5) / 1000000.0 AS w_stat
+         FROM s2""",
     "q_stats_entropy" ->
       s"""WITH c AS (
            SELECT user_id, event_type, count(*) AS c

@@ -370,6 +370,46 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** Matryoshka-truncation recall audit — the serving trick of keeping
+    * only the first 16 of 64 embedding dims (4× memory/bandwidth cut,
+    * the MRL deployment shape) PRICED like every other sketch here:
+    * per query, exact cosine top-10 under the full vectors vs top-10
+    * under the truncated prefix (renormalized — prefix norms differ
+    * per vector, so the division cannot be skipped), recall@10 =
+    * overlap/10. ONE broadcast-query scan computes both scores (the
+    * q_eval_ivf_recall shape — |corpus|×|queries| map-side work, no
+    * corpus shuffle); both rankings use r6-rounded sims with vec_id
+    * tie-breaks, so the sets are cross-engine identical by
+    * construction. At 100 TB the same audit runs on a query sample
+    * against an IVF-probed candidate set. */
+  private val evalMrlRecall: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("full_r", r6(expr("graft_dot(v, qv)")))
+      .withColumn("tr_r", r6(expr(
+        """graft_dot(slice(v, 1, 16), slice(qv, 1, 16))
+           / sqrt(graft_dot(slice(v, 1, 16), slice(v, 1, 16))
+                  * graft_dot(slice(qv, 1, 16), slice(qv, 1, 16)))""")))
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("full_r").desc, col("vec_id"))
+    val wt = Window.partitionBy("qid")
+      .orderBy(col("tr_r").desc, col("vec_id"))
+    val full = scored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 10).select(col("qid"), col("vec_id"))
+    val trunc = scored.withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    full.join(trunc, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector (vec_id < 10), the top-3 most-similar vectors carrying
     * a DIFFERENT label (similar-but-wrong = the informative negatives).
@@ -1102,7 +1142,8 @@ object VectorOps {
     "q_vec_margin" -> vecMargin,
     "q_vec_label_noise" -> labelNoise,
     "q_sample_kcenter" -> sampleKcenter,
-    "q_eval_ivf_recall" -> evalIvfRecall)
+    "q_eval_ivf_recall" -> evalIvfRecall,
+    "q_eval_mrl_recall" -> evalMrlRecall)
 
   /** Shared oracle fragment: the PQ training chain (8 subspaces × k=4,
     * one Lloyd round, r6 squared-L2 argmin with code tie-break) ending
@@ -1844,5 +1885,43 @@ object VectorOps {
                   / 1000000.0 AS recall
          FROM ext LEFT JOIN ivf ON ext.qid = ivf.qid
                               AND ext.vec_id = ivf.vec_id
-         GROUP BY ext.qid ORDER BY ext.qid""")
+         GROUP BY ext.qid ORDER BY ext.qid""",
+    // One scored scan yields both rankings; the truncated similarity
+    // renormalizes by the 16-dim prefix norms (list slice is 1-based
+    // inclusive in DuckDB, matching Spark's slice(v, 1, 16)).
+    "q_eval_mrl_recall" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+                   WHERE vec_id < 5),
+         sc AS (
+           SELECT q.qid, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS full_r,
+                  floor((list_inner_product(
+                           CAST(e.embedding[1:16] AS DOUBLE[]),
+                           CAST(q.embedding[1:16] AS DOUBLE[]))
+                         / sqrt(list_inner_product(
+                                  CAST(e.embedding[1:16] AS DOUBLE[]),
+                                  CAST(e.embedding[1:16] AS DOUBLE[]))
+                                * list_inner_product(
+                                    CAST(q.embedding[1:16] AS DOUBLE[]),
+                                    CAST(q.embedding[1:16] AS DOUBLE[]))))
+                        * 1000000 + 0.5) / 1000000.0 AS tr_r
+           FROM q JOIN embeddings e ON e.vec_id != q.qid),
+         f AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id, row_number() OVER (
+                   PARTITION BY qid ORDER BY full_r DESC, vec_id) AS rk
+                 FROM sc) t WHERE rk <= 10),
+         tr AS (SELECT qid, vec_id FROM (
+                 SELECT qid, vec_id, row_number() OVER (
+                   PARTITION BY qid ORDER BY tr_r DESC, vec_id) AS rk
+                 FROM sc) t WHERE rk <= 10)
+         SELECT f.qid, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_hit,
+                floor((CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1
+                    ELSE 0 END) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+                  / 1000000.0 AS recall
+         FROM f LEFT JOIN tr ON f.qid = tr.qid AND f.vec_id = tr.vec_id
+         GROUP BY f.qid ORDER BY f.qid""")
 }

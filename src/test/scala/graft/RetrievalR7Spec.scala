@@ -269,6 +269,58 @@ class RetrievalR7Spec extends SparkSpec {
       "per-type rows re-count multi-type users — sanity of the census split")
   }
 
+  test("levene: anova machinery on |x - median|, valid dofs, finite stat") {
+    val r = SparkEntry.queries("q_stats_levene")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val k = r(0).getLong(0)
+    val nTypes = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(k == nTypes)
+    assert(r(0).getLong(2) == k - 1 && r(0).getLong(3) == r(0).getLong(1) - k)
+    val w = r(0).getDouble(4)
+    assert(!w.isNaN && !w.isInfinite && w >= 0.0)
+  }
+
+  test("mrl recall: 10 exact neighbors per query, recall = hits/10 in (0,1]") {
+    val rows = SparkEntry.queries("q_eval_mrl_recall")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10)
+      val (hits, rec) = (r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= 10)
+      assert(rec == math.floor(hits / 10.0 * 1e6 + 0.5) / 1e6)
+      assert(hits > 0,
+        s"qid ${r.getLong(0)}: 16-dim prefix should keep SOME of the top-10")
+    }
+  }
+
+  test("rouge: same pair set as dedup_near; one pair replays by hand") {
+    val rouge = SparkEntry.queries("q_eval_rouge")(spark, sfDir).collect()
+    val near = SparkEntry.queries("q_dedup_near")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rouge.map(r => (r.getLong(0), r.getLong(1))).toSet == near,
+      "rouge must score exactly the near-dup pair set")
+    rouge.foreach { r =>
+      val (na, nb, o1, o2) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(o1 <= math.min(na, nb), "clipped unigram overlap bound")
+      assert(o2 <= math.max(0L, math.min(na, nb) - 1), "bigram overlap bound")
+      assert(r.getDouble(6) <= 1.0 + 1e-9 && r.getDouble(7) <= 1.0 + 1e-9)
+    }
+    // hand-replay the clipped unigram overlap for the first pair
+    val (a, b) = (rouge(0).getLong(0), rouge(0).getLong(1))
+    val texts = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(a, b))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def counts(t: String) =
+      t.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (ca, cb) = (counts(texts(a)), counts(texts(b)))
+    val o1Hand = ca.keysIterator
+      .map(k => math.min(ca(k), cb.getOrElse(k, 0L))).sum
+    assert(rouge(0).getLong(4) == o1Hand,
+      s"pair ($a,$b): plan o1 ${rouge(0).getLong(4)} != hand replay $o1Hand")
+  }
+
   test("lpa: a partition of the graph's nodes, at least as fine as components") {
     val lpa = SparkEntry.queries("q_graph_lpa")(spark, sfDir).collect()
     val comp = SparkEntry.queries("q_graph_components")(spark, sfDir).collect()
