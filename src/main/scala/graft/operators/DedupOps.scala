@@ -568,6 +568,61 @@ object DedupOps {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
 
+  /** ROUGE-1/ROUGE-2 F1 of every near-dup cluster member against its
+    * kept representative — the summarization-eval metric repurposed as
+    * the pre-delete audit a curation pipeline actually needs: the
+    * fingerprint similarity that formed the cluster says nothing about
+    * SEQUENCE overlap, while clipped unigram/bigram MULTISET F1 says
+    * how much of the text being dropped is really inside the text
+    * being kept (low rouge2 at high fingerprint similarity = same
+    * vocabulary, different order — a paraphrase worth keeping, not a
+    * copy). Scoring member↔rep instead of all intra-cluster pairs
+    * keeps the audit LINEAR in docs (a size-k cluster costs k−1 rows,
+    * never k²/2 — the shape that survives 100 TB); cluster labels come
+    * from the shared cached components, n-gram censuses are exploded
+    * only for docs inside clusters, and clipped F1 collapses to
+    * 2·Σmin(ca,cb)/(na+nb) — one integer overlap join + one division
+    * per metric. */
+  private val evalRouge: Q = (s, d) => {
+    val pairs = clusterReps(s, d)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("cluster_rep").as("a"), col("doc_id").as("b"))
+    val docs = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val toks = Tables.documents(s, d).join(docs, "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val tokc = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bigc = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+           i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def overlap(cnt: DataFrame, name: String) = cnt
+      .select(col("doc_id").as("a"), col("g"), col("c").as("ca"))
+      .join(broadcast(pairs), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("g"),
+        col("c").as("cb")), Seq("b", "g"))
+      .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as(name))
+    val lens = tokc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    pairs
+      .join(lens.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(lens.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .join(overlap(tokc, "o1"), Seq("a", "b"), "left")
+      .join(overlap(bigc, "o2"), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("o1", "o2"))
+      .withColumn("rouge1_f_r",
+        r6(lit(2.0) * col("o1") / (col("n_a") + col("n_b"))))
+      .withColumn("rouge2_f_r",
+        when(col("n_a") + col("n_b") > 2,
+          r6(lit(2.0) * col("o2") / (col("n_a") + col("n_b") - 2)))
+          .otherwise(lit(0.0)))
+      .select("a", "b", "n_a", "n_b", "o1", "o2",
+        "rouge1_f_r", "rouge2_f_r")
+      .orderBy("a", "b")
+  }
+
   /** Quality-aware cluster representative selection: for every near-dup
     * cluster (the shared simhash component labels), keep the member with
     * the HIGHEST heuristic quality score (r6-rounded, doc_id tie-break)
@@ -729,6 +784,7 @@ object DedupOps {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_clusters" -> dedupClusters,
+    "q_eval_rouge" -> evalRouge,
     "q_pipeline_curate" -> pipelineCurate,
     "q_dedup_ngram" -> dedupNgram)
 
@@ -965,6 +1021,56 @@ object DedupOps {
            SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst)
          SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // member↔rep pairs from the same component chain as
+    // q_dedup_clusters; clipped n-gram overlaps via least(ca, cb)
+    // joins; F1 = 2·overlap/(len_a + len_b).
+    "q_eval_rouge" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         spairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM spairs
+                 UNION ALL SELECT b, a FROM spairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         comp AS (SELECT src AS doc_id,
+                         least(src, min(dst)) AS cluster_rep
+                  FROM reach GROUP BY src),
+         rpairs AS (SELECT cluster_rep AS a, doc_id AS b FROM comp
+                    WHERE doc_id != cluster_rep),
+         rbig AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1])) AS g
+             FROM documents) t GROUP BY doc_id, g),
+         rlen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM tokc
+                  GROUP BY doc_id),
+         ov1 AS (SELECT p.a, p.b,
+                        CAST(sum(least(x.cnt, y.cnt)) AS BIGINT) AS o1
+                 FROM rpairs p JOIN tokc x ON x.doc_id = p.a
+                      JOIN tokc y ON y.doc_id = p.b AND y.tok = x.tok
+                 GROUP BY p.a, p.b),
+         ov2 AS (SELECT p.a, p.b,
+                        CAST(sum(least(x.c, y.c)) AS BIGINT) AS o2
+                 FROM rpairs p JOIN rbig x ON x.doc_id = p.a
+                      JOIN rbig y ON y.doc_id = p.b AND y.g = x.g
+                 GROUP BY p.a, p.b)
+         SELECT p.a, p.b, la.n AS n_a, lb.n AS n_b,
+                CAST(coalesce(ov1.o1, 0) AS BIGINT) AS o1,
+                CAST(coalesce(ov2.o2, 0) AS BIGINT) AS o2,
+                floor((2.0 * coalesce(ov1.o1, 0) / (la.n + lb.n))
+                  * 1000000 + 0.5) / 1000000.0 AS rouge1_f_r,
+                CASE WHEN la.n + lb.n > 2
+                  THEN floor((2.0 * coalesce(ov2.o2, 0)
+                         / (la.n + lb.n - 2)) * 1000000 + 0.5) / 1000000.0
+                  ELSE 0.0 END AS rouge2_f_r
+         FROM rpairs p
+         JOIN rlen la ON la.doc_id = p.a
+         JOIN rlen lb ON lb.doc_id = p.b
+         LEFT JOIN ov1 ON ov1.a = p.a AND ov1.b = p.b
+         LEFT JOIN ov2 ON ov2.a = p.a AND ov2.b = p.b
+         ORDER BY p.a, p.b""",
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),

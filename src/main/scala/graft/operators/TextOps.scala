@@ -1831,54 +1831,6 @@ object TextOps {
         r6(col("ap_micros") / (col("n_pos") * lit(1000000.0))).as("ap_r"))
   }
 
-  /** ROUGE-1/ROUGE-2 F1 between each verified near-duplicate pair —
-    * the summarization-eval metric repurposed as a dedup audit: the
-    * SET-level Jaccard that admitted the pair says nothing about
-    * sequence overlap, while clipped unigram/bigram MULTISET F1
-    * quantifies how much text is actually shared (low rouge2 on a
-    * high-jaccard pair = same vocabulary, different order — a
-    * paraphrase, not a copy; exactly the distinction a training-data
-    * dedup reviewer needs). Pairs come from the q_dedup_near plan
-    * (bitmap-verified, size-banded — candidate-bounded at any scale)
-    * and broadcast onto the n-gram count frames; clipped-count F1
-    * collapses to 2·Σmin(ca,cb)/(na+nb), so each metric is one
-    * integer overlap join + one division per pair. */
-  private val evalRouge: Q = (s, d) => {
-    val pairs = dedupNear(s, d).select("a", "b")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val tokc = toks.select(col("doc_id"), explode(col("t")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val bigc = toks.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(t) - 1),
-           i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
-        .as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    def overlap(cnt: DataFrame, name: String) = cnt
-      .select(col("doc_id").as("a"), col("g"), col("c").as("ca"))
-      .join(broadcast(pairs), "a")
-      .join(cnt.select(col("doc_id").as("b"), col("g"),
-        col("c").as("cb")), Seq("b", "g"))
-      .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as(name))
-    val lens = tokc.groupBy("doc_id").agg(sum(col("c")).as("n"))
-    pairs
-      .join(lens.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
-      .join(lens.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
-      .join(overlap(tokc, "o1"), Seq("a", "b"), "left")
-      .join(overlap(bigc, "o2"), Seq("a", "b"), "left")
-      .na.fill(0L, Seq("o1", "o2"))
-      .withColumn("rouge1_f_r",
-        r6(lit(2.0) * col("o1") / (col("n_a") + col("n_b"))))
-      .withColumn("rouge2_f_r",
-        when(col("n_a") + col("n_b") > 2,
-          r6(lit(2.0) * col("o2") / (col("n_a") + col("n_b") - 2)))
-          .otherwise(lit(0.0)))
-      .select("a", "b", "n_a", "n_b", "o1", "o2",
-        "rouge1_f_r", "rouge2_f_r")
-      .orderBy("a", "b")
-  }
-
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2119,7 +2071,6 @@ object TextOps {
     "q_eval_ece" -> evalEce,
     "q_eval_auroc" -> evalAuroc,
     "q_eval_pr_auc" -> evalPrAuc,
-    "q_eval_rouge" -> evalRouge,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2479,61 +2430,6 @@ object TextOps {
                 floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
                   / 1000000.0 AS ap_r
          FROM apm CROSS JOIN tot""",
-    // Pair set = the exact q_dedup_near SQL; clipped n-gram overlaps
-    // via least(ca, cb) joins; F1 = 2·overlap/(len_a + len_b).
-    "q_eval_rouge" ->
-      """WITH tokd AS (
-           SELECT doc_id,
-                  unnest(list_distinct(string_split(text, ' '))) AS tok
-           FROM documents),
-         szd AS (SELECT doc_id, count(*) AS n FROM tokd GROUP BY doc_id),
-         interd AS (
-           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-           FROM tokd x JOIN tokd y
-             ON x.tok = y.tok AND x.doc_id < y.doc_id
-           GROUP BY x.doc_id, y.doc_id),
-         pairs AS (
-           SELECT a, b FROM interd
-           JOIN szd sa ON sa.doc_id = a
-           JOIN szd sb ON sb.doc_id = b
-           WHERE i / (sa.n + sb.n - i) >= 0.8
-             AND sa.n * 4 <= sb.n * 5 AND sb.n * 4 <= sa.n * 5),
-         tokc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS g
-             FROM documents) t GROUP BY doc_id, g),
-         bigc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
-             SELECT doc_id, unnest(list_transform(
-                 generate_series(1, len(string_split(text, ' ')) - 1),
-                 i -> string_split(text, ' ')[i] || ' ' ||
-                      string_split(text, ' ')[i + 1])) AS g
-             FROM documents) t GROUP BY doc_id, g),
-         lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tokc
-                  GROUP BY doc_id),
-         ov1 AS (SELECT p.a, p.b,
-                        CAST(sum(least(x.c, y.c)) AS BIGINT) AS o1
-                 FROM pairs p JOIN tokc x ON x.doc_id = p.a
-                      JOIN tokc y ON y.doc_id = p.b AND y.g = x.g
-                 GROUP BY p.a, p.b),
-         ov2 AS (SELECT p.a, p.b,
-                        CAST(sum(least(x.c, y.c)) AS BIGINT) AS o2
-                 FROM pairs p JOIN bigc x ON x.doc_id = p.a
-                      JOIN bigc y ON y.doc_id = p.b AND y.g = x.g
-                 GROUP BY p.a, p.b)
-         SELECT p.a, p.b, la.n AS n_a, lb.n AS n_b,
-                CAST(coalesce(ov1.o1, 0) AS BIGINT) AS o1,
-                CAST(coalesce(ov2.o2, 0) AS BIGINT) AS o2,
-                floor((2.0 * coalesce(ov1.o1, 0) / (la.n + lb.n))
-                  * 1000000 + 0.5) / 1000000.0 AS rouge1_f_r,
-                CASE WHEN la.n + lb.n > 2
-                  THEN floor((2.0 * coalesce(ov2.o2, 0)
-                         / (la.n + lb.n - 2)) * 1000000 + 0.5) / 1000000.0
-                  ELSE 0.0 END AS rouge2_f_r
-         FROM pairs p
-         JOIN lens la ON la.doc_id = p.a
-         JOIN lens lb ON lb.doc_id = p.b
-         LEFT JOIN ov1 ON ov1.a = p.a AND ov1.b = p.b
-         LEFT JOIN ov2 ON ov2.a = p.a AND ov2.b = p.b
-         ORDER BY p.a, p.b""",
     // Calibration: same trained chain, probabilities binned ×10, per-
     // bin confidence as exact micros; the ECE fold is sequential in
     // bin order (list_reduce over the ordered list).

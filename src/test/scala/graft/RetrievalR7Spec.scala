@@ -294,12 +294,13 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
-  test("rouge: same pair set as dedup_near; one pair replays by hand") {
+  test("rouge: scores every cluster member against its rep; one pair replays by hand") {
     val rouge = SparkEntry.queries("q_eval_rouge")(spark, sfDir).collect()
-    val near = SparkEntry.queries("q_dedup_near")(spark, sfDir)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(rouge.map(r => (r.getLong(0), r.getLong(1))).toSet == near,
-      "rouge must score exactly the near-dup pair set")
+    val expected = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().filter(r => r.getLong(0) != r.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(rouge.map(r => (r.getLong(0), r.getLong(1))).toSet == expected,
+      "rouge must score exactly the (rep, member) pairs of the clusters")
     rouge.foreach { r =>
       val (na, nb, o1, o2) =
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
