@@ -1280,6 +1280,54 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** KMV set-ALGEBRA: estimated audience overlap between every pair of
+    * event types via inclusion–exclusion on the sketches —
+    * est(A∩B) = est(A) + est(B) − est(A∪B) — beside the exact
+    * intersection. This is the query audience/reach systems run
+    * constantly ("how many users do both X and Y") and the reason
+    * mergeable sketches matter: the union sketch comes from ONE
+    * graft_kmv pass over pair-tagged rows (each event row joins the
+    * ≤|types|−1 pairs naming its type — a bounded broadcast fan-out,
+    * map-combinable aggregate, ≤ k hashes per group on the shuffle),
+    * never from re-scanning per pair. The estimate can go negative on
+    * small overlaps (clamped at 0 — sketch algebra's known weakness,
+    * priced by the exact column). Every step is the deterministic
+    * md5/KMV arithmetic, so unlike a theta sketch the whole algebra
+    * oracle-checks. */
+  private val aggKmvIntersect: Q = (s, d) => {
+    val types = Tables.events(s, d).select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val perType = Tables.events(s, d).groupBy("event_type")
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)").as("est"))
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id"))
+    val unionEst = ev.join(broadcast(pairs),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy("ta", "tb")
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)")
+        .as("est_union"))
+    val hu = ev.filter(col("user_id").isNotNull).distinct()
+    val exact = hu.select(col("t").as("ta"), col("user_id"))
+      .join(hu.select(col("t").as("tb"), col("user_id")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .join(perType.select(col("event_type").as("ta"),
+        col("est").as("est_a")), "ta")
+      .join(perType.select(col("event_type").as("tb"),
+        col("est").as("est_b")), "tb")
+      .join(unionEst, Seq("ta", "tb"))
+      .join(exact, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("est_inter", greatest(lit(0L),
+        col("est_a") + col("est_b") - col("est_union")))
+      .select("ta", "tb", "est_a", "est_b", "est_union", "est_inter",
+        "exact_inter")
+      .orderBy("ta", "tb")
+  }
+
   /** Sketch-error audit for the KMV distinct estimator — the eval
     * harness a sketch ships with (the q_eval_*_recall pattern applied
     * to cardinality estimation): per-group KMV estimate joined to the
@@ -2139,6 +2187,7 @@ object RelationalOps {
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_approx_distinct_kmv" -> aggApproxDistinctKmv,
     "q_agg_kmv_merge" -> aggKmvMerge,
+    "q_agg_kmv_intersect" -> aggKmvIntersect,
     "q_agg_filtered" -> aggFiltered,
     "q_agg_bool" -> aggBool,
     "q_quality_skew_audit" -> skewAudit,
@@ -2821,6 +2870,58 @@ object RelationalOps {
                 est_direct = est_merged AS merge_exact
          FROM direct JOIN merged USING (t)
          ORDER BY event_type""",
+    // Inclusion-exclusion on the same relational KMV replay: per-type
+    // estimates, a pair-tagged union estimate, and the exact distinct
+    // intersection for the error read.
+    "q_agg_kmv_intersect" ->
+      s"""WITH hh AS (SELECT DISTINCT event_type AS t, user_id,
+                  md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+         types AS (SELECT DISTINCT event_type FROM events),
+         pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM types a JOIN types b
+                     ON a.event_type < b.event_type),
+         ndt AS (SELECT t, CAST(count(*) AS BIGINT) AS nd FROM hh
+                 GROUP BY t),
+         ktht AS (SELECT t, greatest($hexValSql, 1) AS v FROM (
+                    SELECT t, h, row_number() OVER (PARTITION BY t
+                      ORDER BY h) AS rn FROM hh) x WHERE rn = $KmvK),
+         estt AS (SELECT ndt.t AS t,
+                         CAST(CASE WHEN ktht.v IS NULL THEN nd
+                              ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                         / CAST(ktht.v AS DOUBLE)) END
+                              AS BIGINT) AS est
+                  FROM ndt LEFT JOIN ktht USING (t)),
+         uh AS (SELECT DISTINCT p.ta, p.tb, hh.h
+                FROM pairs p JOIN hh ON hh.t = p.ta OR hh.t = p.tb),
+         ndu AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS nd FROM uh
+                 GROUP BY ta, tb),
+         kthu AS (SELECT ta, tb, greatest($hexValSql, 1) AS v FROM (
+                    SELECT ta, tb, h, row_number() OVER (
+                      PARTITION BY ta, tb ORDER BY h) AS rn
+                    FROM uh) x WHERE rn = $KmvK),
+         estu AS (SELECT ndu.ta, ndu.tb,
+                         CAST(CASE WHEN kthu.v IS NULL THEN nd
+                              ELSE floor(${KmvK - 1}.0 * power(16.0, 15.0)
+                                         / CAST(kthu.v AS DOUBLE)) END
+                              AS BIGINT) AS est_union
+                  FROM ndu LEFT JOIN kthu USING (ta, tb)),
+         ex AS (SELECT x.t AS ta, y.t AS tb,
+                       CAST(count(*) AS BIGINT) AS exact_inter
+                FROM hh x JOIN hh y
+                  ON x.user_id = y.user_id AND x.t < y.t
+                GROUP BY x.t, y.t)
+         SELECT p.ta, p.tb, ea.est AS est_a, eb.est AS est_b,
+                estu.est_union,
+                greatest(CAST(0 AS BIGINT),
+                         ea.est + eb.est - estu.est_union) AS est_inter,
+                CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+         FROM pairs p
+         JOIN estt ea ON ea.t = p.ta
+         JOIN estt eb ON eb.t = p.tb
+         JOIN estu ON estu.ta = p.ta AND estu.tb = p.tb
+         LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+         ORDER BY p.ta, p.tb""",
     "q_agg_approx_distinct_kmv" ->
       s"""WITH g AS (SELECT DISTINCT event_type FROM events),
           h AS (

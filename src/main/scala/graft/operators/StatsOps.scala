@@ -597,6 +597,56 @@ object StatsOps {
           .as("acf1"))
   }
 
+  private val LbLags = 7
+
+  /** Ljung–Box portmanteau test on the daily event-count series — is
+    * there ANY autocorrelation structure in the first 7 lags, jointly?
+    * (q_stats_autocorr reads one lag; model-residual checks and
+    * seasonality gates need the joint test.) Q = n(n+2)·Σ ρ̂_k²/(n−k)
+    * against the pinned χ²₀.₉₅,₇ critical value. Determinism
+    * discipline: the daily census is exact integers, every lag's
+    * (Σxy, Σx_head, Σx_tail) is an exact long over the |days|-bounded
+    * pair frame (one broadcast lag spine ⋈ census join — never a
+    * window over data), ρ̂_k assembles those integers with the series
+    * mean in ONE pinned IEEE expression and is r6-rounded before the
+    * 7-term fold, which runs in sorted lag order on both engines. */
+  private val ljungBox: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val glob = daily
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .withColumn("md", col("sx").cast("double") / col("n"))
+    val lags = s.range(1, LbLags + 1).select(col("id").as("k"))
+    val perk = daily.select(col("day"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("dayy"), col("c").as("y")),
+        col("dayy") === col("day") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sh"), sum(col("y")).as("st"))
+      .crossJoin(broadcast(glob))
+      .withColumn("rho_r",
+        r6((col("sxy") - col("md") * (col("sh") + col("st"))
+          + col("n_pairs") * col("md") * col("md"))
+          / (col("sxx") - col("n") * col("md") * col("md"))))
+    val qv = perk
+      .withColumn("term",
+        col("rho_r") * col("rho_r") / (col("n") - col("k")))
+      .groupBy("n")
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(k, term))), x -> x.term), 0D, (acc, v) -> acc + v)")
+        .as("tsum"))
+      .select(r6(col("n") * (col("n") + 2) * col("tsum")).as("q_lb_r"))
+    perk.select(col("k"), col("n_pairs"), col("rho_r"))
+      .crossJoin(broadcast(qv))
+      .withColumn("reject",
+        col("q_lb_r") > lit(14.067140449340169).cast("double"))
+      .orderBy("k")
+  }
+
   /** Winsorized robust mean — the outlier-resistant location estimate
     * production metrics use when a single fat-fingered value must not
     * move the dashboard: values clipped at p05/p95, then re-averaged
@@ -1193,6 +1243,7 @@ object StatsOps {
     "q_stats_chisq" -> chisq,
     "q_stats_srm" -> srm,
     "q_stats_levene" -> levene,
+    "q_stats_ljung_box" -> ljungBox,
     "q_stats_entropy" -> entropy,
     "q_stats_psi" -> psi,
     "q_stats_mad" -> mad)
@@ -2091,6 +2142,48 @@ object StatsOps {
                 floor(((ssb / (k - 1)) / (ssw / (n_total - k)))
                   * 1000000 + 0.5) / 1000000.0 AS w_stat
          FROM s2""",
+    // Exact-integer lag sums assembled with the series mean in the
+    // same operation order as Spark; the 7-term fold runs in lag
+    // order via the sorted list_reduce.
+    "q_stats_ljung_box" ->
+      """WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         gstat AS (
+           SELECT n, sx, sxx, CAST(sx AS DOUBLE) / n AS md FROM (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS sx,
+                    CAST(sum(c * c) AS BIGINT) AS sxx
+             FROM daily) g),
+         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                    AS k),
+         pk AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+                  CAST(sum(a.c) AS BIGINT) AS sh,
+                  CAST(sum(b.c) AS BIGINT) AS st
+           FROM lags CROSS JOIN daily a
+                JOIN daily b ON b.day = a.day + k
+           GROUP BY k),
+         rho AS (
+           SELECT k, n_pairs,
+                  floor(((sxy - md * (sh + st)
+                          + n_pairs * md * md)
+                         / (sxx - n * md * md)) * 1000000 + 0.5)
+                    / 1000000.0 AS rho_r
+           FROM pk CROSS JOIN gstat),
+         qv AS (SELECT max(gstat.n) AS n,
+                       list_reduce(
+                         list(rho_r * rho_r / (gstat.n - k) ORDER BY k),
+                         (acc, v) -> acc + v) AS tsum
+                FROM rho CROSS JOIN gstat),
+         qr AS (SELECT floor((n * (n + 2) * tsum) * 1000000 + 0.5)
+                         / 1000000.0 AS q_lb_r
+                FROM qv)
+         SELECT k, n_pairs, rho_r, q_lb_r,
+                q_lb_r > 14.067140449340169 AS reject
+         FROM rho CROSS JOIN qr ORDER BY k""",
     "q_stats_entropy" ->
       s"""WITH c AS (
            SELECT user_id, event_type, count(*) AS c

@@ -322,6 +322,59 @@ class RetrievalR7Spec extends SparkSpec {
       s"pair ($a,$b): plan o1 ${rouge(0).getLong(4)} != hand replay $o1Hand")
   }
 
+  test("kmv intersect: all type pairs, union bounded, exact replayed for one pair") {
+    val rows = SparkEntry.queries("q_agg_kmv_intersect")(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { r =>
+      val (estA, estB, estU, estI) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(estU <= estA + estB, "union estimate cannot exceed the sum")
+      assert(estI == math.max(0L, estA + estB - estU),
+        "inclusion-exclusion identity with clamp")
+    }
+    val (ta, tb) = (rows(0).getString(0), rows(0).getString(1))
+    val ua = Tables.events(spark, sfDir)
+      .filter(col("event_type") === ta && col("user_id").isNotNull)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val ub = Tables.events(spark, sfDir)
+      .filter(col("event_type") === tb && col("user_id").isNotNull)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows(0).getLong(6) == (ua & ub).size.toLong,
+      s"pair ($ta,$tb): exact intersection must replay")
+  }
+
+  test("ljung box: 7 lags, rho replays by hand, one shared q verdict") {
+    val rows = SparkEntry.queries("q_stats_ljung_box")(spark, sfDir).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getDouble(3)).distinct.length == 1,
+      "q_lb is a single statistic broadcast onto every lag row")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      assert(r.getBoolean(4) == (r.getDouble(3) > 14.067140449340169))
+    }
+    // hand replay of rho_k from the collected daily census
+    val daily = Tables.events(spark, sfDir)
+      .selectExpr("(ts_ns div 1000) div 86400000000 AS day")
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = daily.size
+    val mean = daily.values.sum.toDouble / n
+    val sxx = daily.values.map(c => c.toDouble * c).sum - n * mean * mean
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val pairs = daily.keys.toSeq.sorted
+        .flatMap(t => daily.get(t + k).map(y => (daily(t), y)))
+      val num = pairs.map { case (x, y) => x.toLong * y }.sum -
+        mean * (pairs.map(_._1).sum + pairs.map(_._2).sum) +
+        pairs.length * mean * mean
+      val rho = math.floor(num / sxx * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getDouble(2) - rho) <= 1e-6,
+        s"lag $k: plan rho ${r.getDouble(2)} != replay $rho")
+    }
+  }
+
   test("lpa: a partition of the graph's nodes, at least as fine as components") {
     val lpa = SparkEntry.queries("q_graph_lpa")(spark, sfDir).collect()
     val comp = SparkEntry.queries("q_graph_components")(spark, sfDir).collect()
