@@ -583,7 +583,12 @@ object DedupOps {
     * only for docs inside clusters, and clipped F1 collapses to
     * 2·Σmin(ca,cb)/(na+nb) — one integer overlap join + one division
     * per metric. */
-  private val evalRouge: Q = (s, d) => {
+  /** Shared (a=rep, b=member, n_a, n_b, o1, o2) frame for the
+    * n-gram-overlap pair metrics (ROUGE + BLEU): clipped unigram and
+    * bigram multiset overlaps of every cluster member against its
+    * representative. Censuses are exploded only for docs inside
+    * clusters; pairs broadcast onto them. */
+  private def pairOverlaps(s: SparkSession, d: String): DataFrame = {
     val pairs = clusterReps(s, d)
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("cluster_rep").as("a"), col("doc_id").as("b"))
@@ -612,6 +617,10 @@ object DedupOps {
       .join(overlap(tokc, "o1"), Seq("a", "b"), "left")
       .join(overlap(bigc, "o2"), Seq("a", "b"), "left")
       .na.fill(0L, Seq("o1", "o2"))
+  }
+
+  private val evalRouge: Q = (s, d) =>
+    pairOverlaps(s, d)
       .withColumn("rouge1_f_r",
         r6(lit(2.0) * col("o1") / (col("n_a") + col("n_b"))))
       .withColumn("rouge2_f_r",
@@ -621,7 +630,30 @@ object DedupOps {
       .select("a", "b", "n_a", "n_b", "o1", "o2",
         "rouge1_f_r", "rouge2_f_r")
       .orderBy("a", "b")
-  }
+
+  /** BLEU-2 of each cluster member (candidate) against its kept
+    * representative (reference) — ROUGE's precision-direction sibling
+    * on the SAME shared overlap frame: p_i = clipped i-gram precision
+    * o_i/(n_b − i + 1), score = BP·√(p1·p2) with the brevity penalty
+    * BP = min(1, e^{1 − n_a/n_b}) punishing members much shorter than
+    * their rep (the truncation-dup case ROUGE-F flatters). exp/ln is
+    * the one libm call, in the same expression shape both engines
+    * already agree on (the sigmoid precedent); everything else is
+    * integer overlaps to two divisions and a sqrt. */
+  private val evalBleu: Q = (s, d) =>
+    pairOverlaps(s, d)
+      .withColumn("bp_r",
+        r6(when(col("n_b") >= col("n_a"), lit(1.0))
+          .otherwise(exp(lit(1.0)
+            - col("n_a").cast("double") / col("n_b")))))
+      .withColumn("bleu2_r",
+        when(col("n_b") > 1,
+          r6(col("bp_r") * sqrt(
+            (col("o1").cast("double") / col("n_b"))
+              * (col("o2").cast("double") / (col("n_b") - 1)))))
+          .otherwise(lit(0.0)))
+      .select("a", "b", "n_a", "n_b", "o1", "o2", "bp_r", "bleu2_r")
+      .orderBy("a", "b")
 
   /** Quality-aware cluster representative selection: for every near-dup
     * cluster (the shared simhash component labels), keep the member with
@@ -785,6 +817,7 @@ object DedupOps {
     "q_dedup_simhash_pairs" -> dedupSimhashPairs,
     "q_dedup_clusters" -> dedupClusters,
     "q_eval_rouge" -> evalRouge,
+    "q_eval_bleu" -> evalBleu,
     "q_pipeline_curate" -> pipelineCurate,
     "q_dedup_ngram" -> dedupNgram)
 
@@ -1071,6 +1104,61 @@ object DedupOps {
          LEFT JOIN ov1 ON ov1.a = p.a AND ov1.b = p.b
          LEFT JOIN ov2 ON ov2.a = p.a AND ov2.b = p.b
          ORDER BY p.a, p.b""",
+    // Same member↔rep overlap chain as q_eval_rouge; the final select
+    // computes clipped precisions + brevity penalty instead of F1.
+    "q_eval_bleu" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         spairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),
+         und AS (SELECT a, b FROM spairs
+                 UNION ALL SELECT b, a FROM spairs),
+         reach(src, dst) AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst),
+         comp AS (SELECT src AS doc_id,
+                         least(src, min(dst)) AS cluster_rep
+                  FROM reach GROUP BY src),
+         rpairs AS (SELECT cluster_rep AS a, doc_id AS b FROM comp
+                    WHERE doc_id != cluster_rep),
+         rbig AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1])) AS g
+             FROM documents) t GROUP BY doc_id, g),
+         rlen AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM tokc
+                  GROUP BY doc_id),
+         ov1 AS (SELECT p.a, p.b,
+                        CAST(sum(least(x.cnt, y.cnt)) AS BIGINT) AS o1
+                 FROM rpairs p JOIN tokc x ON x.doc_id = p.a
+                      JOIN tokc y ON y.doc_id = p.b AND y.tok = x.tok
+                 GROUP BY p.a, p.b),
+         ov2 AS (SELECT p.a, p.b,
+                        CAST(sum(least(x.c, y.c)) AS BIGINT) AS o2
+                 FROM rpairs p JOIN rbig x ON x.doc_id = p.a
+                      JOIN rbig y ON y.doc_id = p.b AND y.g = x.g
+                 GROUP BY p.a, p.b),
+         base AS (
+           SELECT p.a, p.b, la.n AS n_a, lb.n AS n_b,
+                  CAST(coalesce(ov1.o1, 0) AS BIGINT) AS o1,
+                  CAST(coalesce(ov2.o2, 0) AS BIGINT) AS o2
+           FROM rpairs p
+           JOIN rlen la ON la.doc_id = p.a
+           JOIN rlen lb ON lb.doc_id = p.b
+           LEFT JOIN ov1 ON ov1.a = p.a AND ov1.b = p.b
+           LEFT JOIN ov2 ON ov2.a = p.a AND ov2.b = p.b),
+         bp AS (
+           SELECT *, floor((CASE WHEN n_b >= n_a THEN 1.0
+                            ELSE exp(1.0 - CAST(n_a AS DOUBLE) / n_b)
+                            END) * 1000000 + 0.5) / 1000000.0 AS bp_r
+           FROM base)
+         SELECT a, b, n_a, n_b, o1, o2, bp_r,
+                CASE WHEN n_b > 1
+                  THEN floor((bp_r * sqrt((CAST(o1 AS DOUBLE) / n_b)
+                         * (CAST(o2 AS DOUBLE) / (n_b - 1))))
+                         * 1000000 + 0.5) / 1000000.0
+                  ELSE 0.0 END AS bleu2_r
+         FROM bp ORDER BY a, b""",
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          pairs AS (SELECT a, b FROM ham WHERE hd <= $HammingMax),

@@ -375,6 +375,43 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("neyman: allocations hit the 1000 budget and replay from the census") {
+    val rows = SparkEntry.queries("q_sample_neyman")(spark, sfDir).collect()
+    val nTotal = rows.map(_.getLong(1)).sum
+    val wSum = rows.sortBy(_.getString(0))
+      .map(r => r.getLong(1).toDouble * r.getDouble(2)).sum
+    rows.foreach { r =>
+      val (nh, s) = (r.getLong(1), r.getDouble(2))
+      assert(r.getLong(3) ==
+        math.floor(1000.0 * nh / nTotal + 0.5).toLong, "n_prop replay")
+      assert(r.getLong(4) ==
+        math.floor(1000.0 * (nh * s) / wSum + 0.5).toLong, "n_neyman replay")
+    }
+    // half-up rounding per stratum keeps each budget within strata/2
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000L) <= rows.length / 2 + 1)
+    assert(math.abs(rows.map(_.getLong(4)).sum - 1000L) <= rows.length / 2 + 1)
+  }
+
+  test("bleu: same pairs as rouge, bp <= 1, score replays from the overlaps") {
+    val bleu = SparkEntry.queries("q_eval_bleu")(spark, sfDir).collect()
+    val rougePairs = SparkEntry.queries("q_eval_rouge")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bleu.map(r => (r.getLong(0), r.getLong(1))).toSet == rougePairs)
+    bleu.foreach { r =>
+      val (na, nb, o1, o2) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val bp = math.floor((if (nb >= na) 1.0
+        else math.exp(1.0 - na.toDouble / nb)) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(6) == bp, "brevity penalty replay")
+      val expect = if (nb > 1)
+        math.floor(bp * math.sqrt((o1.toDouble / nb) *
+          (o2.toDouble / (nb - 1))) * 1e6 + 0.5) / 1e6
+      else 0.0
+      assert(r.getDouble(7) == expect, "bleu2 replay")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0 + 1e-9)
+    }
+  }
+
   test("lpa: a partition of the graph's nodes, at least as fine as components") {
     val lpa = SparkEntry.queries("q_graph_lpa")(spark, sfDir).collect()
     val comp = SparkEntry.queries("q_graph_components")(spark, sfDir).collect()
