@@ -597,36 +597,6 @@ object StatsOps {
           .as("acf1"))
   }
 
-  /** Neyman (optimal) stratified-sampling allocation beside the
-    * proportional one — the survey-sampling design step an eval/audit
-    * pipeline runs before drawing its sample: for a fixed budget of
-    * 1000 draws, allocate n_h ∝ N_h·S_h (stratum size × stratum
-    * stddev), which minimizes the estimator variance; high-variance
-    * strata get oversampled relative to proportional. One hash
-    * aggregate builds the |types|-bounded stratum census (counts
-    * exact, stddev r6-pinned); the Σ N_h·S_h normalizer is the sorted
-    * |strata| fold; each allocation is one pinned double expression
-    * rounded half-up to integer draws. */
-  private val neyman: Q = (s, d) => {
-    val g = Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_h"),
-        r6(stddev_samp(col("value"))).as("s_r"))
-      .withColumn("w", col("n_h").cast("double") * col("s_r"))
-    def fold(field: String) =
-      expr(s"aggregate(transform(array_sort(collect_list(" +
-        s"struct(event_type, $field))), x -> x.$field), 0D," +
-        " (acc, v) -> acc + v)")
-    val tot = g.agg(sum(col("n_h")).as("n_total"), fold("w").as("wsum"))
-    g.crossJoin(broadcast(tot))
-      .select(col("event_type"), col("n_h"), col("s_r"),
-        floor(lit(1000.0) * col("n_h") / col("n_total") + 0.5)
-          .cast("long").as("n_prop"),
-        floor(lit(1000.0) * col("w") / col("wsum") + 0.5)
-          .cast("long").as("n_neyman"))
-      .orderBy("event_type")
-  }
-
   private val LbLags = 7
 
   /** Ljung–Box portmanteau test on the daily event-count series — is
@@ -1274,7 +1244,6 @@ object StatsOps {
     "q_stats_srm" -> srm,
     "q_stats_levene" -> levene,
     "q_stats_ljung_box" -> ljungBox,
-    "q_sample_neyman" -> neyman,
     "q_stats_entropy" -> entropy,
     "q_stats_psi" -> psi,
     "q_stats_mad" -> mad)
@@ -2173,24 +2142,6 @@ object StatsOps {
                 floor(((ssb / (k - 1)) / (ssw / (n_total - k)))
                   * 1000000 + 0.5) / 1000000.0 AS w_stat
          FROM s2""",
-    // Bounded stratum census; normalizer = sorted list_reduce fold;
-    // allocations rounded half-up from one pinned double expression.
-    "q_sample_neyman" ->
-      s"""WITH g0 AS (
-           SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
-                  ${rsql("stddev_samp(value)", 1000000)} AS s_r
-           FROM events GROUP BY event_type),
-         g1 AS (SELECT *, CAST(n_h AS DOUBLE) * s_r AS w FROM g0),
-         tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n_total,
-                        list_reduce(list(w ORDER BY event_type),
-                          (acc, v) -> acc + v) AS wsum
-                 FROM g1)
-         SELECT event_type, n_h, s_r,
-                CAST(floor(1000.0 * n_h / n_total + 0.5) AS BIGINT)
-                  AS n_prop,
-                CAST(floor(1000.0 * w / wsum + 0.5) AS BIGINT)
-                  AS n_neyman
-         FROM g1 CROSS JOIN tot ORDER BY event_type""",
     // Exact-integer lag sums assembled with the series mean in the
     // same operation order as Spark; the 7-term fold runs in lag
     // order via the sorted list_reduce.

@@ -375,21 +375,21 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
-  test("neyman: allocations hit the 1000 budget and replay from the census") {
+  test("neyman: allocations replay from the census and stay near budget") {
     val rows = SparkEntry.queries("q_sample_neyman")(spark, sfDir).collect()
     val nTotal = rows.map(_.getLong(1)).sum
-    val wSum = rows.sortBy(_.getString(0))
-      .map(r => r.getLong(1).toDouble * r.getDouble(2)).sum
-    rows.foreach { r =>
-      val (nh, s) = (r.getLong(1), r.getDouble(2))
-      assert(r.getLong(3) ==
-        math.floor(1000.0 * nh / nTotal + 0.5).toLong, "n_prop replay")
+    val wh = rows.map(r =>
+      math.floor(r.getLong(1) * r.getDouble(2) * 1e6).toLong)
+    val z = wh.sum
+    rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.getLong(4) ==
-        math.floor(1000.0 * (nh * s) / wSum + 0.5).toLong, "n_neyman replay")
+        math.floor(1000.0 * wh(i) / z).toLong, "alloc_neyman replay")
+      assert(r.getLong(5) ==
+        math.floor(1000.0 * r.getLong(1) / nTotal).toLong, "alloc_prop replay")
     }
-    // half-up rounding per stratum keeps each budget within strata/2
-    assert(math.abs(rows.map(_.getLong(3)).sum - 1000L) <= rows.length / 2 + 1)
-    assert(math.abs(rows.map(_.getLong(4)).sum - 1000L) <= rows.length / 2 + 1)
+    // floor rounding per stratum undershoots by < 1 each
+    assert(1000L - rows.map(_.getLong(4)).sum < rows.length)
+    assert(1000L - rows.map(_.getLong(5)).sum < rows.length)
   }
 
   test("bleu: same pairs as rouge, bp <= 1, score replays from the overlaps") {
