@@ -1209,7 +1209,180 @@ object StatsOps {
       r6(expr(s"($gSseR - $gSseF) / $gSseR")).as("delta_r2"))
   }
 
+  // Shared central-moment closed forms for q_stats_moments — raw exact
+  // integer power sums s1d..s4d (cent-scaled DECIMAL/HUGEINT, so any
+  // partition order yields the same integers) cast to DOUBLE exactly
+  // once, then ONE formula text parsed by both engines (the granger
+  // gC11 discipline). mM1 is cents; /100.0 happens only at the output
+  // boundary so every intermediate stays in the exact-input regime.
+  private val mM1 = "(CAST(s1d AS DOUBLE) / n)"
+  private val mM2 =
+    s"(CAST(s2d AS DOUBLE) / n - $mM1 * $mM1)"
+  private val mM3 =
+    s"(CAST(s3d AS DOUBLE) / n - 3.0 * $mM1 * (CAST(s2d AS DOUBLE) / n)" +
+      s" + 2.0 * $mM1 * $mM1 * $mM1)"
+  private val mM4 =
+    s"(CAST(s4d AS DOUBLE) / n - 4.0 * $mM1 * (CAST(s3d AS DOUBLE) / n)" +
+      s" + 6.0 * $mM1 * $mM1 * (CAST(s2d AS DOUBLE) / n)" +
+      s" - 3.0 * $mM1 * $mM1 * $mM1 * $mM1)"
+
+  /** Higher-moment distribution profile (skewness + excess kurtosis)
+    * per event type — the shape diagnostics q_agg_stats stops short of
+    * (sd/var say nothing about asymmetry or tail weight; skew/kurtosis
+    * are what decides whether the t-family tests upstream are even
+    * applicable, and they are standard data-profiling columns). NOT
+    * Spark's skewness()/kurtosis() builtins: those disagree with
+    * DuckDB's (population vs sample corrections), so both engines
+    * instead evaluate the same closed forms over exact integer power
+    * sums. Scale: value → exact cents (floor(v*100+0.5), the integer-
+    * census discipline); c..c⁴ accumulate in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) so every sum is EXACT in any partition order
+    * (c⁴ ≤ ~1e19 per term overflows BIGINT, hence decimal); ONE
+    * map-side-combinable hash aggregate over events, closed forms on
+    * the |event_type|-bounded frame. Central-moment cancellation is
+    * harmless for parity: both engines run the identical IEEE
+    * expression tree on identical exact inputs. */
+  private val moments: Q = (s, d) => {
+    val sums = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS DECIMAL(10,0))").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1d"),
+        sum(expr("c * c")).as("s2d"),
+        sum(expr("(c * c) * c")).as("s3d"),
+        sum(expr("(c * c) * (c * c)")).as("s4d"))
+    sums.select(col("event_type"), col("n"),
+      r6(expr(s"$mM1 / 100.0")).as("mean_val"),
+      r6(expr(s"sqrt($mM2) / 100.0")).as("sd_val"),
+      r6(expr(s"$mM3 / ($mM2 * sqrt($mM2))")).as("skewness"),
+      r6(expr(s"$mM4 / ($mM2 * $mM2) - 3.0")).as("ex_kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** Welch TOST equivalence test (two one-sided t-tests) — the dual of
+    * q_stats_ttest: that key asks "are F and O order values different?";
+    * this asks the question a migration/launch review actually needs,
+    * "are they the SAME to within ±5 % of the control mean?" (absence
+    * of significance is NOT evidence of equivalence — TOST is the
+    * correct instrument). Same one-pass join+FILTER-aggregate shape as
+    * ttest (the two samples never materialize separately); the margin
+    * is r6-pinned, both t statistics are r6-pinned, and the
+    * equivalence verdict compares the PINNED values against a 17-digit
+    * Φ⁻¹(0.95) literal (the srm round-then-compare discipline; the
+    * normal approximation to t is documented — df here is ≥ 10³, where
+    * the two quantiles agree to 4 decimals). */
+  private val tost: Q = (s, d) => {
+    val se = "sqrt(v_f / n_f + v_o / n_o)"
+    val zc = "CAST(1.6448536269514722 AS DOUBLE)" // Φ⁻¹(0.95)
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        avg(when(col("o_orderstatus") === "F", col("o_totalprice")))
+          .as("m_f"),
+        avg(when(col("o_orderstatus") === "O", col("o_totalprice")))
+          .as("m_o"),
+        var_samp(when(col("o_orderstatus") === "F", col("o_totalprice")))
+          .as("v_f"),
+        var_samp(when(col("o_orderstatus") === "O", col("o_totalprice")))
+          .as("v_o"))
+      .withColumn("margin", r6(expr("0.05 * m_o")))
+      .withColumn("t_low", r6(expr(s"((m_f - m_o) + margin) / $se")))
+      .withColumn("t_high", r6(expr(s"((m_f - m_o) - margin) / $se")))
+      .select(col("c_mktsegment"), col("n_f"), col("n_o"),
+        col("margin"), col("t_low"), col("t_high"),
+        (col("t_low") > expr(zc) && col("t_high") < expr(s"-$zc"))
+          .as("equivalent"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Wilson closed-form fragments — shared text between the Spark plan
+  // and the DuckDB oracle (granger discipline).
+  private val wZ = "CAST(1.9599639845400545 AS DOUBLE)" // Φ⁻¹(0.975)
+  private val wP = "(CAST(n_conv AS DOUBLE) / n_users)"
+  private val wDen = s"(1.0 + $wZ * $wZ / n_users)"
+  private val wCenter = s"(($wP + $wZ * $wZ / (2.0 * n_users)) / $wDen)"
+  private val wHalf = s"($wZ * sqrt($wP * (1.0 - $wP) / n_users" +
+    s" + $wZ * $wZ / (4.0 * CAST(n_users AS DOUBLE) * n_users)) / $wDen)"
+
+  /** Wilson score confidence interval for the per-arm purchase
+    * conversion rate — the interval that should accompany every
+    * q_stats_prop_test verdict (the naive Wald interval collapses at
+    * p→0/1 and small n; Wilson is the standard fix). Arms are the
+    * user_id-parity assignment of q_stats_power; conversion = user ever
+    * made a purchase above 150 (every user has SOME purchase in this
+    * data, so the bare ever-purchased census is degenerate p=1 — the
+    * thresholded form lands near p≈0.45 where the interval is
+    * informative). Exact integer (n, c) census per arm (two nested hash
+    * aggregates, both map-side combinable), then the closed form with a
+    * 17-digit pinned z — every input exact, one shared formula text, so
+    * the bounds are bit-identical cross-engine. */
+  private val wilsonCi: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(expr("user_id % 2").as("arm"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        r6(expr(wP)).as("p_hat"),
+        r6(expr(s"$wCenter - $wHalf")).as("ci_low"),
+        r6(expr(s"$wCenter + $wHalf")).as("ci_high"))
+      .orderBy("arm")
+  }
+
+  /** Hill tail-index estimator over the order-value distribution — the
+    * standard "how heavy is the tail?" instrument (H = mean log-excess
+    * of the top-k order statistics over the (k+1)-th; α = 1/H is the
+    * Pareto exponent; α ≤ 2 would mean infinite variance and every
+    * mean-based test above loses its footing — this key is their
+    * applicability gate, complementing q_stats_benford/q_stats_gini's
+    * concentration views). Scale: global top-(k+1) via orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 501
+    * rows — no global sort); the 501-row frame is then windowed and
+    * folded IN RANK ORDER (sorted-list fold) so the 500-term double
+    * sum accumulates identically in both engines. Ties broken by
+    * o_orderkey so the boundary row is deterministic. ln runs on
+    * exact-cents doubles (both libms are correctly rounded on these —
+    * the entropy/perplexity precedent). */
+  private val hillTail: Q = (s, d) => {
+    val k = 500
+    val top = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .limit(k + 1)
+      // 501-row bounded frame: the single-partition window is safe here
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cents").desc, col("o_orderkey"))))
+      .withColumn("lnc", expr("ln(CAST(cents AS DOUBLE))"))
+    val thr = top.filter(col("r") === k + 1)
+      .select(col("lnc").as("ln_thr"), col("cents").as("thr_cents"))
+    top.filter(col("r") <= k)
+      .crossJoin(broadcast(thr))
+      .groupBy("ln_thr", "thr_cents")
+      .agg(count(lit(1)).as("n_tail"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(r, lnc))), x -> x.lnc), 0D," +
+          " (acc, v) -> acc + v)").as("sum_ln"))
+      .withColumn("h_hill", r6(expr("sum_ln / 500.0 - ln_thr")))
+      .select(col("n_tail"),
+        r2(col("thr_cents") / 100.0).as("x_threshold"),
+        col("h_hill"),
+        r6(expr("1.0 / h_hill")).as("alpha_hill"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_moments" -> moments,
+    "q_stats_tost" -> tost,
+    "q_stats_wilson_ci" -> wilsonCi,
+    "q_stats_hill_tail" -> hillTail,
     "q_stats_seasonal_mk" -> seasonalMk,
     "q_stats_granger" -> granger,
     "q_stats_cuped" -> cuped,
@@ -1284,6 +1457,105 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // exact HUGEINT power sums (the Spark side's DECIMAL(38,0) twin),
+    // then the shared mM1..mM4 closed forms — one formula text
+    "q_stats_moments" ->
+      s"""WITH c0 AS (
+           SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+           FROM events),
+         sums AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(c) AS s1d, sum(c * c) AS s2d,
+                  sum((c * c) * c) AS s3d,
+                  sum((c * c) * (c * c)) AS s4d
+           FROM c0 GROUP BY event_type)
+         SELECT event_type, n,
+                ${rsql(s"$mM1 / 100.0", 1000000)} AS mean_val,
+                ${rsql(s"sqrt($mM2) / 100.0", 1000000)} AS sd_val,
+                ${rsql(s"$mM3 / ($mM2 * sqrt($mM2))", 1000000)}
+                  AS skewness,
+                ${rsql(s"$mM4 / ($mM2 * $mM2) - 3.0", 1000000)}
+                  AS ex_kurtosis
+         FROM sums ORDER BY event_type""",
+    // ttest's join+FILTER aggregate chain; margin and both t stats are
+    // pinned BEFORE the comparison (srm round-then-compare)
+    "q_stats_tost" ->
+      s"""WITH j AS (
+           SELECT c_mktsegment, o_orderstatus AS st, o_totalprice AS p
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderstatus IN ('F', 'O')),
+         g AS (
+           SELECT c_mktsegment,
+                  count(*) FILTER (st = 'F') AS n_f,
+                  count(*) FILTER (st = 'O') AS n_o,
+                  avg(p) FILTER (st = 'F') AS m_f,
+                  avg(p) FILTER (st = 'O') AS m_o,
+                  var_samp(p) FILTER (st = 'F') AS v_f,
+                  var_samp(p) FILTER (st = 'O') AS v_o
+           FROM j GROUP BY c_mktsegment),
+         t AS (
+           SELECT c_mktsegment, n_f, n_o, m_f, m_o, v_f, v_o,
+                  ${rsql("0.05 * m_o", 1000000)} AS margin
+           FROM g),
+         t2 AS (
+           SELECT c_mktsegment, n_f, n_o, margin,
+                  ${rsql("((m_f - m_o) + margin) / " +
+                    "sqrt(v_f / n_f + v_o / n_o)", 1000000)} AS t_low,
+                  ${rsql("((m_f - m_o) - margin) / " +
+                    "sqrt(v_f / n_f + v_o / n_o)", 1000000)} AS t_high
+           FROM t)
+         SELECT c_mktsegment, n_f, n_o, margin, t_low, t_high,
+                t_low > CAST(1.6448536269514722 AS DOUBLE)
+                  AND t_high < -CAST(1.6448536269514722 AS DOUBLE)
+                  AS equivalent
+         FROM t2 ORDER BY c_mktsegment""",
+    // power's parity-arm conversion census + the shared Wilson strings
+    "q_stats_wilson_ci" ->
+      s"""WITH conv AS (
+           SELECT user_id % 2 AS arm, user_id,
+                  max(CASE WHEN event_type = 'purchase'
+                    AND value > 150.0 THEN 1 ELSE 0
+                    END) AS conv
+           FROM events GROUP BY arm, user_id),
+         g AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                  CAST(sum(conv) AS BIGINT) AS n_conv
+           FROM conv GROUP BY arm)
+         SELECT arm, n_users, n_conv,
+                ${rsql(wP, 1000000)} AS p_hat,
+                ${rsql(s"$wCenter - $wHalf", 1000000)} AS ci_low,
+                ${rsql(s"$wCenter + $wHalf", 1000000)} AS ci_high
+         FROM g ORDER BY arm""",
+    // top-501 frontier in (cents DESC, key) order, rank-ordered
+    // list_reduce ≡ Spark's array_sort fold (0.0 + x == x exactly)
+    "q_stats_hill_tail" ->
+      s"""WITH top AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS cents, o_orderkey
+           FROM orders ORDER BY cents DESC, o_orderkey LIMIT 501),
+         rk AS (
+           SELECT cents, ln(CAST(cents AS DOUBLE)) AS lnc,
+                  row_number() OVER (ORDER BY cents DESC, o_orderkey)
+                    AS r
+           FROM top),
+         thr AS (SELECT lnc AS ln_thr, cents AS thr_cents
+                 FROM rk WHERE r = 501),
+         ag AS (
+           SELECT ln_thr, thr_cents, CAST(count(*) AS BIGINT) AS n_tail,
+                  list_reduce(list(lnc ORDER BY r),
+                    (acc, v) -> acc + v) AS sum_ln
+           FROM rk CROSS JOIN thr WHERE r <= 500
+           GROUP BY ln_thr, thr_cents),
+         h AS (SELECT n_tail, thr_cents,
+                      ${rsql("sum_ln / 500.0 - ln_thr", 1000000)}
+                        AS h_hill
+               FROM ag)
+         SELECT n_tail,
+                ${rsql("thr_cents / 100.0", 100)} AS x_threshold,
+                h_hill,
+                ${rsql("1.0 / h_hill", 1000000)} AS alpha_hill
+         FROM h""",
     "q_stats_granger" ->
       s"""WITH daily AS (
            SELECT epoch_us(ts) // 86400000000 AS day,

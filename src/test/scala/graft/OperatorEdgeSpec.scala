@@ -59,6 +59,7 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_events_interpolate",  // |hours| spine
       "q_events_bursts",       // |hours| spine
       "q_events_rolling_7d",   // |days| spine
+      "q_stats_hill_tail",     // 501-row TakeOrdered tail frontier
       "q_stats_cusum",         // |days| census
       "q_stats_changepoint",   // |days| census
       "q_stats_decompose",     // |days| census

@@ -362,4 +362,71 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("eta_sq") - eta) < 1e-6)
     assert(r.getAs[Double]("f_stat") >= 0.0)
   }
+
+  test("moments: closed forms agree with a driver-side exact replay") {
+    val rows = operators.StatsOps.queries("q_stats_moments")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    // replay one group end-to-end from raw cents (BigInt = exact)
+    val cents = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => BigInt(r.getLong(0)))
+    val n = cents.length.toDouble
+    val Seq(s1, s2, s3, s4) = Seq(1, 2, 3, 4).map(p =>
+      cents.map(_.pow(p)).sum.toDouble)
+    val m1 = s1 / n
+    val m2 = s2 / n - m1 * m1
+    val m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+    val m4 = s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) -
+      3 * m1 * m1 * m1 * m1
+    val r = rows.find(_.getString(0) == "click").get
+    assert(math.abs(r.getAs[Double]("skewness") -
+      m3 / (m2 * math.sqrt(m2))) < 1e-5)
+    assert(math.abs(r.getAs[Double]("ex_kurtosis") -
+      (m4 / (m2 * m2) - 3.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("sd_val") -
+      math.sqrt(m2) / 100.0) < 1e-4)
+  }
+
+  test("tost: verdict is the conjunction of its own pinned t bounds") {
+    val rows = operators.StatsOps.queries("q_stats_tost")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("t_low"); val hi = r.getAs[Double]("t_high")
+      assert(lo > hi, "lower TOST t must exceed upper (margin > 0)")
+      assert(r.getAs[Boolean]("equivalent") ==
+        (lo > 1.6448536269514722 && hi < -1.6448536269514722))
+      assert(r.getAs[Double]("margin") > 0)
+    }
+  }
+
+  test("wilson: interval brackets p_hat and tightens with the arm size") {
+    val rows = operators.StatsOps.queries("q_stats_wilson_ci")(spark, sfDir)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_hat")
+      val lo = r.getAs[Double]("ci_low"); val hi = r.getAs[Double]("ci_high")
+      assert(lo < p && p < hi, s"interval [$lo,$hi] must bracket $p")
+      assert(lo > 0.0 && hi < 1.0, "thresholded conversion is interior")
+      // non-degenerate: a real interval, but not vacuously [0,1]
+      // (t1 arms are ~20 users, so the width can reach ~0.55)
+      assert(hi - lo > 0.0 && hi - lo < 0.9)
+    }
+  }
+
+  test("hill: positive tail index and the threshold is the 501st price") {
+    val r = operators.StatsOps.queries("q_stats_hill_tail")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_tail") == 500L)
+    assert(r.getAs[Double]("h_hill") > 0.0)
+    assert(math.abs(r.getAs[Double]("alpha_hill") *
+      r.getAs[Double]("h_hill") - 1.0) < 1e-3)
+    val thr = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).orderBy(col("o_totalprice").desc)
+      .limit(501).collect().map(_.getDouble(0)).min
+    assert(math.abs(r.getAs[Double]("x_threshold") - thr) < 0.01)
+  }
 }
