@@ -1113,7 +1113,69 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** MMR (maximal marginal relevance) diversified top-5 — the re-rank
+    * every retrieval/RAG serving layer runs between "nearest" and
+    * "shown": pure cosine top-k returns near-duplicates of one result
+    * (this corpus has engineered near-dup clusters — that is the
+    * failure mode, proven by q_dedup_embed); MMR greedily picks
+    * argmax λ·rel − (1−λ)·max-sim-to-already-picked, trading relevance
+    * against redundancy. λ=0.7, k=5 from a 12-candidate pool, queries
+    * = vec_id < 3 (the ivfTop3 convention). Scale shape: the candidate
+    * pool per query is k-bounded (an ANN front end at 100 TB — here the
+    * exact top-12, so the oracle can see it), the 12×12 pair-sim frame
+    * and the 5 greedy rounds run on BOUNDED frames (≤ 432 rows), and
+    * the sequential dependency is 5 fixed plan iterations, not a
+    * driver loop over data. Determinism: rel/pair sims r6-pinned,
+    * every greedy argmax ranks on an r6-pinned score with cid
+    * tie-break; 0.7/0.3 are literal text in both engines (never
+    * 1−0.7, which is 0.30000000000000004 in IEEE). */
+  private val simMmr: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rel0 = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rel_r", r6(expr("graft_dot(v, qv)")))
+      .select("qid", "vec_id", "rel_r", "v")
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("rel_r").desc, col("vec_id"))
+    val cand = rel0.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 12)
+      .select(col("qid"), col("vec_id").as("cid"), col("rel_r"), col("v"))
+    val pair = cand.select(col("qid"), col("cid").as("ca"),
+        col("v").as("x"))
+      .join(cand.select(col("qid"), col("cid").as("cb"), col("v").as("y")),
+        Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("ps_r", r6(expr("graft_dot(x, y)")))
+      .select("qid", "ca", "cb", "ps_r")
+    val c = cand.select("qid", "cid", "rel_r")
+    def pick(scored: DataFrame, step: Int): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("mmr_r").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(step.toLong).as("step"), col("cid"),
+          col("mmr_r"))
+    }
+    // step 1: empty selected set → diversity term is exactly 0
+    val s1 = pick(c.withColumn("mmr_r", r6(expr("0.7 * rel_r"))), 1)
+    val sel = (2 to 5).foldLeft(s1) { (acc, step) =>
+      val ms = pair
+        .join(acc.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca"))
+        .agg(max(col("ps_r")).as("maxsim_r"))
+        .withColumnRenamed("ca", "cid")
+      val scored = c
+        .join(acc.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+        .join(ms, Seq("qid", "cid"))
+        .withColumn("mmr_r", r6(expr("0.7 * rel_r - 0.3 * maxsim_r")))
+      acc.unionByName(pick(scored, step))
+    }
+    sel.orderBy("qid", "step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_mmr" -> simMmr,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_kappa" -> evalKappa,
     "q_ann_ivfpq" -> annIvfPq,
@@ -1389,7 +1451,71 @@ object VectorOps {
                       ORDER BY score DESC, cand) AS rn
              FROM sc) t WHERE rn = 1)"""
 
+  /** q_sim_mmr oracle: greedy round i as a generated CTE — score the
+    * not-yet-picked candidates against the union of prior picks (max
+    * pair-sim), pin with the same floor text as the Spark plan, take
+    * the per-query argmax with cid tie-break. Five fixed rounds =
+    * five chained CTEs (no recursion needed). */
+  private def mmrStep(i: Int): String = {
+    val prev = (1 until i).map(j => s"SELECT qid, cid FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""s$i AS (
+       SELECT qid, CAST($i AS BIGINT) AS step, cid, mmr_r FROM (
+         SELECT qid, cid, mmr_r, row_number() OVER (PARTITION BY qid
+             ORDER BY mmr_r DESC, cid) AS rn
+         FROM (
+           SELECT c.qid, c.cid,
+                  floor((0.7 * c.rel_r - 0.3 * ms.maxsim_r) * 1000000
+                        + 0.5) / 1000000.0 AS mmr_r
+           FROM cand c
+           JOIN (SELECT p.qid, p.ca AS cid, max(p.ps_r) AS maxsim_r
+                 FROM pair p JOIN ($prev) s
+                   ON p.qid = s.qid AND p.cb = s.cid
+                 GROUP BY p.qid, p.ca) ms
+             ON ms.qid = c.qid AND ms.cid = c.cid
+           WHERE NOT EXISTS (SELECT 1 FROM ($prev) sx
+                             WHERE sx.qid = c.qid AND sx.cid = c.cid)
+         ) b) t
+       WHERE rn = 1)"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_sim_mmr" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             FROM embeddings WHERE vec_id < 3),
+         rel0 AS (
+           SELECT qid, e.vec_id,
+                  floor(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                        CAST(qv AS DOUBLE[])) * 1000000 + 0.5)
+                    / 1000000.0 AS rel_r
+           FROM embeddings e JOIN q ON e.vec_id <> qid),
+         cand AS (
+           SELECT qid, vec_id AS cid, rel_r FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY rel_r DESC, vec_id) AS rn FROM rel0) t
+           WHERE rn <= 12),
+         pair AS (
+           SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                  floor(list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])) * 1000000 + 0.5)
+                    / 1000000.0 AS ps_r
+           FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+           JOIN embeddings ea ON ea.vec_id = a.cid
+           JOIN embeddings eb ON eb.vec_id = b.cid),
+         s1 AS (
+           SELECT qid, CAST(1 AS BIGINT) AS step, cid, mmr_r FROM (
+             SELECT qid, cid, mmr_r, row_number() OVER (PARTITION BY qid
+                 ORDER BY mmr_r DESC, cid) AS rn
+             FROM (SELECT qid, cid,
+                     floor((0.7 * rel_r) * 1000000 + 0.5) / 1000000.0
+                       AS mmr_r FROM cand) b) t
+           WHERE rn = 1),
+         ${mmrStep(2)}, ${mmrStep(3)}, ${mmrStep(4)}, ${mmrStep(5)}
+         SELECT qid, step, cid, mmr_r FROM (
+           SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           UNION ALL SELECT * FROM s5) u
+         ORDER BY qid, step""",
     // Both engines fold DCG terms sequentially in rank order and build
     // IDCG from an explicit 1..min(10,n_rel) series; list_reduce's
     // first-element init matches aggregate's 0D init exactly because

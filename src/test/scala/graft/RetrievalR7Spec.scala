@@ -424,4 +424,40 @@ class RetrievalR7Spec extends SparkSpec {
     assert(lpa.length >= nComponents,
       "labels cannot cross components, so LPA is >= as fine as components")
   }
+
+  test("mmr: 5 picks/query, relevance-first, monotone scores, diversity bites") {
+    val rows = SparkEntry.queries("q_sim_mmr")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 5))
+    // pure relevance top-5 per query (replayed independently)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rel = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("rel_r", graft.Par.r6(expr("graft_dot(v, qv)")))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rel_r").desc, col("vec_id"))))
+    val top1 = rel.filter(col("rn") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    val top5 = rel.filter(col("rn") <= 5).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("vec_id")).toSet }
+    byQ.foreach { case (qid, picks) =>
+      val ordered = picks.sortBy(_.getLong(1))
+      // step 1 is the pure-relevance argmax (empty diversity term)
+      assert(ordered.head.getLong(2) == top1(qid))
+      // greedy scores are non-increasing (later picks were available
+      // earlier at a score only shrunk by a growing selected set)
+      val scores = ordered.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(ordered.map(_.getLong(2)).distinct.length == 5)
+    }
+    // the engineered near-dup clusters make pure top-5 redundant — MMR
+    // must actually trade some of it away for at least one query
+    assert(byQ.exists { case (qid, picks) =>
+      picks.map(_.getLong(2)).toSet != top5(qid) },
+      "MMR selected exactly the pure-relevance top-5 for every query")
+  }
 }
