@@ -185,7 +185,44 @@ object MultimodalOps {
       .agg(expr("sum(v) div 4").as("pooled"))
       .orderBy("doc_id", "cell")
 
+  /** Scene-cut detection over opaque video-like assets — the
+    * frame-sequence segmentation step a video curation pipeline runs
+    * before per-scene sampling (q_multimodal_frame_sample picks WITHIN
+    * what this key delimits): consecutive 64-byte frames are compared
+    * byte-wise and a pair with more than 59/64 positions changed is a
+    * cut (the corpus's frame-to-frame diff distribution spans 44..64
+    * with median 60, so the threshold genuinely separates — an
+    * all-cuts or no-cuts census would be a dead operator). Per-asset
+    * census: pairs, cuts, mean diff ratio. Shape: one frame explode
+    * (linear in payload bytes), lag over the per-asset window
+    * (partitioned — no global window), zip_with byte compare in
+    * codegen; exact integer diffs, and df/64.0 is a power-of-two
+    * division so even the mean is exact cross-engine. A real decoder
+    * slots in via multimodal.Multimodal's Decoder trait unchanged. */
+  private val multimodalSceneCut: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val fr = Tables.documents(s, d)
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, length(text) div 64 - 1)")).as("f"))
+      .select(col("doc_id"), col("f"),
+        expr("transform(sequence(1, 64), i -> " +
+          "ascii(substring(text, f * 64 + i, 1)))").as("farr"))
+    val w = Window.partitionBy("doc_id").orderBy("f")
+    fr.withColumn("prev", lag(col("farr"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("df", expr(
+        "aggregate(zip_with(prev, farr, (x, y) -> " +
+          "CASE WHEN x <> y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("df") > 59, 1L).otherwise(0L)).as("n_cuts"),
+        graft.Par.r6(expr("avg(df / 64.0)")).as("avg_diff_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_scene_cut" -> multimodalSceneCut,
     "q_multimodal_resize" -> multimodalResize,
     "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_frame_sample" -> multimodalFrameSample,
@@ -195,6 +232,33 @@ object MultimodalOps {
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    // same consecutive-frame comparisons, indexed by the earlier frame
+    // (Spark's lag indexes by the later one — the diff SET per asset is
+    // identical and only the census is emitted)
+    "q_multimodal_scene_cut" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) // 64 AS nf
+           FROM documents WHERE length(text) >= 128),
+         fr AS (SELECT doc_id,
+                       CAST(unnest(range(0, nf - 1)) AS INTEGER) AS f,
+                       text
+                FROM d),
+         byt AS (SELECT doc_id, f,
+                        CAST(unnest(range(1, 65)) AS INTEGER) AS i, text
+                 FROM fr),
+         ab AS (SELECT doc_id, f,
+                       ascii(substring(text, f * 64 + i, 1)) AS a,
+                       ascii(substring(text, (f + 1) * 64 + i, 1)) AS b
+                FROM byt),
+         diff AS (SELECT doc_id, f,
+                         sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS df
+                  FROM ab GROUP BY doc_id, f)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN df > 59 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_cuts,
+                floor((avg(df / 64.0)) * 1000000 + 0.5) / 1000000.0
+                  AS avg_diff_ratio
+         FROM diff GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_resize" ->
       """WITH px AS (
            SELECT doc_id, i,

@@ -82,6 +82,37 @@ object StatsOps {
           .as("dof"))
   }
 
+  /** Cramér's V effect size for the segment × priority association —
+    * the companion q_stats_chisq needs at fact-table scale: with n in
+    * the millions the chi-square p-value is always ~0 (everything is
+    * "significant"), and V = √(χ² / (n·min(r−1, c−1))) ∈ [0,1] is the
+    * sample-size-free strength readout that says whether the
+    * association MATTERS. Same marginal-cross-join census as chisq
+    * (|seg|×|pri| bounded cells, integers to the last division); χ² is
+    * r6-pinned first, V derives from the pinned value (round-then-
+    * replay) so both engines take sqrt of the same double. */
+  private val cramersV: Q = (s, d) => {
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val obs = j.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
+    val rt = j.groupBy("seg").agg(count(lit(1)).as("rt"))
+    val ct = j.groupBy("pri").agg(count(lit(1)).as("ct"))
+    val n = j.agg(count(lit(1)).as("n"))
+    val exp = (col("rt") * col("ct")).cast("double") / col("n")
+    broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(obs, Seq("seg", "pri"), "left")
+      .na.fill(0L, Seq("obs"))
+      .groupBy("n")
+      .agg(
+        r6(sum(pow(col("obs") - exp, 2) / exp)).as("chi2"),
+        (least(countDistinct(col("seg")), countDistinct(col("pri"))) - 1)
+          .as("min_dim"))
+      .select(col("n").as("n_obs"), col("chi2"), col("min_dim"),
+        r6(expr("sqrt(chi2 / (n * min_dim))")).as("cramers_v"))
+  }
+
   /** Sample-ratio-mismatch guard — the first health check of any A/B
     * experimentation pipeline: users are deterministically assigned to
     * arms by the md5-digit convention (first hex digit 0-7 → A, 8-f →
@@ -1380,6 +1411,7 @@ object StatsOps {
 
   val queries: Map[String, Q] = Map(
     "q_stats_moments" -> moments,
+    "q_stats_cramers_v" -> cramersV,
     "q_stats_tost" -> tost,
     "q_stats_wilson_ci" -> wilsonCi,
     "q_stats_hill_tail" -> hillTail,
@@ -1478,6 +1510,32 @@ object StatsOps {
                 ${rsql(s"$mM4 / ($mM2 * $mM2) - 3.0", 1000000)}
                   AS ex_kurtosis
          FROM sums ORDER BY event_type""",
+    // chisq's marginal-cross-join census, grouped by the constant n so
+    // V can derive from the PINNED chi2 (round-then-replay)
+    "q_stats_cramers_v" ->
+      s"""WITH j AS (
+           SELECT c_mktsegment AS seg, o_orderpriority AS pri
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         obs AS (SELECT seg, pri, count(*) AS obs FROM j GROUP BY seg, pri),
+         rt AS (SELECT seg, count(*) AS rt FROM j GROUP BY seg),
+         ct AS (SELECT pri, count(*) AS ct FROM j GROUP BY pri),
+         n AS (SELECT count(*) AS n FROM j),
+         cells AS (
+           SELECT rt.seg, ct.pri, rt.rt, ct.ct, n.n,
+                  coalesce(obs.obs, 0) AS obs
+           FROM rt CROSS JOIN ct CROSS JOIN n
+           LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri),
+         ag AS (
+           SELECT n,
+                  ${rsql("sum(pow(obs - CAST(rt * ct AS DOUBLE) / n, 2)" +
+                    " / (CAST(rt * ct AS DOUBLE) / n))", 1000000)} AS chi2,
+                  least(count(DISTINCT seg), count(DISTINCT pri)) - 1
+                    AS min_dim
+           FROM cells GROUP BY n)
+         SELECT n AS n_obs, chi2, min_dim,
+                ${rsql("sqrt(chi2 / (n * min_dim))", 1000000)}
+                  AS cramers_v
+         FROM ag""",
     // ttest's join+FILTER aggregate chain; margin and both t stats are
     // pinned BEFORE the comparison (srm round-then-compare)
     "q_stats_tost" ->

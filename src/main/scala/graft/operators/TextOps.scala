@@ -2054,7 +2054,37 @@ object TextOps {
         r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
       .orderBy("doc_id")
 
+  /** Readability scoring per document — the curation feature that
+    * separates "simple English" from "dense jargon" tiers when packing
+    * a pretraining mix. This corpus has NO sentence punctuation
+    * (checked: zero '.' anywhere), so the sentence-based indices
+    * (Flesch, FK grade) are undefined; FORCAST is the standard formula
+    * built for exactly that situation (unpunctuated technical text:
+    * grade = 20 − 150·(monosyllabic share)/10, only syllable censuses
+    * needed). Syllables ≈ vowel-group runs ([aeiouy]+ — the langid
+    * heuristic family); every count is an exact integer from one
+    * regexp projection (no shuffle beyond the output sort), ratios
+    * r6-pinned. Both engines run the same greedy regex on the same
+    * strings, so the integer censuses are identical by construction. */
+  private val readability: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks()).as("n_words"),
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+          .as("n_syll"),
+        expr("size(filter(split(text, ' '), w -> " +
+          "size(regexp_extract_all(w, '[aeiouy]+', 0)) = 1))")
+          .as("n_mono"))
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_mono"),
+        r6(col("n_syll").cast("double") / col("n_words"))
+          .as("syll_per_word"),
+        r6(lit(20.0) - expr(
+          "15.0 * (CAST(n_mono AS DOUBLE) / n_words)"))
+          .as("forcast_grade"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_text_readability" -> readability,
     "q_text_ttr" -> ttr,
     "q_text_stopword_discover" -> stopwordDiscover,
     "q_text_tok_zipf" -> tokZipf,
@@ -2181,6 +2211,25 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // size() is INT in Spark, len() BIGINT in DuckDB → CAST AS INTEGER
+    // (the tokencount convention); formula text shared thereafter
+    "q_text_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INTEGER)
+                    AS n_words,
+                  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                    AS INTEGER) AS n_syll,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1))
+                    AS INTEGER) AS n_mono
+           FROM documents)
+         SELECT doc_id, n_words, n_syll, n_mono,
+                floor((CAST(n_syll AS DOUBLE) / n_words)
+                      * 1000000 + 0.5) / 1000000.0 AS syll_per_word,
+                floor((20.0 - 15.0 * (CAST(n_mono AS DOUBLE) / n_words))
+                      * 1000000 + 0.5) / 1000000.0 AS forcast_grade
+         FROM c ORDER BY doc_id""",
     "q_text_stopword_discover" ->
       """WITH docs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
                        FROM documents),

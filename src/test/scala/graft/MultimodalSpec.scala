@@ -106,4 +106,23 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("cell") == 0L).head.getAs[Long]("pooled")
     assert(got === quad.sum / 4)
   }
+
+  test("scene cut: census bounds hold and the threshold actually splits") {
+    val df = operators.MultimodalOps
+      .queries("q_multimodal_scene_cut")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pairs = r.getAs[Long]("n_pairs"); val cuts = r.getAs[Long]("n_cuts")
+      assert(pairs >= 1 && cuts >= 0 && cuts <= pairs)
+      val ratio = r.getAs[Double]("avg_diff_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    // a dead threshold (all cuts or no cuts corpus-wide) would make the
+    // operator a checkbox — the 59/64 line must separate for real
+    val totPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val totCuts = rows.map(_.getAs[Long]("n_cuts")).sum
+    assert(totCuts > 0 && totCuts < totPairs,
+      s"threshold degenerate: $totCuts of $totPairs pairs are cuts")
+  }
 }

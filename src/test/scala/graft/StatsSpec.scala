@@ -417,6 +417,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cramers v: bounded effect size sharing chisq's exact chi2") {
+    val v = operators.StatsOps.queries("q_stats_cramers_v")(spark, sfDir)
+      .collect().head
+    val chi = operators.StatsOps.queries("q_stats_chisq")(spark, sfDir)
+      .collect().head
+    // same census chain → the pinned chi2 must agree exactly
+    assert(v.getAs[Double]("chi2") == chi.getAs[Double]("chi2"))
+    assert(v.getAs[Long]("min_dim") == 4L)
+    val cv = v.getAs[Double]("cramers_v")
+    assert(cv >= 0.0 && cv <= 1.0)
+    val replay = math.sqrt(v.getAs[Double]("chi2") /
+      (v.getAs[Long]("n_obs") * v.getAs[Long]("min_dim")))
+    assert(math.abs(cv - replay) < 1e-5)
+  }
+
   test("hill: positive tail index and the threshold is the 501st price") {
     val r = operators.StatsOps.queries("q_stats_hill_tail")(spark, sfDir)
       .collect().head

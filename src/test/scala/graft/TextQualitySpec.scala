@@ -30,4 +30,21 @@ class TextQualitySpec extends SparkSpec {
     // the corpus has engineered near-duplicates → some doc is subsumed
     assert(df.filter(col("subsumed") === 1).count() > 0)
   }
+
+  test("readability: censuses consistent, FORCAST grade from its inputs") {
+    val df = operators.TextOps.queries("q_text_readability")(spark, sfDir)
+    assert(df.count() > 0)
+    // mono words are a subset of words; each word has >= 1 vowel group
+    // in this vocab, so syllables >= words >= mono
+    assert(df.filter(col("n_mono") > col("n_words") ||
+      col("n_syll") < col("n_words")).count() == 0)
+    assert(df.filter(col("syll_per_word") < 1.0).count() == 0)
+    // grade = 20 - 15*mono/words replayed row-wise
+    val bad = df.filter(abs(col("forcast_grade") -
+      (lit(20.0) - lit(15.0) * col("n_mono").cast("double") /
+        col("n_words"))) > 1e-5)
+    assert(bad.count() == 0)
+    assert(df.filter(col("forcast_grade") < 5.0 ||
+      col("forcast_grade") > 20.0).count() == 0)
+  }
 }
