@@ -355,6 +355,52 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** Landmark closeness centrality (3 landmarks, 4-hop horizon) on the
+    * support-2 co-purchase graph — the distance-based centrality the
+    * family lacked (pagerank/HITS rank by flow, degree by volume;
+    * closeness ranks by PROXIMITY — "which catalog part reaches the
+    * rest of the catalog fastest"). Exact all-pairs closeness is
+    * O(V·E); the standard scale answer is landmark sampling (here the
+    * 3 smallest node ids — deterministic), each landmark one
+    * multi-source BFS lane in the SAME layered expansion as
+    * q_graph_reach (frontier keyed by (landmark, node): k hops = k
+    * joins over edges, per-layer node collapse, nothing collected).
+    * Output derives entirely from the exact per-hop censuses n1..n4:
+    * within-horizon closeness (n_reached / Σdist) and harmonic
+    * centrality (Σ 1/d — the form that handles disconnection), both
+    * computed from integers in one shared formula text. */
+  private val closeness: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val lms = und.select(col("x").as("lm")).distinct()
+      .orderBy("lm").limit(3)
+    val seed = lms.select(col("lm"), col("lm").as("part"),
+      lit(0L).as("hops"))
+    var frontier = seed
+    var layers = List(seed)
+    for (_ <- 1 to BfsHops) {
+      frontier = und.join(frontier, col("x") === col("part"))
+        .groupBy(col("lm"), col("y").as("part"))
+        .agg((min(col("hops")) + 1).as("hops"))
+      layers ::= frontier
+    }
+    layers.reduce(_ union _)
+      .groupBy("lm", "part").agg(min("hops").as("hops"))
+      .groupBy("lm")
+      .agg(count(when(col("hops") === 1, 1)).as("n1"),
+        count(when(col("hops") === 2, 1)).as("n2"),
+        count(when(col("hops") === 3, 1)).as("n3"),
+        count(when(col("hops") === 4, 1)).as("n4"))
+      .select(col("lm"),
+        expr("n1 + n2 + n3 + n4").as("n_reached"),
+        expr("n1 + 2 * n2 + 3 * n3 + 4 * n4").as("sum_dist"),
+        r6(expr("CAST(n1 + n2 + n3 + n4 AS DOUBLE)" +
+          " / (n1 + 2 * n2 + 3 * n3 + 4 * n4)")).as("closeness"),
+        r6(expr("n1 / 1.0 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0"))
+          .as("harmonic"))
+      .orderBy("lm")
+  }
+
   /** Bounded k-core peeling (k=2, 3 rounds) on the support-2
     * co-purchase graph: each round drops nodes with degree < 2 and the
     * edges touching them, exactly the iterative-peel a Pregel k-core
@@ -503,6 +549,7 @@ object GraphOps {
     "q_graph_kcore" -> kcore,
     "q_graph_assortativity" -> assortativity,
     "q_graph_reach" -> reach,
+    "q_graph_closeness" -> closeness,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
     "q_graph_lpa" -> lpa,
@@ -642,6 +689,36 @@ object GraphOps {
                           - CAST(sum(dy) AS DOUBLE) * CAST(sum(dy) AS DOUBLE))))
                   * 1000000 + 0.5) / 1000000.0 AS assortativity
          FROM sym""",
+    // reach's recursive BFS, one lane per landmark; centrality forms
+    // are pure integer-census arithmetic in shared text
+    "q_graph_closeness" ->
+      """WITH RECURSIVE op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         lms AS (SELECT DISTINCT x AS lm FROM und ORDER BY lm LIMIT 3),
+         reach(lm, v, dd) AS (
+           SELECT lm, lm, CAST(0 AS BIGINT) FROM lms
+           UNION
+           SELECT r.lm, u.y, r.dd + 1 FROM reach r JOIN und u ON u.x = r.v
+           WHERE r.dd < 4),
+         md AS (SELECT lm, v, min(dd) AS hops FROM reach GROUP BY lm, v),
+         cnt AS (SELECT lm,
+                        CAST(count(*) FILTER (hops = 1) AS BIGINT) AS n1,
+                        CAST(count(*) FILTER (hops = 2) AS BIGINT) AS n2,
+                        CAST(count(*) FILTER (hops = 3) AS BIGINT) AS n3,
+                        CAST(count(*) FILTER (hops = 4) AS BIGINT) AS n4
+                 FROM md GROUP BY lm)
+         SELECT lm, n1 + n2 + n3 + n4 AS n_reached,
+                n1 + 2 * n2 + 3 * n3 + 4 * n4 AS sum_dist,
+                floor((CAST(n1 + n2 + n3 + n4 AS DOUBLE)
+                       / (n1 + 2 * n2 + 3 * n3 + 4 * n4))
+                      * 1000000 + 0.5) / 1000000.0 AS closeness,
+                floor((n1 / 1.0 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0)
+                      * 1000000 + 0.5) / 1000000.0 AS harmonic
+         FROM cnt ORDER BY lm""",
     "q_graph_reach" ->
       """WITH RECURSIVE op AS (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

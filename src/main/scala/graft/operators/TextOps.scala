@@ -2083,8 +2083,57 @@ object TextOps {
           .as("forcast_grade"))
       .orderBy("doc_id")
 
+  // Dunning LLR closed form over the bigram contingency table — ONE
+  // formula text for both engines (granger discipline). k11=cab,
+  // k12=ra−k11, k21=cb2−k11, k22=n−ra−cb2+k11; zero cells contribute
+  // exactly 0 (the CASE guard, not an epsilon hack).
+  private def llrTerm(k: String, den: String): String =
+    s"CASE WHEN $k > 0 THEN $k * ln((CAST($k AS DOUBLE) * n) / ($den))" +
+      s" ELSE 0.0 END"
+  private val llrFrag: String = "2.0 * ((" +
+    llrTerm("k11", "CAST(ra AS DOUBLE) * cb2") + ") + (" +
+    llrTerm("k12", "CAST(ra AS DOUBLE) * (n - cb2)") + ") + (" +
+    llrTerm("k21", "CAST(n - ra AS DOUBLE) * cb2") + ") + (" +
+    llrTerm("k22", "CAST(n - ra AS DOUBLE) * (n - cb2)") + "))"
+
+  /** Collocation extraction by Dunning's log-likelihood ratio — the
+    * significance-aware sibling of q_text_pmi (PMI over-ranks rare
+    * pairs: a 5-count bigram of two 5-count words maxes PMI; LLR
+    * instead asks how UNLIKELY the co-occurrence count is under
+    * independence, so high-volume collocations surface — the standard
+    * choice for tokenizer-merge candidates and phrase mining). Same
+    * bigram census as PMI (lead over per-doc windows, one hash
+    * aggregate); the 2×2 margins come from the bigram table itself
+    * (row = first-position count, col = second-position count), every
+    * cell an exact integer, one shared closed-form text with CASE-
+    * guarded zero cells, r6-pinned before the top-20 rank cut. */
+  private val llrCollocations: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks()))
+      .withColumnRenamed("col", "token")
+    val big = tok.withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("token").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("k11"))
+    val ra = big.groupBy("a").agg(sum("k11").as("ra"))
+    val cb = big.groupBy("b").agg(sum("k11").as("cb2"))
+    val n = big.agg(sum("k11").as("n"))
+    big.join(broadcast(ra), Seq("a")).join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("k12", col("ra") - col("k11"))
+      .withColumn("k21", col("cb2") - col("k11"))
+      .withColumn("k22", col("n") - col("ra") - col("cb2") + col("k11"))
+      .filter(col("k11") >= 5)
+      .withColumn("llr", r6(expr(llrFrag)))
+      .select("a", "b", "k11", "llr")
+      .orderBy(col("llr").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_readability" -> readability,
+    "q_text_llr" -> llrCollocations,
     "q_text_ttr" -> ttr,
     "q_text_stopword_discover" -> stopwordDiscover,
     "q_text_tok_zipf" -> tokZipf,
@@ -2211,6 +2260,38 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // PMI's bigram census; margins from the bigram table; the shared
+    // llrFrag closed form; rank on the pinned llr
+    "q_text_llr" ->
+      s"""WITH tokp AS (
+           SELECT doc_id,
+                  CAST(unnest(generate_series(1,
+                    len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         seq AS (SELECT token AS a,
+                        lead(token, 1) OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS b
+                 FROM tokp),
+         big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS k11 FROM seq
+                 WHERE b IS NOT NULL GROUP BY a, b),
+         rm AS (SELECT a, CAST(sum(k11) AS BIGINT) AS ra
+                FROM big GROUP BY a),
+         cm AS (SELECT b, CAST(sum(k11) AS BIGINT) AS cb2
+                FROM big GROUP BY b),
+         nt AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM big),
+         cells AS (
+           SELECT big.a, big.b, k11, ra, cb2, n,
+                  ra - k11 AS k12, cb2 - k11 AS k21,
+                  n - ra - cb2 + k11 AS k22
+           FROM big JOIN rm ON big.a = rm.a
+                    JOIN cm ON big.b = cm.b
+                    CROSS JOIN nt
+           WHERE k11 >= 5)
+         SELECT a, b, k11,
+                floor(($llrFrag) * 1000000 + 0.5) / 1000000.0 AS llr
+         FROM cells
+         ORDER BY llr DESC, a, b LIMIT 20""",
     // size() is INT in Spark, len() BIGINT in DuckDB → CAST AS INTEGER
     // (the tokencount convention); formula text shared thereafter
     "q_text_readability" ->

@@ -238,4 +238,26 @@ class SeriesGraphSpec extends SparkSpec {
     }
     assert(rows.count(_.getInt(1) == 1) == hourly.size)
   }
+
+  test("closeness: min-id landmark census replays q_graph_reach exactly") {
+    val cl = SparkEntry.queries("q_graph_closeness")(spark, sfDir).collect()
+    assert(cl.length == 3)
+    cl.foreach { r =>
+      val nr = r.getAs[Long]("n_reached"); val sd = r.getAs[Long]("sum_dist")
+      assert(nr >= 1 && sd >= nr, "dist >= 1 per reached node")
+      assert(r.getAs[Double]("closeness") <= 1.0 + 1e-9)
+      // harmonic <= n_reached (every 1/d term <= 1) and >= closeness
+      assert(r.getAs[Double]("harmonic") <= nr + 1e-9)
+    }
+    // q_graph_reach runs the SAME 4-hop BFS from the same min-id seed —
+    // its per-hop census must equal the min landmark's n1..n4 derivation
+    val reach = SparkEntry.queries("q_graph_reach")(spark, sfDir).collect()
+    val byHop = reach.filter(_.getAs[Long]("hops") > 0)
+      .groupBy(_.getAs[Long]("hops")).view.mapValues(_.length.toLong).toMap
+    val minLm = cl.map(_.getAs[Long]("lm")).min
+    val row = cl.find(_.getAs[Long]("lm") == minLm).get
+    assert(row.getAs[Long]("n_reached") == byHop.values.sum)
+    assert(row.getAs[Long]("sum_dist") ==
+      byHop.map { case (h, n) => h * n }.sum)
+  }
 }

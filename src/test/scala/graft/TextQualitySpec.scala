@@ -31,6 +31,23 @@ class TextQualitySpec extends SparkSpec {
     assert(df.filter(col("subsumed") === 1).count() > 0)
   }
 
+  test("llr: nonnegative, sorted, min support, and volume-aware vs pmi") {
+    val rows = operators.TextOps.queries("q_text_llr")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k11") >= 5L)
+      assert(r.getAs[Double]("llr") >= -1e-6, "Dunning LLR is nonnegative")
+    }
+    val scores = rows.map(_.getAs[Double]("llr"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // LLR favors volume: its top pair must carry at least the bigram
+    // count of PMI's top pair (PMI maxes out on rare-word pairs)
+    val pmiTop = operators.TextOps.queries("q_text_pmi")(spark, sfDir)
+      .collect().head.getAs[Long]("cab")
+    assert(rows.head.getAs[Long]("k11") >= pmiTop)
+  }
+
   test("readability: censuses consistent, FORCAST grade from its inputs") {
     val df = operators.TextOps.queries("q_text_readability")(spark, sfDir)
     assert(df.count() > 0)
