@@ -2131,8 +2131,46 @@ object TextOps {
       .limit(20)
   }
 
+  /** Count-min sketch error audit — the calibration-harness entry for
+    * q_text_count_min (the standing rule: every sketch in the registry
+    * ships its own measured error — KMV, LSH, MinHash, IVF, PQ, JL all
+    * do; CMS was the one sketch without). Rebuilds the SAME 4×32 md5
+    * sketch, then compares est vs exact for EVERY distinct token (the
+    * full-vocab census is |vocab|-bounded — exactly why this audit is
+    * cheap at any corpus size) and reports: how many estimates are
+    * exact, the worst and mean overestimate, and how many fall within
+    * the 2N/w deterministic-style bound. CMS never underestimates —
+    * the audit would expose a broken hash row as est < exact. */
+  private val evalCmsError: Q = (s, d) => {
+    val tok = Tables.documents(s, d).select(explode(toks()).as("tok"))
+    def bucket(r: Int): Column =
+      hex2(md5(concat(lit(s"$r:"), col("tok")))) % 32
+    val rbs = (0 until 4).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("b")))
+    val cells = tok.select(explode(array(rbs: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = tok.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .select(col("tok"), col("exact"), explode(array(rbs: _*)).as("rb"))
+      .select(col("tok"), col("exact"), col("rb.r").as("r"),
+        col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("tok", "exact").agg(min(col("c")).as("est"))
+    val n = tok.agg(count(lit(1)).as("n_stream"))
+    est.crossJoin(broadcast(n))
+      .groupBy("n_stream")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("est") === col("exact"), 1)).as("n_exact"),
+        max(col("est") - col("exact")).as("max_err"),
+        r6(expr("avg(CAST(est - exact AS DOUBLE))")).as("avg_err"),
+        count(when(col("est") - col("exact") <=
+          expr("(2 * n_stream) div 32"), 1)).as("n_within_bound"))
+      .orderBy("n_stream")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_readability" -> readability,
+    "q_eval_cms_error" -> evalCmsError,
     "q_text_llr" -> llrCollocations,
     "q_text_ttr" -> ttr,
     "q_text_stopword_discover" -> stopwordDiscover,
@@ -2260,6 +2298,37 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // count_min's 4×32 sketch rebuilt verbatim, audited over the full
+    // |vocab| census; integer error arithmetic end to end
+    "q_eval_cms_error" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         rb AS (SELECT tok, r,
+                       ${hex2Sql("md5(CAST(r AS VARCHAR) || ':' || tok)")}
+                         % 32 AS b
+                FROM tok CROSS JOIN
+                  (SELECT unnest(generate_series(0, 3)) AS r) rs),
+         cells AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                   FROM rb GROUP BY r, b),
+         ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+                FROM tok GROUP BY tok),
+         probes AS (SELECT tok, exact, r,
+                           ${hex2Sql("md5(CAST(r AS VARCHAR) || ':' || tok)")}
+                             % 32 AS b
+                    FROM ex CROSS JOIN
+                      (SELECT unnest(generate_series(0, 3)) AS r) rs),
+         est AS (SELECT p.tok, p.exact, CAST(min(c.c) AS BIGINT) AS est
+                 FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+                 GROUP BY p.tok, p.exact),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM tok)
+         SELECT n_stream, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(*) FILTER (est = exact) AS BIGINT) AS n_exact,
+                CAST(max(est - exact) AS BIGINT) AS max_err,
+                floor((avg(CAST(est - exact AS DOUBLE)))
+                      * 1000000 + 0.5) / 1000000.0 AS avg_err,
+                CAST(count(*) FILTER (est - exact <=
+                  (2 * n_stream) // 32) AS BIGINT) AS n_within_bound
+         FROM est CROSS JOIN ns GROUP BY n_stream ORDER BY n_stream""",
     // PMI's bigram census; margins from the bigram table; the shared
     // llrFrag closed form; rank on the pinned llr
     "q_text_llr" ->

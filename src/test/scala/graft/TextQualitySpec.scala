@@ -31,6 +31,24 @@ class TextQualitySpec extends SparkSpec {
     assert(df.filter(col("subsumed") === 1).count() > 0)
   }
 
+  test("cms audit: estimates never undercount; census covers the vocab") {
+    val r = operators.TextOps.queries("q_eval_cms_error")(spark, sfDir)
+      .collect().head
+    val nTok = r.getAs[Long]("n_tokens")
+    assert(nTok > 0 && r.getAs[Long]("n_stream") > nTok)
+    // CMS overestimates only: max_err >= avg_err >= 0
+    assert(r.getAs[Long]("max_err") >= 0L)
+    assert(r.getAs[Double]("avg_err") >= 0.0)
+    assert(r.getAs[Long]("max_err") >= r.getAs[Double]("avg_err").toLong)
+    assert(r.getAs[Long]("n_exact") <= nTok)
+    assert(r.getAs[Long]("n_within_bound") <= nTok)
+    // vocab census equals the corpus' distinct whitespace tokens
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(nTok == vocab)
+  }
+
   test("llr: nonnegative, sorted, min support, and volume-aware vs pmi") {
     val rows = operators.TextOps.queries("q_text_llr")(spark, sfDir)
       .collect()
