@@ -1138,24 +1138,33 @@ object VectorOps {
       .select("qid", "vec_id", "rel_r", "v")
     val wq = Window.partitionBy("qid")
       .orderBy(col("rel_r").desc, col("vec_id"))
-    val cand = rel0.withColumn("rn", row_number().over(wq))
+    // The greedy recursion would otherwise re-expand the candidate
+    // lineage ~3× per level (ms join + anti join + union), re-running
+    // the corpus-wide relevance scan dozens of times — so the BOUNDED
+    // artifacts (the ≤36-row candidate frame, ≤396-row pair-sim frame,
+    // and each round's ≤3-row pick) are pinned to LocalRelations first
+    // (the kmeansCentroids rule; every collect here is k·|queries|-
+    // bounded by construction, independent of corpus size).
+    def pinLocal(df: DataFrame): DataFrame = s.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val cand = pinLocal(rel0.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= 12)
-      .select(col("qid"), col("vec_id").as("cid"), col("rel_r"), col("v"))
-    val pair = cand.select(col("qid"), col("cid").as("ca"),
-        col("v").as("x"))
+      .select(col("qid"), col("vec_id").as("cid"), col("rel_r"), col("v")))
+    val pair = pinLocal(cand
+      .select(col("qid"), col("cid").as("ca"), col("v").as("x"))
       .join(cand.select(col("qid"), col("cid").as("cb"), col("v").as("y")),
         Seq("qid"))
       .filter(col("ca") =!= col("cb"))
       .withColumn("ps_r", r6(expr("graft_dot(x, y)")))
-      .select("qid", "ca", "cb", "ps_r")
-    val c = cand.select("qid", "cid", "rel_r")
+      .select("qid", "ca", "cb", "ps_r"))
+    val c = pinLocal(cand.select("qid", "cid", "rel_r"))
     def pick(scored: DataFrame, step: Int): DataFrame = {
       val w = Window.partitionBy("qid")
         .orderBy(col("mmr_r").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w))
+      pinLocal(scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), lit(step.toLong).as("step"), col("cid"),
-          col("mmr_r"))
+          col("mmr_r")))
     }
     // step 1: empty selected set → diversity term is exactly 0
     val s1 = pick(c.withColumn("mmr_r", r6(expr("0.7 * rel_r"))), 1)
