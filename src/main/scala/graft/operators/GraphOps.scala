@@ -355,6 +355,36 @@ object GraphOps {
       .orderBy("part")
   }
 
+  /** Local bridges (Granovetter weak ties) — edges whose endpoints
+    * share NO common neighbor (span > 2), i.e. the only short path
+    * between their two neighborhoods. These are the edges community
+    * detection must not cut and the "weak ties" that carry novel
+    * information across clusters; in catalog terms, the co-purchases
+    * that connect otherwise-disjoint product communities (the inverse
+    * view of q_graph_triangles, which counts the CLOSED wedges — a
+    * local bridge is an edge in zero triangles). Shape: the wedge join
+    * (und ⋈ und on the shared endpoint — the triangles/link_jaccard
+    * exchange) builds the has-common-neighbor pair set; edges
+    * left-anti-join it; the top-20 by endpoint degree sum surfaces the
+    * most load-bearing weak ties. All integers, rank cut on exact
+    * degree sums with id tie-breaks. */
+  private val localBridges: Q = (s, d) => {
+    val e = copurchaseEdges(s, d).select("x", "y")
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("deg"))
+    val withCn = und.select(col("x").as("a"), col("y").as("m"))
+      .join(und.select(col("x").as("m"), col("y").as("c")), Seq("m"))
+      .filter(col("a") < col("c"))
+      .select(col("a"), col("c")).distinct()
+    e.join(withCn, col("x") === col("a") && col("y") === col("c"),
+        "left_anti")
+      .join(deg.select(col("x"), col("deg").as("deg_x")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("deg").as("deg_y")), Seq("y"))
+      .select(col("x"), col("y"), col("deg_x"), col("deg_y"))
+      .orderBy((col("deg_x") + col("deg_y")).desc, col("x"), col("y"))
+      .limit(20)
+  }
+
   /** Landmark closeness centrality (3 landmarks, 4-hop horizon) on the
     * support-2 co-purchase graph — the distance-based centrality the
     * family lacked (pagerank/HITS rank by flow, degree by volume;
@@ -550,6 +580,7 @@ object GraphOps {
     "q_graph_assortativity" -> assortativity,
     "q_graph_reach" -> reach,
     "q_graph_closeness" -> closeness,
+    "q_graph_local_bridges" -> localBridges,
     "q_graph_degree_dist" -> degreeDist,
     "q_graph_components" -> components,
     "q_graph_lpa" -> lpa,
@@ -689,6 +720,24 @@ object GraphOps {
                           - CAST(sum(dy) AS DOUBLE) * CAST(sum(dy) AS DOUBLE))))
                   * 1000000 + 0.5) / 1000000.0 AS assortativity
          FROM sym""",
+    // zero-triangle edges via NOT EXISTS over the wedge join; rank by
+    // exact degree sums
+    "q_graph_local_bridges" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS x, b.pk AS y
+               FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg
+                 FROM und GROUP BY x)
+         SELECT e.x, e.y, dx.deg AS deg_x, dy.deg AS deg_y
+         FROM e JOIN deg dx ON dx.x = e.x
+                JOIN deg dy ON dy.x = e.y
+         WHERE NOT EXISTS (
+           SELECT 1 FROM und u1 JOIN und u2 ON u1.y = u2.x
+           WHERE u1.x = e.x AND u2.y = e.y)
+         ORDER BY dx.deg + dy.deg DESC, e.x, e.y LIMIT 20""",
     // reach's recursive BFS, one lane per landmark; centrality forms
     // are pure integer-census arithmetic in shared text
     "q_graph_closeness" ->

@@ -1409,7 +1409,41 @@ object StatsOps {
         r6(expr("1.0 / h_hill")).as("alpha_hill"))
   }
 
+  /** Kendall's τ-b between daily click and purchase volumes — the
+    * rank-correlation sibling q_stats_spearman lacks when ties matter:
+    * τ-b counts concordant/discordant PAIRS with explicit tie
+    * corrections (integer-count days tie often; Spearman's midranks
+    * blur that, τ-b prices it). The pair scan is O(|days|²) — safe
+    * ONLY because it runs on the |days|-bounded census, never raw
+    * events (the seasonal-mk/mann-kendall discipline; at any corpus
+    * size the census stays ~30 rows). Every pair class (C, D, ties) is
+    * an exact integer census; τ-b is one shared closed-form text on
+    * those integers. */
+  private val kendallTau: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val pairs = daily.select(col("day").as("da"), col("x").as("xa"),
+        col("y").as("ya"))
+      .join(daily.select(col("day").as("db"), col("x").as("xb"),
+        col("y").as("yb")), col("da") < col("db"))
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        count(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0,
+          1)).as("nc"),
+        count(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0,
+          1)).as("nd"),
+        count(when(col("xa") === col("xb"), 1)).as("n_tie_x"),
+        count(when(col("ya") === col("yb"), 1)).as("n_tie_y"))
+      .select(col("n0"), col("nc"), col("nd"),
+        col("n_tie_x"), col("n_tie_y"),
+        r6(expr("(nc - nd) / sqrt(CAST(n0 - n_tie_x AS DOUBLE)" +
+          " * (n0 - n_tie_y))")).as("tau_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_kendall_tau" -> kendallTau,
     "q_stats_moments" -> moments,
     "q_stats_cramers_v" -> cramersV,
     "q_stats_tost" -> tost,
@@ -1489,6 +1523,31 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // |days|-bounded pair census; every pair class exact, τ-b one
+    // shared closed form
+    "q_stats_kendall_tau" ->
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                    AS x,
+                  CAST(count(*) FILTER (event_type = 'purchase')
+                    AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         pairs AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+                   FROM daily a JOIN daily b ON a.day < b.day),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n0,
+                  CAST(count(*) FILTER ((xa - xb) * (ya - yb) > 0)
+                    AS BIGINT) AS nc,
+                  CAST(count(*) FILTER ((xa - xb) * (ya - yb) < 0)
+                    AS BIGINT) AS nd,
+                  CAST(count(*) FILTER (xa = xb) AS BIGINT) AS n_tie_x,
+                  CAST(count(*) FILTER (ya = yb) AS BIGINT) AS n_tie_y
+           FROM pairs)
+         SELECT n0, nc, nd, n_tie_x, n_tie_y,
+                ${rsql("(nc - nd) / sqrt(CAST(n0 - n_tie_x AS DOUBLE)" +
+                  " * (n0 - n_tie_y))", 1000000)} AS tau_b
+         FROM ag""",
     // exact HUGEINT power sums (the Spark side's DECIMAL(38,0) twin),
     // then the shared mM1..mM4 closed forms — one formula text
     "q_stats_moments" ->

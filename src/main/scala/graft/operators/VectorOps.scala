@@ -1183,8 +1183,60 @@ object VectorOps {
     sel.orderBy("qid", "step")
   }
 
+  /** IVF probe-sweep tuning curve — the capacity-planning readout an
+    * ANN deployment is actually tuned with: recall@3 as a function of
+    * nprobe ∈ {1,2,3} (q_eval_ivf_recall prices ONE operating point;
+    * this key prices the curve, which is what decides "how many
+    * partitions must a query touch to hit the recall SLO"). One
+    * centroid ranking per query (K-bounded broadcast), candidates
+    * scored ONCE across the union of the 3 best partitions and then
+    * re-cut per probe depth (prn ≤ p) — the sweep adds rank windows
+    * over the same scored frame, not extra corpus scans. Monotonicity
+    * (recall non-decreasing in nprobe) is a structural invariant the
+    * spec pins. All ranks on r6 sims with id tie-breaks. */
+  private val evalProbeSweep: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select(col("qid"), col("vec_id").as("nid"))
+    val qc = q.withColumnRenamed("qv", "v")
+      .crossJoin(broadcast(centroidArr(s, d)
+        .withColumnRenamed("label", "clabel")))
+      .withColumn("csim", r6(expr(centDotExpr)))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("clabel"))
+    val probeRank = qc.withColumn("prn", row_number().over(wq))
+      .filter(col("prn") <= 3)
+      .select(col("qid"), col("clabel").as("label"), col("prn"))
+    val cand = probeRank.join(e, Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(q, Seq("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+      .select("qid", "prn", "vec_id", "sim_r")
+    val perProbe = (1 to 3).map { p =>
+      val wp = Window.partitionBy("qid")
+        .orderBy(col("sim_r").desc, col("vec_id"))
+      val top = cand.filter(col("prn") <= p)
+        .withColumn("rk", row_number().over(wp))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), lit(1).as("hit"))
+      exact.join(top, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(p).as("nprobe"), col("n_exact"), col("n_hit"),
+          r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }
+    perProbe.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_mmr" -> simMmr,
+    "q_eval_probe_sweep" -> evalProbeSweep,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_kappa" -> evalKappa,
     "q_ann_ivfpq" -> annIvfPq,
@@ -1489,6 +1541,66 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // the ivfCtes centroid/query chain widened to a 3-deep probe rank;
+    // candidates scored once, the sweep re-cuts them per probe depth
+    "q_eval_probe_sweep" ->
+      """WITH dm AS (
+           SELECT vec_id, label,
+                  CAST(unnest(generate_series(1, len(embedding))) - 1
+                       AS INTEGER) AS pos,
+                  CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS val
+           FROM embeddings),
+         cent AS (SELECT label, pos, avg(val) AS c
+                  FROM dm GROUP BY label, pos),
+         ca AS (SELECT label, list(c ORDER BY pos) AS carr
+                FROM cent GROUP BY label),
+         q AS (SELECT vec_id AS qid, embedding FROM embeddings
+               WHERE vec_id < 5),
+         qc AS (
+           SELECT q.qid, ca.label AS clabel,
+                  floor((list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                                            ca.carr))
+                        * 1000000 + 0.5) / 1000000.0 AS csim
+           FROM q, ca),
+         pr AS (SELECT qid, clabel AS label, rn AS prn FROM (
+                  SELECT qid, clabel, row_number() OVER (PARTITION BY qid
+                    ORDER BY csim DESC, clabel) AS rn
+                  FROM qc) t WHERE rn <= 3),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  floor((list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings e JOIN q ON e.vec_id != q.qid),
+         exact AS (SELECT qid, vec_id AS nid FROM (
+                     SELECT qid, vec_id, row_number() OVER (
+                       PARTITION BY qid ORDER BY sim_r DESC, vec_id) AS rk
+                     FROM scored) t WHERE rk <= 3),
+         cand AS (
+           SELECT pr.qid, pr.prn, e.vec_id, s.sim_r
+           FROM pr
+           JOIN embeddings e ON e.label = pr.label AND e.vec_id != pr.qid
+           JOIN scored s ON s.qid = pr.qid AND s.vec_id = e.vec_id),
+         pp AS (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER)
+                  AS p),
+         sweep AS (SELECT p, qid, vec_id AS nid FROM (
+                     SELECT pp.p, c.qid, c.vec_id, row_number() OVER (
+                       PARTITION BY pp.p, c.qid
+                       ORDER BY c.sim_r DESC, c.vec_id) AS rk
+                     FROM cand c JOIN pp ON c.prn <= pp.p) t
+                   WHERE rk <= 3),
+         res AS (
+           SELECT pp.p AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+                  CAST(sum(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+           FROM pp CROSS JOIN exact ex
+           LEFT JOIN sweep s ON s.p = pp.p AND s.qid = ex.qid
+                            AND s.nid = ex.nid
+           GROUP BY pp.p)
+         SELECT nprobe, n_exact, n_hit,
+                floor((CAST(n_hit AS DOUBLE) / n_exact)
+                      * 1000000 + 0.5) / 1000000.0 AS recall
+         FROM res ORDER BY nprobe""",
     "q_sim_mmr" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
              FROM embeddings WHERE vec_id < 3),

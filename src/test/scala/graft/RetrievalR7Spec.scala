@@ -425,6 +425,53 @@ class RetrievalR7Spec extends SparkSpec {
       "labels cannot cross components, so LPA is >= as fine as components")
   }
 
+  test("probe sweep: monotone recall; depth 1 replays q_eval_ivf_recall") {
+    val rows = SparkEntry.queries("q_eval_probe_sweep")(spark, sfDir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be non-decreasing in nprobe: ${recalls.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+    // nprobe=1 is exactly the operating point q_eval_ivf_recall prices
+    val ivf = SparkEntry.queries("q_eval_ivf_recall")(spark, sfDir)
+      .collect()
+    assert(rows.head.getAs[Long]("n_hit") ==
+      ivf.map(_.getAs[Long]("n_hit")).sum)
+    assert(rows.head.getAs[Long]("n_exact") ==
+      ivf.map(_.getAs[Long]("n_exact")).sum)
+  }
+
+  test("local bridges: listed edges really have zero common neighbors") {
+    val rows = SparkEntry.queries("q_graph_local_bridges")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sums = rows.map(r => r.getAs[Long]("deg_x") + r.getAs[Long]("deg_y"))
+    assert(sums.zip(sums.tail).forall { case (a, b) => a >= b })
+    // triangle-freeness replay for the reported edges: neighbors of x
+    // and y must be disjoint (minus each other)
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("x", "y")
+    val adj = e.union(e.select(col("y").as("x"), col("x").as("y")))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.take(5).foreach { r =>
+      val (x, y) = (r.getAs[Long]("x"), r.getAs[Long]("y"))
+      assert((adj(x) - y).intersect(adj(y) - x).isEmpty,
+        s"edge ($x,$y) has a common neighbor")
+    }
+  }
+
   test("mmr: 5 picks/query, relevance-first, monotone scores, diversity bites") {
     val rows = SparkEntry.queries("q_sim_mmr")(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -417,6 +417,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("kendall: pair classes partition n0 and tau-b is bounded") {
+    val r = operators.StatsOps.queries("q_stats_kendall_tau")(spark, sfDir)
+      .collect().head
+    val n0 = r.getAs[Long]("n0")
+    val nc = r.getAs[Long]("nc"); val nd = r.getAs[Long]("nd")
+    assert(nc + nd <= n0, "concordant + discordant cannot exceed pairs")
+    // n0 = days choose 2
+    val days = Tables.events(spark, sfDir)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct().count()
+    assert(n0 == days * (days - 1) / 2)
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+  }
+
   test("cramers v: bounded effect size sharing chisq's exact chi2") {
     val v = operators.StatsOps.queries("q_stats_cramers_v")(spark, sfDir)
       .collect().head
