@@ -1442,8 +1442,75 @@ object StatsOps {
           " * (n0 - n_tie_y))")).as("tau_b"))
   }
 
+  /** Weekend/weekday Poisson rate-ratio with a log-scale CI — the
+    * count-metric A/B instrument (prop_test/wilson judge PROPORTIONS;
+    * event COUNTS per unit exposure need the rate-ratio form: RR =
+    * (k_we/t_we)/(k_wd/t_wd), CI on ln RR ± z·√(1/k_we + 1/k_wd), the
+    * standard lognormal approximation — bounds stay on the log scale,
+    * deliberately: exp() is a cross-libm call the parity rules avoid,
+    * and sign tests on ln-scale bounds are equivalent). Day-of-week
+    * derives from the epoch-day INTEGER ((day+4) % 7, 0=Sunday) —
+    * Spark's dayofweek() and DuckDB's differ by convention, integer
+    * arithmetic doesn't. Exact integer censuses (events and distinct
+    * exposure days per bucket), one closed form, significance compared
+    * on r6-PINNED bounds (srm discipline). */
+  private val rateRatio: Q = (s, d) => {
+    val dayCol = "CAST((ts_ns div 1000) div 86400000000 AS BIGINT)"
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr(dayCol).as("day"))
+      .withColumn("we", expr("CAST((day + 4) % 7 IN (0, 6) AS INT)"))
+    val expo = ev.select("day", "we").distinct()
+      .agg(sum(when(col("we") === 1, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("we") === 0, 1L).otherwise(0L)).as("tb"))
+    val z = "CAST(1.9599639845400545 AS DOUBLE)"
+    ev.groupBy("event_type")
+      .agg(count(when(col("we") === 1, 1)).as("ka"),
+        count(when(col("we") === 0, 1)).as("kb"))
+      .crossJoin(broadcast(expo))
+      .withColumn("rr", r6(expr(
+        "(CAST(ka AS DOUBLE) / ta) / (CAST(kb AS DOUBLE) / tb)")))
+      .withColumn("ln_rr_low", r6(expr(
+        s"ln((CAST(ka AS DOUBLE) / ta) / (CAST(kb AS DOUBLE) / tb))" +
+          s" - $z * sqrt(1.0 / ka + 1.0 / kb)")))
+      .withColumn("ln_rr_high", r6(expr(
+        s"ln((CAST(ka AS DOUBLE) / ta) / (CAST(kb AS DOUBLE) / tb))" +
+          s" + $z * sqrt(1.0 / ka + 1.0 / kb)")))
+      .select(col("event_type"), col("ka"), col("kb"), col("ta"),
+        col("tb"), col("rr"), col("ln_rr_low"), col("ln_rr_high"),
+        (col("ln_rr_low") > 0.0 || col("ln_rr_high") < 0.0)
+          .as("significant"))
+      .orderBy("event_type")
+  }
+
+  /** max_by/min_by (arg-max aggregation) surface — the "who is the
+    * top/bottom entity per group" contract every leaderboard compiles
+    * to, via the ONE-expression aggregate instead of the rank-window
+    * detour (q_win_topk_group). Determinism: Spark leaves max_by ties
+    * unspecified, so the ordering value is tot_cents·10⁶ + user_id —
+    * exact, injective (cents dominate, user id breaks ties) — making
+    * the arg-max unique by construction in both engines. Totals are
+    * exact integer cents (one hash aggregate per (type, user), then
+    * the |types|-bounded argmax aggregate). */
+  private val aggArgmax: Q = (s, d) => {
+    val per = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .as("tot_cents"))
+      .withColumn("rank_val",
+        expr("tot_cents * 1000000 + user_id"))
+    per.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        expr("max_by(user_id, rank_val)").as("top_user"),
+        r2(max(col("tot_cents")) / 100.0).as("top_total"),
+        expr("min_by(user_id, rank_val)").as("bottom_user"),
+        r2(min(col("tot_cents")) / 100.0).as("bottom_total"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stats_kendall_tau" -> kendallTau,
+    "q_stats_rate_ratio" -> rateRatio,
+    "q_agg_argmax" -> aggArgmax,
     "q_stats_moments" -> moments,
     "q_stats_cramers_v" -> cramersV,
     "q_stats_tost" -> tost,
@@ -1523,6 +1590,64 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // integer day-of-week, exact event/exposure censuses, shared
+    // closed form; significance on the pinned log-scale bounds
+    "q_stats_rate_ratio" ->
+      s"""WITH ev AS (
+           SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+         evw AS (SELECT event_type, day,
+                        CAST((day + 4) % 7 IN (0, 6) AS INT) AS we
+                 FROM ev),
+         expo AS (
+           SELECT CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ta,
+                  CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tb
+           FROM (SELECT DISTINCT day, we FROM evw) x),
+         g AS (
+           SELECT event_type,
+                  CAST(count(*) FILTER (we = 1) AS BIGINT) AS ka,
+                  CAST(count(*) FILTER (we = 0) AS BIGINT) AS kb
+           FROM evw GROUP BY event_type),
+         j AS (SELECT * FROM g CROSS JOIN expo),
+         f AS (
+           SELECT event_type, ka, kb, ta, tb,
+                  ${rsql("(CAST(ka AS DOUBLE) / ta)" +
+                    " / (CAST(kb AS DOUBLE) / tb)", 1000000)} AS rr,
+                  ${rsql("ln((CAST(ka AS DOUBLE) / ta)" +
+                    " / (CAST(kb AS DOUBLE) / tb))" +
+                    " - CAST(1.9599639845400545 AS DOUBLE)" +
+                    " * sqrt(1.0 / ka + 1.0 / kb)", 1000000)}
+                    AS ln_rr_low,
+                  ${rsql("ln((CAST(ka AS DOUBLE) / ta)" +
+                    " / (CAST(kb AS DOUBLE) / tb))" +
+                    " + CAST(1.9599639845400545 AS DOUBLE)" +
+                    " * sqrt(1.0 / ka + 1.0 / kb)", 1000000)}
+                    AS ln_rr_high
+           FROM j)
+         SELECT event_type, ka, kb, ta, tb, rr, ln_rr_low, ln_rr_high,
+                ln_rr_low > 0.0 OR ln_rr_high < 0.0 AS significant
+         FROM f ORDER BY event_type""",
+    // injective ordering value makes the arg-max unique in both
+    // engines; totals exact integer cents
+    "q_agg_argmax" ->
+      """WITH per AS (
+           SELECT event_type, user_id,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS tot_cents
+           FROM events GROUP BY event_type, user_id),
+         r AS (SELECT *, tot_cents * 1000000 + user_id AS rank_val
+               FROM per)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                max_by(user_id, rank_val) AS top_user,
+                floor((max(tot_cents) / 100.0) * 100 + 0.5) / 100.0
+                  AS top_total,
+                min_by(user_id, rank_val) AS bottom_user,
+                floor((min(tot_cents) / 100.0) * 100 + 0.5) / 100.0
+                  AS bottom_total
+         FROM r GROUP BY event_type ORDER BY event_type""",
     // |days|-bounded pair census; every pair class exact, τ-b one
     // shared closed form
     "q_stats_kendall_tau" ->

@@ -417,6 +417,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("rate ratio: log-CI brackets ln(rr); significance from own bounds") {
+    val rows = operators.StatsOps.queries("q_stats_rate_ratio")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      val lo = r.getAs[Double]("ln_rr_low")
+      val hi = r.getAs[Double]("ln_rr_high")
+      assert(rr > 0.0 && lo < hi)
+      assert(lo < math.log(rr) + 1e-4 && math.log(rr) < hi + 1e-4)
+      assert(r.getAs[Boolean]("significant") == (lo > 0.0 || hi < 0.0))
+      assert(r.getAs[Long]("ta") > 0 && r.getAs[Long]("tb") > 0)
+    }
+  }
+
+  test("argmax: top/bottom users replay the exact per-user totals") {
+    val rows = operators.StatsOps.queries("q_agg_argmax")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    val per = Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .as("tc")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val g = per(et).map(x => (x.getLong(2), x.getLong(1)))
+      assert(r.getAs[Long]("top_user") == g.max._2)
+      assert(r.getAs[Long]("bottom_user") == g.min._2)
+      assert(r.getAs[Double]("top_total") >= r.getAs[Double]("bottom_total"))
+      assert(r.getAs[Long]("n_users") == g.length)
+    }
+  }
+
   test("kendall: pair classes partition n0 and tau-b is bounded") {
     val r = operators.StatsOps.queries("q_stats_kendall_tau")(spark, sfDir)
       .collect().head
