@@ -1507,10 +1507,47 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Wilcoxon signed-rank test on the paired daily (click, view)
+    * volumes — the PAIRED-sample member the rank-test family lacked
+    * (q_stats_mannwhitney is the unpaired rank-sum; pairing by day
+    * removes the day-level variance that swamps an unpaired compare).
+    * d_i = clicks_i − views_i per day, zeros dropped (standard),
+    * midranks over |d| with exact tie handling: twice-midrank
+    * 2·(cum−cnt)+cnt+1 stays an INTEGER (the spearman rank2 trick), so
+    * W⁺ = Σ mr2/2 is exact at .5 granularity and the normal-approx z
+    * is one closed form on exact integers (no tie-variance correction
+    * — documented; ties here are rare and the correction term is
+    * second-order). Census-bounded: ranks run on the |distinct |d||
+    * frame via the distributed prefix sum, never a global window. */
+  private val wilcoxonSigned: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c"),
+        count(when(col("event_type") === "view", 1)).as("v"))
+    val dd = daily.select(col("day"), (col("c") - col("v")).as("dif"))
+      .filter(col("dif") =!= 0)
+      .withColumn("ad", abs(col("dif")))
+    val per = dd.groupBy("ad").agg(count(lit(1)).as("cnt"))
+    val ranks = Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
+        Seq(col("ad")))
+      .select(col("ad"),
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as("mr2"))
+    dd.join(broadcast(ranks), Seq("ad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dif") > 0, col("mr2")).otherwise(0L)).as("w2"),
+        count(when(col("dif") > 0, 1)).as("n_pos"))
+      .select(col("n"), col("n_pos"),
+        r6(expr("w2 / 2.0")).as("w_plus"),
+        r6(expr("(w2 / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0)" +
+          " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0)"))
+          .as("z_wilcoxon"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stats_kendall_tau" -> kendallTau,
     "q_stats_rate_ratio" -> rateRatio,
     "q_agg_argmax" -> aggArgmax,
+    "q_stats_wilcoxon" -> wilcoxonSigned,
     "q_stats_moments" -> moments,
     "q_stats_cramers_v" -> cramersV,
     "q_stats_tost" -> tost,
@@ -1590,6 +1627,36 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // spearman's integer twice-midrank over the |d| census; W+ and z
+    // from exact integers in shared text
+    "q_stats_wilcoxon" ->
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                    AS c,
+                  CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                    AS v
+           FROM events GROUP BY 1),
+         dd AS (SELECT day, c - v AS dif, abs(c - v) AS ad
+                FROM daily WHERE c - v <> 0),
+         per AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt
+                 FROM dd GROUP BY ad),
+         rk AS (SELECT ad,
+                       2 * (CAST(sum(cnt) OVER (ORDER BY ad) AS BIGINT)
+                            - cnt) + cnt + 1 AS mr2
+                FROM per),
+         j AS (SELECT dif, mr2 FROM dd JOIN rk USING (ad)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN dif > 0 THEN mr2 ELSE 0 END)
+                        AS BIGINT) AS w2,
+                      CAST(count(*) FILTER (dif > 0) AS BIGINT) AS n_pos
+               FROM j)
+         SELECT n, n_pos,
+                ${rsql("w2 / 2.0", 1000000)} AS w_plus,
+                ${rsql("(w2 / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4.0)" +
+                  " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1)" +
+                  " / 24.0)", 1000000)} AS z_wilcoxon
+         FROM m""",
     // integer day-of-week, exact event/exposure censuses, shared
     // closed form; significance on the pinned log-scale bounds
     "q_stats_rate_ratio" ->

@@ -1234,9 +1234,64 @@ object VectorOps {
     perProbe.reduce(_ unionByName _).orderBy("nprobe")
   }
 
+  /** Clustering-quality eval (purity + NMI) for the trained k-means
+    * against the ground-truth labels — the eval-harness entry for
+    * q_ann_kmeans itself (the recall audits price the INDEXES built on
+    * the clustering; nothing priced the clustering): purity = share of
+    * vectors whose cluster's majority label is their own, NMI =
+    * 2·I(C;L)/(H(C)+H(L)) — the chance-corrected form that a
+    * degenerate 1-cluster solution cannot game. Everything derives
+    * from the |clusters|×|labels| (≤16-cell) contingency census of the
+    * SAME cached 2-round Lloyd assignment the other kmeans keys share;
+    * cross-cell entropy/MI sums run as sorted-list folds on exact
+    * integer counts (the levene fold discipline), so both engines
+    * accumulate identically. */
+  private val evalClusterPurity: Q = (s, d) => {
+    val assign = assignTo(vecs(s, d), kmeansCentroids(s, d, 4, 2))
+    val cells = assign
+      .join(vecs(s, d).select("vec_id", "label"), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("ncl"))
+    val nc = cells.groupBy("cid")
+      .agg(sum("ncl").as("nc"), max("ncl").as("mx"))
+    val nl = cells.groupBy("label").agg(sum("ncl").as("nl"))
+    val nt = cells.agg(sum("ncl").as("n"))
+    val iterm = "(CAST(ncl AS DOUBLE) / n) * ln((CAST(ncl AS DOUBLE)" +
+      " * n) / (CAST(nc AS DOUBLE) * nl))"
+    val mi = cells
+      .join(broadcast(nc.select("cid", "nc")), Seq("cid"))
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(broadcast(nt))
+      .withColumn("it", expr(iterm))
+      .agg(count(lit(1)).as("n_cells"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(cid, label, it))), x -> x.it), 0D," +
+          " (acc, v) -> acc + v)").as("mi"))
+    val hTerm = (k: String, tot: String) =>
+      s"-(CAST($k AS DOUBLE) / n) * ln(CAST($k AS DOUBLE) / n)"
+    val hc = nc.crossJoin(broadcast(nt))
+      .withColumn("hterm", expr(hTerm("nc", "n")))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(cid, hterm))), x -> x.hterm), 0D," +
+        " (acc, v) -> acc + v)").as("hc"),
+        sum(col("mx")).as("sum_mx"))
+    val hl = nl.crossJoin(broadcast(nt))
+      .withColumn("hterm", expr(hTerm("nl", "n")))
+      .agg(expr("aggregate(transform(array_sort(collect_list(" +
+        "struct(label, hterm))), x -> x.hterm), 0D," +
+        " (acc, v) -> acc + v)").as("hl"))
+    mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(nt))
+      .select(col("n"), col("n_cells"),
+        r6(expr("CAST(sum_mx AS DOUBLE) / n")).as("purity"),
+        r6(expr("hc")).as("h_cluster"),
+        r6(expr("hl")).as("h_label"),
+        r6(expr("2.0 * mi / (hc + hl)")).as("nmi"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_mmr" -> simMmr,
     "q_eval_probe_sweep" -> evalProbeSweep,
+    "q_eval_cluster_purity" -> evalClusterPurity,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_kappa" -> evalKappa,
     "q_ann_ivfpq" -> annIvfPq,
@@ -1541,6 +1596,46 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // kmeansCtes' round-2 assignment a3 → contingency census → purity
+    // and NMI via ordered folds on exact integer counts
+    "q_eval_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+         lab AS (SELECT vec_id, label FROM embeddings),
+         cells AS (SELECT a3.cid, lab.label,
+                          CAST(count(*) AS BIGINT) AS ncl
+                   FROM a3 JOIN lab USING (vec_id)
+                   GROUP BY a3.cid, lab.label),
+         ncf AS (SELECT cid, CAST(sum(ncl) AS BIGINT) AS nc,
+                        CAST(max(ncl) AS BIGINT) AS mx
+                 FROM cells GROUP BY cid),
+         nlf AS (SELECT label, CAST(sum(ncl) AS BIGINT) AS nl
+                 FROM cells GROUP BY label),
+         ntf AS (SELECT CAST(sum(ncl) AS BIGINT) AS n FROM cells),
+         mif AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                        list_reduce(list((CAST(ncl AS DOUBLE) / n)
+                          * ln((CAST(ncl AS DOUBLE) * n)
+                               / (CAST(nc AS DOUBLE) * nl))
+                          ORDER BY cid, label),
+                          (acc, v) -> acc + v) AS mi
+                 FROM cells JOIN ncf USING (cid) JOIN nlf USING (label)
+                 CROSS JOIN ntf),
+         hcf AS (SELECT list_reduce(list(-(CAST(nc AS DOUBLE) / n)
+                          * ln(CAST(nc AS DOUBLE) / n) ORDER BY cid),
+                          (acc, v) -> acc + v) AS hc,
+                        CAST(sum(mx) AS BIGINT) AS sum_mx
+                 FROM ncf CROSS JOIN ntf),
+         hlf AS (SELECT list_reduce(list(-(CAST(nl AS DOUBLE) / n)
+                          * ln(CAST(nl AS DOUBLE) / n) ORDER BY label),
+                          (acc, v) -> acc + v) AS hl
+                 FROM nlf CROSS JOIN ntf)
+         SELECT n, n_cells,
+                floor((CAST(sum_mx AS DOUBLE) / n) * 1000000 + 0.5)
+                  / 1000000.0 AS purity,
+                floor((hc) * 1000000 + 0.5) / 1000000.0 AS h_cluster,
+                floor((hl) * 1000000 + 0.5) / 1000000.0 AS h_label,
+                floor((2.0 * mi / (hc + hl)) * 1000000 + 0.5)
+                  / 1000000.0 AS nmi
+         FROM mif CROSS JOIN hcf CROSS JOIN hlf CROSS JOIN ntf""",
     // the ivfCtes centroid/query chain widened to a 3-deep probe rank;
     // candidates scored once, the sweep re-cuts them per probe depth
     "q_eval_probe_sweep" ->

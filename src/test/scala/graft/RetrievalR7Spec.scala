@@ -425,6 +425,22 @@ class RetrievalR7Spec extends SparkSpec {
       "labels cannot cross components, so LPA is >= as fine as components")
   }
 
+  test("cluster purity: bounded metrics consistent with their censuses") {
+    val r = SparkEntry.queries("q_eval_cluster_purity")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n")
+    assert(n > 0 && r.getAs[Long]("n_cells") > 0)
+    val purity = r.getAs[Double]("purity")
+    // majority share is at least 1/|labels| and at most 1
+    assert(purity > 0.0 && purity <= 1.0)
+    val hc = r.getAs[Double]("h_cluster"); val hl = r.getAs[Double]("h_label")
+    assert(hc >= 0.0 && hl >= 0.0)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"NMI out of range: $nmi")
+    // entropy bounds: H <= ln(k) for k clusters (4) / labels
+    assert(hc <= math.log(4.0) + 1e-6)
+  }
+
   test("probe sweep: monotone recall; depth 1 replays q_eval_ivf_recall") {
     val rows = SparkEntry.queries("q_eval_probe_sweep")(spark, sfDir)
       .collect().sortBy(_.getInt(0))

@@ -417,6 +417,20 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("wilcoxon: W+ bounded by the rank total; z from its own census") {
+    val r = operators.StatsOps.queries("q_stats_wilcoxon")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n")
+    val w = r.getAs[Double]("w_plus")
+    assert(n > 0 && r.getAs[Long]("n_pos") <= n)
+    assert(w >= 0.0 && w <= n * (n + 1) / 2.0,
+      "W+ must lie within [0, n(n+1)/2]")
+    // z replay from the emitted census
+    val z = (w - n * (n + 1) / 4.0) /
+      math.sqrt(n * (n + 1) * (2.0 * n + 1) / 24.0)
+    assert(math.abs(r.getAs[Double]("z_wilcoxon") - z) < 1e-4)
+  }
+
   test("rate ratio: log-CI brackets ln(rr); significance from own bounds") {
     val rows = operators.StatsOps.queries("q_stats_rate_ratio")(spark, sfDir)
       .collect()
