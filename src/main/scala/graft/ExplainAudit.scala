@@ -196,7 +196,23 @@ object ExplainAudit {
     // EXCLUDED for the kmeans reason: constructing them trains the
     // quantizers / runs the GD collects.)
     "q_search_rrf", "q_eval_ndcg", "q_eval_kappa", "q_stats_bh",
-    "q_text_perplexity_bigram", "q_agg_kmv_merge")
+    "q_text_perplexity_bigram", "q_agg_kmv_merge",
+    // round-7 session 2: the DECIMAL(38,0) exact power-sum moments, the
+    // TakeOrdered 501-row Hill tail frontier, LLR's bigram census +
+    // broadcast margins, the landmark BFS closeness lanes (the reach
+    // layering, one lane per landmark), the wedge anti-join local
+    // bridges, the per-asset lag/zip_with scene-cut pass, the probe
+    // sweep's one-scored-frame three-rank-cuts shape, the CMS rebuild's
+    // |vocab|-bounded audit join, and max_by over the injective
+    // ordering value.
+    // (q_sim_mmr and q_eval_cluster_purity are EXCLUDED for the kmeans
+    // reason: constructing them pins bounded LocalRelations / runs the
+    // Lloyd collects.)
+    "q_stats_moments", "q_stats_hill_tail", "q_text_llr",
+    "q_graph_closeness", "q_graph_local_bridges",
+    "q_multimodal_scene_cut", "q_eval_probe_sweep", "q_eval_cms_error",
+    "q_agg_argmax", "q_stats_rate_ratio", "q_stats_kendall_tau",
+    "q_stats_wilcoxon", "q_text_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
