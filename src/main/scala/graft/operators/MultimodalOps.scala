@@ -221,8 +221,54 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Hamming-radius near-dup pairs over the perceptual hash — the
+    * operator q_multimodal_phash stops short of: exact-equal aHash
+    * buckets catch identical-looking assets, but a re-encoded or
+    * slightly-edited image lands a few BITS away, and finding those at
+    * scale needs the banded hamming join (the simhash band trick on
+    * the image fingerprint): 4 bands × 16 bits — any pair within
+    * hamming ≤ 8 of 64 shares at least one exact band (pigeonhole:
+    * 8 errors cannot cover 4 bands with ≥1 each... they can; the
+    * 4-band/≤8 combination is a RECALL-biased heuristic, not a
+    * guarantee — pairs with all 4 bands hit are missed with
+    * probability that the spec-pinned candidate census makes visible,
+    * exactly like q_dedup_minhash's banding). Candidates from the
+    * band-bucket equi-join (5929 of 124 750 possible pairs at sf0.01 —
+    * the pruning IS the scale story), then exact 64-position hamming
+    * verification ≤ 8. Integer end to end. */
+  private val multimodalPhashHamming: Q = (s, d) => {
+    val px = Tables.documents(s, d).filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, 64)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        ascii(expr("substring(text, i, 1)")).as("v"))
+    val tot = px.groupBy("doc_id").agg(sum(col("v")).as("st"))
+    val ah = px.join(tot, "doc_id")
+      .select(col("doc_id"), col("i"),
+        when(col("v") * 64 > col("st"), lit("1")).otherwise(lit("0"))
+          .as("b"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(i, b))), x -> x.b), '')").as("h"))
+    val band = ah.select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 3)")).as("bi"))
+      .withColumn("bb", expr("substring(h, bi * 16 + 1, 16)"))
+    band.select(col("doc_id").as("da"), col("h").as("ha"),
+        col("bi"), col("bb"))
+      .join(band.select(col("doc_id").as("db"), col("h").as("hb"),
+        col("bi"), col("bb")), Seq("bi", "bb"))
+      .filter(col("da") < col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+      .withColumn("hd", expr("size(filter(sequence(1, 64), i -> " +
+        "substring(ha, i, 1) != substring(hb, i, 1)))"))
+      .filter(col("hd") <= 8)
+      .select("da", "db", "hd")
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_scene_cut" -> multimodalSceneCut,
+    "q_multimodal_phash_hamming" -> multimodalPhashHamming,
     "q_multimodal_resize" -> multimodalResize,
     "q_multimodal_phash" -> multimodalPhash,
     "q_multimodal_frame_sample" -> multimodalFrameSample,
@@ -232,6 +278,37 @@ object MultimodalOps {
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
+    // phash's bit build → 4×16 band buckets → distinct candidate pairs
+    // → exact 64-position hamming ≤ 8
+    "q_multimodal_phash_hamming" ->
+      """WITH px AS (
+           SELECT doc_id, i,
+                  ascii(substring(text, CAST(i AS INTEGER), 1)) AS v
+           FROM documents,
+                (SELECT unnest(generate_series(1, 64)) AS i) s
+           WHERE length(text) >= 64),
+         tot AS (SELECT doc_id, sum(v) AS st FROM px GROUP BY doc_id),
+         bits AS (SELECT px.doc_id, i,
+                         CASE WHEN v * 64 > st THEN '1' ELSE '0' END AS b
+                  FROM px JOIN tot USING (doc_id)),
+         ah AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS h
+                FROM bits GROUP BY doc_id),
+         band AS (SELECT doc_id, h, bi,
+                         substring(h, CAST(bi * 16 + 1 AS INTEGER), 16)
+                           AS bb
+                  FROM ah,
+                       (SELECT unnest(generate_series(0, 3)) AS bi) s),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                         a.h AS ha, b.h AS hb
+                  FROM band a JOIN band b ON a.bi = b.bi AND a.bb = b.bb
+                                         AND a.doc_id < b.doc_id),
+         ham AS (SELECT da, db,
+                        CAST(len(list_filter(range(1, 65), i ->
+                          substring(ha, CAST(i AS INTEGER), 1) <>
+                          substring(hb, CAST(i AS INTEGER), 1)))
+                          AS INTEGER) AS hd
+                 FROM cand)
+         SELECT da, db, hd FROM ham WHERE hd <= 8 ORDER BY da, db""",
     // same consecutive-frame comparisons, indexed by the earlier frame
     // (Spark's lag indexes by the later one — the diff SET per asset is
     // identical and only the census is emitted)

@@ -1543,11 +1543,41 @@ object StatsOps {
           .as("z_wilcoxon"))
   }
 
+  /** Chapman capture-recapture population estimate — "how many users
+    * exist that we have NOT seen?", answered from two overlapping
+    * observation channels (clickers and purchasers as the two
+    * "captures"): N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The operator the
+    * coverage question behind every dedup/completeness audit reduces
+    * to — and, in the registry's calibration-harness tradition, it is
+    * SELF-AUDITING: the synthetic corpus knows its true user count, so
+    * the estimate ships with its own measured error ratio (the
+    * independence assumption between channels is exactly what the
+    * ratio prices). One per-user hash aggregate (two max flags), one
+    * 1-row census, one closed form on exact integers. */
+  private val captureRecapture: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("hc"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("hp"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("hc")).as("n1"),
+        sum(col("hp")).as("n2"),
+        sum(col("hc") * col("hp")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        r2(expr("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0"))
+          .as("n_hat"),
+        r6(expr("((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0)" +
+          " / n_true")).as("est_over_true"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stats_kendall_tau" -> kendallTau,
     "q_stats_rate_ratio" -> rateRatio,
     "q_agg_argmax" -> aggArgmax,
     "q_stats_wilcoxon" -> wilcoxonSigned,
+    "q_stats_capture_recapture" -> captureRecapture,
     "q_stats_moments" -> moments,
     "q_stats_cramers_v" -> cramersV,
     "q_stats_tost" -> tost,
@@ -1627,6 +1657,27 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // two capture flags per user, exact censuses, Chapman closed form
+    // shared text; est_over_true is the self-audit
+    "q_stats_capture_recapture" ->
+      s"""WITH per AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS hc,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS hp
+           FROM events GROUP BY user_id),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+                      CAST(sum(hc) AS BIGINT) AS n1,
+                      CAST(sum(hp) AS BIGINT) AS n2,
+                      CAST(sum(hc * hp) AS BIGINT) AS m
+               FROM per)
+         SELECT n_true, n1, n2, m,
+                ${rsql("(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1)" +
+                  " - 1.0", 100)} AS n_hat,
+                ${rsql("((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1)" +
+                  " - 1.0) / n_true", 1000000)} AS est_over_true
+         FROM m""",
     // spearman's integer twice-midrank over the |d| census; W+ and z
     // from exact integers in shared text
     "q_stats_wilcoxon" ->

@@ -107,6 +107,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got === quad.sum / 4)
   }
 
+  test("phash hamming: pairs within radius, superset of exact buckets") {
+    val pairs = operators.MultimodalOps
+      .queries("q_multimodal_phash_hamming")(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+      val hd = r.getAs[Int]("hd")
+      assert(hd >= 0 && hd <= 8)
+    }
+    // every exact-equal aHash bucket pair (q_multimodal_phash, hd=0)
+    // must appear here — the radius search strictly widens the buckets
+    val buckets = operators.MultimodalOps
+      .queries("q_multimodal_phash")(spark, sfDir).collect()
+    val nExactPairs = buckets.map { b =>
+      val n = b.getAs[Long]("n_assets"); n * (n - 1) / 2
+    }.sum
+    val zero = pairs.count(_.getAs[Int]("hd") == 0)
+    assert(zero >= nExactPairs,
+      s"hd=0 pairs ($zero) must cover the exact buckets ($nExactPairs)")
+  }
+
   test("scene cut: census bounds hold and the threshold actually splits") {
     val df = operators.MultimodalOps
       .queries("q_multimodal_scene_cut")(spark, sfDir)

@@ -417,6 +417,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("capture-recapture: estimate at least the overlap, audited ratio") {
+    val r = operators.StatsOps
+      .queries("q_stats_capture_recapture")(spark, sfDir).collect().head
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m"))
+    assert(m <= math.min(n1, n2), "overlap bounded by both captures")
+    val nHat = r.getAs[Double]("n_hat")
+    // Chapman is >= the union lower bound minus rounding
+    assert(nHat >= math.max(n1, n2) - 1.0)
+    val replay = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    assert(math.abs(nHat - replay) < 0.01)
+    assert(math.abs(r.getAs[Double]("est_over_true") -
+      nHat / r.getAs[Long]("n_true")) < 1e-4)
+  }
+
   test("wilcoxon: W+ bounded by the rank total; z from its own census") {
     val r = operators.StatsOps.queries("q_stats_wilcoxon")(spark, sfDir)
       .collect().head
