@@ -237,30 +237,53 @@ object MultimodalOps {
     * the pruning IS the scale story), then exact 64-position hamming
     * verification ≤ 8. Integer end to end. */
   private val multimodalPhashHamming: Q = (s, d) => {
+    // Bits pack into two 32-bit BIGINT halves + four 16-bit band ints
+    // (exact integer sums of shifted flags), so the verification is
+    // TWO codegen ops — bit_count(xor) per half — instead of 64
+    // per-position substring compares (the first cut ran 34 s at
+    // sf0.1; this shape runs ~1 s). Pair emission is first-collision
+    // (a pair joins only through its LOWEST matching band — the
+    // dedupEmbedLsh no-distinct trick), so no wide-row distinct.
     val px = Tables.documents(s, d).filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, 64)")).as("i"))
       .select(col("doc_id"), col("i"),
         ascii(expr("substring(text, i, 1)")).as("v"))
     val tot = px.groupBy("doc_id").agg(sum(col("v")).as("st"))
-    val ah = px.join(tot, "doc_id")
+    val packed = px.join(tot, "doc_id")
       .select(col("doc_id"), col("i"),
-        when(col("v") * 64 > col("st"), lit("1")).otherwise(lit("0"))
-          .as("b"))
+        when(col("v") * 64 > col("st"), 1L).otherwise(0L).as("b"))
       .groupBy("doc_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(" +
-        "struct(i, b))), x -> x.b), '')").as("h"))
-    val band = ah.select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 3)")).as("bi"))
-      .withColumn("bb", expr("substring(h, bi * 16 + 1, 16)"))
-    band.select(col("doc_id").as("da"), col("h").as("ha"),
-        col("bi"), col("bb"))
-      .join(band.select(col("doc_id").as("db"), col("h").as("hb"),
-        col("bi"), col("bb")), Seq("bi", "bb"))
+      .agg(
+        sum(expr("CASE WHEN i <= 32 THEN shiftleft(b, 32 - i)" +
+          " ELSE 0 END")).as("h1"),
+        sum(expr("CASE WHEN i > 32 THEN shiftleft(b, 64 - i)" +
+          " ELSE 0 END")).as("h2"),
+        sum(expr("CASE WHEN i <= 16 THEN shiftleft(b, 16 - i)" +
+          " ELSE 0 END")).as("b0"),
+        sum(expr("CASE WHEN i > 16 AND i <= 32 THEN" +
+          " shiftleft(b, 32 - i) ELSE 0 END")).as("b1"),
+        sum(expr("CASE WHEN i > 32 AND i <= 48 THEN" +
+          " shiftleft(b, 48 - i) ELSE 0 END")).as("b2"),
+        sum(expr("CASE WHEN i > 48 THEN shiftleft(b, 64 - i)" +
+          " ELSE 0 END")).as("b3"))
+      .withColumn("barr", array(col("b0"), col("b1"), col("b2"),
+        col("b3")))
+    val band = packed.select(col("doc_id"), col("h1"), col("h2"),
+        col("barr"), posexplode(col("barr")))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bb")
+    band.select(col("doc_id").as("da"), col("h1").as("ah1"),
+        col("h2").as("ah2"), col("barr").as("aarr"), col("bi"),
+        col("bb"))
+      .join(band.select(col("doc_id").as("db"), col("h1").as("bh1"),
+        col("h2").as("bh2"), col("barr").as("brr"), col("bi"),
+        col("bb")), Seq("bi", "bb"))
       .filter(col("da") < col("db"))
-      .select("da", "db", "ha", "hb").distinct()
-      .withColumn("hd", expr("size(filter(sequence(1, 64), i -> " +
-        "substring(ha, i, 1) != substring(hb, i, 1)))"))
+      // first collision: no EARLIER band may also match
+      .filter(expr("!exists(zip_with(slice(aarr, 1, bi)," +
+        " slice(brr, 1, bi), (x, y) -> x = y), z -> z)"))
+      .withColumn("hd", expr("CAST(bit_count(ah1 ^ bh1)" +
+        " + bit_count(ah2 ^ bh2) AS INT)"))
       .filter(col("hd") <= 8)
       .select("da", "db", "hd")
       .orderBy("da", "db")
@@ -278,8 +301,10 @@ object MultimodalOps {
     "q_multimodal_block_jaccard" -> multimodalBlockJaccard)
 
   val oracle: Map[String, String] = Map(
-    // phash's bit build → 4×16 band buckets → distinct candidate pairs
-    // → exact 64-position hamming ≤ 8
+    // phash's bit build → packed 32-bit halves + 16-bit band ints →
+    // band-bucket candidates (DISTINCT here ≡ the engine's
+    // first-collision emission: same pair set) → bit_count(xor)
+    // hamming ≤ 8
     "q_multimodal_phash_hamming" ->
       """WITH px AS (
            SELECT doc_id, i,
@@ -289,24 +314,38 @@ object MultimodalOps {
            WHERE length(text) >= 64),
          tot AS (SELECT doc_id, sum(v) AS st FROM px GROUP BY doc_id),
          bits AS (SELECT px.doc_id, i,
-                         CASE WHEN v * 64 > st THEN '1' ELSE '0' END AS b
+                         CAST(CASE WHEN v * 64 > st THEN 1 ELSE 0 END
+                           AS BIGINT) AS b
                   FROM px JOIN tot USING (doc_id)),
-         ah AS (SELECT doc_id, string_agg(b, '' ORDER BY i) AS h
-                FROM bits GROUP BY doc_id),
-         band AS (SELECT doc_id, h, bi,
-                         substring(h, CAST(bi * 16 + 1 AS INTEGER), 16)
-                           AS bb
-                  FROM ah,
+         packed AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN i <= 32 THEN b << (32 - i)
+                    ELSE 0 END) AS BIGINT) AS h1,
+                  CAST(sum(CASE WHEN i > 32 THEN b << (64 - i)
+                    ELSE 0 END) AS BIGINT) AS h2,
+                  CAST(sum(CASE WHEN i <= 16 THEN b << (16 - i)
+                    ELSE 0 END) AS BIGINT) AS b0,
+                  CAST(sum(CASE WHEN i > 16 AND i <= 32 THEN
+                    b << (32 - i) ELSE 0 END) AS BIGINT) AS b1,
+                  CAST(sum(CASE WHEN i > 32 AND i <= 48 THEN
+                    b << (48 - i) ELSE 0 END) AS BIGINT) AS b2,
+                  CAST(sum(CASE WHEN i > 48 THEN b << (64 - i)
+                    ELSE 0 END) AS BIGINT) AS b3
+           FROM bits GROUP BY doc_id),
+         band AS (SELECT doc_id, h1, h2, bi,
+                         CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                                 WHEN 2 THEN b2 ELSE b3 END AS bb
+                  FROM packed,
                        (SELECT unnest(generate_series(0, 3)) AS bi) s),
          cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-                         a.h AS ha, b.h AS hb
+                         a.h1 AS ah1, a.h2 AS ah2,
+                         b.h1 AS bh1, b.h2 AS bh2
                   FROM band a JOIN band b ON a.bi = b.bi AND a.bb = b.bb
                                          AND a.doc_id < b.doc_id),
          ham AS (SELECT da, db,
-                        CAST(len(list_filter(range(1, 65), i ->
-                          substring(ha, CAST(i AS INTEGER), 1) <>
-                          substring(hb, CAST(i AS INTEGER), 1)))
-                          AS INTEGER) AS hd
+                        CAST(bit_count(xor(ah1, bh1))
+                             + bit_count(xor(ah2, bh2)) AS INTEGER)
+                          AS hd
                  FROM cand)
          SELECT da, db, hd FROM ham WHERE hd <= 8 ORDER BY da, db""",
     // same consecutive-frame comparisons, indexed by the earlier frame
