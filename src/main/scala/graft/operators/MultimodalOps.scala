@@ -241,9 +241,20 @@ object MultimodalOps {
     // (exact integer sums of shifted flags), so the verification is
     // TWO codegen ops — bit_count(xor) per half — instead of 64
     // per-position substring compares (the first cut ran 34 s at
-    // sf0.1; this shape runs ~1 s). Pair emission is first-collision
+    // sf0.1; this shape runs ~3 s). Pair emission is first-collision
     // (a pair joins only through its LOWEST matching band — the
     // dedupEmbedLsh no-distinct trick), so no wide-row distinct.
+    //
+    // The explode → aggregate → re-join build below is DELIBERATE,
+    // not an oversight: a pure-projection build (transform(sequence)
+    // + per-column array folds, "zero shuffle") measured 43 s at
+    // sf0.1 — CollapseProject inlines the shared varr/st
+    // subexpressions into every packed column's lambda, and Spark
+    // performs no common-subexpression elimination INSIDE
+    // higher-order functions, so the per-asset pixel sum re-evaluates
+    // per element per column (~6×64×64 substring calls per row). The
+    // aggregate's Exchange is the materialization barrier that keeps
+    // each pixel read evaluated once.
     val px = Tables.documents(s, d).filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, 64)")).as("i"))
