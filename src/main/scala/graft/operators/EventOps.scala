@@ -250,6 +250,52 @@ object EventOps {
       .orderBy("user_id", "run")
   }
 
+  /** Point-in-time (temporal) join — the warehouse lookup every SCD2
+    * dimension exists FOR, which q_events_scd2 (builds the intervals)
+    * and q_join_asof (nearest-event semantics) both stop short of:
+    * each purchase event joins the status interval that was VALID at
+    * its timestamp, where the dimension is the SCD2 run-length
+    * encoding of the user's non-purchase activity ("what was the user
+    * doing when they bought"). Scale shape: the interval dimension is
+    * per-entity-bounded and the join carries user_id as the equi key —
+    * one shuffle on the natural entity key, the [from, to) residual
+    * evaluates within each matched group (never a cross product; the
+    * same reason sessionization shuffles on user_id). Open intervals
+    * (valid_to NULL) match everything after their start; purchases
+    * before any activity fall out of the LEFT join and surface as the
+    * '__NONE__' row instead of vanishing. Exact integer-µs bounds. */
+  private val joinTemporal: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+    val act = ev.filter(col("event_type") =!= "purchase")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRun = Window.partitionBy("user_id").orderBy("run")
+    val dim = act
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(runW))
+      .groupBy("user_id", "run")
+      .agg(min(col("event_type")).as("status"),
+        min(col("ts_us")).as("from_us"))
+      .withColumn("to_us", lead(col("from_us"), 1).over(byRun))
+      .select("user_id", "status", "from_us", "to_us")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("ts_us") >= col("from_us") &&
+          (col("to_us").isNull || col("ts_us") < col("to_us")),
+        "left")
+      .select(coalesce(col("status"), lit("__NONE__")).as("status"),
+        col("value"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_purchases"),
+        r6(avg(col("value"))).as("avg_value"))
+      .orderBy("status")
+  }
+
   /** CDC/changelog apply (the SCD1 upsert-merge complement to q_events_scd2):
     * the event stream is read as a keyed changelog — the latest operation
     * per user wins ('purchase' acts as the delete marker, anything else
@@ -1379,6 +1425,7 @@ object EventOps {
     "q_events_cdc_apply" -> cdcApply,
     "q_events_anomaly" -> anomaly,
     "q_events_scd2" -> scd2,
+    "q_join_temporal" -> joinTemporal,
     "q_events_markov" -> markov,
     "q_events_funnel" -> funnel,
     "q_events_retention" -> retention,
@@ -2271,6 +2318,45 @@ object EventOps {
          WHERE abs(floor(((value - mu) / sigma) * 1000000 + 0.5)
                    / 1000000.0) > 2.5
          ORDER BY event_id""",
+    // scd2's run-length chain over NON-purchase activity, then the
+    // point-in-time LEFT join of purchases into [from, to)
+    "q_join_temporal" ->
+      """WITH act AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type <> 'purchase'),
+         flagged AS (
+           SELECT user_id, event_id, event_type, ts_us,
+                  CASE WHEN lag(event_type, 1) OVER w IS NULL
+                         OR lag(event_type, 1) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM act
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         runs AS (
+           SELECT *, CAST(sum(chg) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run
+           FROM flagged),
+         dim AS (
+           SELECT user_id, status, from_us,
+                  lead(from_us, 1) OVER (PARTITION BY user_id
+                    ORDER BY run) AS to_us
+           FROM (SELECT user_id, run, min(event_type) AS status,
+                        min(ts_us) AS from_us
+                 FROM runs GROUP BY user_id, run) c),
+         facts AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT coalesce(dim.status, '__NONE__') AS status, f.value
+           FROM facts f LEFT JOIN dim
+             ON f.user_id = dim.user_id
+            AND f.ts_us >= dim.from_us
+            AND (dim.to_us IS NULL OR f.ts_us < dim.to_us))
+         SELECT status, CAST(count(*) AS BIGINT) AS n_purchases,
+                floor((avg(value)) * 1000000 + 0.5) / 1000000.0
+                  AS avg_value
+         FROM j GROUP BY status ORDER BY status""",
     "q_events_scd2" ->
       """WITH flagged AS (
            SELECT user_id, event_id, event_type, ts,

@@ -1363,6 +1363,31 @@ object RelationalOps {
       .orderBy("bin")
   }
 
+  /** Equi-DEPTH histogram of order totals — the optimizer-statistics
+    * complement of q_agg_histogram's equi-width bins: 8 buckets of
+    * (near-)equal ROW COUNT with data-dependent boundaries, exactly
+    * the histogram a cost-based planner keeps per column (equi-width
+    * bins are useless under skew; equi-depth boundaries ARE the
+    * quantiles). Buckets via the distributed exact ntile
+    * (Dist.withNtile: range shuffle + per-partition rank + broadcast
+    * offsets — never a single-partition window), deterministic on
+    * (cents, o_orderkey); boundaries are exact integer-cent min/max
+    * per bucket. Counts differ by at most 1 by construction — the
+    * spec pins that, plus boundary monotonicity. */
+  private val aggEquiDepth: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+    Dist.withNtile(o, "bucket", 8, Nil,
+        Seq(col("cents"), col("o_orderkey")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        r2(min(col("cents")) / 100.0).as("lo"),
+        r2(max(col("cents")) / 100.0).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Per-column data profile of the orders table — the data-validation
     * operator every ingest pipeline runs first: null count, exact
     * distinct count, min/max (as strings so one schema fits all column
@@ -2182,6 +2207,7 @@ object RelationalOps {
     "q_join_fuzzy" -> joinFuzzy,
     "q_agg_salted" -> aggSalted,
     "q_win_ntile" -> winNtile,
+    "q_agg_equi_depth" -> aggEquiDepth,
     "q_agg_pricing_summary" -> aggPricingSummary,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx_distinct" -> aggApproxDistinct,
@@ -2802,6 +2828,21 @@ object RelationalOps {
                 CAST(ntile(4) OVER (PARTITION BY o_orderpriority
                   ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bin
          FROM orders ORDER BY o_orderkey""",
+    // the distributed ntile ≡ SQL NTILE on the same deterministic
+    // order; boundaries from exact integer cents
+    "q_agg_equi_depth" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CAST(floor(o_totalprice * 100 + 0.5)
+                             AS BIGINT) AS cents
+                    FROM orders),
+         t AS (SELECT cents,
+                      CAST(ntile(8) OVER (ORDER BY cents, o_orderkey)
+                        AS INTEGER) AS bucket
+               FROM o)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                floor((min(cents) / 100.0) * 100 + 0.5) / 100.0 AS lo,
+                floor((max(cents) / 100.0) * 100 + 0.5) / 100.0 AS hi
+         FROM t GROUP BY bucket ORDER BY bucket""",
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,

@@ -207,4 +207,35 @@ class AnalyticsSpec extends SparkSpec {
       col("avg_dur_s") < 0).count() == 0)
     assert(df.count() >= 25) // one month of events → ~30 day rows
   }
+
+  test("equi-depth: counts within 1, boundaries strictly ordered") {
+    val rows = operators.RelationalOps
+      .queries("q_agg_equi_depth")(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    assert(counts.max - counts.min <= 1, s"unbalanced: ${counts.toSeq}")
+    assert(counts.sum == Tables.orders(spark, sfDir).count())
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        "bucket boundaries must not interleave on distinct-heavy data")
+    }
+  }
+
+  test("temporal join: every purchase lands in exactly one bucket") {
+    val rows = operators.EventOps
+      .queries("q_join_temporal")(spark, sfDir).collect()
+    val totalPurchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    // a purchase matches AT MOST one [from, to) interval per user by
+    // construction; the LEFT join + __NONE__ row makes it exactly one
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == totalPurchases)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_value") >= 0.0)
+      assert(r.getString(0) == "__NONE__" || r.getString(0) != "purchase",
+        "dimension statuses exclude the fact event type")
+    }
+  }
 }
