@@ -1288,10 +1288,64 @@ object VectorOps {
         r6(expr("2.0 * mi / (hc + hl)")).as("nmi"))
   }
 
+  /** Binary (1-bit sign) embedding quantization with its recall audit —
+    * the last rung of the registry's quantization ladder (float32 →
+    * int8 q_embed_quantize → PQ q_embed_pq → 1-bit here, a 32× memory
+    * cut and XOR-popcount distance, the binary-embedding serving trick)
+    * priced like every other sketch: per query, hamming top-10 vs the
+    * full-precision exact top-10, recall@10 = overlap/10. Codes pack
+    * into two 32-bit BIGINT halves via the phash-hamming machinery
+    * (explode → shifted-flag integer sums — the aggregate barrier is
+    * deliberate, see multimodalPhashHamming's CollapseProject note);
+    * distance = bit_count(xor) per half, ranked ascending with vec_id
+    * tie-breaks. Integer end to end; the only doubles are the exact
+    * side's r6 sims. */
+  private val evalBinaryRecall: Q = (s, d) => {
+    val codes = dims(s, d)
+      .select(col("vec_id"), col("pos"),
+        when(col("val") >= 0, 1L).otherwise(0L).as("b"))
+      .groupBy("vec_id")
+      .agg(
+        sum(expr("CASE WHEN pos < 32 THEN shiftleft(b, 31 - pos)" +
+          " ELSE 0 END")).as("h1"),
+        sum(expr("CASE WHEN pos >= 32 THEN shiftleft(b, 63 - pos)" +
+          " ELSE 0 END")).as("h2"))
+    val q = codes.join(vecs(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id")), Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("h1").as("qh1"),
+        col("h2").as("qh2"))
+    val wb = Window.partitionBy("qid").orderBy(col("hd"), col("vec_id"))
+    val bin = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hd", expr("CAST(bit_count(h1 ^ qh1)" +
+        " + bit_count(h2 ^ qh2) AS INT)"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id").as("nid"), lit(1).as("hit"))
+    val e = vecs(s, d)
+    val qv = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val we = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val exact = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id").as("nid"))
+    exact.join(bin, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        r6(col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_mmr" -> simMmr,
     "q_eval_probe_sweep" -> evalProbeSweep,
     "q_eval_cluster_purity" -> evalClusterPurity,
+    "q_eval_binary_recall" -> evalBinaryRecall,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_kappa" -> evalKappa,
     "q_ann_ivfpq" -> annIvfPq,
@@ -1596,6 +1650,59 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // sign-bit codes packed into two shifted-flag halves, hamming =
+    // bit_count(xor), ascending rank vs the exact graft_dot top-10
+    "q_eval_binary_recall" ->
+      """WITH el AS (
+           SELECT vec_id,
+                  CAST(unnest(generate_series(1, len(embedding))) - 1
+                    AS INTEGER) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings),
+         bits AS (SELECT vec_id, pos,
+                         CAST(CASE WHEN val >= 0 THEN 1 ELSE 0 END
+                           AS BIGINT) AS b
+                  FROM el),
+         codes AS (
+           SELECT vec_id,
+                  CAST(sum(CASE WHEN pos < 32 THEN b << (31 - pos)
+                    ELSE 0 END) AS BIGINT) AS h1,
+                  CAST(sum(CASE WHEN pos >= 32 THEN b << (63 - pos)
+                    ELSE 0 END) AS BIGINT) AS h2
+           FROM bits GROUP BY vec_id),
+         q AS (SELECT vec_id AS qid, h1 AS qh1, h2 AS qh2
+               FROM codes WHERE vec_id < 5),
+         bin AS (
+           SELECT qid, vec_id AS nid FROM (
+             SELECT q.qid, c.vec_id,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      CAST(bit_count(xor(c.h1, q.qh1))
+                           + bit_count(xor(c.h2, q.qh2)) AS INTEGER),
+                      c.vec_id) AS rk
+             FROM codes c CROSS JOIN q
+             WHERE c.vec_id <> q.qid) t WHERE rk <= 10),
+         qv AS (SELECT vec_id AS qid, embedding FROM embeddings
+                WHERE vec_id < 5),
+         exact AS (
+           SELECT qid, vec_id AS nid FROM (
+             SELECT qv.qid, e.vec_id,
+                    row_number() OVER (PARTITION BY qv.qid ORDER BY
+                      floor(list_inner_product(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(qv.embedding AS DOUBLE[]))
+                        * 1000000 + 0.5) / 1000000.0 DESC,
+                      e.vec_id) AS rk
+             FROM embeddings e JOIN qv ON e.vec_id <> qv.qid) t
+           WHERE rk <= 10)
+         SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(sum(CASE WHEN b.nid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                floor((CAST(sum(CASE WHEN b.nid IS NOT NULL THEN 1
+                  ELSE 0 END) AS DOUBLE) / count(*))
+                  * 1000000 + 0.5) / 1000000.0 AS recall
+         FROM exact ex LEFT JOIN bin b
+           ON b.qid = ex.qid AND b.nid = ex.nid
+         GROUP BY ex.qid ORDER BY ex.qid""",
     // kmeansCtes' round-2 assignment a3 → contingency census → purity
     // and NMI via ordered folds on exact integer counts
     "q_eval_cluster_purity" ->

@@ -425,6 +425,24 @@ class RetrievalR7Spec extends SparkSpec {
       "labels cannot cross components, so LPA is >= as fine as components")
   }
 
+  test("binary recall: priced below exact, above random chance") {
+    val rows = SparkEntry.queries("q_eval_binary_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10L)
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+      assert(math.abs(rc - r.getAs[Long]("n_hit") / 10.0) < 1e-9)
+    }
+    // 1-bit codes must retain SOME signal: random top-10 overlap on
+    // ~500 vectors has expectation 0.02 — demand better than chance
+    // on aggregate, but also less than perfect (the 32x cut has a cost)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean > 0.05, s"binary codes carry no signal: $mean")
+    assert(mean < 1.0)
+  }
+
   test("cluster purity: bounded metrics consistent with their censuses") {
     val r = SparkEntry.queries("q_eval_cluster_purity")(spark, sfDir)
       .collect().head
