@@ -212,7 +212,15 @@ object ExplainAudit {
     "q_graph_closeness", "q_graph_local_bridges",
     "q_multimodal_scene_cut", "q_eval_probe_sweep", "q_eval_cms_error",
     "q_agg_argmax", "q_stats_rate_ratio", "q_stats_kendall_tau",
-    "q_stats_wilcoxon", "q_text_readability")
+    "q_stats_wilcoxon", "q_text_readability",
+    // round-7 session-2 close: the banded phash hamming join
+    // (bit_count(xor) verify, first-collision emission), the SCD2
+    // point-in-time join (equi user key + interval residual), the
+    // equi-depth histogram (Dist caveat — bounded offset collects run
+    // during plan construction), the sign-bit code build + hamming
+    // rank of the binary-recall audit, and the two-flag Chapman census
+    "q_multimodal_phash_hamming", "q_join_temporal", "q_agg_equi_depth",
+    "q_eval_binary_recall", "q_stats_capture_recapture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
