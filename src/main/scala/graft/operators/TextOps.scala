@@ -1711,6 +1711,35 @@ object TextOps {
     QclfState(f, w, wDf, residuals)
   }
 
+  /** McNemar's paired test between the rule gate and the trained
+    * classifier — the missing eval that treats the registry's two
+    * quality filters as what they are: two classifiers judged on the
+    * SAME documents (accuracy alone — q_text_quality_classifier's
+    * 0.838 — cannot say whether the 16% disagreement is SYMMETRIC
+    * noise or a systematic bias; McNemar's off-diagonal test can, and
+    * paired design is the only statistically sound way to compare
+    * classifiers sharing a test set). b = gate-keep/clf-drop, c =
+    * gate-drop/clf-keep; χ² = (b−c)²/(b+c) vs the pinned χ²₀.₉₅,₁
+    * critical value on the r6-PINNED statistic (srm discipline). One
+    * aggregate over the shared trained-state residual frame — the
+    * same z3 chain as the classifier/ECE oracles, so none can drift. */
+  private val evalMcnemar: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    st.residuals(st.w)
+      .agg(
+        count(when(col("y") === 1 && col("z_micros") >= 0, 1))
+          .as("n_agree_keep"),
+        count(when(col("y") === 0 && col("z_micros") < 0, 1))
+          .as("n_agree_drop"),
+        count(when(col("y") === 1 && col("z_micros") < 0, 1)).as("n_b"),
+        count(when(col("y") === 0 && col("z_micros") >= 0, 1)).as("n_c"))
+      .withColumn("chi2_r", r6(expr(
+        "CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE) / (n_b + n_c)")))
+      .select(col("n_agree_keep"), col("n_agree_drop"), col("n_b"),
+        col("n_c"), col("chi2_r"),
+        (col("chi2_r") > 3.8414588206941245).as("asymmetric"))
+  }
+
   private val qualityClassifier: Q = (s, d) => {
     val st = qclfTrain(s, d)
     val eval = st.residuals(st.w)
@@ -2185,6 +2214,7 @@ object TextOps {
     "q_text_count_min" -> countMin,
     "q_text_feature_hash" -> featureHash,
     "q_text_quality_classifier" -> qualityClassifier,
+    "q_eval_mcnemar" -> evalMcnemar,
     "q_eval_ece" -> evalEce,
     "q_eval_auroc" -> evalAuroc,
     "q_eval_pr_auc" -> evalPrAuc,
@@ -2575,6 +2605,28 @@ object TextOps {
                 floor((CAST(n_correct AS DOUBLE) / n_docs)
                   * 1000000 + 0.5) / 1000000.0 AS acc_r
          FROM w2 CROSS JOIN ev ORDER BY bucket""",
+    // the shared z3 residual frame → 2×2 agreement census → pinned
+    // (b−c)²/(b+c) vs the pinned χ² critical value (srm discipline)
+    "q_eval_mcnemar" ->
+      s"""WITH $qclfCtesSql,
+         m AS (SELECT
+                 CAST(count(*) FILTER (y = 1 AND z_micros >= 0)
+                   AS BIGINT) AS n_agree_keep,
+                 CAST(count(*) FILTER (y = 0 AND z_micros < 0)
+                   AS BIGINT) AS n_agree_drop,
+                 CAST(count(*) FILTER (y = 1 AND z_micros < 0)
+                   AS BIGINT) AS n_b,
+                 CAST(count(*) FILTER (y = 0 AND z_micros >= 0)
+                   AS BIGINT) AS n_c
+               FROM z3)
+         SELECT n_agree_keep, n_agree_drop, n_b, n_c,
+                floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
+                       / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
+                  AS chi2_r,
+                floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
+                       / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
+                  > 3.8414588206941245 AS asymmetric
+         FROM m""",
     // AUC via the exact rank-sum identity on the trained logits; the
     // doubled-rank census keeps every intermediate a BIGINT.
     "q_eval_auroc" ->

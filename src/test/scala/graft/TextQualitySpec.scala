@@ -31,6 +31,25 @@ class TextQualitySpec extends SparkSpec {
     assert(df.filter(col("subsumed") === 1).count() > 0)
   }
 
+  test("mcnemar: 2x2 partitions the corpus, agrees with classifier acc") {
+    val m = operators.TextOps.queries("q_eval_mcnemar")(spark, sfDir)
+      .collect().head
+    val cells = Seq("n_agree_keep", "n_agree_drop", "n_b", "n_c")
+      .map(m.getAs[Long](_))
+    val clf = operators.TextOps
+      .queries("q_text_quality_classifier")(spark, sfDir).collect().head
+    // the four cells partition the docs; diagonal = classifier accuracy
+    assert(cells.sum == clf.getAs[Long]("n_docs"))
+    assert(cells(0) + cells(1) == clf.getAs[Long]("n_correct"))
+    val b = cells(2).toDouble; val c = cells(3).toDouble
+    if (b + c > 0) {
+      val chi2 = (b - c) * (b - c) / (b + c)
+      assert(math.abs(m.getAs[Double]("chi2_r") - chi2) < 1e-4)
+      assert(m.getAs[Boolean]("asymmetric") ==
+        (m.getAs[Double]("chi2_r") > 3.8414588206941245))
+    }
+  }
+
   test("cms audit: estimates never undercount; census covers the vocab") {
     val r = operators.TextOps.queries("q_eval_cms_error")(spark, sfDir)
       .collect().head
