@@ -1113,6 +1113,122 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** MAP@10 — the mean-average-precision sibling of q_eval_ndcg over
+    * the identical query/relevance frame (queries = vec_id < 3, binary
+    * relevance = label match, exact cosine ranking). Where NDCG
+    * discounts logarithmically, AP averages precision AT each hit:
+    * AP = (1/min(10, n_rel)) Σ_{hits k≤10} cum_rel(k)/k — the metric
+    * retrieval papers actually headline, so the eval harness needs
+    * both. Same scale shape as NDCG: one broadcast of 3 query rows,
+    * one corpus scan, a per-qid window cut at 10. Determinism: each
+    * precision term is an exact small-int division r6-pinned before
+    * the ≤10-term sequential fold (the kruskal discipline); the
+    * denominator min(10, n_rel) divides two bit-identical doubles. */
+  private val evalMap: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val hits = scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_rel", sum(col("rel")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rk") <= 10 && col("rel") === 1L)
+      .withColumn("term",
+        expr("floor((cast(cum_rel AS double) / rk) * 1000000 + 0.5)" +
+          " / 1000000.0"))
+    val ap = hits.groupBy("qid")
+      .agg(count(lit(1)).as("n_hits10"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(rk, term))), x -> x.term), 0D," +
+          " (acc, v) -> acc + v)").as("sum_t"))
+    val nrel = scored.filter(col("rel") === 1L)
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    ap.join(nrel, Seq("qid"))
+      .select(col("qid"), col("n_rel"), col("n_hits10"),
+        r6(col("sum_t") / least(lit(10L), col("n_rel"))).as("ap"))
+      .orderBy("qid")
+  }
+
+  /** Long-form int8 affine codes (vec_id, pos, qv) — the q_embed_quantize
+    * formula kept un-packed so downstream keys can do exact integer
+    * arithmetic on the codes. The |dims|-row min/max frame is broadcast;
+    * the code projection is linear, map-side only. */
+  private def int8Codes(s: SparkSession, d: String): DataFrame = {
+    val stats = dims(s, d).groupBy("pos")
+      .agg(min("val").as("mn"), max("val").as("mx"))
+    dims(s, d).join(broadcast(stats), Seq("pos"))
+      .withColumn("qv",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(floor((col("val") - col("mn"))
+            / (col("mx") - col("mn")) * 254.0 + 0.5).cast("int") - 127))
+      .select(col("vec_id"), col("pos"), col("qv"))
+  }
+
+  /** RBO@10 (p = 0.9) between the exact float ranking and the int8-
+    * quantized ranking — the ORDER-level audit of what scalar
+    * quantization (q_embed_quantize) costs: the recall audits price set
+    * overlap, but a serving layer that ranks on int8 codes cares where
+    * results MOVE, and rank-biased overlap weights agreement at the
+    * top (weight p^(d-1) at depth d) exactly like a user reading down
+    * the list. Ranking B's scores are integer dot products of the
+    * affine codes — exact cross-engine arithmetic, no float risk until
+    * the ≤10 weighted terms. Scale shape: both rankings are per-query
+    * window cuts at 10; the overlap census is a 3-query × 10-depth
+    * bounded grid left-joined against the ≤10-row intersection (RBO of
+    * 0-overlap prefixes must be 0, not a dropped row). Determinism:
+    * integer overlap counts, each p^(d-1)·X_d/d term r6-pinned, 10-term
+    * sequential fold, literal 0.1 = (1−p) in both engines. */
+  private val evalRbo: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("sim_r").desc, col("vec_id"))
+    val topA = exact.withColumn("ra", row_number().over(wA).cast("long"))
+      .filter(col("ra") <= 10).select("qid", "vec_id", "ra")
+    val codes = int8Codes(s, d)
+    val qc = codes.join(broadcast(q.select("qid")),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("pos"), col("qv").as("qa"))
+    val simQ = codes.join(broadcast(qc), Seq("pos"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qv").cast("long") * col("qa")).as("simq"))
+    val wB = Window.partitionBy("qid")
+      .orderBy(col("simq").desc, col("vec_id"))
+    val topB = simQ.withColumn("rb", row_number().over(wB).cast("long"))
+      .filter(col("rb") <= 10).select("qid", "vec_id", "rb")
+    val both = topA.join(topB, Seq("qid", "vec_id"))
+    val grid = q.select("qid")
+      .crossJoin(broadcast(s.range(1, 11).select(col("id").as("dep"))))
+    val xd = grid.join(both, Seq("qid"), "left")
+      .withColumn("inb",
+        when(col("ra") <= col("dep") && col("rb") <= col("dep"), 1L)
+          .otherwise(0L))
+      .groupBy("qid", "dep")
+      .agg(sum(col("inb")).as("x_d"))
+    xd.withColumn("term",
+        r6(col("x_d").cast("double") / col("dep")
+          * pow(lit(0.9), col("dep").cast("double") - 1)))
+      .groupBy("qid")
+      .agg(max(when(col("dep") === 10, col("x_d"))).as("overlap10"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(dep, term))), x -> x.term), 0D," +
+          " (acc, v) -> acc + v)").as("sum_t"))
+      .select(col("qid"), col("overlap10"),
+        r6(lit(0.1) * col("sum_t")).as("rbo"))
+      .orderBy("qid")
+  }
+
   /** MMR (maximal marginal relevance) diversified top-5 — the re-rank
     * every retrieval/RAG serving layer runs between "nearest" and
     * "shown": pure cosine top-k returns near-duplicates of one result
@@ -1347,6 +1463,8 @@ object VectorOps {
     "q_eval_cluster_purity" -> evalClusterPurity,
     "q_eval_binary_recall" -> evalBinaryRecall,
     "q_eval_ndcg" -> evalNdcg,
+    "q_eval_map" -> evalMap,
+    "q_eval_rbo" -> evalRbo,
     "q_eval_kappa" -> evalKappa,
     "q_ann_ivfpq" -> annIvfPq,
     "q_embed_norm_stats" -> embedNormStats,
@@ -1880,6 +1998,109 @@ object VectorOps {
          SELECT qid, n_rel, dcg_r, idcg_r,
                 floor((dcg_r / idcg_r) * 1000000 + 0.5) / 1000000.0 AS ndcg
          FROM j ORDER BY qid""",
+    // Precision terms are exact small-int divisions r6-pinned before a
+    // ≤10-term ordered fold; min(10, n_rel) divides two bit-identical
+    // doubles — the NDCG discipline applied to MAP.
+    "q_eval_map" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                           embedding AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT qid, vec_id,
+                  floor((list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r,
+                  CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+           FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+         ranked AS (
+           SELECT qid, rel,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, vec_id) AS BIGINT) AS rk,
+                  CAST(sum(rel) OVER (PARTITION BY qid
+                    ORDER BY sim_r DESC, vec_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_rel
+           FROM scored),
+         hits AS (
+           SELECT qid, rk,
+                  floor((CAST(cum_rel AS DOUBLE) / rk) * 1000000 + 0.5)
+                    / 1000000.0 AS term
+           FROM ranked WHERE rk <= 10 AND rel = 1),
+         ap AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_hits10,
+                  list_reduce(list(term ORDER BY rk),
+                    (a, b) -> a + b) AS sum_t
+           FROM hits GROUP BY qid),
+         nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                  FROM scored WHERE rel = 1 GROUP BY qid)
+         SELECT a.qid AS qid, n_rel, n_hits10,
+                floor((sum_t / least(10, n_rel)) * 1000000 + 0.5)
+                  / 1000000.0 AS ap
+         FROM ap a JOIN nrel USING (qid) ORDER BY qid""",
+    // Ranking B scores are integer dots of the q_embed_quantize affine
+    // codes (exact cross-engine); the (qid, depth) grid is left-joined
+    // so a 0-overlap prefix contributes a 0 term instead of dropping.
+    "q_eval_rbo" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         exact AS (
+           SELECT qid, vec_id,
+                  floor((list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])))
+                        * 1000000 + 0.5) / 1000000.0 AS sim_r
+           FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+         ta AS (SELECT qid, vec_id, ra FROM (
+             SELECT qid, vec_id,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY sim_r DESC, vec_id) AS BIGINT) AS ra
+             FROM exact) t WHERE ra <= 10),
+         el AS (SELECT vec_id,
+                       CAST(unnest(generate_series(1, len(embedding)))
+                         AS INTEGER) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings),
+         st AS (SELECT pos, min(val) AS mn, max(val) AS mx
+                FROM el GROUP BY pos),
+         cd AS (SELECT vec_id, pos,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE CAST(floor((val - mn) / (mx - mn) * 254.0
+                                            + 0.5) AS INTEGER) - 127
+                       END AS qv
+                FROM el JOIN st USING (pos)),
+         qc AS (SELECT q.qid, c.pos, c.qv AS qa
+                FROM cd c JOIN q ON c.vec_id = q.qid),
+         sq AS (SELECT qc.qid, cd.vec_id,
+                       sum(CAST(cd.qv AS BIGINT) * qa) AS simq
+                FROM cd JOIN qc USING (pos) WHERE cd.vec_id <> qc.qid
+                GROUP BY qc.qid, cd.vec_id),
+         tb AS (SELECT qid, vec_id, rb FROM (
+             SELECT qid, vec_id,
+                    CAST(row_number() OVER (PARTITION BY qid
+                      ORDER BY simq DESC, vec_id) AS BIGINT) AS rb
+             FROM sq) t WHERE rb <= 10),
+         bo AS (SELECT qid, vec_id, ra, rb
+                FROM ta JOIN tb USING (qid, vec_id)),
+         grid AS (SELECT qid,
+                         CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                           AS dep
+                  FROM q),
+         xd AS (SELECT g.qid, g.dep,
+                       CAST(coalesce(sum(CASE WHEN ra <= g.dep
+                                               AND rb <= g.dep
+                                              THEN 1 ELSE 0 END), 0)
+                         AS BIGINT) AS x_d
+                FROM grid g LEFT JOIN bo ON g.qid = bo.qid
+                GROUP BY g.qid, g.dep),
+         tm AS (SELECT qid, dep, x_d,
+                       floor((CAST(x_d AS DOUBLE) / dep
+                              * power(0.9, CAST(dep AS DOUBLE) - 1))
+                             * 1000000 + 0.5) / 1000000.0 AS term
+                FROM xd)
+         SELECT qid,
+                max(CASE WHEN dep = 10 THEN x_d END) AS overlap10,
+                floor((0.1 * list_reduce(list(term ORDER BY dep),
+                    (a, b) -> a + b)) * 1000000 + 0.5) / 1000000.0 AS rbo
+         FROM tm GROUP BY qid ORDER BY qid""",
     "q_embed_norm_stats" ->
       """WITH n AS (
            SELECT label,

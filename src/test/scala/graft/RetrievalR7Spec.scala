@@ -541,4 +541,36 @@ class RetrievalR7Spec extends SparkSpec {
       picks.map(_.getLong(2)).toSet != top5(qid) },
       "MMR selected exactly the pure-relevance top-5 for every query")
   }
+
+  test("map: ap in (0,1], hits bounded by min(10, n_rel), drops 0-hit queries") {
+    val rows = SparkEntry.queries("q_eval_map")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach { r =>
+      val (nRel, nHits, ap) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // a row only exists when the query had >= 1 hit in the top 10,
+      // and AP of any non-empty hit set is strictly positive
+      assert(nHits >= 1 && nHits <= math.min(10L, nRel))
+      assert(ap > 0.0 && ap <= 1.0 + 1e-9)
+      // perfect-prefix upper bound: AP = 1 requires every hit at the
+      // earliest possible rank AND all of min(10, n_rel) hits present
+      if (ap >= 1.0 - 1e-9) assert(nHits == math.min(10L, nRel))
+    }
+  }
+
+  test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
+    val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    // (1-p) * sum_{d=1..10} p^(d-1) = 1 - 0.9^10 — the depth-truncated
+    // RBO of two IDENTICAL rankings; nothing can score above it
+    val maxRbo = 1.0 - math.pow(0.9, 10)
+    rows.foreach { r =>
+      val (overlap10, rbo) = (r.getLong(1), r.getDouble(2))
+      assert(overlap10 >= 0 && overlap10 <= 10)
+      assert(rbo >= 0.0 && rbo <= maxRbo + 1e-9)
+      // X_d is monotone non-decreasing in d, so any overlap at all
+      // surfaces at depth 10, and RBO > 0 exactly then
+      assert((rbo > 0.0) == (overlap10 > 0),
+        s"rbo=$rbo with overlap10=$overlap10")
+    }
+  }
 }
