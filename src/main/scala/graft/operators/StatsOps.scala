@@ -472,7 +472,11 @@ object StatsOps {
     * on the |types|-row frame — two global census windows,
     * allowlisted. p and each BH term are r6-pinned before the running
     * min (round-then-replay). */
-  private val bhFdr: Q = (s, d) => {
+  /** The per-type KS test family on the md5 A/A split — extracted so
+    * q_stats_bh (step-UP FDR) and q_stats_holm (step-DOWN FWER) correct
+    * the SAME battery of p-values (one builder, one oracle fragment —
+    * the stlFrame rule). Returns (event_type, d_r, p_r). */
+  private def ksFamily(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type").as("t"),
         floor(col("value") * 100 + 0.5).cast("long").as("v"),
@@ -494,11 +498,15 @@ object StatsOps {
         abs(col("ca").cast("double") / col("na") -
           col("cb").cast("double") / col("nb")).as("dd"))
       .groupBy("t", "na", "nb").agg(max(col("dd")).as("dstat"))
-    val tests = dmax.select(col("t").as("event_type"),
+    dmax.select(col("t").as("event_type"),
       r6(col("dstat")).as("d_r"),
       least(r6(lit(2.0) * exp(lit(-2.0) * col("dstat") * col("dstat") *
         (col("na") * col("nb")).cast("double") / (col("na") + col("nb")))),
         lit(1.0)).as("p_r"))
+  }
+
+  private val bhFdr: Q = (s, d) => {
+    val tests = ksFamily(s, d)
     val mDf = tests.agg(count(lit(1)).as("m"))
     val wr = Window.orderBy(col("p_r"), col("event_type"))
     val wrev = Window.orderBy(col("rank").desc)
@@ -1572,7 +1580,252 @@ object StatsOps {
           " / n_true")).as("est_over_true"))
   }
 
+  /** Jarque–Bera normality test per event type — the composite verdict
+    * the q_stats_moments profile feeds a test for: JB = n/6·(S² + K²/4)
+    * diverges under EITHER asymmetry (S) or wrong tail weight (K), and
+    * is the standard pre-flight before trusting t-family machinery.
+    * Same exact DECIMAL/HUGEINT cent power-sum census as moments (one
+    * map-side-combinable pass — the only data touch); S and K are
+    * r6-PINNED before being squared (round-then-replay), and the
+    * verdict compares the pinned JB against the χ²₂ 0.95 critical
+    * value as a 16-digit literal (the srm round-then-compare
+    * discipline). The near-uniform event values carry K ≈ −1.2, so
+    * every type rejects — the spec pins the JB identity from the
+    * moments key's own S/K outputs. */
+  private val jarqueBera: Q = (s, d) => {
+    val sums = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS DECIMAL(10,0))").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1d"), sum(expr("c * c")).as("s2d"),
+        sum(expr("(c * c) * c")).as("s3d"),
+        sum(expr("(c * c) * (c * c)")).as("s4d"))
+    sums
+      .withColumn("skew_r", r6(expr(s"$mM3 / ($mM2 * sqrt($mM2))")))
+      .withColumn("kurt_r", r6(expr(s"$mM4 / ($mM2 * $mM2) - 3.0")))
+      .select(col("event_type"), col("n"), col("skew_r"), col("kurt_r"),
+        r6(expr("(CAST(n AS DOUBLE) / 6.0) * (skew_r * skew_r" +
+          " + kurt_r * kurt_r / 4.0)")).as("jb_r"))
+      .withColumn("reject_normal",
+        col("jb_r") > lit(5.991464547107979))
+      .orderBy("event_type")
+  }
+
+  // Daily-count OLS shared fragments (q_stats_dw / q_stats_breusch
+  // _pagan): exact long sums assembled into ONE slope / intercept /
+  // milli-residual formula text parsed by both engines (the granger
+  // gC11 discipline). x is the day index CENTERED at min(day) so the
+  // integer moments stay small-magnitude exact.
+  private val olsB = "(CAST(n * sxy - sx * sy AS DOUBLE)" +
+    " / CAST(n * sxx - sx * sx AS DOUBLE))"
+  private val olsA = "((CAST(sy AS DOUBLE) - b_r * sx) / n)"
+  private val olsEm = "CAST(floor((CAST(y AS DOUBLE) - (a_r + b_r * x))" +
+    " * 1000 + 0.5) AS BIGINT)"
+
+  /** Centered daily-count OLS residual frame (day, x, y, n, b_r, a_r,
+    * e_m): y = events per day (|days|-bounded census), x = day −
+    * min(day), b/a from exact long moments r6-pinned, e_m = exact
+    * milli-scaled residual long — every downstream sum over e_m is
+    * integer arithmetic, immune to partition order. */
+  private def dailyOls(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val xy = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+      .select(col("day"), (col("day") - col("d0")).as("x"),
+        col("c").as("y"))
+    val g = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("b_r", r6(expr(olsB)))
+      .withColumn("a_r", r6(expr(olsA)))
+      .select("n", "b_r", "a_r")
+    xy.crossJoin(broadcast(g)).withColumn("e_m", expr(olsEm))
+  }
+
+  /** Durbin–Watson serial-correlation test on the daily-count OLS
+    * residuals — the diagnostic that says whether q_stats_regression-
+    * style fits on time-ordered data can be trusted at face value
+    * (autocorrelated residuals silently shrink OLS standard errors;
+    * DW ≈ 2(1−ρ̂₁), <1 alarming). Consecutive days pair via the
+    * autocorr self-join (broadcast-scale, no window); Σ(Δe)² and Σe²
+    * accumulate as exact DECIMAL(38,0)/HUGEINT squares of the milli-
+    * residual longs, so one division of two exact integers reaches r6.
+    * The events series is ~uniform per day ⇒ residuals ≈ white ⇒ DW
+    * near 2; the spec pins the DW↔ρ̂₁ identity, not a magic value. */
+  private val dw: Q = (s, d) => {
+    val r = dailyOls(s, d)
+    val num = r.select((col("day") + 1).as("day"), col("e_m").as("e1"))
+      .join(r.select(col("day"), col("e_m").as("e2")), Seq("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(e2 - e1 AS DECIMAL(19,0))" +
+          " * CAST(e2 - e1 AS DECIMAL(19,0))")).as("sdiff"))
+    val den = r.agg(count(lit(1)).as("n_days"), max("b_r").as("b_r"),
+      sum(expr("CAST(e_m AS DECIMAL(19,0)) * CAST(e_m AS DECIMAL(19,0))"))
+        .as("ssq"))
+    num.crossJoin(broadcast(den))
+      .select(col("n_days"), col("n_pairs"), col("b_r"),
+        r6(col("sdiff").cast("double") / col("ssq").cast("double"))
+          .as("dw_r"))
+      .withColumn("rho1_r", r6(lit(1.0) - col("dw_r") / 2.0))
+  }
+
+  // Breusch–Pagan auxiliary-regression R² from mixed exact/folded sums
+  // (ONE formula text, both engines).
+  private val bpR2 = "(((n * sxu - sx * su) * (n * sxu - sx * su))" +
+    " / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * suu - su * su)))"
+
+  /** Breusch–Pagan heteroscedasticity test on the same daily OLS
+    * residuals: aux-regress u = e² on x; LM = n·R²_aux ~ χ²₁ under
+    * homoscedasticity. If variance grows along the series, every CI
+    * the primary fit reports is wrong — this is the check that catches
+    * it. The u-moment sums CANNOT be exact fixed-point at arbitrary
+    * scale (u² = e⁴ overflows any 38-digit decimal once daily counts
+    * pass ~1e9), so Σu, Σxu, Σuu run as SEQUENTIAL day-ordered folds
+    * over the |days|-bounded census (the ljung_box discipline) — u
+    * itself is the pinned square of the exact milli-residual. x-only
+    * moments stay exact longs. LM assembles in one shared formula text
+    * and the verdict compares the r6-pinned LM to the 16-digit χ²₁
+    * 0.95 literal. */
+  private val breuschPagan: Q = (s, d) => {
+    def fold(c: String) = expr(
+      s"aggregate(transform(array_sort(collect_list(struct(day, $c)))," +
+        s" t -> t.$c), 0D, (acc, v) -> acc + v)")
+    val r = dailyOls(s, d)
+      .withColumn("u", expr("(CAST(e_m AS DOUBLE) * e_m) / 1000000.0"))
+      .withColumn("xu", expr(
+        "CAST(x AS DOUBLE) * ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)"))
+      .withColumn("uu", expr(
+        "((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)" +
+          " * ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)"))
+    r.groupBy("n", "b_r")
+      .agg(sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+        fold("u").as("su"), fold("xu").as("sxu"), fold("uu").as("suu"))
+      .select(col("n").as("n_days"), col("b_r"),
+        r6(expr(s"CAST(n AS DOUBLE) * $bpR2")).as("lm_r"))
+      .withColumn("heteroscedastic",
+        col("lm_r") > lit(3.841458820694124))
+  }
+
+  /** Partial autocorrelation at lags 1–3 of the daily event-count
+    * series, via the Durbin–Levinson closed forms over the
+    * q_stats_ljung_box ACF machinery — the diagnostic that separates
+    * AR(1) decay (PACF cuts off after lag 1) from genuine higher-order
+    * structure, i.e. the model-order picker that ACF alone cannot be.
+    * φ11 = ρ1; φ22 = (ρ2−ρ1²)/(1−ρ1²); φ33 from the k=3 recursion with
+    * the updated a21 coefficient. Every ρ is r6-pinned by the shared
+    * lag-spine join census (exact longs until one pinned expression),
+    * each φ and the intermediate a21 are r6-pinned in declaration order
+    * (round-then-replay), and the 3-row output assembles via stack —
+    * bounded everywhere, no window at all. */
+  private val pacf: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val glob = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .withColumn("md", col("sx").cast("double") / col("n"))
+    val lags = s.range(1, 4).select(col("id").as("k"))
+    val perk = daily.select(col("day"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(daily.select(col("day").as("dayy"), col("c").as("y")),
+        col("dayy") === col("day") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sh"), sum(col("y")).as("st"))
+      .crossJoin(broadcast(glob))
+      .withColumn("rho_r",
+        r6((col("sxy") - col("md") * (col("sh") + col("st"))
+          + col("n_pairs") * col("md") * col("md"))
+          / (col("sxx") - col("n") * col("md") * col("md"))))
+    perk.groupBy().agg(
+        max(when(col("k") === 1, col("rho_r"))).as("r1"),
+        max(when(col("k") === 2, col("rho_r"))).as("r2v"),
+        max(when(col("k") === 3, col("rho_r"))).as("r3"))
+      .withColumn("p2_r",
+        r6(expr("(r2v - r1 * r1) / (1.0 - r1 * r1)")))
+      .withColumn("a21_r", r6(expr("r1 * (1.0 - p2_r)")))
+      .withColumn("p3_r", r6(expr(
+        "(r3 - a21_r * r2v - p2_r * r1)" +
+          " / (1.0 - a21_r * r1 - p2_r * r2v)")))
+      .selectExpr("stack(3, 1L, r1, r1, 2L, r2v, p2_r, 3L, r3, p3_r)" +
+        " AS (lag, acf_r, pacf_r)")
+      .orderBy("lag")
+  }
+
+  // Cochran–Armitage trend z from exact long census sums (one shared
+  // formula text).
+  private val caZ =
+    "((CAST(sr AS DOUBLE) - (CAST(rr AS DOUBLE) / nn) * sn)" +
+      " / sqrt((CAST(rr AS DOUBLE) / nn)" +
+      " * (1.0 - CAST(rr AS DOUBLE) / nn)" +
+      " * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn)))"
+
+  /** Cochran–Armitage trend test — does the fulfilled (F) share of
+    * orders trend MONOTONICALLY across the ordered priority scores
+    * 1..5? χ² independence (q_stats_chisq) treats categories as
+    * unordered and throws away the ordering; CA is the test dashboards
+    * actually need for dose/severity/priority-graded rates. Shape: one
+    * FILTER-style hash aggregate into a 5-cell (score, n_i, r_i)
+    * census, then z from exact long sums (Σs·n, Σs²·n, Σs·r all fit
+    * long trivially) in ONE pinned formula; verdict against the
+    * 17-digit Φ⁻¹(0.975) literal. TPC-H priorities are independent of
+    * status by construction ⇒ no_trend — the A/A-style null the spec
+    * pins. */
+  private val cochranArmitage: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("sc"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("resp"))
+      .groupBy("sc")
+      .agg(count(lit(1)).as("ni"), sum("resp").as("ri"))
+    per.agg(count(lit(1)).as("n_groups"), sum("ni").as("nn"),
+        sum("ri").as("rr"), sum(col("sc") * col("ni")).as("sn"),
+        sum(col("sc") * col("sc") * col("ni")).as("ssn"),
+        sum(col("sc") * col("ri")).as("sr"))
+      .withColumn("z_ca_r", r6(expr(caZ)))
+      .select(col("n_groups"), col("nn").as("n_total"),
+        col("rr").as("r_total"), col("z_ca_r"),
+        when(col("z_ca_r") > 1.9599639845400545, "increasing")
+          .when(col("z_ca_r") < -1.9599639845400545, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  /** Holm step-down FWER correction over the SAME KS test family as
+    * q_stats_bh — the conservative sibling: BH controls the false-
+    * discovery RATE (some false positives tolerated by design); Holm
+    * controls the familywise error (any false positive is a failure),
+    * which is what a launch-blocking guardrail metric family needs.
+    * Step-down: rank ascending by p, adjusted p = cummax of
+    * (m−i+1)·p_(i), capped at 1 — a running MAX from the BEST rank
+    * down, where BH runs a min from the worst rank up; having both
+    * keys pins the direction difference executably. Runs on the
+    * |event types|-row census (global windows allowlisted); every term
+    * r6-pinned before the cummax (round-then-replay). */
+  private val holm: Q = (s, d) => {
+    val tests = ksFamily(s, d)
+    val mDf = tests.agg(count(lit(1)).as("m"))
+    val wr = Window.orderBy(col("p_r"), col("event_type"))
+    val wcum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tests.crossJoin(broadcast(mDf))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("term_r", r6(col("p_r") * (col("m") - col("rank") + 1)))
+      .withColumn("p_adj", least(max(col("term_r")).over(wcum), lit(1.0)))
+      .withColumn("reject", col("p_adj") <= 0.05)
+      .select("event_type", "p_r", "rank", "p_adj", "reject")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_jarque_bera" -> jarqueBera,
+    "q_stats_dw" -> dw,
+    "q_stats_breusch_pagan" -> breuschPagan,
+    "q_stats_pacf" -> pacf,
+    "q_stats_cochran_armitage" -> cochranArmitage,
+    "q_stats_holm" -> holm,
     "q_stats_kendall_tau" -> kendallTau,
     "q_stats_rate_ratio" -> rateRatio,
     "q_agg_argmax" -> aggArgmax,
@@ -1640,6 +1893,65 @@ object StatsOps {
                  floor(avg(c - trend) OVER (PARTITION BY day % 7)
                    * 1000000 + 0.5) / 1000000.0 AS seasonal
                 FROM tr)"""
+
+  /** Oracle-side twin of ksFamily (ends in `tests` = event_type, d_r,
+    * p_r) — shared by q_stats_bh and q_stats_holm so both corrections
+    * replay ONE family text (the stlCtes rule). */
+  private val ksFamilyCtes =
+    s"""ev AS (
+           SELECT event_type AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  (strpos('0123456789abcdef',
+                     substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                    % 2 AS arm
+           FROM events),
+         per AS (SELECT t, v,
+                        count(*) FILTER (arm = 0) AS a,
+                        count(*) FILTER (arm = 1) AS b
+                 FROM ev GROUP BY t, v),
+         nn AS (SELECT t,
+                       count(*) FILTER (arm = 0) AS na,
+                       count(*) FILTER (arm = 1) AS nb
+                FROM ev GROUP BY t),
+         c AS (SELECT t, v,
+                      sum(a) OVER (PARTITION BY t ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS ca,
+                      sum(b) OVER (PARTITION BY t ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cb
+               FROM per),
+         dmax AS (SELECT c.t AS t, na, nb,
+                         max(abs(CAST(ca AS DOUBLE) / na
+                                 - CAST(cb AS DOUBLE) / nb)) AS dstat
+                  FROM c JOIN nn ON c.t = nn.t GROUP BY c.t, na, nb),
+         tests AS (SELECT t AS event_type,
+                          ${rsql("dstat", 1000000)} AS d_r,
+                          least(${rsql("2.0 * exp(-2.0 * dstat * dstat * " +
+                            "CAST(na * nb AS DOUBLE) / (na + nb))",
+                            1000000)}, CAST(1.0 AS DOUBLE)) AS p_r
+                   FROM dmax)"""
+
+  /** Oracle-side twin of dailyOls (ends in `res` = day, x, y, n, b_r,
+    * a_r, e_m) — shared by q_stats_dw and q_stats_breusch_pagan. */
+  private val olsCtes =
+    s"""daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         xy AS (SELECT day, day - (SELECT min(day) FROM daily) AS x,
+                       c AS y
+                FROM daily),
+         g0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM xy),
+         g1 AS (SELECT n, sx, sy, ${rsql(olsB, 1000000)} AS b_r FROM g0),
+         g2 AS (SELECT n, b_r, ${rsql(olsA, 1000000)} AS a_r FROM g1),
+         res AS (SELECT day, x, y, n, b_r, a_r, $olsEm AS e_m
+                 FROM xy CROSS JOIN g2)"""
 
   /** Shared centered-moment fragments for the granger oracle (same
     * text as the Spark expressions modulo nothing — both engines parse
@@ -2545,39 +2857,7 @@ object StatsOps {
     // BH step-up replayed: per-type KS on the A/B per-day means, rank
     // by p, reverse-rank running min of the r6 m·p/i terms, clamp 1.
     "q_stats_bh" ->
-      s"""WITH ev AS (
-           SELECT event_type AS t,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
-                  (strpos('0123456789abcdef',
-                     substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
-                    % 2 AS arm
-           FROM events),
-         per AS (SELECT t, v,
-                        count(*) FILTER (arm = 0) AS a,
-                        count(*) FILTER (arm = 1) AS b
-                 FROM ev GROUP BY t, v),
-         nn AS (SELECT t,
-                       count(*) FILTER (arm = 0) AS na,
-                       count(*) FILTER (arm = 1) AS nb
-                FROM ev GROUP BY t),
-         c AS (SELECT t, v,
-                      sum(a) OVER (PARTITION BY t ORDER BY v
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS ca,
-                      sum(b) OVER (PARTITION BY t ORDER BY v
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS cb
-               FROM per),
-         dmax AS (SELECT c.t AS t, na, nb,
-                         max(abs(CAST(ca AS DOUBLE) / na
-                                 - CAST(cb AS DOUBLE) / nb)) AS dstat
-                  FROM c JOIN nn ON c.t = nn.t GROUP BY c.t, na, nb),
-         tests AS (SELECT t AS event_type,
-                          ${rsql("dstat", 1000000)} AS d_r,
-                          least(${rsql("2.0 * exp(-2.0 * dstat * dstat * " +
-                            "CAST(na * nb AS DOUBLE) / (na + nb))",
-                            1000000)}, CAST(1.0 AS DOUBLE)) AS p_r
-                   FROM dmax),
+      s"""WITH $ksFamilyCtes,
          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
          rk AS (SELECT event_type, d_r, p_r, m,
                        CAST(row_number() OVER
@@ -2594,6 +2874,180 @@ object StatsOps {
          SELECT event_type, d_r, p_r, rank, p_adj,
                 p_adj <= 0.05 AS reject
          FROM adj ORDER BY rank""",
+    // Same family text as q_stats_bh; the correction is a step-down
+    // cummax from the best rank (BH is a step-up cummin from the worst).
+    "q_stats_holm" ->
+      s"""WITH $ksFamilyCtes,
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tests),
+         rk AS (SELECT event_type, p_r, m,
+                       CAST(row_number() OVER
+                         (ORDER BY p_r, event_type) AS BIGINT) AS rank
+                FROM tests CROSS JOIN mm),
+         tm AS (SELECT event_type, p_r, rank,
+                       ${rsql("p_r * (m - rank + 1)", 1000000)} AS term_r
+                FROM rk),
+         adj AS (SELECT event_type, p_r, rank,
+                        least(max(term_r) OVER (ORDER BY rank
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), CAST(1.0 AS DOUBLE)) AS p_adj
+                 FROM tm)
+         SELECT event_type, p_r, rank, p_adj,
+                p_adj <= 0.05 AS reject
+         FROM adj ORDER BY rank""",
+    // Shares the moments CTE text; S/K are pinned before squaring and
+    // JB compares pinned-vs-literal (srm discipline).
+    "q_stats_jarque_bera" ->
+      s"""WITH c0 AS (
+           SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+           FROM events),
+         sums AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(c) AS s1d, sum(c * c) AS s2d,
+                  sum((c * c) * c) AS s3d,
+                  sum((c * c) * (c * c)) AS s4d
+           FROM c0 GROUP BY event_type),
+         sk AS (SELECT event_type, n,
+                       ${rsql(s"$mM3 / ($mM2 * sqrt($mM2))", 1000000)}
+                         AS skew_r,
+                       ${rsql(s"$mM4 / ($mM2 * $mM2) - 3.0", 1000000)}
+                         AS kurt_r
+                FROM sums),
+         jb AS (SELECT event_type, n, skew_r, kurt_r,
+                       ${rsql("(CAST(n AS DOUBLE) / 6.0) * (skew_r" +
+                         " * skew_r + kurt_r * kurt_r / 4.0)", 1000000)}
+                         AS jb_r
+                FROM sk)
+         SELECT event_type, n, skew_r, kurt_r, jb_r,
+                jb_r > 5.991464547107979 AS reject_normal
+         FROM jb ORDER BY event_type""",
+    // HUGEINT squares of the exact milli-residuals; one division of
+    // two exact integers reaches r6.
+    "q_stats_dw" ->
+      s"""WITH $olsCtes,
+         num AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                        sum(CAST(b.e_m - a.e_m AS HUGEINT)
+                            * CAST(b.e_m - a.e_m AS HUGEINT)) AS sdiff
+                 FROM res a JOIN res b ON b.day = a.day + 1),
+         den AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                        max(b_r) AS b_r,
+                        sum(CAST(e_m AS HUGEINT)
+                            * CAST(e_m AS HUGEINT)) AS ssq
+                 FROM res),
+         dd AS (SELECT n_days, n_pairs, b_r,
+                       ${rsql("CAST(sdiff AS DOUBLE)" +
+                         " / CAST(ssq AS DOUBLE)", 1000000)} AS dw_r
+                FROM num CROSS JOIN den)
+         SELECT n_days, n_pairs, b_r, dw_r,
+                ${rsql("1.0 - dw_r / 2.0", 1000000)} AS rho1_r
+         FROM dd""",
+    // u-moments fold in day order (ljung_box discipline); x-moments
+    // stay exact longs; LM assembles in the shared bpR2 text.
+    "q_stats_breusch_pagan" ->
+      s"""WITH $olsCtes,
+         ru AS (SELECT day, x, n, b_r,
+                       (CAST(e_m AS DOUBLE) * e_m) / 1000000.0 AS u,
+                       CAST(x AS DOUBLE) * ((CAST(e_m AS DOUBLE) * e_m)
+                         / 1000000.0) AS xu,
+                       ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)
+                         * ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)
+                         AS uu
+                FROM res),
+         ag AS (SELECT n, b_r, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       list_reduce(list(u ORDER BY day),
+                         (a, b) -> a + b) AS su,
+                       list_reduce(list(xu ORDER BY day),
+                         (a, b) -> a + b) AS sxu,
+                       list_reduce(list(uu ORDER BY day),
+                         (a, b) -> a + b) AS suu
+                FROM ru GROUP BY n, b_r),
+         lf AS (SELECT n AS n_days, b_r,
+                       ${rsql(s"CAST(n AS DOUBLE) * $bpR2", 1000000)}
+                         AS lm_r
+                FROM ag)
+         SELECT n_days, b_r, lm_r,
+                lm_r > 3.841458820694124 AS heteroscedastic
+         FROM lf""",
+    // The ljung_box ACF machinery truncated to 3 lags, then the
+    // Durbin–Levinson closed forms with every φ and a21 pinned in
+    // declaration order.
+    "q_stats_pacf" ->
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         gstat AS (
+           SELECT n, sx, sxx, CAST(sx AS DOUBLE) / n AS md FROM (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS sx,
+                    CAST(sum(c * c) AS BIGINT) AS sxx
+             FROM daily) g),
+         lags AS (SELECT CAST(unnest(generate_series(1, 3)) AS BIGINT)
+                    AS k),
+         pk AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+                  CAST(sum(a.c) AS BIGINT) AS sh,
+                  CAST(sum(b.c) AS BIGINT) AS st
+           FROM lags CROSS JOIN daily a
+                JOIN daily b ON b.day = a.day + k
+           GROUP BY k),
+         rho AS (
+           SELECT k,
+                  floor(((sxy - md * (sh + st)
+                          + n_pairs * md * md)
+                         / (sxx - n * md * md)) * 1000000 + 0.5)
+                    / 1000000.0 AS rho_r
+           FROM pk CROSS JOIN gstat),
+         piv AS (SELECT max(CASE WHEN k = 1 THEN rho_r END) AS r1,
+                        max(CASE WHEN k = 2 THEN rho_r END) AS r2v,
+                        max(CASE WHEN k = 3 THEN rho_r END) AS r3
+                 FROM rho),
+         p2 AS (SELECT r1, r2v, r3,
+                       ${rsql("(r2v - r1 * r1) / (1.0 - r1 * r1)",
+                         1000000)} AS p2_r
+                FROM piv),
+         p3a AS (SELECT r1, r2v, r3, p2_r,
+                        ${rsql("r1 * (1.0 - p2_r)", 1000000)} AS a21_r
+                 FROM p2),
+         p3 AS (SELECT r1, r2v, r3, p2_r, a21_r,
+                       ${rsql("(r3 - a21_r * r2v - p2_r * r1)" +
+                         " / (1.0 - a21_r * r1 - p2_r * r2v)", 1000000)}
+                         AS p3_r
+                FROM p3a)
+         SELECT CAST(1 AS BIGINT) AS lag, r1 AS acf_r, r1 AS pacf_r
+         FROM p3
+         UNION ALL SELECT CAST(2 AS BIGINT), r2v, p2_r FROM p3
+         UNION ALL SELECT CAST(3 AS BIGINT), r3, p3_r FROM p3
+         ORDER BY lag""",
+    // 5-cell integer census; z from exact long sums in the shared caZ
+    // text against the 17-digit z literal.
+    "q_stats_cochran_armitage" ->
+      s"""WITH o AS (
+           SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+                    AS sc,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                    AS resp
+           FROM orders),
+         per AS (SELECT sc, CAST(count(*) AS BIGINT) AS ni,
+                        CAST(sum(resp) AS BIGINT) AS ri
+                 FROM o GROUP BY sc),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(sum(ni) AS BIGINT) AS nn,
+                       CAST(sum(ri) AS BIGINT) AS rr,
+                       CAST(sum(sc * ni) AS BIGINT) AS sn,
+                       CAST(sum(sc * sc * ni) AS BIGINT) AS ssn,
+                       CAST(sum(sc * ri) AS BIGINT) AS sr
+                FROM per),
+         zz AS (SELECT n_groups, nn, rr,
+                       ${rsql(caZ, 1000000)} AS z_ca_r
+                FROM ag)
+         SELECT n_groups, nn AS n_total, rr AS r_total, z_ca_r,
+                CASE WHEN z_ca_r > 1.9599639845400545 THEN 'increasing'
+                     WHEN z_ca_r < -1.9599639845400545 THEN 'decreasing'
+                     ELSE 'no_trend' END AS trend
+         FROM zz""",
     "q_stats_prop_test" ->
       s"""WITH pu AS (
            SELECT user_id,

@@ -522,4 +522,97 @@ class StatsSpec extends SparkSpec {
       .limit(501).collect().map(_.getDouble(0)).min
     assert(math.abs(r.getAs[Double]("x_threshold") - thr) < 0.01)
   }
+
+  test("jarque-bera: JB replays from the moments key's own S/K; uniform rejects") {
+    val jb = operators.StatsOps.queries("q_stats_jarque_bera")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val mo = operators.StatsOps.queries("q_stats_moments")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(jb.keySet == mo.keySet)
+    jb.foreach { case (t, r) =>
+      // same census, same pinned S/K — must agree exactly
+      assert(r.getAs[Double]("skew_r") == mo(t).getAs[Double]("skewness"))
+      assert(r.getAs[Double]("kurt_r") == mo(t).getAs[Double]("ex_kurtosis"))
+      val (n, sk, ku) = (r.getAs[Long]("n"),
+        r.getAs[Double]("skew_r"), r.getAs[Double]("kurt_r"))
+      val replay = n / 6.0 * (sk * sk + ku * ku / 4.0)
+      assert(math.abs(r.getAs[Double]("jb_r") - replay) < 1e-5)
+      // near-uniform values: ex-kurtosis ≈ −1.2 ⇒ JB huge ⇒ reject
+      assert(r.getAs[Boolean]("reject_normal"), s"$t should reject")
+    }
+  }
+
+  test("dw: in (0,4), pinned to the rho identity, white-ish residuals near 2") {
+    val r = operators.StatsOps.queries("q_stats_dw")(spark, sfDir)
+      .collect().head
+    val dwv = r.getAs[Double]("dw_r")
+    assert(dwv > 0.0 && dwv < 4.0)
+    assert(math.abs(r.getAs[Double]("rho1_r") - (1.0 - dwv / 2.0)) < 1e-5)
+    assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_days") - 1)
+    // ~uniform daily counts ⇒ residuals ≈ white noise
+    assert(dwv > 1.0 && dwv < 3.0, s"dw=$dwv far from the white-noise 2")
+  }
+
+  test("breusch-pagan: nonneg LM on the same residual frame as dw") {
+    val bp = operators.StatsOps.queries("q_stats_breusch_pagan")(
+      spark, sfDir).collect().head
+    val d = operators.StatsOps.queries("q_stats_dw")(spark, sfDir)
+      .collect().head
+    assert(bp.getAs[Long]("n_days") == d.getAs[Long]("n_days"))
+    assert(bp.getAs[Double]("b_r") == d.getAs[Double]("b_r"))
+    val lm = bp.getAs[Double]("lm_r")
+    // LM = n·R² with R² in [0,1]
+    assert(lm >= 0.0 && lm <= bp.getAs[Long]("n_days").toDouble + 1e-9)
+    assert(bp.getAs[Boolean]("heteroscedastic") == (lm > 3.841458820694124))
+  }
+
+  test("pacf: lag-1 pacf equals acf-1, all three lags bounded by 1") {
+    val rows = operators.StatsOps.queries("q_stats_pacf")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    // Durbin–Levinson base case: φ11 = ρ1 by definition
+    assert(rows(0).getDouble(1) == rows(0).getDouble(2))
+    // cross-check ρ1 against the standalone lag-1 autocorr key (same
+    // census, same mean-adjusted estimator at k=1 up to its own r6)
+    val acf1 = operators.StatsOps.queries("q_stats_autocorr")(spark, sfDir)
+      .collect().head.getAs[Double]("acf1")
+    assert(math.abs(rows(0).getDouble(1) - acf1) < 0.05,
+      s"pacf rho1 ${rows(0).getDouble(1)} vs autocorr $acf1")
+  }
+
+  test("cochran-armitage: priority-independent status yields no trend") {
+    val r = operators.StatsOps.queries("q_stats_cochran_armitage")(
+      spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_groups") == 5L)
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(r.getAs[Long]("n_total") == nOrders)
+    assert(r.getAs[Long]("r_total") > 0 &&
+      r.getAs[Long]("r_total") < nOrders)
+    // TPC-H generates priority independent of status — the built-in null
+    assert(r.getAs[String]("trend") == "no_trend",
+      s"z=${r.getAs[Double]("z_ca_r")}")
+  }
+
+  test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
+    val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
+      .collect()
+    val bh = operators.StatsOps.queries("q_stats_bh")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p_adj")).toMap
+    assert(holm.length == bh.size)
+    val adjs = holm.map(_.getAs[Double]("p_adj"))
+    adjs.zip(adjs.tail).foreach { case (a, b) => assert(a <= b + 1e-12) }
+    holm.foreach { r =>
+      val (t, p, pAdj) = (r.getString(0), r.getAs[Double]("p_r"),
+        r.getAs[Double]("p_adj"))
+      assert(pAdj >= p - 1e-12 && pAdj <= 1.0)
+      // FWER control is strictly tighter than FDR control
+      assert(pAdj >= bh(t) - 1e-9, s"$t: holm $pAdj < bh ${bh(t)}")
+      // the family is an A/A null by construction
+      assert(!r.getAs[Boolean]("reject"))
+    }
+  }
 }
