@@ -1819,7 +1819,91 @@ object StatsOps {
       .orderBy("rank")
   }
 
+  /** k-anonymity audit of the event stream — the re-identification
+    * census a privacy review runs before any user-keyed dataset leaves
+    * the pipeline. Quasi-identifier per user = (dominant event type,
+    * volume bucket, active-days bucket): the coarse behavioral profile
+    * an adversary with side knowledge could match on. k = equivalence-
+    * class size; every user in a class with k < 5 is flagged at-risk
+    * (the conventional HIPAA-adjacent threshold). Shape: three hash
+    * aggregates (user×type census → per-user profile, user×day distinct
+    * → active days, QI class census) + one summary row — all map-side
+    * combinable, no windows, no driver state; linear at any scale.
+    * Dominant type ties break deterministically to the lexicographic
+    * min among max-count types (both engines replay the same
+    * join-on-max + min rule). */
+  private val kAnon: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val pu = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val mx = pu.groupBy(col("user_id").as("uid"))
+      .agg(max(col("c")).as("mc"), sum(col("c")).as("n_ev"))
+    val dom = pu.join(mx,
+        col("user_id") === col("uid") && col("c") === col("mc"))
+      .groupBy(col("uid"), col("n_ev"))
+      .agg(min(col("event_type")).as("dom_type"))
+    val dy = ev.select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_days"))
+    val qi = dom.join(dy, col("uid") === dy("user_id"))
+      .select(col("dom_type"),
+        when(col("n_ev") < 5, "lo").when(col("n_ev") < 20, "mid")
+          .otherwise("hi").as("nb"),
+        when(col("n_days") < 3, "rare").when(col("n_days") < 10, "regular")
+          .otherwise("heavy").as("db"))
+    val cl = qi.groupBy("dom_type", "nb", "db")
+      .agg(count(lit(1)).as("k"))
+    cl.agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_users"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        coalesce(sum(when(col("k") < 5, col("k"))), lit(0L))
+          .as("users_at_risk"))
+      .withColumn("pct_at_risk_r",
+        r6(col("users_at_risk").cast("double") * 100 / col("n_users")))
+  }
+
+  // Seeded-Laplace noise from a 48-bit md5 slice: u = (h + 0.5)/2^48 is
+  // exactly representable (≤49 mantissa bits) and never exactly 0.5, so
+  // sign/ln are total; ONE shared formula text for the inverse-CDF
+  // (engines differ only in the hex→int primitive: conv vs 0x-cast).
+  private val lapNoise = "-(CAST(n_types AS DOUBLE) / 1.0) * sign(u - 0.5)" +
+    " * ln(1.0 - 2.0 * abs(u - 0.5))"
+
+  /** Differentially-private release of the per-type distinct-user
+    * histogram — the mechanism a pipeline uses to publish usage stats
+    * about user-keyed data without exposing any individual. Laplace
+    * mechanism with REAL sensitivity accounting: one user can appear in
+    * at most |event types| cells of the distinct-user histogram, so the
+    * L1 sensitivity Δ = n_types (derived from the data, emitted as a
+    * column) and the noise scale is b = Δ/ε at ε = 1.0. The noise is
+    * SEEDED — u from a 48-bit slice of md5("dp-v1:" + cell key) through
+    * the Laplace inverse CDF — so both engines replay the identical
+    * release (real DP would draw fresh randomness; the deterministic
+    * seed is what makes the mechanism oracle-checkable, and the spec
+    * replays the exact inverse-CDF from the seed in plain JVM code).
+    * noise_r is r6-PINNED before the released value adds it
+    * (round-then-replay). One exact distinct aggregate + a 1-row
+    * broadcast — linear, no windows. */
+  private val dpCount: Q = (s, d) => {
+    val per = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_true"))
+    val nt = per.agg(count(lit(1)).as("n_types"))
+    per.crossJoin(broadcast(nt))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(concat('dp-v1:', event_type))," +
+          " 1, 12), 16, 10) AS BIGINT)").cast("double") + 0.5)
+          / lit(281474976710656.0))
+      .withColumn("noise_r", r6(expr(lapNoise)))
+      .select(col("event_type"), col("n_true"),
+        lit(1.0).as("epsilon"), col("n_types").as("sensitivity"),
+        col("noise_r"),
+        r6(col("n_true") + col("noise_r")).as("n_dp_r"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_k_anon" -> kAnon,
+    "q_privacy_dp_count" -> dpCount,
     "q_stats_jarque_bera" -> jarqueBera,
     "q_stats_dw" -> dw,
     "q_stats_breusch_pagan" -> breuschPagan,
@@ -1969,6 +2053,62 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // QI = (dominant type via join-on-max + lexicographic-min tie
+    // break, volume bucket, active-days bucket); k census; one summary
+    "q_privacy_k_anon" ->
+      s"""WITH pu AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT user_id, max(c) AS mc,
+                       CAST(sum(c) AS BIGINT) AS n_ev
+                FROM pu GROUP BY 1),
+         dom AS (SELECT mx.user_id AS uid, n_ev,
+                        min(event_type) AS dom_type
+                 FROM pu JOIN mx ON pu.user_id = mx.user_id
+                                AND pu.c = mx.mc
+                 GROUP BY 1, 2),
+         dy AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+                FROM (SELECT DISTINCT user_id,
+                             epoch_us(ts) // 86400000000 AS day
+                      FROM events) GROUP BY 1),
+         qi AS (SELECT dom_type,
+                       CASE WHEN n_ev < 5 THEN 'lo'
+                            WHEN n_ev < 20 THEN 'mid'
+                            ELSE 'hi' END AS nb,
+                       CASE WHEN n_days < 3 THEN 'rare'
+                            WHEN n_days < 10 THEN 'regular'
+                            ELSE 'heavy' END AS db
+                FROM dom JOIN dy ON dom.uid = dy.user_id),
+         cl AS (SELECT dom_type, nb, db, CAST(count(*) AS BIGINT) AS k
+                FROM qi GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(sum(k) AS BIGINT) AS n_users,
+                min(k) AS k_min, max(k) AS k_max,
+                CAST(coalesce(sum(k) FILTER (k < 5), 0) AS BIGINT)
+                  AS users_at_risk,
+                ${rsql("CAST(coalesce(sum(k) FILTER (k < 5), 0)" +
+                  " AS DOUBLE) * 100 / sum(k)", 1000000)} AS pct_at_risk_r
+         FROM cl""",
+    // same 48-bit md5 slice (0x-cast here, conv in Spark), same shared
+    // lapNoise inverse-CDF text, noise pinned before the release adds it
+    "q_privacy_dp_count" ->
+      s"""WITH per AS (
+           SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+           FROM events GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM per),
+         uu AS (SELECT event_type, n_true, n_types,
+                       (CAST(CAST('0x' || substring(md5('dp-v1:' ||
+                          event_type), 1, 12) AS BIGINT) AS DOUBLE)
+                         + 0.5) / 281474976710656.0 AS u
+                FROM per CROSS JOIN nt),
+         nz AS (SELECT event_type, n_true, n_types,
+                       ${rsql(lapNoise, 1000000)} AS noise_r
+                FROM uu)
+         SELECT event_type, n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+                n_types AS sensitivity, noise_r,
+                ${rsql("n_true + noise_r", 1000000)} AS n_dp_r
+         FROM nz ORDER BY event_type""",
     // two capture flags per user, exact censuses, Chapman closed form
     // shared text; est_over_true is the self-audit
     "q_stats_capture_recapture" ->

@@ -597,6 +597,48 @@ class StatsSpec extends SparkSpec {
       s"z=${r.getAs[Double]("z_ca_r")}")
   }
 
+  test("k-anon: classes partition the users, at-risk share consistent") {
+    val r = operators.StatsOps.queries("q_privacy_k_anon")(spark, sfDir)
+      .collect().head
+    val nUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    // every user lands in exactly one QI equivalence class
+    assert(r.getAs[Long]("n_users") == nUsers)
+    assert(r.getAs[Long]("k_min") >= 1L)
+    assert(r.getAs[Long]("k_max") <= nUsers)
+    assert(r.getAs[Long]("n_classes") >= 1L &&
+      r.getAs[Long]("n_classes") <= 45L) // 5 types × 3 × 3 buckets
+    val risk = r.getAs[Long]("users_at_risk")
+    assert(risk >= 0L && risk <= nUsers)
+    val pct = r.getAs[Double]("pct_at_risk_r")
+    assert(math.abs(pct - risk.toDouble * 100 / nUsers) < 1e-5)
+  }
+
+  test("dp-count: seeded Laplace replays from the md5 slice, release adds pinned noise") {
+    val rows = operators.StatsOps.queries("q_privacy_dp_count")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nTypes = rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Double]("epsilon") == 1.0)
+      assert(r.getAs[Long]("sensitivity") == nTypes.toLong)
+      // replay the inverse CDF from the seed in plain JVM code
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("dp-v1:" + r.getString(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      val expect = -(nTypes.toDouble / 1.0) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(math.abs(r.getAs[Double]("noise_r") - expect) < 2e-6,
+        s"${r.getString(0)}: ${r.getAs[Double]("noise_r")} vs $expect")
+      // round-then-replay: the release is the pinned noise plus n_true
+      assert(math.abs(r.getAs[Double]("n_dp_r") -
+        (r.getAs[Long]("n_true") + r.getAs[Double]("noise_r"))) < 1e-5)
+      // Laplace(b = 5) noise should be modest relative to the counts
+      assert(math.abs(r.getAs[Double]("noise_r")) < 100.0)
+    }
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
