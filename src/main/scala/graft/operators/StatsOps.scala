@@ -1832,7 +1832,11 @@ object StatsOps {
     * Dominant type ties break deterministically to the lexicographic
     * min among max-count types (both engines replay the same
     * join-on-max + min rule). */
-  private val kAnon: Q = (s, d) => {
+  /** Per-user quasi-identifier frame (uid, dom_type, nb, db) — one row
+    * per user — shared by q_privacy_k_anon and q_privacy_l_diversity so
+    * both audits grade the SAME anonymity partition (the ksFamily
+    * one-builder rule). */
+  private def userQi(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val pu = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
@@ -1846,13 +1850,16 @@ object StatsOps {
         expr("(ts_ns div 1000) div 86400000000").as("day"))
       .distinct()
       .groupBy("user_id").agg(count(lit(1)).as("n_days"))
-    val qi = dom.join(dy, col("uid") === dy("user_id"))
-      .select(col("dom_type"),
+    dom.join(dy, col("uid") === dy("user_id"))
+      .select(col("uid"), col("dom_type"),
         when(col("n_ev") < 5, "lo").when(col("n_ev") < 20, "mid")
           .otherwise("hi").as("nb"),
         when(col("n_days") < 3, "rare").when(col("n_days") < 10, "regular")
           .otherwise("heavy").as("db"))
-    val cl = qi.groupBy("dom_type", "nb", "db")
+  }
+
+  private val kAnon: Q = (s, d) => {
+    val cl = userQi(s, d).groupBy("dom_type", "nb", "db")
       .agg(count(lit(1)).as("k"))
     cl.agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_users"),
         min(col("k")).as("k_min"), max(col("k")).as("k_max"),
@@ -1901,9 +1908,85 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** l-diversity audit over the SAME QI partition as q_privacy_k_anon —
+    * the homogeneity-attack check k-anonymity alone misses: a class can
+    * be large (k fine) yet uniform in its sensitive attribute, so
+    * membership alone discloses it. Sensitive attribute = the user's
+    * spend band, bucketed on EXACT integer comparisons (Σcents < bound·n
+    * — no float mean ever materializes, so the band can't flip with
+    * partition order). l = distinct sensitive values per class; classes
+    * with l = 1 expose every member. Same three-hash-agg shape as k_anon
+    * plus one sensitive census — linear, windowless. */
+  private val lDiversity: Q = (s, d) => {
+    val sens = Tables.events(s, d)
+      .groupBy(col("user_id").as("su"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sc"))
+      .select(col("su"),
+        when(col("sc") < lit(2500L) * col("n"), "v0")
+          .when(col("sc") < lit(5000L) * col("n"), "v1")
+          .when(col("sc") < lit(10000L) * col("n"), "v2")
+          .otherwise("v3").as("sens"))
+    val cl = userQi(s, d).join(sens, col("uid") === col("su"))
+      .groupBy("dom_type", "nb", "db")
+      .agg(count(lit(1)).as("k"), countDistinct(col("sens")).as("l"))
+    cl.agg(count(lit(1)).as("n_classes"), min(col("l")).as("l_min"),
+        max(col("l")).as("l_max"),
+        coalesce(sum(when(col("l") === 1, lit(1L))), lit(0L))
+          .as("n_classes_l1"),
+        coalesce(sum(when(col("l") === 1, col("k"))), lit(0L))
+          .as("users_exposed"), sum(col("k")).as("n_users"))
+      .withColumn("pct_exposed_r",
+        r6(col("users_exposed").cast("double") * 100 / col("n_users")))
+      .select("n_classes", "l_min", "l_max", "n_classes_l1",
+        "users_exposed", "n_users", "pct_exposed_r")
+  }
+
+  /** Leakage-free (out-of-fold) target encoding of customer market
+    * segment against order value — THE categorical-feature trick every
+    * tabular training pipeline uses, and the one that silently leaks the
+    * label if computed naively: encoding a row with a mean that includes
+    * the row's own target hands the model the answer. Folds are the md5
+    * hash-Bernoulli primitive (first hex digit mod 5); each (segment,
+    * fold) cell gets the mean of all OTHER folds via the closed form
+    * (S_seg − S_fold)/(n_seg − n_fold) on exact cent sums, plus an
+    * m-estimate smoothed variant (m = 20) shrunk toward the r6-PINNED
+    * global prior (round-then-replay). Shape: one FK join + one 25-cell
+    * hash census; every encode value derives on the bounded frame —
+    * linear at any scale, one shuffle. */
+  private val targetEncode: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 1)," +
+          " 16, 10) AS BIGINT) % 5").as("fold"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("c_mktsegment", "fold")
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val seg = cells.groupBy(col("c_mktsegment").as("seg"))
+      .agg(sum(col("n_f")).as("n"), sum(col("s_f")).as("s"))
+    val prior = seg.agg(
+      r6(sum(col("s")).cast("double") / (sum(col("n")) * 100.0))
+        .as("prior_r"))
+    cells.join(seg, col("c_mktsegment") === col("seg"))
+      .crossJoin(broadcast(prior))
+      .select(col("c_mktsegment"), col("fold"),
+        (col("n") - col("n_f")).as("n_out"),
+        r6((col("s") - col("s_f")).cast("double")
+          / ((col("n") - col("n_f")) * 100.0)).as("enc_r"),
+        col("prior_r"),
+        r6(((col("s") - col("s_f")).cast("double") / 100.0
+          + lit(20.0) * col("prior_r"))
+          / ((col("n") - col("n_f")) + lit(20.0))).as("enc_smooth_r"))
+      .orderBy("c_mktsegment", "fold")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_privacy_k_anon" -> kAnon,
     "q_privacy_dp_count" -> dpCount,
+    "q_privacy_l_diversity" -> lDiversity,
+    "q_ml_target_encode" -> targetEncode,
     "q_stats_jarque_bera" -> jarqueBera,
     "q_stats_dw" -> dw,
     "q_stats_breusch_pagan" -> breuschPagan,
@@ -2109,6 +2192,83 @@ object StatsOps {
                 n_types AS sensitivity, noise_r,
                 ${rsql("n_true + noise_r", 1000000)} AS n_dp_r
          FROM nz ORDER BY event_type""",
+    // same QI partition as k_anon (shared semantics, replayed text);
+    // sensitive band from EXACT Σcents < bound·n integer comparisons
+    "q_privacy_l_diversity" ->
+      s"""WITH pu AS (
+           SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT user_id, max(c) AS mc,
+                       CAST(sum(c) AS BIGINT) AS n_ev
+                FROM pu GROUP BY 1),
+         dom AS (SELECT mx.user_id AS uid, n_ev,
+                        min(event_type) AS dom_type
+                 FROM pu JOIN mx ON pu.user_id = mx.user_id
+                                AND pu.c = mx.mc
+                 GROUP BY 1, 2),
+         dy AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+                FROM (SELECT DISTINCT user_id,
+                             epoch_us(ts) // 86400000000 AS day
+                      FROM events) GROUP BY 1),
+         qi AS (SELECT uid, dom_type,
+                       CASE WHEN n_ev < 5 THEN 'lo'
+                            WHEN n_ev < 20 THEN 'mid'
+                            ELSE 'hi' END AS nb,
+                       CASE WHEN n_days < 3 THEN 'rare'
+                            WHEN n_days < 10 THEN 'regular'
+                            ELSE 'heavy' END AS db
+                FROM dom JOIN dy ON dom.uid = dy.user_id),
+         sens AS (SELECT su, CASE WHEN sc < 2500 * n THEN 'v0'
+                                  WHEN sc < 5000 * n THEN 'v1'
+                                  WHEN sc < 10000 * n THEN 'v2'
+                                  ELSE 'v3' END AS sens
+                  FROM (SELECT user_id AS su,
+                               CAST(count(*) AS BIGINT) AS n,
+                               CAST(sum(CAST(floor(value * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sc
+                        FROM events GROUP BY 1)),
+         cl AS (SELECT dom_type, nb, db, CAST(count(*) AS BIGINT) AS k,
+                       CAST(count(DISTINCT sens) AS BIGINT) AS l
+                FROM qi JOIN sens ON qi.uid = sens.su
+                GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                min(l) AS l_min, max(l) AS l_max,
+                CAST(coalesce(sum(CASE WHEN l = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_classes_l1,
+                CAST(coalesce(sum(k) FILTER (l = 1), 0) AS BIGINT)
+                  AS users_exposed,
+                CAST(sum(k) AS BIGINT) AS n_users,
+                ${rsql("CAST(coalesce(sum(k) FILTER (l = 1), 0)" +
+                  " AS DOUBLE) * 100 / sum(k)", 1000000)} AS pct_exposed_r
+         FROM cl""",
+    // md5-digit folds, leave-fold-out closed form on exact cent sums,
+    // m-estimate shrink toward the pinned global prior
+    "q_ml_target_encode" ->
+      s"""WITH cells AS (
+           SELECT c_mktsegment,
+                  CAST((strpos('0123456789abcdef',
+                     substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                     - 1) % 5 AS BIGINT) AS fold,
+                  CAST(count(*) AS BIGINT) AS n_f,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS s_f
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         seg AS (SELECT c_mktsegment AS sseg,
+                        CAST(sum(n_f) AS BIGINT) AS n,
+                        CAST(sum(s_f) AS BIGINT) AS s
+                 FROM cells GROUP BY 1),
+         pr AS (SELECT ${rsql("CAST(sum(s) AS DOUBLE)" +
+                  " / (sum(n) * 100.0)", 1000000)} AS prior_r FROM seg)
+         SELECT c_mktsegment, fold, n - n_f AS n_out,
+                ${rsql("CAST(s - s_f AS DOUBLE) / ((n - n_f) * 100.0)",
+                  1000000)} AS enc_r,
+                prior_r,
+                ${rsql("(CAST(s - s_f AS DOUBLE) / 100.0" +
+                  " + 20.0 * prior_r) / ((n - n_f) + 20.0)", 1000000)}
+                  AS enc_smooth_r
+         FROM cells JOIN seg ON c_mktsegment = sseg CROSS JOIN pr
+         ORDER BY c_mktsegment, fold""",
     // two capture flags per user, exact censuses, Chapman closed form
     // shared text; est_over_true is the self-audit
     "q_stats_capture_recapture" ->

@@ -639,6 +639,63 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("l-diversity: grades the same partition as k-anon, l bounded by k and 4") {
+    val ld = operators.StatsOps.queries("q_privacy_l_diversity")(
+      spark, sfDir).collect().head
+    val ka = operators.StatsOps.queries("q_privacy_k_anon")(
+      spark, sfDir).collect().head
+    // same QI partition: identical class and user censuses
+    assert(ld.getAs[Long]("n_classes") == ka.getAs[Long]("n_classes"))
+    assert(ld.getAs[Long]("n_users") == ka.getAs[Long]("n_users"))
+    assert(ld.getAs[Long]("l_min") >= 1L)
+    // l can never exceed the 4 sensitive bands nor the class size
+    assert(ld.getAs[Long]("l_max") <= 4L)
+    assert(ld.getAs[Long]("l_max") <= ka.getAs[Long]("k_max"))
+    val exposed = ld.getAs[Long]("users_exposed")
+    assert(exposed >= ld.getAs[Long]("n_classes_l1")) // each l=1 class has ≥1 user
+    assert(math.abs(ld.getAs[Double]("pct_exposed_r") -
+      exposed.toDouble * 100 / ld.getAs[Long]("n_users")) < 1e-5)
+  }
+
+  test("target-encode: out-of-fold means exclude the fold, shrink toward prior") {
+    val rows = operators.StatsOps.queries("q_ml_target_encode")(
+      spark, sfDir).collect()
+    assert(rows.length == 25) // 5 segments × 5 folds
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("fold")).sorted.toSeq == (0L to 4L))
+      // the 5 leave-one-out means differ (folds see different data)…
+      assert(rs.map(_.getAs[Double]("enc_r")).distinct.length > 1)
+      rs.foreach { r =>
+        val enc = r.getAs[Double]("enc_r")
+        val sm = r.getAs[Double]("enc_smooth_r")
+        val prior = r.getAs[Double]("prior_r")
+        // …and smoothing pulls every encode strictly toward the prior
+        assert((sm - enc).abs <= (enc - prior).abs + 1e-9)
+        assert((sm >= enc && sm <= prior) || (sm <= enc && sm >= prior) ||
+          (enc - prior).abs < 1e-6)
+        assert(r.getAs[Long]("n_out") > 0L)
+      }
+    }
+    // replay one cell's closed form from raw data
+    val seg0 = rows.minBy(r => (r.getString(0), r.getAs[Long]("fold")))
+    val base = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_mktsegment"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") ===
+        seg0.getString(0))
+      .selectExpr(
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 1)," +
+          " 16, 10) AS BIGINT) % 5 AS fold",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect()
+    val out = base.filter(_.getLong(0) != seg0.getAs[Long]("fold"))
+    val expect = out.map(_.getLong(1)).sum.toDouble / (out.length * 100.0)
+    assert(math.abs(seg0.getAs[Double]("enc_r") - expect) < 1e-5)
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
