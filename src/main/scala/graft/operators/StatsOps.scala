@@ -1982,11 +1982,54 @@ object StatsOps {
       .orderBy("c_mktsegment", "fold")
   }
 
+  /** Weight-of-Evidence / Information-Value screening of market segment
+    * against order fulfillment — the scorecard-standard "is this
+    * categorical feature worth encoding at all" gate that precedes
+    * q_ml_target_encode. WoE_i = ln((good_i/G)/(bad_i/B)) per level,
+    * IV = Σ(good_i/G − bad_i/B)·WoE_i with the conventional reading
+    * (<0.02 useless, <0.1 weak, <0.3 medium, else strong). Counts are
+    * exact longs from one FK join + one 5-cell census; each WoE and IV
+    * term is r6-PINNED before use, and the 5-term IV total accumulates
+    * through a segment-ordered fold (the ljung_box discipline) so the
+    * double sum cannot depend on partition order. TPC-H generates
+    * status independent of segment, so the expected verdict is
+    * "useless" — the negative control the spec pins. */
+  private val woeIv: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("o_orderstatus") === "F", 0L).otherwise(1L))
+          .as("n_bad"))
+    val tot = cells.agg(sum(col("n_good")).as("g"), sum(col("n_bad")).as("b"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("woe_r", r6(log((col("n_good").cast("double") / col("g"))
+        / (col("n_bad").cast("double") / col("b")))))
+      .withColumn("iv_term_r", r6((col("n_good").cast("double") / col("g")
+        - col("n_bad").cast("double") / col("b")) * col("woe_r")))
+    val ivTot = terms.agg(expr(
+      "aggregate(transform(array_sort(collect_list(" +
+        "struct(c_mktsegment, iv_term_r))), t -> t.iv_term_r)," +
+        " 0D, (acc, v) -> acc + v)").as("iv0"))
+      .select(r6(col("iv0")).as("iv_total_r"))
+    terms.crossJoin(broadcast(ivTot))
+      .select(col("c_mktsegment"), col("n_good"), col("n_bad"),
+        col("woe_r"), col("iv_term_r"), col("iv_total_r"),
+        when(col("iv_total_r") < 0.02, "useless")
+          .when(col("iv_total_r") < 0.1, "weak")
+          .when(col("iv_total_r") < 0.3, "medium")
+          .otherwise("strong").as("verdict"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_privacy_k_anon" -> kAnon,
     "q_privacy_dp_count" -> dpCount,
     "q_privacy_l_diversity" -> lDiversity,
     "q_ml_target_encode" -> targetEncode,
+    "q_ml_woe_iv" -> woeIv,
     "q_stats_jarque_bera" -> jarqueBera,
     "q_stats_dw" -> dw,
     "q_stats_breusch_pagan" -> breuschPagan,
@@ -2241,6 +2284,40 @@ object StatsOps {
                 ${rsql("CAST(coalesce(sum(k) FILTER (l = 1), 0)" +
                   " AS DOUBLE) * 100 / sum(k)", 1000000)} AS pct_exposed_r
          FROM cl""",
+    // 5-cell census, pinned WoE/IV terms, segment-ordered IV fold
+    "q_ml_woe_iv" ->
+      s"""WITH cells AS (
+           SELECT c_mktsegment,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_good,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0
+                           ELSE 1 END) AS BIGINT) AS n_bad
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g,
+                        CAST(sum(n_bad) AS BIGINT) AS b
+                 FROM cells),
+         t1 AS (SELECT c_mktsegment, n_good, n_bad,
+                       ${rsql("ln((CAST(n_good AS DOUBLE) / g)" +
+                         " / (CAST(n_bad AS DOUBLE) / b))", 1000000)}
+                         AS woe_r, g, b
+                FROM cells CROSS JOIN tot),
+         t2 AS (SELECT c_mktsegment, n_good, n_bad, woe_r,
+                       ${rsql("(CAST(n_good AS DOUBLE) / g" +
+                         " - CAST(n_bad AS DOUBLE) / b) * woe_r",
+                         1000000)} AS iv_term_r
+                FROM t1),
+         iv AS (SELECT ${rsql("list_reduce(list(iv_term_r" +
+                  " ORDER BY c_mktsegment), (a, v) -> a + v)", 1000000)}
+                  AS iv_total_r
+                FROM t2)
+         SELECT c_mktsegment, n_good, n_bad, woe_r, iv_term_r,
+                iv_total_r,
+                CASE WHEN iv_total_r < 0.02 THEN 'useless'
+                     WHEN iv_total_r < 0.1 THEN 'weak'
+                     WHEN iv_total_r < 0.3 THEN 'medium'
+                     ELSE 'strong' END AS verdict
+         FROM t2 CROSS JOIN iv ORDER BY c_mktsegment""",
     // md5-digit folds, leave-fold-out closed form on exact cent sums,
     // m-estimate shrink toward the pinned global prior
     "q_ml_target_encode" ->

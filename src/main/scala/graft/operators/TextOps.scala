@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.Par.{r2, r4, r6}
+import graft.Par.{r2, r4, r6, sql => rsql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1860,6 +1860,42 @@ object TextOps {
         r6(col("ap_micros") / (col("n_pos") * lit(1000000.0))).as("ap_r"))
   }
 
+  /** Decile lift / cumulative-gains table of the trained quality
+    * classifier — the campaign-planning view of the same ranking the
+    * AUC keys score threshold-free: "if I can only afford the top k%,
+    * what share of positives do I capture (gain) and how much better
+    * than random is that slice (lift)?" Deciles are CEILING cuts of the
+    * descending-score cumulative count ((cum·10 + N − 1) div N), so
+    * tied-score blocks stay together and the cut is exact integer
+    * arithmetic — no per-row ntile, no tie-break dependence. Both
+    * cumulative passes ride the Dist range-shuffle prefix-sum machinery
+    * (distinct-score census first, 10-row decile census second) — never
+    * a single-partition window over rows. Gains/lifts are one pinned
+    * division each over exact longs. */
+  private val evalLift: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
+    val per = sc.groupBy("v")
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("n1b"))
+    val cum = graft.operators.Dist.withPrefixSumsLong(per,
+      Seq("cum_tot" -> col("nb")), Seq(col("v").desc))
+    val tot = sc.agg(count(lit(1)).as("nt"), sum(col("y")).as("npos"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(cum_tot * 10 + nt - 1) div nt"))
+      .groupBy("decile")
+      .agg(sum(col("nb")).as("n"), sum(col("n1b")).as("n_pos"),
+        max(col("nt")).as("nt"), max(col("npos")).as("npos"))
+    graft.operators.Dist.withPrefixSumsLong(dec,
+        Seq("cum_n" -> col("n"), "cum_pos" -> col("n_pos")),
+        Seq(col("decile")))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        r6(col("cum_pos").cast("double") / col("npos")).as("gain_r"),
+        r6((col("cum_pos").cast("double") / col("cum_n"))
+          / (col("npos").cast("double") / col("nt"))).as("lift_r"))
+      .orderBy("decile")
+  }
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2218,6 +2254,7 @@ object TextOps {
     "q_eval_ece" -> evalEce,
     "q_eval_auroc" -> evalAuroc,
     "q_eval_pr_auc" -> evalPrAuc,
+    "q_eval_lift_gains" -> evalLift,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2681,6 +2718,42 @@ object TextOps {
                 floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
                   / 1000000.0 AS ap_r
          FROM apm CROSS JOIN tot""",
+    // Ceiling decile cuts of the descending cumulative count (tied
+    // blocks stay together, exact integer arithmetic), then one pinned
+    // division per gain/lift on the 10-row census.
+    "q_eval_lift_gains" ->
+      s"""WITH $qclfCtesSql,
+         scv AS (SELECT z_micros AS v, y FROM z3),
+         per AS (SELECT v, CAST(count(*) AS BIGINT) AS nb,
+                        CAST(sum(y) AS BIGINT) AS n1b
+                 FROM scv GROUP BY v),
+         c AS (SELECT v, nb, n1b,
+                      CAST(sum(nb) OVER (ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tot
+               FROM per),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                        CAST(sum(y) AS BIGINT) AS npos FROM scv),
+         dec AS (SELECT CAST((cum_tot * 10 + nt - 1) // nt AS BIGINT)
+                          AS decile,
+                        CAST(sum(nb) AS BIGINT) AS n,
+                        CAST(sum(n1b) AS BIGINT) AS n_pos,
+                        max(nt) AS nt, max(npos) AS npos
+                 FROM c CROSS JOIN tot GROUP BY 1),
+         g AS (SELECT decile, n, n_pos, nt, npos,
+                      CAST(sum(n) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_n,
+                      CAST(sum(n_pos) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_pos
+               FROM dec)
+         SELECT decile, n, n_pos, cum_n, cum_pos,
+                ${rsql("CAST(cum_pos AS DOUBLE) / npos", 1000000)}
+                  AS gain_r,
+                ${rsql("(CAST(cum_pos AS DOUBLE) / cum_n)" +
+                  " / (CAST(npos AS DOUBLE) / nt)", 1000000)} AS lift_r
+         FROM g ORDER BY decile""",
     // Calibration: same trained chain, probabilities binned ×10, per-
     // bin confidence as exact micros; the ECE fold is sequential in
     // bin order (list_reduce over the ordered list).

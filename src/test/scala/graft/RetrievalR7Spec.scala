@@ -557,6 +557,55 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("lift-gains: deciles partition, gains monotone to 1, top lift beats random") {
+    val rows = SparkEntry.queries("q_eval_lift_gains")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("decile")).forall(dd => dd >= 1 && dd <= 10))
+    val nt = rows.map(_.getAs[Long]("n")).sum
+    val npos = rows.map(_.getAs[Long]("n_pos")).sum
+    // deciles partition the scored corpus: last cumulative = totals
+    assert(rows.last.getAs[Long]("cum_n") == nt)
+    assert(rows.last.getAs[Long]("cum_pos") == npos)
+    // ceiling cut: every decile holds ~N/10 rows (± the largest tied block)
+    rows.foreach(r => assert(r.getAs[Long]("n") <= nt / 10 + nt / 20 + 2))
+    // gains are a cumulative share: monotone non-decreasing, ending at 1
+    val gains = rows.map(_.getAs[Double]("gain_r"))
+    gains.zip(gains.tail).foreach { case (a, b) => assert(a <= b + 1e-9) }
+    assert(math.abs(gains.last - 1.0) < 1e-5)
+    // the classifier ranks better than random (train acc 0.838): the
+    // top decile concentrates positives, the bottom dilutes them
+    assert(rows.head.getAs[Double]("lift_r") > 1.0)
+    assert(rows.head.getAs[Double]("lift_r") >=
+      rows.last.getAs[Double]("lift_r"))
+    // lift and gain agree: lift_d = gain_d * nt / cum_n
+    rows.foreach { r =>
+      val expect = r.getAs[Double]("gain_r") * nt / r.getAs[Long]("cum_n")
+      assert(math.abs(r.getAs[Double]("lift_r") - expect) < 1e-3)
+    }
+  }
+
+  test("woe-iv: terms replay from the census, IV verdict is the A/A null") {
+    val rows = SparkEntry.queries("q_ml_woe_iv")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val g = rows.map(_.getAs[Long]("n_good")).sum.toDouble
+    val b = rows.map(_.getAs[Long]("n_bad")).sum.toDouble
+    var iv = 0.0
+    rows.sortBy(_.getString(0)).foreach { r =>
+      val (pg, pb) = (r.getAs[Long]("n_good") / g, r.getAs[Long]("n_bad") / b)
+      assert(math.abs(r.getAs[Double]("woe_r") - math.log(pg / pb)) < 2e-6)
+      assert(math.abs(r.getAs[Double]("iv_term_r") -
+        (pg - pb) * r.getAs[Double]("woe_r")) < 2e-6)
+      iv += r.getAs[Double]("iv_term_r")
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("iv_total_r") - iv) < 1e-5)
+      // TPC-H status is independent of segment: the feature is useless
+      assert(r.getAs[String]("verdict") == "useless",
+        s"iv=${r.getAs[Double]("iv_total_r")}")
+    }
+  }
+
   test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
     val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
     assert(rows.length == 3)
