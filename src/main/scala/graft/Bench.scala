@@ -30,7 +30,11 @@ object Bench {
     // codebook are session index artifacts shared by five keys; build
     // them untimed so q_ann_ivfpq (alphabetically first consumer)
     // doesn't carry the one-time Lloyd collects
-    "q_ann_kmeans", "q_embed_pq")
+    "q_ann_kmeans", "q_embed_pq",
+    // trained-classifier cache (round 7): one deterministic GD train
+    // shared by six eval keys; untimed so q_eval_auroc (alphabetically
+    // first consumer) doesn't carry the build
+    "q_text_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

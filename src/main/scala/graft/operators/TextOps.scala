@@ -1665,7 +1665,23 @@ object TextOps {
       w: Map[Long, Long], wDf: Map[Long, Long] => DataFrame,
       residuals: Map[Long, Long] => DataFrame)
 
-  private[graft] def qclfTrain(s: SparkSession, d: String): QclfState = {
+  /** Trained-classifier state cached per (session, dir) — the same
+    * session-index-artifact rationale as bm25/simhash/kmeans: six keys
+    * (classifier, auroc, pr_auc, ece, mcnemar, lift_gains) consume ONE
+    * deterministic training run; without the cache each re-paid the two
+    * GD passes (~1.1 s each at sf0.1). Training is fully deterministic
+    * (integer-micros gradients), so caching cannot change any output. */
+  private val qclfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), QclfState]()
+
+  graft.Caches.registerMap(qclfCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: QclfState) => { v.f.unpersist(); () })
+
+  private[graft] def qclfTrain(s: SparkSession, d: String): QclfState =
+    qclfCache.computeIfAbsent((s, d), _ => qclfTrainUncached(s, d))
+
+  private def qclfTrainUncached(s: SparkSession, d: String): QclfState = {
     val nb = 16
     val docs = Tables.documents(s, d)
     val fx = docs
