@@ -2024,7 +2024,50 @@ object StatsOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Pettitt change-point test on the daily event-count series — the
+    * rank-based "WHEN did the level shift" answer to the question
+    * q_stats_cusum only monitors (CUSUM needs a reference mean;
+    * Pettitt is distribution-free and finds the split itself). Via the
+    * Mann-Whitney identity U_t = 2·R_t − t(n+1): the wilcoxon
+    * twice-midrank census keeps every rank an exact long, R_t rides
+    * the Dist prefix-sum machinery in day order, so K = max|U_t| and
+    * the argmax day are exact integer decisions — the ONLY float is
+    * the final approximate p = 2exp(−6K²/(n³+n²)), r6-pinned and
+    * compared to 0.05. Ties broken to the earliest day. The synthetic
+    * events stream is level-stationary by construction, so the spec
+    * pins the no-change verdict (A/A null). */
+  private val pettitt: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val per = daily.groupBy("c").agg(count(lit(1)).as("cnt"))
+    val ranks = Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
+        Seq(col("c")))
+      .select(col("c"),
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as("mr2"))
+    val cum = Dist.withPrefixSumsLong(
+      daily.join(broadcast(ranks), Seq("c"))
+        .select(col("day"), col("mr2")),
+      Seq("t2" -> col("mr2"), "t" -> lit(1L)), Seq(col("day")))
+    val nDf = daily.agg(count(lit(1)).as("n_days"))
+    val u = cum.crossJoin(broadcast(nDf))
+      .filter(col("t") < col("n_days"))
+      .withColumn("u", col("t2") - col("t") * (col("n_days") + lit(1L)))
+    val k = u.agg(max(abs(col("u"))).as("k_stat"))
+    u.crossJoin(broadcast(k))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy("n_days", "k_stat")
+      .agg(min(col("day")).as("change_day"))
+      .withColumn("p_r", r6(expr(
+        "least(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat" +
+          " / (CAST(n_days AS DOUBLE) * n_days * n_days" +
+          " + CAST(n_days AS DOUBLE) * n_days)), CAST(1.0 AS DOUBLE))")))
+      .select(col("n_days"), col("k_stat"), col("change_day"),
+        col("p_r"), (col("p_r") < 0.05).as("change_detected"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_pettitt" -> pettitt,
     "q_privacy_k_anon" -> kAnon,
     "q_privacy_dp_count" -> dpCount,
     "q_privacy_l_diversity" -> lDiversity,
@@ -2179,6 +2222,44 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // twice-midrank census → day-ordered prefix sums → exact U_t; the
+    // only float is the final pinned p
+    "q_stats_pettitt" ->
+      s"""WITH daily AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         per AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt
+                 FROM daily GROUP BY 1),
+         rk AS (SELECT c,
+                       2 * (CAST(sum(cnt) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) AS BIGINT) - cnt) + cnt + 1 AS mr2
+                FROM per),
+         cum AS (SELECT day,
+                        CAST(sum(mr2) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS BIGINT) AS t2,
+                        CAST(row_number() OVER (ORDER BY day)
+                          AS BIGINT) AS t
+                 FROM daily JOIN rk USING (c)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         u AS (SELECT day, n_days, t2 - t * (n_days + 1) AS u
+               FROM cum CROSS JOIN nn WHERE t < n_days),
+         k AS (SELECT max(abs(u)) AS k_stat FROM u),
+         res AS (SELECT n_days, k_stat, min(day) AS change_day
+                 FROM u CROSS JOIN k WHERE abs(u) = k_stat
+                 GROUP BY 1, 2),
+         r2c AS (SELECT n_days, k_stat, change_day,
+                        ${rsql("least(2.0 * exp(-6.0" +
+                          " * CAST(k_stat AS DOUBLE) * k_stat" +
+                          " / (CAST(n_days AS DOUBLE) * n_days * n_days" +
+                          " + CAST(n_days AS DOUBLE) * n_days))," +
+                          " CAST(1.0 AS DOUBLE))", 1000000)} AS p_r
+                 FROM res)
+         SELECT n_days, k_stat, change_day, p_r,
+                p_r < 0.05 AS change_detected
+         FROM r2c""",
     // QI = (dominant type via join-on-max + lexicographic-min tie
     // break, volume bucket, active-days bucket); k census; one summary
     "q_privacy_k_anon" ->

@@ -1912,6 +1912,41 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** KS score separation of the trained quality classifier — the
+    * credit-scoring industry's headline number: the maximum vertical
+    * gap between the positive and negative score CDFs, i.e. the single
+    * best cut point and how much separation it buys (AUC integrates
+    * ranking quality; KS locates the operating point). Same
+    * distinct-score census + Dist ascending prefix counts as the AUC
+    * keys; each CDF gap is r6-PINNED before the max so the argmax is a
+    * decision on pinned values (ties → lowest score); the two-sample
+    * KS p-value reuses the q_stats_ks approximation text. */
+  private val evalKs: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
+    val per = sc.groupBy("v").agg(
+      sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
+    val cum = graft.operators.Dist.withPrefixSumsLong(per,
+      Seq("c1" -> col("n1"), "c0" -> col("n0")), Seq(col("v")))
+    val tot = sc.agg(sum(col("y")).as("n_pos"),
+      sum(lit(1L) - col("y")).as("n_neg"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .withColumn("d_r", r6(abs(col("c1").cast("double") / col("n_pos")
+        - col("c0").cast("double") / col("n_neg"))))
+    val mx = dd.agg(max(col("d_r")).as("ks_r"))
+    dd.crossJoin(broadcast(mx))
+      .filter(col("d_r") === col("ks_r"))
+      .groupBy("n_pos", "n_neg", "ks_r")
+      .agg(min(col("v")).as("at_z_micros"))
+      .withColumn("p_r", r6(expr(
+        "least(2.0 * exp(-2.0 * ks_r * ks_r" +
+          " * CAST(n_pos * n_neg AS DOUBLE) / (n_pos + n_neg))," +
+          " CAST(1.0 AS DOUBLE))")))
+      .select(col("n_pos"), col("n_neg"), col("ks_r"),
+        col("at_z_micros"), col("p_r"),
+        (col("p_r") < 0.05).as("separable"))
+  }
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2271,6 +2306,7 @@ object TextOps {
     "q_eval_auroc" -> evalAuroc,
     "q_eval_pr_auc" -> evalPrAuc,
     "q_eval_lift_gains" -> evalLift,
+    "q_eval_ks_score" -> evalKs,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2734,6 +2770,42 @@ object TextOps {
                 floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
                   / 1000000.0 AS ap_r
          FROM apm CROSS JOIN tot""",
+    // Ascending CDF prefix counts, pinned gap per distinct score, max
+    // then lowest-score argmax on pinned values; q_stats_ks p text.
+    "q_eval_ks_score" ->
+      s"""WITH $qclfCtesSql,
+         scv AS (SELECT z_micros AS v, y FROM z3),
+         per AS (SELECT v, CAST(sum(y) AS BIGINT) AS n1,
+                        CAST(sum(1 - y) AS BIGINT) AS n0
+                 FROM scv GROUP BY v),
+         c AS (SELECT v,
+                      CAST(sum(n1) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c1,
+                      CAST(sum(n0) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c0
+               FROM per),
+         tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                        CAST(sum(1 - y) AS BIGINT) AS n_neg FROM scv),
+         dd AS (SELECT v, n_pos, n_neg,
+                       ${rsql("abs(CAST(c1 AS DOUBLE) / n_pos" +
+                         " - CAST(c0 AS DOUBLE) / n_neg)", 1000000)}
+                         AS d_r
+                FROM c CROSS JOIN tot),
+         mx AS (SELECT max(d_r) AS ks_r FROM dd),
+         res AS (SELECT n_pos, n_neg, ks_r, min(v) AS at_z_micros
+                 FROM dd CROSS JOIN mx WHERE d_r = ks_r
+                 GROUP BY 1, 2, 3),
+         pp AS (SELECT n_pos, n_neg, ks_r, at_z_micros,
+                       ${rsql("least(2.0 * exp(-2.0 * ks_r * ks_r" +
+                         " * CAST(n_pos * n_neg AS DOUBLE)" +
+                         " / (n_pos + n_neg)), CAST(1.0 AS DOUBLE))",
+                         1000000)} AS p_r
+                FROM res)
+         SELECT n_pos, n_neg, ks_r, at_z_micros, p_r,
+                p_r < 0.05 AS separable
+         FROM pp""",
     // Ceiling decile cuts of the descending cumulative count (tied
     // blocks stay together, exact integer arithmetic), then one pinned
     // division per gain/lift on the 10-row census.

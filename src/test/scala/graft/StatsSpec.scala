@@ -696,6 +696,34 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(seg0.getAs[Double]("enc_r") - expect) < 1e-5)
   }
 
+  test("pettitt: U replays from ranks at the split, stationary series stays null") {
+    val r = operators.StatsOps.queries("q_stats_pettitt")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_days")
+    val k = r.getAs[Long]("k_stat")
+    assert(n >= 3L && k >= 0L)
+    // |U_t| is bounded by t(n-t) <= n^2/4 pairs, each contributing ±1
+    assert(k <= n * n / 4 + n)
+    // replay U at the reported split from raw daily counts + midranks
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "(ts_ns div 1000) div 86400000000").as("day"))
+      .count().collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+      .sortBy(_._1)
+    val cs = daily.map(_._2)
+    // twice-midrank of each value: 2*(#below) + #equal + 1
+    def mr2(v: Long) = 2L * cs.count(_ < v) + cs.count(_ == v) + 1
+    val t = daily.indexWhere(_._1 == r.getAs[Long]("change_day")) + 1
+    val u = daily.take(t).map(x => mr2(x._2)).sum - t.toLong * (cs.length + 1)
+    assert(math.abs(u) == k, s"replayed |U|=${math.abs(u)} vs k=$k")
+    assert(math.abs(r.getAs[Double]("p_r") -
+      math.min(2.0 * math.exp(-6.0 * k * k /
+        (n.toDouble * n * n + n.toDouble * n)), 1.0)) < 2e-6)
+    // the synthetic stream is level-stationary: no change point
+    assert(!r.getAs[Boolean]("change_detected"),
+      s"p=${r.getAs[Double]("p_r")}")
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
