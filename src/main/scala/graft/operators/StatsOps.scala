@@ -1640,7 +1640,7 @@ object StatsOps {
         sum(col("x") * col("y")).as("sxy"))
       .withColumn("b_r", r6(expr(olsB)))
       .withColumn("a_r", r6(expr(olsA)))
-      .select("n", "b_r", "a_r")
+      .select("n", "b_r", "a_r", "sx", "sxx")
     xy.crossJoin(broadcast(g)).withColumn("e_m", expr(olsEm))
   }
 
@@ -2066,7 +2066,44 @@ object StatsOps {
         col("p_r"), (col("p_r") < 0.05).as("change_detected"))
   }
 
+  // Leverage and Cook's distance from exact long moments (ONE formula
+  // text each): h = 1/n + (nx − Σx)²/(n(nΣx² − (Σx)²)) is exact
+  // rational arithmetic until the one double division; Cook's D uses
+  // the PINNED h and s² (round-then-replay).
+  private val hExpr = "1.0 / n + CAST((n * x - sx) AS DOUBLE)" +
+    " * (n * x - sx) / (CAST(n AS DOUBLE) * (n * sxx - sx * sx))"
+  private val cookExpr = "((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)" +
+    " / (2.0 * s2_r) * h_r / ((1.0 - h_r) * (1.0 - h_r))"
+
+  /** Cook's distance + leverage per day of the SAME daily-count OLS
+    * fit as q_stats_dw / q_stats_breusch_pagan — the influence
+    * diagnostic that closes the regression-diagnostics family: DW asks
+    * "are the residuals serially dependent", BP asks "does their
+    * variance drift", Cook's asks "which single days own the fit"
+    * (endpoints of a time index carry the leverage, so a bad first/last
+    * day silently tilts the slope). All moments are exact longs from
+    * the shared dailyOls frame; h is one pinned division of exact
+    * integers, s² one pinned division of the exact HUGEINT residual
+    * square sum, and D replays from the two pinned values. Flag at the
+    * conventional D > 4/n. |days|-bounded census — windowless,
+    * linear. */
+  private val cooksDistance: Q = (s, d) => {
+    val r = dailyOls(s, d)
+    val ssq = r.agg(sum(expr("CAST(e_m AS DECIMAL(19,0))" +
+      " * CAST(e_m AS DECIMAL(19,0))")).as("ssqd"))
+    r.crossJoin(broadcast(ssq))
+      .withColumn("s2_r",
+        r6(expr("CAST(ssqd AS DOUBLE) / 1000000.0 / (n - 2)")))
+      .withColumn("h_r", r6(expr(hExpr)))
+      .withColumn("cook_r", r6(expr(cookExpr)))
+      .select(col("day"), col("x"), col("e_m"), col("h_r"),
+        col("cook_r"),
+        (col("cook_r") > lit(4.0) / col("n")).as("influential"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_cooks_distance" -> cooksDistance,
     "q_stats_pettitt" -> pettitt,
     "q_privacy_k_anon" -> kAnon,
     "q_privacy_dp_count" -> dpCount,
@@ -2201,9 +2238,11 @@ object StatsOps {
                        CAST(sum(x * x) AS BIGINT) AS sxx,
                        CAST(sum(x * y) AS BIGINT) AS sxy
                 FROM xy),
-         g1 AS (SELECT n, sx, sy, ${rsql(olsB, 1000000)} AS b_r FROM g0),
-         g2 AS (SELECT n, b_r, ${rsql(olsA, 1000000)} AS a_r FROM g1),
-         res AS (SELECT day, x, y, n, b_r, a_r, $olsEm AS e_m
+         g1 AS (SELECT n, sx, sy, sxx, ${rsql(olsB, 1000000)} AS b_r
+                FROM g0),
+         g2 AS (SELECT n, b_r, sx, sxx, ${rsql(olsA, 1000000)} AS a_r
+                FROM g1),
+         res AS (SELECT day, x, y, n, b_r, a_r, sx, sxx, $olsEm AS e_m
                  FROM xy CROSS JOIN g2)"""
 
   /** Shared centered-moment fragments for the granger oracle (same
@@ -2222,6 +2261,24 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // shared olsCtes residual frame; h/s² pinned, D replayed from them
+    "q_stats_cooks_distance" ->
+      s"""WITH $olsCtes,
+         sq AS (SELECT sum(CAST(e_m AS HUGEINT)
+                  * CAST(e_m AS HUGEINT)) AS ssqd FROM res),
+         s2 AS (SELECT day, x, e_m, n, sx, sxx,
+                       ${rsql("CAST(ssqd AS DOUBLE) / 1000000.0" +
+                         " / (n - 2)", 1000000)} AS s2_r
+                FROM res CROSS JOIN sq),
+         hh AS (SELECT day, x, e_m, n, s2_r,
+                       ${rsql(hExpr, 1000000)} AS h_r
+                FROM s2),
+         ck AS (SELECT day, x, e_m, h_r, n,
+                       ${rsql(cookExpr, 1000000)} AS cook_r
+                FROM hh)
+         SELECT day, x, e_m, h_r, cook_r,
+                cook_r > 4.0 / n AS influential
+         FROM ck ORDER BY day""",
     // twice-midrank census → day-ordered prefix sums → exact U_t; the
     // only float is the final pinned p
     "q_stats_pettitt" ->

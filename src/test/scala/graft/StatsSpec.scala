@@ -724,6 +724,31 @@ class StatsSpec extends SparkSpec {
       s"p=${r.getAs[Double]("p_r")}")
   }
 
+  test("cooks: leverage sums to p, endpoints carry it, D replays from h and s2") {
+    val rows = operators.StatsOps.queries("q_stats_cooks_distance")(
+      spark, sfDir).collect()
+    val n = rows.length
+    assert(n >= 3)
+    val hs = rows.map(_.getAs[Double]("h_r"))
+    // Σh_i = p = 2 for simple regression (trace of the hat matrix)
+    assert(math.abs(hs.sum - 2.0) < 1e-3, s"trace=${hs.sum}")
+    hs.foreach(h => assert(h >= 1.0 / n - 1e-9 && h < 1.0))
+    // leverage is a U: the time-index endpoints dominate the middle
+    val mid = rows(n / 2).getAs[Double]("h_r")
+    assert(rows.head.getAs[Double]("h_r") > mid)
+    assert(rows.last.getAs[Double]("h_r") > mid)
+    // same residual frame as dw: replay D for the max-|e| day
+    val worst = rows.maxBy(r => math.abs(r.getAs[Long]("e_m")))
+    val s2 = rows.map(r => math.pow(r.getAs[Long]("e_m") / 1000.0, 2))
+      .sum / (n - 2)
+    val h = worst.getAs[Double]("h_r")
+    val expect = math.pow(worst.getAs[Long]("e_m") / 1000.0, 2) /
+      (2.0 * s2) * h / math.pow(1.0 - h, 2)
+    assert(math.abs(worst.getAs[Double]("cook_r") - expect) < 0.01)
+    rows.foreach(r => assert(r.getAs[Boolean]("influential") ==
+      (r.getAs[Double]("cook_r") > 4.0 / n)))
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
