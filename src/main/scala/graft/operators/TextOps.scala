@@ -1947,6 +1947,40 @@ object TextOps {
         (col("p_r") < 0.05).as("separable"))
   }
 
+  /** Calibration slope + intercept (calibration-in-the-large) of the
+    * trained quality classifier — the recalibration-audit pair to
+    * q_eval_ece: ECE bins and averages (local miscalibration), the
+    * linear-probability fit of y on p̂ reads the GLOBAL shape — slope 1
+    * and intercept 0 is perfect calibration, slope < 1 is the
+    * overconfidence signature that tells you to temperature-scale
+    * before thresholding. The predicted probability is already on the
+    * r6 grid, so p-micros are EXACT longs and every OLS moment is
+    * exact integer arithmetic (the square sum as DECIMAL — it passes
+    * 2⁶³ around 10⁹ docs); slope and intercept are each ONE pinned
+    * division of exact moments. One hash aggregate over the shared
+    * cached scorer — linear, windowless. */
+  private val evalCalibSlope: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w)
+      .select(expr("CAST(floor(p_r * 1000000 + 0.5) AS BIGINT)").as("pm"),
+        col("y"))
+    sc.agg(count(lit(1)).as("n"), sum(col("pm")).as("sp"),
+        sum(expr("CAST(pm AS DECIMAL(19,0)) * CAST(pm AS DECIMAL(19,0))"))
+          .as("spp"),
+        sum(col("pm") * col("y")).as("spy"), sum(col("y")).as("sy"))
+      .withColumn("slope_r", r6(expr(
+        "CAST(n * spy - sp * sy AS DOUBLE)" +
+          " / CAST(n * spp - CAST(sp AS DECIMAL(19,0)) * sp AS DOUBLE)" +
+          " * 1000000.0")))
+      .withColumn("intercept_r", r6(expr(
+        "(CAST(sy AS DOUBLE) - slope_r * (CAST(sp AS DOUBLE)" +
+          " / 1000000.0)) / n")))
+      .select(col("n"), col("sy").as("n_pos"), col("slope_r"),
+        col("intercept_r"),
+        (abs(col("slope_r") - 1.0) < 0.25 &&
+          abs(col("intercept_r")) < 0.1).as("well_calibrated"))
+  }
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2307,6 +2341,7 @@ object TextOps {
     "q_eval_pr_auc" -> evalPrAuc,
     "q_eval_lift_gains" -> evalLift,
     "q_eval_ks_score" -> evalKs,
+    "q_eval_calibration_slope" -> evalCalibSlope,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2770,6 +2805,35 @@ object TextOps {
                 floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
                   / 1000000.0 AS ap_r
          FROM apm CROSS JOIN tot""",
+    // Exact p-micros OLS moments (HUGEINT here, DECIMAL in Spark —
+    // same exact integers, same one double division), slope pinned
+    // before the intercept uses it.
+    "q_eval_calibration_slope" ->
+      s"""WITH $qclfCtesSql,
+         sc AS (SELECT CAST(floor((1.0 / (1.0 + exp(-(z_micros
+                    / 1000000.0)))) * 1000000 + 0.5) AS BIGINT) AS pm,
+                  y
+               FROM z3),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(pm) AS BIGINT) AS sp,
+                       sum(CAST(pm AS HUGEINT) * pm) AS spp,
+                       CAST(sum(pm * y) AS BIGINT) AS spy,
+                       CAST(sum(y) AS BIGINT) AS sy
+                FROM sc),
+         s1 AS (SELECT n, sp, sy,
+                       ${rsql("CAST(n * spy - sp * sy AS DOUBLE)" +
+                         " / CAST(n * spp - CAST(sp AS HUGEINT) * sp" +
+                         " AS DOUBLE) * 1000000.0", 1000000)} AS slope_r
+                FROM ag),
+         s2 AS (SELECT n, sy, slope_r,
+                       ${rsql("(CAST(sy AS DOUBLE) - slope_r" +
+                         " * (CAST(sp AS DOUBLE) / 1000000.0)) / n",
+                         1000000)} AS intercept_r
+                FROM s1)
+         SELECT n, sy AS n_pos, slope_r, intercept_r,
+                abs(slope_r - 1.0) < 0.25 AND abs(intercept_r) < 0.1
+                  AS well_calibrated
+         FROM s2""",
     // Ascending CDF prefix counts, pinned gap per distinct score, max
     // then lowest-score argmax on pinned values; q_stats_ks p text.
     "q_eval_ks_score" ->

@@ -625,6 +625,35 @@ class RetrievalR7Spec extends SparkSpec {
     assert(r.getAs[Boolean]("separable") == (p < 0.05))
   }
 
+  test("calibration-slope: replays from the scored frame, positive ranking sign") {
+    val r = SparkEntry.queries("q_eval_calibration_slope")(spark, sfDir)
+      .collect().head
+    val slope = r.getAs[Double]("slope_r")
+    val icpt = r.getAs[Double]("intercept_r")
+    // the classifier ranks correctly (AUC > 0.5) ⇒ cov(p, y) > 0
+    assert(slope > 0.0, s"slope=$slope")
+    // replay the OLS from the scored frame in plain JVM arithmetic
+    val sc = operators.TextOps.qclfTrain(spark, sfDir)
+    val rows = sc.residuals(sc.w)
+      .selectExpr("CAST(floor(p_r * 1000000 + 0.5) AS BIGINT) AS pm", "y")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = rows.length.toLong
+    val sp = rows.map(_._1).sum
+    val spp = rows.map(x => BigInt(x._1) * x._1).sum
+    val spy = rows.map(x => x._1 * x._2).sum
+    val sy = rows.map(_._2).sum
+    val eSlope = (BigInt(n) * spy - BigInt(sp) * sy).toDouble /
+      (BigInt(n) * spp - BigInt(sp) * sp).toDouble * 1e6
+    assert(math.abs(slope - eSlope) < 1e-4, s"$slope vs $eSlope")
+    val eIcpt = (sy.toDouble - slope * (sp.toDouble / 1e6)) / n
+    assert(math.abs(icpt - eIcpt) < 1e-4)
+    // fitted mean matches prevalence: ŷ at p̄ equals ȳ by OLS identity
+    val yhat = icpt + slope * (sp.toDouble / 1e6 / n)
+    assert(math.abs(yhat - sy.toDouble / n) < 1e-3)
+    assert(r.getAs[Boolean]("well_calibrated") ==
+      (math.abs(slope - 1.0) < 0.25 && math.abs(icpt) < 0.1))
+  }
+
   test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
     val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
     assert(rows.length == 3)
