@@ -220,7 +220,27 @@ object ExplainAudit {
     // during plan construction), the sign-bit code build + hamming
     // rank of the binary-recall audit, and the two-flag Chapman census
     "q_multimodal_phash_hamming", "q_join_temporal", "q_agg_equi_depth",
-    "q_eval_binary_recall", "q_stats_capture_recapture")
+    "q_eval_binary_recall", "q_stats_capture_recapture",
+    // round-7 session 3: the KS-family shared ECDF censuses feeding
+    // Holm's step-down cummax, the daily-OLS residual frame (exact long
+    // moments, one broadcast) shared by DW/BP/Cook's, Jarque-Bera's
+    // power-sum census, the lag-spine PACF join, Cochran-Armitage's
+    // 5-cell FILTER census, the QI partition's three hash aggregates
+    // (k-anon; l-diversity adds the exact-integer spend-band census),
+    // the seeded-Laplace release's distinct agg + 1-row broadcast, the
+    // leave-fold-out target-encode census + m-estimate shrink, WoE/IV's
+    // census + ordered fold, Pettitt's twice-midrank prefix sums (Dist
+    // caveat), and the ceiling-decile lift cuts over the cached scorer.
+    // (q_eval_ks_score / q_eval_lift_gains / q_eval_calibration_slope
+    // are qclf consumers — the cached train's GD collects run during
+    // plan construction, kmeans caveat; lift/ks included anyway since
+    // their Dist cut shapes are the scale-relevant part.)
+    "q_stats_holm", "q_stats_dw", "q_stats_breusch_pagan",
+    "q_stats_jarque_bera", "q_stats_pacf", "q_stats_cochran_armitage",
+    "q_stats_cooks_distance", "q_privacy_k_anon",
+    "q_privacy_l_diversity", "q_privacy_dp_count",
+    "q_ml_target_encode", "q_ml_woe_iv", "q_stats_pettitt",
+    "q_eval_lift_gains", "q_eval_ks_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
