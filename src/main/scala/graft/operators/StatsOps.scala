@@ -2102,7 +2102,56 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** Difference-in-differences estimate on the event stream — the
+    * quasi-experimental workhorse CUPED does not cover: CUPED shrinks
+    * variance inside a randomized A/B; DiD measures a treatment effect
+    * when assignment is NOT randomized, by differencing out both the
+    * group gap and the common time trend. Same arm (user_id % 2) and
+    * pre/post split (day 15) as q_stats_cuped so the two designs read
+    * the same experiment. One 4-cell census (count, Σcents exact long,
+    * Σcents² exact DECIMAL/HUGEINT); each cell mean and variance
+    * contribution is r6-PINNED, DiD/SE/t replay from the pinned values
+    * (round-then-replay); |t| against the 17-digit Φ⁻¹(0.975) literal.
+    * Arms are synthetic and the stream is level-stationary, so the
+    * A/A expectation is no effect — the null the spec pins. */
+  private val did: Q = (s, d) => {
+    val minDay = Tables.events(s, d)
+      .agg(min(expr("(ts_ns div 1000) div 86400000000")).as("d0"))
+    val cells = Tables.events(s, d).crossJoin(broadcast(minDay))
+      .select(expr("user_id % 2").as("arm"),
+        expr("CAST((ts_ns div 1000) div 86400000000 - d0 >= 15 AS INT)")
+          .as("post"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(expr("CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"))
+          .as("scc"))
+      .withColumn("mean_r", r6(expr("CAST(sc AS DOUBLE) / n / 100.0")))
+      .withColumn("se2_r", r6(expr(
+        "((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n)" +
+          " / (n - 1)) / n / 10000.0")))
+    def cell(a: Int, p: Int, c: String) =
+      max(when(col("arm") === a && col("post") === p, col(c)))
+    cells.agg(
+        sum(col("n")).as("n_events"),
+        cell(0, 0, "mean_r").as("mean_c_pre"),
+        cell(0, 1, "mean_r").as("mean_c_post"),
+        cell(1, 0, "mean_r").as("mean_t_pre"),
+        cell(1, 1, "mean_r").as("mean_t_post"),
+        (cell(0, 0, "se2_r") + cell(0, 1, "se2_r")
+          + cell(1, 0, "se2_r") + cell(1, 1, "se2_r")).as("se2_sum"))
+      .withColumn("did_r", r6(expr(
+        "(mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)")))
+      .withColumn("se_r", r6(expr("sqrt(se2_sum)")))
+      .withColumn("t_r", r6(expr("did_r / se_r")))
+      .select(col("n_events"), col("mean_c_pre"), col("mean_c_post"),
+        col("mean_t_pre"), col("mean_t_post"), col("did_r"),
+        col("se_r"), col("t_r"),
+        (abs(col("t_r")) > 1.9599639845400545).as("significant"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_did" -> did,
     "q_stats_cooks_distance" -> cooksDistance,
     "q_stats_pettitt" -> pettitt,
     "q_privacy_k_anon" -> kAnon,
@@ -2261,6 +2310,57 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // 4-cell exact census, pinned cell means/variances, DiD/SE/t
+    // replayed from the pinned values
+    "q_stats_did" ->
+      s"""WITH d0 AS (
+           SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+         base AS (
+           SELECT user_id % 2 AS arm,
+                  CASE WHEN epoch_us(ts) // 86400000000 - d0 >= 15
+                       THEN 1 ELSE 0 END AS post,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events CROSS JOIN d0),
+         cells AS (
+           SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS sc,
+                  sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS scc
+           FROM base GROUP BY 1, 2),
+         mm AS (SELECT arm, post, n, sc, scc,
+                       ${rsql("CAST(sc AS DOUBLE) / n / 100.0",
+                         1000000)} AS mean_r,
+                       ${rsql("((CAST(scc AS DOUBLE)" +
+                         " - CAST(sc AS DOUBLE) * sc / n) / (n - 1))" +
+                         " / n / 10000.0", 1000000)} AS se2_r
+                FROM cells),
+         piv AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+                        max(CASE WHEN arm = 0 AND post = 0
+                            THEN mean_r END) AS mean_c_pre,
+                        max(CASE WHEN arm = 0 AND post = 1
+                            THEN mean_r END) AS mean_c_post,
+                        max(CASE WHEN arm = 1 AND post = 0
+                            THEN mean_r END) AS mean_t_pre,
+                        max(CASE WHEN arm = 1 AND post = 1
+                            THEN mean_r END) AS mean_t_post,
+                        max(CASE WHEN arm = 0 AND post = 0
+                            THEN se2_r END)
+                        + max(CASE WHEN arm = 0 AND post = 1
+                              THEN se2_r END)
+                        + max(CASE WHEN arm = 1 AND post = 0
+                              THEN se2_r END)
+                        + max(CASE WHEN arm = 1 AND post = 1
+                              THEN se2_r END) AS se2_sum
+                 FROM mm),
+         dd AS (SELECT *, ${rsql("(mean_t_post - mean_t_pre)" +
+                  " - (mean_c_post - mean_c_pre)", 1000000)} AS did_r,
+                       ${rsql("sqrt(se2_sum)", 1000000)} AS se_r
+                FROM piv),
+         tt AS (SELECT *, ${rsql("did_r / se_r", 1000000)} AS t_r
+                FROM dd)
+         SELECT n_events, mean_c_pre, mean_c_post, mean_t_pre,
+                mean_t_post, did_r, se_r, t_r,
+                abs(t_r) > 1.9599639845400545 AS significant
+         FROM tt""",
     // shared olsCtes residual frame; h/s² pinned, D replayed from them
     "q_stats_cooks_distance" ->
       s"""WITH $olsCtes,

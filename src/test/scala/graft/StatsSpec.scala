@@ -749,6 +749,29 @@ class StatsSpec extends SparkSpec {
       (r.getAs[Double]("cook_r") > 4.0 / n)))
   }
 
+  test("did: identity replays from cell means, A/A-with-no-shock stays null") {
+    val r = operators.StatsOps.queries("q_stats_did")(spark, sfDir)
+      .collect().head
+    val did = r.getAs[Double]("did_r")
+    // DiD replays from the four pinned cell means
+    val expect = (r.getAs[Double]("mean_t_post") -
+      r.getAs[Double]("mean_t_pre")) -
+      (r.getAs[Double]("mean_c_post") - r.getAs[Double]("mean_c_pre"))
+    assert(math.abs(did - expect) < 1e-5)
+    assert(r.getAs[Long]("n_events") ==
+      Tables.events(spark, sfDir).count())
+    assert(r.getAs[Double]("se_r") > 0.0)
+    assert(math.abs(r.getAs[Double]("t_r") -
+      did / r.getAs[Double]("se_r")) < 1e-4)
+    // synthetic arms + stationary stream: no effect to detect
+    assert(!r.getAs[Boolean]("significant"),
+      s"t=${r.getAs[Double]("t_r")}")
+    // parallel-trends sanity: both arms' pre means are near each other
+    assert(math.abs(r.getAs[Double]("mean_c_pre") -
+      r.getAs[Double]("mean_t_pre")) <
+      5 * r.getAs[Double]("se_r"))
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
