@@ -1981,6 +1981,40 @@ object TextOps {
           abs(col("intercept_r")) < 0.1).as("well_calibrated"))
   }
 
+  /** Per-slice accuracy audit of the trained quality classifier — the
+    * model-ops question the aggregate metrics hide: a model can be
+    * fine on average and broken on one (lang, source) slice, which is
+    * exactly the slice that ships the damage. Prediction = sign of the
+    * integer logit (z ≥ 0 ⟺ p̂ ≥ 0.5 — an exact integer decision, no
+    * float compare); per-slice and overall accuracies are pinned
+    * divisions of exact counts; each slice's z-score against the
+    * overall rate replays from the PINNED accuracies under the normal
+    * approximation, flagged at −1.96 (one-sided: only UNDERperformance
+    * pages anyone). One join of the cached scorer to the doc
+    * dimensions + one slice census — linear, windowless. */
+  private val evalSliceAudit: Q = (s, d) => {
+    val st = qclfTrain(s, d)
+    val sc = st.residuals(st.w).select(col("doc_id"), col("y"),
+      (col("z_micros") >= 0L).cast("long").as("yhat"))
+    val per = sc.join(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === col("yhat"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val tot = per.agg(sum(col("n")).as("nt"),
+        sum(col("n_correct")).as("ct"))
+      .withColumn("acc_all_r", r6(col("ct").cast("double") / col("nt")))
+    per.crossJoin(broadcast(tot))
+      .withColumn("acc_r", r6(col("n_correct").cast("double") / col("n")))
+      .withColumn("z_r", r6(expr(
+        "(acc_r - acc_all_r) / sqrt(acc_all_r * (1.0 - acc_all_r) / n)")))
+      .select(col("lang"), col("source"), col("n"), col("n_correct"),
+        col("acc_r"), col("acc_all_r"), col("z_r"),
+        (col("z_r") < -1.9599639845400545).as("underperforms"))
+      .orderBy("lang", "source")
+  }
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2342,6 +2376,7 @@ object TextOps {
     "q_eval_lift_gains" -> evalLift,
     "q_eval_ks_score" -> evalKs,
     "q_eval_calibration_slope" -> evalCalibSlope,
+    "q_eval_slice_audit" -> evalSliceAudit,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2805,6 +2840,35 @@ object TextOps {
                 floor((ap_micros / (n_pos * 1000000.0)) * 1000000 + 0.5)
                   / 1000000.0 AS ap_r
          FROM apm CROSS JOIN tot""",
+    // Integer-logit prediction, slice census joined to doc dims, z
+    // replayed from the pinned accuracies.
+    "q_eval_slice_audit" ->
+      s"""WITH $qclfCtesSql,
+         sc AS (SELECT doc_id, y,
+                       CASE WHEN z_micros >= 0 THEN 1 ELSE 0 END AS yhat
+                FROM z3),
+         per AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN y = yhat THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_correct
+                 FROM sc JOIN documents USING (doc_id)
+                 GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                        CAST(sum(n_correct) AS BIGINT) AS ct
+                 FROM per),
+         t2 AS (SELECT nt, ct, ${rsql("CAST(ct AS DOUBLE) / nt",
+                  1000000)} AS acc_all_r FROM tot),
+         a1 AS (SELECT lang, source, n, n_correct, acc_all_r,
+                       ${rsql("CAST(n_correct AS DOUBLE) / n",
+                         1000000)} AS acc_r
+                FROM per CROSS JOIN t2),
+         a2 AS (SELECT lang, source, n, n_correct, acc_r, acc_all_r,
+                       ${rsql("(acc_r - acc_all_r)" +
+                         " / sqrt(acc_all_r * (1.0 - acc_all_r) / n)",
+                         1000000)} AS z_r
+                FROM a1)
+         SELECT lang, source, n, n_correct, acc_r, acc_all_r, z_r,
+                z_r < -1.9599639845400545 AS underperforms
+         FROM a2 ORDER BY lang, source""",
     // Exact p-micros OLS moments (HUGEINT here, DECIMAL in Spark —
     // same exact integers, same one double division), slope pinned
     // before the intercept uses it.

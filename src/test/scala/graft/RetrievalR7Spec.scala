@@ -654,6 +654,29 @@ class RetrievalR7Spec extends SparkSpec {
       (math.abs(slope - 1.0) < 0.25 && math.abs(icpt) < 0.1))
   }
 
+  test("slice-audit: census partitions the corpus, z replays, flags one-sided") {
+    val rows = SparkEntry.queries("q_eval_slice_audit")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    val accAll = rows.head.getAs[Double]("acc_all_r")
+    val ctTot = rows.map(_.getAs[Long]("n_correct")).sum
+    assert(math.abs(accAll - ctTot.toDouble / nDocs) < 1e-5)
+    rows.foreach { r =>
+      val (n, nc) = (r.getAs[Long]("n"), r.getAs[Long]("n_correct"))
+      assert(nc >= 0 && nc <= n)
+      val acc = r.getAs[Double]("acc_r")
+      assert(math.abs(acc - nc.toDouble / n) < 1e-5)
+      val z = (acc - accAll) / math.sqrt(accAll * (1 - accAll) / n)
+      assert(math.abs(r.getAs[Double]("z_r") - z) < 1e-4)
+      // one-sided: an OVERperforming slice never flags
+      if (acc >= accAll) assert(!r.getAs[Boolean]("underperforms"))
+      assert(r.getAs[Boolean]("underperforms") ==
+        (r.getAs[Double]("z_r") < -1.9599639845400545))
+    }
+  }
+
   test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
     val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
     assert(rows.length == 3)
