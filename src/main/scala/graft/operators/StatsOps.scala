@@ -2150,7 +2150,52 @@ object StatsOps {
         (abs(col("t_r")) > 1.9599639845400545).as("significant"))
   }
 
+  /** Differentially-private median of the event value via the
+    * EXPONENTIAL mechanism — the second DP primitive a release
+    * pipeline needs (q_privacy_dp_count's Laplace noise works for
+    * counts; quantiles need utility-weighted selection over a bounded
+    * candidate set). Candidates = dollar buckets (|domain|-bounded
+    * census); utility u(b) = −|rank(b) − N/2| with sensitivity 1,
+    * kept EXACT as the twice-utility long −|2·cum − N|; selection is
+    * the Gumbel-max trick (argmax of ε·u/2 + Gumbel ≡ sampling
+    * ∝ exp(ε·u/2)), with the Gumbel seeded from a 48-bit md5 slice per
+    * bucket so both engines replay the identical draw (real DP would
+    * draw fresh — the seed is what makes the mechanism
+    * oracle-checkable; the spec replays the inverse CDF in plain JVM
+    * code). Ties → lowest bucket on the r6-PINNED score. The census
+    * prefix sum rides Dist — windowless, linear. */
+  private val dpQuantile: Q = (s, d) => {
+    val per = Tables.events(s, d)
+      .groupBy(expr("CAST(floor(value) AS BIGINT)").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
+      Seq(col("b")))
+    val nDf = per.agg(sum(col("cnt")).as("n_events"),
+      count(lit(1)).as("n_buckets"))
+    val scored = cum.crossJoin(broadcast(nDf))
+      .withColumn("u2", -abs(lit(2L) * col("cum") - col("n_events")))
+      .withColumn("ug",
+        (expr("CAST(conv(substring(md5(concat('dpq-v1:'," +
+          " CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+          .cast("double") + 0.5) / lit(281474976710656.0))
+      .withColumn("g_r", r6(expr("-ln(-ln(ug))")))
+      .withColumn("score_r",
+        r6(expr("CAST(u2 AS DOUBLE) / 4.0 + g_r")))
+    val mx = scored.agg(max(col("score_r")).as("best"))
+    val trueMed = scored.filter(lit(2L) * col("cum") >= col("n_events"))
+      .agg(min(col("b")).as("true_med_b"))
+    scored.crossJoin(broadcast(mx))
+      .filter(col("score_r") === col("best"))
+      .groupBy("n_events", "n_buckets")
+      .agg(min(col("b")).as("dp_med_b"))
+      .crossJoin(broadcast(trueMed))
+      .select(col("n_events"), col("n_buckets"), lit(1.0).as("epsilon"),
+        col("true_med_b"), col("dp_med_b"),
+        abs(col("dp_med_b") - col("true_med_b")).as("err_buckets"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_dp_quantile" -> dpQuantile,
     "q_stats_did" -> did,
     "q_stats_cooks_distance" -> cooksDistance,
     "q_stats_pettitt" -> pettitt,
@@ -2310,6 +2355,43 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // dollar-bucket census, exact twice-utility, seeded Gumbel-max
+    // (0x-cast here, conv in Spark), pinned score, ties → lowest bucket
+    "q_privacy_dp_quantile" ->
+      s"""WITH per AS (
+           SELECT CAST(floor(value) AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         cum AS (SELECT b, cnt,
+                        CAST(sum(cnt) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS BIGINT) AS cum
+                 FROM per),
+         nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_events,
+                       CAST(count(*) AS BIGINT) AS n_buckets FROM per),
+         sc AS (SELECT b, cum, n_events, n_buckets,
+                       -abs(2 * cum - n_events) AS u2,
+                       (CAST(CAST('0x' || substring(md5('dpq-v1:' ||
+                          CAST(b AS VARCHAR)), 1, 12) AS BIGINT)
+                          AS DOUBLE) + 0.5) / 281474976710656.0 AS ug
+                FROM cum CROSS JOIN nn),
+         g1 AS (SELECT b, cum, n_events, n_buckets, u2,
+                       ${rsql("-ln(-ln(ug))", 1000000)} AS g_r
+                FROM sc),
+         g2 AS (SELECT b, cum, n_events, n_buckets,
+                       ${rsql("CAST(u2 AS DOUBLE) / 4.0 + g_r",
+                         1000000)} AS score_r
+                FROM g1),
+         mx AS (SELECT max(score_r) AS best FROM g2),
+         tm AS (SELECT min(b) AS true_med_b FROM g2
+                WHERE 2 * cum >= n_events),
+         dp AS (SELECT n_events, n_buckets, min(b) AS dp_med_b
+                FROM g2 CROSS JOIN mx WHERE score_r = best
+                GROUP BY 1, 2)
+         SELECT n_events, n_buckets, CAST(1.0 AS DOUBLE) AS epsilon,
+                true_med_b, dp_med_b,
+                abs(dp_med_b - true_med_b) AS err_buckets
+         FROM dp CROSS JOIN tm""",
     // 4-cell exact census, pinned cell means/variances, DiD/SE/t
     // replayed from the pinned values
     "q_stats_did" ->

@@ -772,6 +772,40 @@ class StatsSpec extends SparkSpec {
       5 * r.getAs[Double]("se_r"))
   }
 
+  test("dp-quantile: gumbel replays from the seed, release lands near the median") {
+    val r = operators.StatsOps.queries("q_privacy_dp_quantile")(
+      spark, sfDir).collect().head
+    assert(r.getAs[Double]("epsilon") == 1.0)
+    val n = r.getAs[Long]("n_events")
+    assert(n == Tables.events(spark, sfDir).count())
+    // replay: recompute every bucket's score in plain JVM code and
+    // confirm the released bucket is the argmax (ties → lowest b)
+    val census = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "CAST(floor(value) AS BIGINT)").as("b"))
+      .count().collect().map(x => x.getLong(0) -> x.getLong(1))
+      .sortBy(_._1)
+    var cum = 0L
+    val scores = census.map { case (b, cnt) =>
+      cum += cnt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dpq-v1:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val ug = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      val g = math.floor(-math.log(-math.log(ug)) * 1e6 + 0.5) / 1e6
+      val score = math.floor(
+        (-math.abs(2 * cum - n).toDouble / 4.0 + g) * 1e6 + 0.5) / 1e6
+      (b, score)
+    }
+    val best = scores.map(_._2).max
+    val expectB = scores.filter(_._2 == best).map(_._1).min
+    assert(r.getAs[Long]("dp_med_b") == expectB)
+    // with N >> 1/ε the utility term dominates: the release is within
+    // a few buckets of the true median
+    assert(r.getAs[Long]("err_buckets") <= 3L,
+      s"err=${r.getAs[Long]("err_buckets")}")
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
