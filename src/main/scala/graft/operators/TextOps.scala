@@ -1551,7 +1551,11 @@ object TextOps {
     * you'd promote into the training mix. Scale shape: one map-side
     * token explode, one bounded bucket aggregate, one broadcast join
     * back — the corpus shuffles once, by doc_id, for the final sum. */
-  private val sampleDsir: Q = (s, d) => {
+  /** Per-doc DSIR importance score for EVERY document (doc_id, source,
+    * n_tok, score_r) — extracted so q_sample_dsir (top-50 ranking) and
+    * q_sample_ess (weight-quality audit) share ONE chain (the stlFrame
+    * rule). */
+  private def dsirScores(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(toks()).as("tok"))
       .withColumn("b", hex2(md5(col("tok"))))
@@ -1569,8 +1573,40 @@ object TextOps {
     tok.join(broadcast(llr), Seq("b"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tok"), r6(sum(col("llr_r"))).as("score_r"))
+  }
+
+  private val sampleDsir: Q = (s, d) =>
+    dsirScores(s, d)
       .orderBy(col("score_r").desc, col("doc_id"))
       .limit(50)
+
+  /** Effective sample size of the DSIR importance weights — the audit
+    * that prices what importance weighting actually costs: ESS =
+    * (Σw)²/Σw² is the equivalent number of EQUALLY-weighted documents,
+    * and ESS/n near 0 means a handful of documents dominate the
+    * resampled corpus (the silent failure mode of importance
+    * sampling). Scores are clipped to ±20 before exponentiation (the
+    * standard variance-bounding clip; n_clipped is emitted so the clip
+    * is priced, not hidden), each weight is pinned to EXACT integer
+    * micros, and both moment sums accumulate as DECIMAL/HUGEINT — the
+    * ESS is one double division of two exact integers. One hash
+    * aggregate over the shared per-doc score chain. */
+  private val sampleEss: Q = (s, d) => {
+    dsirScores(s, d)
+      .withColumn("w_m", expr(
+        "CAST(floor(exp(least(greatest(score_r, -20.0), 20.0))" +
+          " * 1000000 + 0.5) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(abs(col("score_r")) > 20.0, 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(expr("CAST(w_m AS DECIMAL(38,0))")).as("sw"),
+        sum(expr("CAST(w_m AS DECIMAL(19,0)) * CAST(w_m AS DECIMAL(19,0))"))
+          .as("sww"))
+      .withColumn("ess_r", r6(expr(
+        "CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)")))
+      .select(col("n_docs"), col("n_clipped"), col("ess_r"),
+        r6(col("ess_r") / col("n_docs")).as("ess_frac_r"),
+        (col("ess_r") / col("n_docs") < 0.1).as("degenerate"))
   }
 
   /** 2-hex-digit md5 decode (exact 0..255 integer, both engines) — the
@@ -2015,6 +2051,32 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Oracle CTE chain replaying dsirScores (ends in `scores` =
+    * doc_id, source, n_tok, score_r) — shared by q_sample_dsir and
+    * q_sample_ess. */
+  private val dsirCtesSql =
+    s"""tk AS (SELECT doc_id, source,
+                      unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+         tb AS (SELECT doc_id, source, ${hex2Sql("md5(tok)")} AS b
+                FROM tk),
+         bc AS (SELECT b, count(*) AS rcnt,
+                       count(*) FILTER (WHERE source IN
+                         ('src0', 'src1', 'src2', 'src3')) AS tcnt
+                FROM tb GROUP BY b),
+         tt AS (SELECT CAST(sum(rcnt) AS BIGINT) AS rtot,
+                       CAST(sum(tcnt) AS BIGINT) AS ttot FROM bc),
+         lr AS (SELECT b,
+                       floor((ln((tcnt + 1) / CAST(ttot + 256 AS DOUBLE))
+                            - ln((rcnt + 1) / CAST(rtot + 256 AS DOUBLE)))
+                         * 1000000 + 0.5) / 1000000.0 AS llr_r
+                FROM bc, tt),
+         scores AS (
+           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+                  floor(sum(llr_r) * 1000000 + 0.5) / 1000000.0 AS score_r
+           FROM tb JOIN lr USING (b)
+           GROUP BY doc_id, source)"""
+
   /** Oracle CTE chain replaying qclfTrain verbatim — features, label,
     * two GD steps (w1, w2) and the final logit pass (z3). ONE
     * definition shared by the classifier and ECE oracles. */
@@ -2377,6 +2439,7 @@ object TextOps {
     "q_eval_ks_score" -> evalKs,
     "q_eval_calibration_slope" -> evalCalibSlope,
     "q_eval_slice_audit" -> evalSliceAudit,
+    "q_sample_ess" -> sampleEss,
     "q_eval_langid" -> langidEval,
     "q_text_repetition" -> repetition,
     "q_text_keywords" -> keywords,
@@ -2697,27 +2760,31 @@ object TextOps {
                   AS expected_docs
          FROM x CROSS JOIN z ORDER BY lang""",
     "q_sample_dsir" ->
-      s"""WITH tk AS (SELECT doc_id, source,
-                            unnest(string_split(text, ' ')) AS tok
-                     FROM documents),
-         tb AS (SELECT doc_id, source, ${hex2Sql("md5(tok)")} AS b
-                FROM tk),
-         bc AS (SELECT b, count(*) AS rcnt,
-                       count(*) FILTER (WHERE source IN
-                         ('src0', 'src1', 'src2', 'src3')) AS tcnt
-                FROM tb GROUP BY b),
-         tt AS (SELECT CAST(sum(rcnt) AS BIGINT) AS rtot,
-                       CAST(sum(tcnt) AS BIGINT) AS ttot FROM bc),
-         lr AS (SELECT b,
-                       floor((ln((tcnt + 1) / CAST(ttot + 256 AS DOUBLE))
-                            - ln((rcnt + 1) / CAST(rtot + 256 AS DOUBLE)))
-                         * 1000000 + 0.5) / 1000000.0 AS llr_r
-                FROM bc, tt)
-         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
-                floor(sum(llr_r) * 1000000 + 0.5) / 1000000.0 AS score_r
-         FROM tb JOIN lr USING (b)
-         GROUP BY doc_id, source
+      s"""WITH $dsirCtesSql
+         SELECT doc_id, source, n_tok, score_r FROM scores
          ORDER BY score_r DESC, doc_id LIMIT 50""",
+    // clipped pinned micro-weights, HUGEINT moment sums, ESS = one
+    // double division of two exact integers
+    "q_sample_ess" ->
+      s"""WITH $dsirCtesSql,
+         wm AS (SELECT CAST(floor(exp(least(greatest(score_r, -20.0),
+                    20.0)) * 1000000 + 0.5) AS BIGINT) AS w_m,
+                  score_r
+                FROM scores),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN abs(score_r) > 20.0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_clipped,
+                       sum(CAST(w_m AS HUGEINT)) AS sw,
+                       sum(CAST(w_m AS HUGEINT) * w_m) AS sww
+                FROM wm),
+         e1 AS (SELECT n_docs, n_clipped,
+                       ${rsql("CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)" +
+                         " / CAST(sww AS DOUBLE)", 1000000)} AS ess_r
+                FROM ag)
+         SELECT n_docs, n_clipped, ess_r,
+                ${rsql("ess_r / n_docs", 1000000)} AS ess_frac_r,
+                ess_r / n_docs < 0.1 AS degenerate
+         FROM e1""",
     "q_text_count_min" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
                        FROM documents),

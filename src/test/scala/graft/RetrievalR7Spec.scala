@@ -677,6 +677,26 @@ class RetrievalR7Spec extends SparkSpec {
     }
   }
 
+  test("ess: bounded by (1, n], replays from the weights, clip priced") {
+    val r = SparkEntry.queries("q_sample_ess")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_docs")
+    assert(n == Tables.documents(spark, sfDir).count())
+    val ess = r.getAs[Double]("ess_r")
+    // ESS ∈ (0, n]; equality only under exactly uniform weights
+    assert(ess > 0.0 && ess <= n + 1e-6)
+    assert(math.abs(r.getAs[Double]("ess_frac_r") - ess / n) < 1e-5)
+    assert(r.getAs[Long]("n_clipped") >= 0 &&
+      r.getAs[Long]("n_clipped") <= n)
+    // replay from the top-50 chain's own scores on a sample: weights
+    // are a deterministic function of score_r, so ESS must be at most
+    // n and strictly less than n when any two scores differ
+    val scores = SparkEntry.queries("q_sample_dsir")(spark, sfDir)
+      .select("score_r").collect().map(_.getDouble(0))
+    if (scores.distinct.length > 1) assert(ess < n - 1e-6)
+    assert(r.getAs[Boolean]("degenerate") == (ess / n < 0.1))
+  }
+
   test("rbo: bounded by the truncated-sum maximum; zero iff no depth-10 overlap") {
     val rows = SparkEntry.queries("q_eval_rbo")(spark, sfDir).collect()
     assert(rows.length == 3)
