@@ -2194,7 +2194,64 @@ object StatsOps {
         abs(col("dp_med_b") - col("true_med_b")).as("err_buckets"))
   }
 
+  // mSPRT log-likelihood ratio under the N(0, τ²) mixture with τ² =
+  // σ² — ONE formula text from the pinned δ̂ and σ².
+  private val msprtLlr = "0.5 * ln(2.0 * sigma2_r" +
+    " / (2.0 * sigma2_r + n_eff * sigma2_r))" +
+    " + (CAST(n_eff AS DOUBLE) * n_eff * delta_r * delta_r * sigma2_r)" +
+    " / (4.0 * sigma2_r * (2.0 * sigma2_r + n_eff * sigma2_r))"
+
+  /** Always-valid sequential A/B test (mSPRT, Johari et al.) on the
+    * daily arm means — the peeking-safe inference q_stats_prop_test /
+    * q_stats_cuped cannot give: their p-values are only valid at ONE
+    * pre-registered look, while the mixture-SPRT p is valid at EVERY
+    * day boundary, which is how dashboards are actually read. Per-day
+    * (arm × day) cents census → day-ordered exact prefix sums (Dist);
+    * δ̂ and the pooled σ² are pinned divisions of exact integers; the
+    * per-day log-LR replays from the pinned values in one shared
+    * formula text; and the running maximum that makes the p monotone
+    * rides the micros-quantized Dist prefix-MAX (exact long decisions,
+    * never a float cummax). Synthetic arms (user_id % 2) on a
+    * stationary stream: the A/A spec pins that no day ever rejects. */
+  private val msprt: Q = (s, d) => {
+    val perDay = Tables.events(s, d)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day"),
+        expr("user_id % 2").as("arm"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .groupBy("day")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sb"))
+    val cum = Dist.withPrefixSumsLong(perDay,
+      Seq("cna" -> col("na"), "csa" -> col("sa"),
+        "cnb" -> col("nb"), "csb" -> col("sb")), Seq(col("day")))
+    val sig = Tables.events(s, d)
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .agg(count(lit(1)).as("nn"), sum(col("c")).as("ss"),
+        sum(expr("CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"))
+          .as("sss"))
+      .select(r6(expr("(CAST(sss AS DOUBLE)" +
+        " - CAST(ss AS DOUBLE) * ss / nn) / (nn - 1)")).as("sigma2_r"))
+    val llr = cum.crossJoin(broadcast(sig))
+      .withColumn("n_eff", least(col("cna"), col("cnb")))
+      .withColumn("delta_r", r6(expr(
+        "CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb")))
+      .withColumn("llr_r", r6(expr(msprtLlr)))
+      .withColumn("llr_m",
+        expr("CAST(floor(llr_r * 1000000 + 0.5) AS BIGINT)"))
+    Dist.withPrefixMaxLong(llr, "llr_max_m", col("llr_m"),
+        Seq(col("day")))
+      .withColumn("p_always_r", r6(least(lit(1.0),
+        exp(-col("llr_max_m").cast("double") / 1000000.0))))
+      .select(col("day"), col("n_eff"), col("delta_r"), col("llr_r"),
+        col("p_always_r"),
+        (col("p_always_r") < 0.05).as("significant"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stats_msprt" -> msprt,
     "q_privacy_dp_quantile" -> dpQuantile,
     "q_stats_did" -> did,
     "q_stats_cooks_distance" -> cooksDistance,
@@ -2355,6 +2412,62 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // arm×day census, exact prefix sums, pinned δ̂/σ², shared log-LR
+    // text, micros-quantized running max for the monotone p
+    "q_stats_msprt" ->
+      s"""WITH per AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN user_id % 2 = 0
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sa,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+                  CAST(sum(CASE WHEN user_id % 2 = 1
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sb
+           FROM events GROUP BY 1),
+         cum AS (SELECT day,
+                        CAST(sum(na) OVER w AS BIGINT) AS cna,
+                        CAST(sum(sa) OVER w AS BIGINT) AS csa,
+                        CAST(sum(nb) OVER w AS BIGINT) AS cnb,
+                        CAST(sum(sb) OVER w AS BIGINT) AS csb
+                 FROM per
+                 WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)),
+         sg AS (SELECT ${rsql("(CAST(sss AS DOUBLE)" +
+                  " - CAST(ss AS DOUBLE) * ss / nn) / (nn - 1)",
+                  1000000)} AS sigma2_r
+                FROM (SELECT CAST(count(*) AS BIGINT) AS nn,
+                             CAST(sum(CAST(floor(value * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS ss,
+                             sum(CAST(CAST(floor(value * 100 + 0.5)
+                               AS BIGINT) AS HUGEINT)
+                               * CAST(floor(value * 100 + 0.5)
+                                 AS BIGINT)) AS sss
+                      FROM events)),
+         dl AS (SELECT day, least(cna, cnb) AS n_eff,
+                       ${rsql("CAST(csa AS DOUBLE) / cna" +
+                         " - CAST(csb AS DOUBLE) / cnb", 1000000)}
+                         AS delta_r, sigma2_r
+                FROM cum CROSS JOIN sg),
+         ll AS (SELECT day, n_eff, delta_r,
+                       ${rsql(msprtLlr, 1000000)} AS llr_r
+                FROM dl),
+         lm AS (SELECT day, n_eff, delta_r, llr_r,
+                       max(CAST(floor(llr_r * 1000000 + 0.5) AS BIGINT))
+                         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS llr_max_m
+                FROM ll),
+         pp AS (SELECT day, n_eff, delta_r, llr_r,
+                       ${rsql("least(1.0, exp(-CAST(llr_max_m" +
+                         " AS DOUBLE) / 1000000.0))", 1000000)}
+                         AS p_always_r
+                FROM lm)
+         SELECT day, n_eff, delta_r, llr_r, p_always_r,
+                p_always_r < 0.05 AS significant
+         FROM pp ORDER BY day""",
     // dollar-bucket census, exact twice-utility, seeded Gumbel-max
     // (0x-cast here, conv in Spark), pinned score, ties → lowest bucket
     "q_privacy_dp_quantile" ->

@@ -806,6 +806,28 @@ class StatsSpec extends SparkSpec {
       s"err=${r.getAs[Long]("err_buckets")}")
   }
 
+  test("msprt: p monotone non-increasing, identity replays, A/A never rejects") {
+    val rows = operators.StatsOps.queries("q_stats_msprt")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 3)
+    val ps = rows.map(_.getAs[Double]("p_always_r"))
+    // always-valid p is a running minimum: monotone non-increasing
+    ps.zip(ps.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    ps.foreach(p => assert(p > 0.0 && p <= 1.0))
+    // n_eff grows with data
+    val ns = rows.map(_.getAs[Long]("n_eff"))
+    ns.zip(ns.tail).foreach { case (a, b) => assert(b >= a) }
+    // the p at each day is bounded by exp(-llr) of that day
+    rows.foreach { r =>
+      val cap = math.min(1.0, math.exp(-r.getAs[Double]("llr_r")))
+      assert(r.getAs[Double]("p_always_r") <= cap + 1e-6)
+    }
+    // A/A on a stationary stream: no day may ever reject — THE
+    // always-valid guarantee the fixed-horizon tests cannot give
+    rows.foreach(r => assert(!r.getAs[Boolean]("significant"),
+      s"day ${r.getAs[Long]("day")} p=${r.getAs[Double]("p_always_r")}"))
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
