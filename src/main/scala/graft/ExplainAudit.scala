@@ -240,7 +240,16 @@ object ExplainAudit {
     "q_stats_cooks_distance", "q_privacy_k_anon",
     "q_privacy_l_diversity", "q_privacy_dp_count",
     "q_ml_target_encode", "q_ml_woe_iv", "q_stats_pettitt",
-    "q_eval_lift_gains", "q_eval_ks_score")
+    "q_eval_lift_gains", "q_eval_ks_score",
+    // session-3 continued: DiD's 4-cell exact census pivot, the
+    // exponential mechanism's bucket-census Gumbel-max argmax (Dist
+    // caveat), mSPRT's 4-column day prefix sums + micros prefix-max
+    // (Dist caveat), ESS's clipped micro-weight moment aggregate over
+    // the shared DSIR chain, the slice audit's dimension join + slice
+    // census, and the calibration slope's exact p-micros OLS moments
+    // (the last three are qclf consumers — kmeans caveat).
+    "q_stats_did", "q_privacy_dp_quantile", "q_stats_msprt",
+    "q_sample_ess", "q_eval_slice_audit", "q_eval_calibration_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
