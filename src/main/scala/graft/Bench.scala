@@ -71,6 +71,18 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(1)
+    // Per-JOB overhead canary (round 7): the scan canary prices ONE
+    // job's I/O+codegen, but the 148→176 s common-key drift measured
+    // this round concentrated in multi-job iterative keys (graph/
+    // layout) while the scan canary barely moved — scheduler overhead
+    // per job is a separate degradation axis. 10 trivial one-row jobs,
+    // median of 3: healthy ≈ 0.02-0.05 s; a multiple of that explains
+    // exactly the keys whose cost is job count, not data.
+    val canaryJobs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      (1 to 10).foreach(_ => spark.range(1).count())
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     // Deterministic key order: Map iteration order is hash-random, which
     // made round-1 totals incomparable run-to-run. SPARK_GRAFT_ONLY
     // (comma-separated keys) restricts the run for local iteration.
@@ -125,7 +137,7 @@ object Bench {
     val keptSum = results.filter(_._2 >= 0.5)
       .sortBy { case (k, v) => (-v, k) }.take(kept.size).map(_._2).sum
     val omittedSlow = total - floorSum - keptSum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"canary_scan_sec":${r3(canary)},"queries_slowest":${kept.size},"floor_sum_sec":${r3(floorSum)},"n_below_floor":$nBelow,"omitted_slow_sum_sec":${r3(omittedSlow)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"canary_scan_sec":${r3(canary)},"canary_10jobs_sec":${r3(canaryJobs)},"queries_slowest":${kept.size},"floor_sum_sec":${r3(floorSum)},"n_below_floor":$nBelow,"omitted_slow_sum_sec":${r3(omittedSlow)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"FAILED QUERIES: $failed")
     spark.stop()
   }
