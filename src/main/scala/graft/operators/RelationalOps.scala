@@ -797,7 +797,13 @@ object RelationalOps {
     // (a data-derived distinct LUT still re-shuffled per evaluation:
     // 6.5 s; the constant LocalRelation joins at ~skipping's cost)
     val lut = s.createDataFrame(curveLut).toDF("hx", "hy", "hil", "mor")
+    // eager-checkpoint the joined base (the kcore/hits lineage rule):
+    // TWO Dist.withNtile passes each evaluate their input ~3×, so the
+    // scan+LUT-join otherwise runs ~6× (A/B on one host at sf0.1:
+    // 3.6-4.0 s warm uncheckpointed → 2.7-3.4 s checkpointed; the
+    // residual cost is the two genuine range-sort passes)
     val base = coords.join(broadcast(lut), Seq("hx", "hy"))
+      .localCheckpoint()
     def files(layout: String, ord: Seq[Column]) =
       Dist.withNtile(base, "f", 16, Nil, ord)
         .groupBy(lit(layout).as("layout"), col("f"))
