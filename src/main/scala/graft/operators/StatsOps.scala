@@ -2284,7 +2284,80 @@ object StatsOps {
       .orderBy("day")
   }
 
+  // Laplace noise at the CLIP sensitivity (Δ = 10000 cents), seeded
+  // from one md5 slice — one shared inverse-CDF text.
+  private val dpSumNoise = "-(10000.0 / 1.0) * sign(u - 0.5)" +
+    " * ln(1.0 - 2.0 * abs(u - 0.5))"
+
+  /** Differentially-private TOTAL (purchase revenue) — the third DP
+    * primitive, and the one practitioners get wrong: a sum has
+    * UNBOUNDED sensitivity until each user's contribution is clipped,
+    * so the mechanism is clip-then-noise — per-user cents are capped
+    * at C = 10000 (Δ = C exactly: removing one user moves the clipped
+    * sum by at most C), and Laplace(C/ε) noise is added at ε = 1. The
+    * clip is PRICED, not hidden: n_clipped and the clipped-away mass
+    * are emitted, because the bias they represent is part of the
+    * release's error budget just like the noise. Seeded draw (one md5
+    * slice) so both engines replay; spec replays the inverse CDF in
+    * plain JVM code. One per-user hash aggregate + a 1-row census. */
+  private val dpSum: Q = (s, d) => {
+    val per = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    per.agg(count(lit(1)).as("n_users"),
+        sum(least(col("cents"), lit(10000L))).as("sum_true_cents"),
+        sum(when(col("cents") > 10000L, 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(when(col("cents") > 10000L, col("cents") - 10000L)
+          .otherwise(0L)).as("clipped_away_cents"))
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5('dps-v1'), 1, 12), 16, 10)" +
+          " AS BIGINT)").cast("double") + 0.5) / lit(281474976710656.0))
+      .withColumn("noise_r", r6(expr(dpSumNoise)))
+      .select(col("n_users"), lit(10000L).as("clip_cents"),
+        lit(1.0).as("epsilon"), col("sum_true_cents"),
+        col("n_clipped"), col("clipped_away_cents"), col("noise_r"),
+        r6(col("sum_true_cents") + col("noise_r")).as("sum_dp_r"))
+  }
+
+  /** Fisher's method over the SAME KS test family as q_stats_bh /
+    * q_stats_holm — the GLOBAL "is anything non-null at all" answer
+    * that completes the multiple-testing trio (BH prices the
+    * false-discovery rate, Holm the familywise error, Fisher combines
+    * the whole family into one χ²_{2m} statistic: X² = −2Σln p). Each
+    * −2ln p term is r6-PINNED, the sum runs as a type-ordered fold
+    * (ljung_box discipline), and the verdict compares against the
+    * χ²_{2m} 0.95 critical value selected by a CASE over m = 2..8 as
+    * 17-digit literals (m is data-derived; outside that band the
+    * verdict is NULL and the oracle compare fails loudly — the
+    * markovStationary in-plan-assertion rule). A/A family ⇒ the
+    * combined test stays null. */
+  private val fisherCombine: Q = (s, d) => {
+    val tests = ksFamily(s, d)
+      .withColumn("t_r", r6(lit(-2.0) * log(col("p_r"))))
+    tests.agg(count(lit(1)).as("n_tests"),
+        expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(event_type, t_r))), x -> x.t_r)," +
+          " 0D, (acc, v) -> acc + v)").as("x2raw"))
+      .withColumn("x2_r", r6(col("x2raw")))
+      .withColumn("crit", expr(
+        """CAST(CASE n_tests WHEN 2 THEN 9.487729036781154e0
+             WHEN 3 THEN 12.591587243743977e0
+             WHEN 4 THEN 15.50731305586545e0
+             WHEN 5 THEN 18.307038053275146e0
+             WHEN 6 THEN 21.02606981748307e0
+             WHEN 7 THEN 23.684791304840576e0
+             WHEN 8 THEN 26.29622760486423e0 END AS DOUBLE)"""))
+      .select(col("n_tests"), (lit(2L) * col("n_tests")).as("df"),
+        col("x2_r"), col("crit").as("chi2_crit_95"),
+        (col("x2_r") > col("crit")).as("reject_global_null"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_dp_sum" -> dpSum,
+    "q_stats_fisher_combine" -> fisherCombine,
     "q_stats_msprt" -> msprt,
     "q_privacy_dp_quantile" -> dpQuantile,
     "q_stats_did" -> did,
@@ -2446,6 +2519,59 @@ object StatsOps {
   private val gSseR = s"($gCyy - $gC1y * $gC1y / $gC11)"
 
   val oracle: Map[String, String] = Map(
+    // clip-then-noise: per-user cents capped at 10000, one seeded
+    // Laplace draw (0x-cast here, conv in Spark), clip mass priced
+    "q_privacy_dp_sum" ->
+      s"""WITH per AS (
+           SELECT user_id,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                       CAST(sum(least(cents, 10000)) AS BIGINT)
+                         AS sum_true_cents,
+                       CAST(sum(CASE WHEN cents > 10000 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_clipped,
+                       CAST(sum(CASE WHEN cents > 10000
+                                THEN cents - 10000 ELSE 0 END)
+                         AS BIGINT) AS clipped_away_cents
+                FROM per),
+         uu AS (SELECT *, (CAST(CAST('0x' ||
+                    substring(md5('dps-v1'), 1, 12) AS BIGINT)
+                    AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+                FROM ag),
+         nz AS (SELECT *, ${rsql(dpSumNoise, 1000000)} AS noise_r
+                FROM uu)
+         SELECT n_users, CAST(10000 AS BIGINT) AS clip_cents,
+                CAST(1.0 AS DOUBLE) AS epsilon, sum_true_cents,
+                n_clipped, clipped_away_cents, noise_r,
+                ${rsql("sum_true_cents + noise_r", 1000000)} AS sum_dp_r
+         FROM nz""",
+    // same ksFamily text as bh/holm; pinned −2ln p terms, type-ordered
+    // fold, χ² critical by CASE over the data-derived m
+    "q_stats_fisher_combine" ->
+      s"""WITH $ksFamilyCtes,
+         tm AS (SELECT event_type,
+                       ${rsql("-2.0 * ln(p_r)", 1000000)} AS t_r
+                FROM tests),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_tests,
+                       list_reduce(list(t_r ORDER BY event_type),
+                         (a, v) -> a + v) AS x2raw
+                FROM tm),
+         x2 AS (SELECT n_tests, ${rsql("x2raw", 1000000)} AS x2_r,
+                       CAST(CASE n_tests WHEN 2 THEN 9.487729036781154e0
+                         WHEN 3 THEN 12.591587243743977e0
+                         WHEN 4 THEN 15.50731305586545e0
+                         WHEN 5 THEN 18.307038053275146e0
+                         WHEN 6 THEN 21.02606981748307e0
+                         WHEN 7 THEN 23.684791304840576e0
+                         WHEN 8 THEN 26.29622760486423e0 END AS DOUBLE)
+                         AS crit
+                FROM ag)
+         SELECT n_tests, 2 * n_tests AS df, x2_r,
+                crit AS chi2_crit_95,
+                x2_r > crit AS reject_global_null
+         FROM x2""",
     // arm×day census, exact prefix sums, pinned δ̂/σ², shared log-LR
     // text, micros-quantized running max for the monotone p
     "q_stats_msprt" ->

@@ -828,6 +828,47 @@ class StatsSpec extends SparkSpec {
       s"day ${r.getAs[Long]("day")} p=${r.getAs[Double]("p_always_r")}"))
   }
 
+  test("dp-sum: clip bounds the true sum, noise replays from the seed") {
+    val r = operators.StatsOps.queries("q_privacy_dp_sum")(spark, sfDir)
+      .collect().head
+    val n = r.getAs[Long]("n_users")
+    val st = r.getAs[Long]("sum_true_cents")
+    // the clipped sum can never exceed n_users × clip
+    assert(st <= n * 10000L && st > 0L)
+    assert(r.getAs[Long]("n_clipped") >= 0 &&
+      r.getAs[Long]("n_clipped") <= n)
+    // clipped-away mass is exactly the bias the release accepts
+    assert(r.getAs[Long]("clipped_away_cents") >= 0L)
+    // replay the seeded Laplace draw in plain JVM code
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("dps-v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+    val expect = -10000.0 * math.signum(u - 0.5) *
+      math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    assert(math.abs(r.getAs[Double]("noise_r") - expect) < 2e-6)
+    assert(math.abs(r.getAs[Double]("sum_dp_r") -
+      (st + r.getAs[Double]("noise_r"))) < 1e-5)
+  }
+
+  test("fisher: X2 replays from the family's own p-values, A/A stays null") {
+    val f = operators.StatsOps.queries("q_stats_fisher_combine")(
+      spark, sfDir).collect().head
+    val bh = operators.StatsOps.queries("q_stats_bh")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p_r"))
+    assert(f.getAs[Long]("n_tests") == bh.length)
+    assert(f.getAs[Long]("df") == 2L * bh.length)
+    // replay: sum the pinned −2 ln p terms in family order
+    val terms = bh.sortBy(_._1).map { case (_, p) =>
+      math.floor(-2.0 * math.log(p) * 1e6 + 0.5) / 1e6 }
+    val x2 = terms.sum
+    assert(math.abs(f.getAs[Double]("x2_r") - x2) < 1e-4,
+      s"${f.getAs[Double]("x2_r")} vs $x2")
+    assert(f.getAs[Double]("chi2_crit_95") == 18.307038053275146)
+    // the family is an A/A null: the combined test must not reject
+    assert(!f.getAs[Boolean]("reject_global_null"))
+  }
+
   test("holm: step-down at least as conservative as BH, monotone, A/A clean") {
     val holm = operators.StatsOps.queries("q_stats_holm")(spark, sfDir)
       .collect()
