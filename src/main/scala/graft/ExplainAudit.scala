@@ -249,7 +249,11 @@ object ExplainAudit {
     // census, and the calibration slope's exact p-micros OLS moments
     // (the last three are qclf consumers — kmeans caveat).
     "q_stats_did", "q_privacy_dp_quantile", "q_stats_msprt",
-    "q_sample_ess", "q_eval_slice_audit", "q_eval_calibration_slope")
+    "q_sample_ess", "q_eval_slice_audit", "q_eval_calibration_slope",
+    // session-3 close: the clip-then-noise DP sum's per-user aggregate
+    // + 1-row release, and Fisher's type-ordered −2Σln p fold over the
+    // shared KS family censuses
+    "q_privacy_dp_sum", "q_stats_fisher_combine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
