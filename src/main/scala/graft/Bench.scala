@@ -34,7 +34,15 @@ object Bench {
     // trained-classifier cache (round 7): one deterministic GD train
     // shared by six eval keys; untimed so q_eval_auroc (alphabetically
     // first consumer) doesn't carry the build
-    "q_text_quality_classifier")
+    "q_text_quality_classifier",
+    // multimodal shared artifacts (round 8, VERDICT r7 items 1-2): the
+    // packed aHash fingerprint frame (phash + phash_hamming) and the
+    // 64-byte block inventory (chunk_dedup/block_jaccard/storage_audit)
+    // are session caches now — build them untimed; scene_cut has no
+    // cache but is the most CPU-dense lambda chain in the registry, so
+    // warm its codegen/JIT the way orders got q_agg_merge_days
+    "q_multimodal_phash", "q_multimodal_chunk_dedup",
+    "q_multimodal_scene_cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -128,6 +128,26 @@ class MultimodalSpec extends SparkSpec {
       s"hd=0 pairs ($zero) must cover the exact buckets ($nExactPairs)")
   }
 
+  test("scene cut frame build: \\G chunk split equals substring frames," +
+      " newlines included") {
+    // The round-8 linear frame build splits the payload with a
+    // \G-anchored regex in one string walk; this pins its contract
+    // against the definitional substring frames — including payloads
+    // with newlines, which a missing (?s) would silently mis-chunk.
+    import spark.implicits._
+    val txt = ("ab\ncd" * 30) + "xyz" // 153 chars → 2 full frames + tail
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val frames = df.select(posexplode(slice(
+        split(col("text"), "(?s)(?<=\\G.{64})"), lit(1),
+        expr("CAST(length(text) div 64 AS INT)"))))
+      .collect()
+    assert(frames.length === 2)
+    frames.foreach { r =>
+      val f = r.getInt(0)
+      assert(r.getString(1) === txt.substring(f * 64, f * 64 + 64))
+    }
+  }
+
   test("scene cut: census bounds hold and the threshold actually splits") {
     val df = operators.MultimodalOps
       .queries("q_multimodal_scene_cut")(spark, sfDir)
