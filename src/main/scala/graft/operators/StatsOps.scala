@@ -103,9 +103,16 @@ object StatsOps {
     broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
       .join(obs, Seq("seg", "pri"), "left")
       .na.fill(0L, Seq("obs"))
+      .withColumn("term", pow(col("obs") - exp, 2) / exp)
       .agg(
         count(lit(1)).as("n_cells"),
-        r6(sum(pow(col("obs") - exp, 2) / exp)).as("chi2"),
+        // (seg, pri)-ordered fold, not sum(): the |seg|×|pri| cell
+        // terms are doubles, and a partition-order-dependent sum is
+        // the one float-parity surface this census has (ADVICE r7 —
+        // the levene/fisher ordered-fold discipline applies here too)
+        r6(expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(seg, pri, term))), x -> x.term), 0D," +
+          " (acc, v) -> acc + v)")).as("chi2"),
         ((countDistinct(col("seg")) - 1) * (countDistinct(col("pri")) - 1))
           .as("dof"))
   }
@@ -132,9 +139,14 @@ object StatsOps {
     broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
       .join(obs, Seq("seg", "pri"), "left")
       .na.fill(0L, Seq("obs"))
+      .withColumn("term", pow(col("obs") - exp, 2) / exp)
       .groupBy("n")
       .agg(
-        r6(sum(pow(col("obs") - exp, 2) / exp)).as("chi2"),
+        // (seg, pri)-ordered fold for the same ADVICE-r7 reason as
+        // chisq: partition-order float sums are the parity surface
+        r6(expr("aggregate(transform(array_sort(collect_list(" +
+          "struct(seg, pri, term))), x -> x.term), 0D," +
+          " (acc, v) -> acc + v)")).as("chi2"),
         (least(countDistinct(col("seg")), countDistinct(col("pri"))) - 1)
           .as("min_dim"))
       .select(col("n").as("n_obs"), col("chi2"), col("min_dim"),
@@ -1522,24 +1534,28 @@ object StatsOps {
     * top/bottom entity per group" contract every leaderboard compiles
     * to, via the ONE-expression aggregate instead of the rank-window
     * detour (q_win_topk_group). Determinism: Spark leaves max_by ties
-    * unspecified, so the ordering value is tot_cents·10⁶ + user_id —
-    * exact, injective (cents dominate, user id breaks ties) — making
-    * the arg-max unique by construction in both engines. Totals are
-    * exact integer cents (one hash aggregate per (type, user), then
-    * the |types|-bounded argmax aggregate). */
+    * unspecified, so the arg-max runs on the lexicographic struct
+    * (tot_cents, user_id) — max()/min() over a struct compares
+    * field-by-field in BOTH engines, so the tie-break can never cross
+    * a cents boundary at any scale (the round-7 tot_cents·10⁶ +
+    * user_id encoding was injective only while user_id < 10⁶ — ADVICE
+    * r7 — and would overflow BIGINT on 100 TB cent totals). Totals
+    * are exact integer cents (one hash aggregate per (type, user),
+    * then the |types|-bounded argmax aggregate). */
   private val aggArgmax: Q = (s, d) => {
     val per = Tables.events(s, d)
       .groupBy("event_type", "user_id")
       .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
         .as("tot_cents"))
-      .withColumn("rank_val",
-        expr("tot_cents * 1000000 + user_id"))
     per.groupBy("event_type")
       .agg(count(lit(1)).as("n_users"),
-        expr("max_by(user_id, rank_val)").as("top_user"),
-        r2(max(col("tot_cents")) / 100.0).as("top_total"),
-        expr("min_by(user_id, rank_val)").as("bottom_user"),
-        r2(min(col("tot_cents")) / 100.0).as("bottom_total"))
+        max(struct(col("tot_cents"), col("user_id"))).as("mx"),
+        min(struct(col("tot_cents"), col("user_id"))).as("mn"))
+      .select(col("event_type"), col("n_users"),
+        col("mx.user_id").as("top_user"),
+        r2(col("mx.tot_cents") / 100.0).as("top_total"),
+        col("mn.user_id").as("bottom_user"),
+        r2(col("mn.tot_cents") / 100.0).as("bottom_total"))
       .orderBy("event_type")
   }
 
@@ -3037,17 +3053,15 @@ object StatsOps {
            SELECT event_type, user_id,
                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS tot_cents
-           FROM events GROUP BY event_type, user_id),
-         r AS (SELECT *, tot_cents * 1000000 + user_id AS rank_val
-               FROM per)
+           FROM events GROUP BY event_type, user_id)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
-                max_by(user_id, rank_val) AS top_user,
+                (max({'c': tot_cents, 'u': user_id})).u AS top_user,
                 floor((max(tot_cents) / 100.0) * 100 + 0.5) / 100.0
                   AS top_total,
-                min_by(user_id, rank_val) AS bottom_user,
+                (min({'c': tot_cents, 'u': user_id})).u AS bottom_user,
                 floor((min(tot_cents) / 100.0) * 100 + 0.5) / 100.0
                   AS bottom_total
-         FROM r GROUP BY event_type ORDER BY event_type""",
+         FROM per GROUP BY event_type ORDER BY event_type""",
     // |days|-bounded pair census; every pair class exact, τ-b one
     // shared closed form
     "q_stats_kendall_tau" ->
@@ -3111,8 +3125,10 @@ object StatsOps {
            LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri),
          ag AS (
            SELECT n,
-                  ${rsql("sum(pow(obs - CAST(rt * ct AS DOUBLE) / n, 2)" +
-                    " / (CAST(rt * ct AS DOUBLE) / n))", 1000000)} AS chi2,
+                  ${rsql("list_reduce(list(pow(obs - CAST(rt * ct" +
+                    " AS DOUBLE) / n, 2) / (CAST(rt * ct AS DOUBLE) / n)" +
+                    " ORDER BY seg, pri), (acc, v) -> acc + v)", 1000000)}
+                    AS chi2,
                   least(count(DISTINCT seg), count(DISTINCT pri)) - 1
                     AS min_dim
            FROM cells GROUP BY n)
@@ -4131,8 +4147,10 @@ object StatsOps {
            FROM rt CROSS JOIN ct CROSS JOIN n
            LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri)
          SELECT count(*) AS n_cells,
-                ${rsql("sum(pow(obs - CAST(rt * ct AS DOUBLE) / n, 2) / " +
-                  "(CAST(rt * ct AS DOUBLE) / n))", 1000000)} AS chi2,
+                ${rsql("list_reduce(list(pow(obs - CAST(rt * ct" +
+                  " AS DOUBLE) / n, 2) / (CAST(rt * ct AS DOUBLE) / n)" +
+                  " ORDER BY seg, pri), (acc, v) -> acc + v)", 1000000)}
+                  AS chi2,
                 (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof
          FROM cells""",
     // md5-digit arm assignment (the q_sample_split convention); the

@@ -1785,8 +1785,12 @@ object TextOps {
           .as("n_agree_drop"),
         count(when(col("y") === 1 && col("z_micros") < 0, 1)).as("n_b"),
         count(when(col("y") === 0 && col("z_micros") >= 0, 1)).as("n_c"))
-      .withColumn("chi2_r", r6(expr(
-        "CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE) / (n_b + n_c)")))
+      // zero-discordant guard (ADVICE r7): perfect gate/classifier
+      // agreement means b + c = 0 — by convention no evidence of
+      // asymmetry (χ² = 0, asymmetric = false), never NULL/NULL
+      .withColumn("chi2_r", when(col("n_b") + col("n_c") === 0, lit(0.0))
+        .otherwise(r6(expr(
+          "CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE) / (n_b + n_c)"))))
       .select(col("n_agree_keep"), col("n_agree_drop"), col("n_b"),
         col("n_c"), col("chi2_r"),
         (col("chi2_r") > 3.8414588206941245).as("asymmetric"))
@@ -2846,12 +2850,15 @@ object TextOps {
                    AS BIGINT) AS n_c
                FROM z3)
          SELECT n_agree_keep, n_agree_drop, n_b, n_c,
-                floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
-                       / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
-                  AS chi2_r,
-                floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
-                       / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
-                  > 3.8414588206941245 AS asymmetric
+                CASE WHEN n_b + n_c = 0 THEN 0.0 ELSE
+                  floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
+                         / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
+                END AS chi2_r,
+                CASE WHEN n_b + n_c = 0 THEN false ELSE
+                  floor((CAST((n_b - n_c) * (n_b - n_c) AS DOUBLE)
+                         / (n_b + n_c)) * 1000000 + 0.5) / 1000000.0
+                  > 3.8414588206941245
+                END AS asymmetric
          FROM m""",
     // AUC via the exact rank-sum identity on the trained logits; the
     // doubled-rank census keeps every intermediate a BIGINT.
