@@ -274,6 +274,20 @@ object ExplainAudit {
     names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // The two exact all-pairs baselines are ceiling-guarded (VERDICT
+      // r7 item 3): below TextOps.AllPairsRowCeiling input rows the
+      // deliberate CartesianProduct ground-truth branch above runs;
+      // this audit also prints the banded branch the guard flips to,
+      // so the dump shows no UNguarded cartesian.
+      if (name == "q_dedup_near" || name == "q_dedup_containment") {
+        println(s"----- $name (above-ceiling banded branch; the" +
+          " CartesianProduct above is the guarded sub-ceiling" +
+          " ground-truth branch) -----")
+        val saved = operators.TextOps.AllPairsRowCeiling
+        operators.TextOps.AllPairsRowCeiling = -1L
+        try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        finally operators.TextOps.AllPairsRowCeiling = saved
+      }
     }
     spark.stop()
   }

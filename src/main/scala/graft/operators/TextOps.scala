@@ -272,7 +272,24 @@ object TextOps {
     * integer ops, bit-identical Jaccard across engines. O(n²) pairs by
     * design (the oracle-checkable ground truth); q_dedup_minhash is the
     * banded LSH path that scales. */
-  private val dedupNear: Q = (s, d) => {
+  /** Input-row ceiling for the two exact all-pairs baselines
+    * (q_dedup_near, q_dedup_containment). Below it the deliberate
+    * cartesian ground-truth plan runs (oracle-checkable, pair count
+    * ≤ ceiling²/2 bitmap-ANDs); above it the key FLIPS to the
+    * prefix-filtered plan with the identical declared output, so an
+    * unnoticed corpus-size bump can never make either key silently
+    * quadratic (VERDICT r7 item 3 — the DriverCcEdgeThreshold
+    * pattern). The count probe reads the session-persisted bitmap
+    * frame, so the guard costs one cached count, not a scan. Var (not
+    * val) so the flip-boundary spec can pin both plans equal. */
+  private[graft] var AllPairsRowCeiling = 50000L
+
+  private val dedupNear: Q = (s, d) =>
+    if (TokenBitmap.bitmaps(s, d).count() > AllPairsRowCeiling)
+      dedupPrefixFilter(s, d) // identical declared output, banded plan
+    else dedupNearAllPairs(s, d)
+
+  private val dedupNearAllPairs: Q = (s, d) => {
     val base = TokenBitmap.bitmaps(s, d)
     val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
       col("sz").as("sa"))
@@ -1389,16 +1406,14 @@ object TextOps {
     * (index each doc under its lowest-df token only), same shape as the
     * MinHash banding beside it. */
   private val dedupContainment: Q = (s, d) => {
-    val base = TokenBitmap.bitmaps(s, d)
-    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
-      col("sz").as("sa"))
-    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
-      col("sz").as("sb"))
-    val sup = a.join(b, col("a") =!= col("b") &&
-        col("sa") >= 5 && col("sb") * 10 >= col("sa") * 9)
-      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
-      .filter(col("inter") * 10 >= col("sa") * 9)
-      .groupBy(col("a")).agg(count(lit(1)).as("n_super"))
+    val n = TokenBitmap.bitmaps(s, d).count() // cached frame — cheap
+    // supersets of a: either the exact all-pairs scan (≤ ceiling) or
+    // the prefix-filtered candidate join (above it — the flip the
+    // AllPairsRowCeiling scaladoc describes); outputs are identical
+    // (flip-boundary spec) because prefix filtering is a complete
+    // candidate generator for containment ≥ 0.9
+    val sup = if (n > AllPairsRowCeiling) containmentSupersBanded(s, d)
+      else containmentSupersAllPairs(s, d)
     TokenBitmap.bitmaps(s, d)
       .select(col("doc_id"), col("sz").cast("long").as("n_distinct"))
       .join(sup.select(col("a").as("doc_id"), col("n_super")),
@@ -1407,6 +1422,60 @@ object TextOps {
       .select(col("doc_id"), col("n_distinct"), col("n_super"),
         when(col("n_super") > 0, 1).otherwise(0).as("subsumed"))
       .orderBy("doc_id")
+  }
+
+  /** The exact all-pairs superset scan q_dedup_containment runs below
+    * the ceiling: every (a, b) with |A| ≥ 5, |B| ≥ 0.9|A| gets one
+    * bitmap-AND verify. */
+  private def containmentSupersAllPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = TokenBitmap.bitmaps(s, d)
+    val a = base.select(col("doc_id").as("a"), col("bm").as("ba"),
+      col("sz").as("sa"))
+    val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
+      col("sz").as("sb"))
+    a.join(b, col("a") =!= col("b") &&
+        col("sa") >= 5 && col("sb") * 10 >= col("sa") * 9)
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
+      .filter(col("inter") * 10 >= col("sa") * 9)
+      .groupBy(col("a")).agg(count(lit(1)).as("n_super"))
+  }
+
+  /** The prefix-filtered superset scan the ceiling guard flips to:
+    * containment(A→B) ≥ 0.9 needs |A∩B| ≥ ⌈0.9|A|⌉, so under ANY
+    * shared total token order the first |A| − ⌈0.9|A|⌉ + 1 tokens of A
+    * must intersect B (pigeonhole — one-sided, so A's PREFIX joins B's
+    * FULL postings, unlike the symmetric Jaccard prefix filter).
+    * ⌈0.9·sz⌉ is computed as (9·sz + 9) div 10 in exact integers — a
+    * float ceil(sz · 0.9) rounds 9·sz/10 UP at exact multiples
+    * (0.9·10 = 9.000…002 in binary), shrinking the prefix below the
+    * completeness bound. Candidates then take the identical bitmap
+    * verify as the all-pairs plan, so the outputs coincide exactly. */
+  private def containmentSupersBanded(s: SparkSession, d: String)
+      : DataFrame = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks()).as("ts"))
+      .withColumn("sz", size(col("ts")))
+      .filter(col("sz") >= 5)
+      .withColumn("pl",
+        (col("sz") - expr("(9 * sz + 9) div 10") + 1).cast("int"))
+      .select(col("doc_id").as("a"),
+        explode(slice(array_sort(col("ts")), lit(1), col("pl"))).as("tok"))
+    val full = Tables.documents(s, d)
+      .select(col("doc_id").as("b"),
+        explode(array_distinct(toks())).as("tok"))
+    val base = TokenBitmap.bitmaps(s, d)
+    pre.join(full, Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+      .join(base.select(col("doc_id").as("a"), col("bm").as("ba"),
+        col("sz").as("sa")), Seq("a"))
+      .join(base.select(col("doc_id").as("b"), col("bm").as("bb"),
+        col("sz").as("sb")), Seq("b"))
+      .filter(col("sb") * 10 >= col("sa") * 9)
+      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
+      .filter(col("inter") * 10 >= col("sa") * 9)
+      .groupBy(col("a")).agg(count(lit(1)).as("n_super"))
   }
 
   /** Language-ID quality harness: confusion matrix of predicted vs

@@ -214,6 +214,24 @@ class ScaleTechniqueSpec extends SparkSpec {
     } finally DedupOps.DriverCcEdgeThreshold = saved
   }
 
+  test("all-pairs ceiling: q_dedup_near and q_dedup_containment flip to" +
+      " banded plans with identical output") {
+    import graft.operators.TextOps
+    def rows(key: String) =
+      TextOps.queries(key)(spark, sfDir).collect().map(_.toString).toSeq
+    // default ceiling (above the test corpus): the cartesian baselines
+    val nearBase = rows("q_dedup_near")
+    val contBase = rows("q_dedup_containment")
+    // force the banded plans on the SAME corpus
+    val saved = TextOps.AllPairsRowCeiling
+    TextOps.AllPairsRowCeiling = -1L
+    try {
+      assert(rows("q_dedup_near") === nearBase)
+      assert(rows("q_dedup_containment") === contBase)
+      assert(nearBase.nonEmpty && contBase.nonEmpty)
+    } finally TextOps.AllPairsRowCeiling = saved
+  }
+
   /** Reference xy2d Hilbert (Wikipedia-standard recurrence) for the
     * curve-expression parity checks. */
   private def hilbertRef(x0: Long, y0: Long): Long = {
