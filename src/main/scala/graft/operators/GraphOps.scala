@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Builds and MATERIALIZES a frame with AQE disabled, restoring the
+    * session conf after. For the bounded layered-BFS keys (closeness,
+    * reach) AQE is a measured net loss: every layer's exchange becomes
+    * its own QueryStage job (28 jobs per run, counted by
+    * graft.JobCount), and on a host that taxes job submission
+    * (BENCH canary_10jobs) the key's cost is its job count, not its
+    * data — with AQE off the same plan runs as 5 jobs and ~30% faster
+    * even on a healthy host. The frontiers here are node-bounded with
+    * statically known shapes, so AQE's re-planning has nothing to
+    * improve; iterative keys where AQE's coalescing DOES win (lpa:
+    * 0.8 s with, 2.1 s without) keep it on. The localCheckpoint runs
+    * the work eagerly inside the conf scope (the kcore/hits accepted
+    * caveat) and hands back a lineage-free bounded frame. */
+  private def noAqeCheckpoint(s: SparkSession)(build: => DataFrame)
+      : DataFrame = {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try build.localCheckpoint()
+    finally s.conf.set(key, saved)
+  }
+
   /** Bipartite customer↔part edges, BOTH directions (undirected
     * PageRank), cached per (session, dir) — the index artifact shared
     * across graph queries and iterations. */
@@ -342,17 +364,18 @@ object GraphOps {
     // loop's rounds.
     val seed = und.agg(min(col("x")).as("part"))
       .select(col("part"), lit(0L).as("hops"))
-    var frontier = seed
-    var layers = List(seed)
-    for (_ <- 1 to BfsHops) {
-      frontier = und.join(frontier, col("x") === col("part"))
-        .groupBy(col("y").as("part"))
-        .agg((min(col("hops")) + 1).as("hops"))
-      layers ::= frontier
-    }
-    layers.reduce(_ union _)
-      .groupBy("part").agg(min("hops").as("hops"))
-      .orderBy("part")
+    noAqeCheckpoint(s) {
+      var frontier = seed
+      var layers = List(seed)
+      for (_ <- 1 to BfsHops) {
+        frontier = und.join(frontier, col("x") === col("part"))
+          .groupBy(col("y").as("part"))
+          .agg((min(col("hops")) + 1).as("hops"))
+        layers ::= frontier
+      }
+      layers.reduce(_ union _)
+        .groupBy("part").agg(min("hops").as("hops"))
+    }.orderBy("part")
   }
 
   /** Local bridges (Granovetter weak ties) — edges whose endpoints
@@ -406,29 +429,30 @@ object GraphOps {
       .orderBy("lm").limit(3)
     val seed = lms.select(col("lm"), col("lm").as("part"),
       lit(0L).as("hops"))
-    var frontier = seed
-    var layers = List(seed)
-    for (_ <- 1 to BfsHops) {
-      frontier = und.join(frontier, col("x") === col("part"))
-        .groupBy(col("lm"), col("y").as("part"))
-        .agg((min(col("hops")) + 1).as("hops"))
-      layers ::= frontier
-    }
-    layers.reduce(_ union _)
-      .groupBy("lm", "part").agg(min("hops").as("hops"))
-      .groupBy("lm")
-      .agg(count(when(col("hops") === 1, 1)).as("n1"),
-        count(when(col("hops") === 2, 1)).as("n2"),
-        count(when(col("hops") === 3, 1)).as("n3"),
-        count(when(col("hops") === 4, 1)).as("n4"))
-      .select(col("lm"),
-        expr("n1 + n2 + n3 + n4").as("n_reached"),
-        expr("n1 + 2 * n2 + 3 * n3 + 4 * n4").as("sum_dist"),
-        r6(expr("CAST(n1 + n2 + n3 + n4 AS DOUBLE)" +
-          " / (n1 + 2 * n2 + 3 * n3 + 4 * n4)")).as("closeness"),
-        r6(expr("n1 / 1.0 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0"))
-          .as("harmonic"))
-      .orderBy("lm")
+    noAqeCheckpoint(s) {
+      var frontier = seed
+      var layers = List(seed)
+      for (_ <- 1 to BfsHops) {
+        frontier = und.join(frontier, col("x") === col("part"))
+          .groupBy(col("lm"), col("y").as("part"))
+          .agg((min(col("hops")) + 1).as("hops"))
+        layers ::= frontier
+      }
+      layers.reduce(_ union _)
+        .groupBy("lm", "part").agg(min("hops").as("hops"))
+        .groupBy("lm")
+        .agg(count(when(col("hops") === 1, 1)).as("n1"),
+          count(when(col("hops") === 2, 1)).as("n2"),
+          count(when(col("hops") === 3, 1)).as("n3"),
+          count(when(col("hops") === 4, 1)).as("n4"))
+        .select(col("lm"),
+          expr("n1 + n2 + n3 + n4").as("n_reached"),
+          expr("n1 + 2 * n2 + 3 * n3 + 4 * n4").as("sum_dist"),
+          r6(expr("CAST(n1 + n2 + n3 + n4 AS DOUBLE)" +
+            " / (n1 + 2 * n2 + 3 * n3 + 4 * n4)")).as("closeness"),
+          r6(expr("n1 / 1.0 + n2 / 2.0 + n3 / 3.0 + n4 / 4.0"))
+            .as("harmonic"))
+    }.orderBy("lm")
   }
 
   /** Bounded k-core peeling (k=2, 3 rounds) on the support-2
@@ -496,21 +520,28 @@ object GraphOps {
           floor(col(in).cast("double") / col("tot") * 1000000L + 0.5)
             .as(out))
     }
-    var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
-    var auth: DataFrame = null
-    for (_ <- 1 to 2) {
-      auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
-        "p", "ar", "a")
-      hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
-        "c", "hr", "h")
-    }
-    auth.orderBy(col("a").desc, col("p")).limit(20)
-      .select(lit("authority").as("role"), col("p").as("node"),
-        (col("a") / lit(1000000.0)).as("score"))
-      .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
-        .select(lit("hub").as("role"), col("c").as("node"),
-          (col("h") / lit(1000000.0)).as("score")))
-      .orderBy(col("role"), col("score").desc, col("node"))
+    // The whole 2-iteration loop (4 half-iteration checkpoints + the
+    // two top-20 cuts) runs under the noAqeCheckpoint scope: with AQE
+    // each checkpoint's exchanges become their own QueryStage jobs —
+    // 27 jobs per run vs 10 without (graft.JobCount), and the key's
+    // driver-host exposure is its job count (VERDICT r7: +0.7 s under
+    // per-job tax).
+    noAqeCheckpoint(s) {
+      var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
+          "p", "ar", "a")
+        hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
+          "c", "hr", "h")
+      }
+      auth.orderBy(col("a").desc, col("p")).limit(20)
+        .select(lit("authority").as("role"), col("p").as("node"),
+          (col("a") / lit(1000000.0)).as("score"))
+        .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
+          .select(lit("hub").as("role"), col("c").as("node"),
+            (col("h") / lit(1000000.0)).as("score")))
+    }.orderBy(col("role"), col("score").desc, col("node"))
   }
 
   /** Local clustering coefficient per node of the support-2 co-purchase
