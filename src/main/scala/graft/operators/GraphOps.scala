@@ -514,34 +514,35 @@ object GraphOps {
     // |parts| rows), so the materialization is cheap.
     def norm(raw0: DataFrame, key: String, in: String, out: String) = {
       val raw = raw0.localCheckpoint()
-      val tot = raw.agg(sum(col(in)).as("tot"))
-      raw.crossJoin(broadcast(tot))
-        .select(col(key),
-          floor(col(in).cast("double") / col("tot") * 1000000L + 0.5)
-            .as(out))
+      // the L1 total is ONE long over the just-materialized frame —
+      // a bounded driver collect (Dist-caveat pattern) instead of a
+      // crossJoin(broadcast(...)): each of the 4 normalizations drops
+      // its broadcast-exchange QueryStage job and the downstream plans
+      // carry a literal, not a join
+      val tot = raw.agg(sum(col(in))).first().getLong(0)
+      raw.select(col(key),
+        floor(col(in).cast("double") / lit(tot) * 1000000L + 0.5)
+          .as(out))
     }
-    // The whole 2-iteration loop (4 half-iteration checkpoints + the
-    // two top-20 cuts) runs under the noAqeCheckpoint scope: with AQE
-    // each checkpoint's exchanges become their own QueryStage jobs —
-    // 27 jobs per run vs 10 without (graft.JobCount), and the key's
-    // driver-host exposure is its job count (VERDICT r7: +0.7 s under
-    // per-job tax).
-    noAqeCheckpoint(s) {
-      var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
-      var auth: DataFrame = null
-      for (_ <- 1 to 2) {
-        auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
-          "p", "ar", "a")
-        hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
-          "c", "hr", "h")
-      }
-      auth.orderBy(col("a").desc, col("p")).limit(20)
-        .select(lit("authority").as("role"), col("p").as("node"),
-          (col("a") / lit(1000000.0)).as("score"))
-        .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
-          .select(lit("hub").as("role"), col("c").as("node"),
-            (col("h") / lit(1000000.0)).as("score")))
-    }.orderBy(col("role"), col("score").desc, col("node"))
+    // NOT noAqeCheckpoint-wrapped (unlike closeness/reach): the edge ⋈
+    // scores joins here rely on AQE's runtime broadcast conversion —
+    // without it the cold run plans sort-merge joins and measured
+    // 3.9-4.8 s vs 3.3 s, even though the job count would drop 27→11.
+    var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
+        "p", "ar", "a")
+      hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
+        "c", "hr", "h")
+    }
+    auth.orderBy(col("a").desc, col("p")).limit(20)
+      .select(lit("authority").as("role"), col("p").as("node"),
+        (col("a") / lit(1000000.0)).as("score"))
+      .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
+        .select(lit("hub").as("role"), col("c").as("node"),
+          (col("h") / lit(1000000.0)).as("score")))
+      .orderBy(col("role"), col("score").desc, col("node"))
   }
 
   /** Local clustering coefficient per node of the support-2 co-purchase
