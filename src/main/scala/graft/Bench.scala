@@ -50,6 +50,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // experiment knob (default = Spark's default, ON): lets A/B runs
+      // price AQE's per-QueryStage job overhead against its coalescing
+      // wins without a rebuild; the shipped default stays ON
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Tables.configure(spark)

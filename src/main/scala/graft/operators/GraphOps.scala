@@ -312,7 +312,10 @@ object GraphOps {
     * HUGEINT moments equal the same doubles in that range. ONE division
     * at the end. Two joins against the |V|-sized degree table — linear
     * in edges. */
-  private val assortativity: Q = (s, d) => {
+  // noAqeCheckpoint scope (1-row output): the degree join + moment agg
+  // is a statically-shaped wedge pipeline; the fleet AQE A/B measured
+  // it 1.18 → 0.78 s (every exchange was its own QueryStage job)
+  private val assortativity: Q = (s, d) => noAqeCheckpoint(s) {
     val e = copurchaseEdges(s, d).select("x", "y")
     val deg = e.select(col("x").as("v"))
       .union(e.select(col("y").as("v")))

@@ -2461,21 +2461,31 @@ object TextOps {
     * the 2N/w deterministic-style bound. CMS never underestimates —
     * the audit would expose a broken hash row as est < exact. */
   private val evalCmsError: Q = (s, d) => {
-    val tok = Tables.documents(s, d).select(explode(toks()).as("tok"))
+    // The md5 row-buckets depend only on the TOKEN STRING, so they are
+    // computed on the |vocab|-bounded frequency census, never per
+    // occurrence (the BPE vocab-sized-pass rule): 4·|vocab| md5 calls
+    // instead of 4·|stream| (round 7 hashed every occurrence twice —
+    // ~2M md5 evaluations at sf0.1, the whole cost of the key), and
+    // the corpus is scanned exactly once for the census, which is
+    // pinned as a bounded LocalRelation-sized checkpoint so the three
+    // consumers (cells, estimates, stream total) don't re-scan.
+    val tf = Tables.documents(s, d).select(explode(toks()).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
     def bucket(r: Int): Column =
       hex2(md5(concat(lit(s"$r:"), col("tok")))) % 32
     val rbs = (0 until 4).map(r =>
       struct(lit(r).as("r"), bucket(r).as("b")))
-    val cells = tok.select(explode(array(rbs: _*)).as("rb"))
+    val cells = tf.select(col("exact"), explode(array(rbs: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val est = tok.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .agg(sum(col("exact")).as("c"))
+    val est = tf
       .select(col("tok"), col("exact"), explode(array(rbs: _*)).as("rb"))
       .select(col("tok"), col("exact"), col("rb.r").as("r"),
         col("rb.b").as("b"))
       .join(broadcast(cells), Seq("r", "b"))
       .groupBy("tok", "exact").agg(min(col("c")).as("est"))
-    val n = tok.agg(count(lit(1)).as("n_stream"))
+    val n = tf.agg(sum(col("exact")).as("n_stream"))
     est.crossJoin(broadcast(n))
       .groupBy("n_stream")
       .agg(count(lit(1)).as("n_tokens"),

@@ -258,12 +258,21 @@ object VectorOps {
     val e = vecs(s, d)
     val nbr = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
       col("v").as("y"))
+    // each unordered pair's dot is computed ONCE (a < b halves the 4M
+    // graft_dot folds at sf0.1) and emitted in both directions for the
+    // per-vec top-5 — the sim set reaching the heap is identical
     val sims = e.withColumnRenamed("v", "x")
-      .join(broadcast(nbr), col("vec_id") =!= col("nid"))
+      .join(broadcast(nbr), col("vec_id") < col("nid"))
       .withColumn("sim_r", r6(expr("graft_dot(x, y)")))
       // drop both 64-float vectors before the per-vec window: the rank
       // shuffle moves |n|² rows and must carry scores, not payloads
-      .select("vec_id", "label", "nid", "nlabel", "sim_r")
+      .select(explode(array(
+        struct(col("vec_id"), col("label"), col("nid"), col("nlabel"),
+          col("sim_r")),
+        struct(col("nid").as("vec_id"), col("nlabel").as("label"),
+          col("vec_id").as("nid"), col("label").as("nlabel"),
+          col("sim_r")))).as("r"))
+      .select("r.vec_id", "r.label", "r.nid", "r.nlabel", "r.sim_r")
     // top-5 via the bounded-heap physical operator: same exchange as the
     // window form but O(n·k) per group instead of a full partition sort
     val votes = graft.plans.TopKPerGroup(sims, 5, Seq("vec_id"),
