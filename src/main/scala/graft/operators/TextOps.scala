@@ -1697,16 +1697,25 @@ object TextOps {
     * so unlike HLL the ESTIMATE itself hash-matches DuckDB, and the
     * CMS guarantee est ≥ exact is spec-asserted. */
   private val countMin: Q = (s, d) => {
-    val tok = Tables.documents(s, d).select(explode(toks()).as("tok"))
+    // One corpus pass builds the |vocab|-bounded frequency census (the
+    // evalCmsError rule, round 8): the 4 seeded buckets depend only on
+    // the token string, so cell counts are Σ freq over the census —
+    // 4·|vocab| md5 calls, not 4·|stream|; the census checkpoint is
+    // vocab-bounded and shared by the cells and the top-10 probe. The
+    // sketch stays mergeable: at 100 TB the census itself is the
+    // map-side-combinable hash agg, and per-partition sketches union
+    // by cell add exactly as before.
+    val tf = Tables.documents(s, d).select(explode(toks()).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
     def bucket(r: Int): Column =
       hex2(md5(concat(lit(s"$r:"), col("tok")))) % 32
     val rbs = (0 until 4).map(r =>
       struct(lit(r).as("r"), bucket(r).as("b")))
-    val cells = tok.select(explode(array(rbs: _*)).as("rb"))
+    val cells = tf.select(col("exact"), explode(array(rbs: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val top = tok.groupBy("tok").agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("tok")).limit(10)
+      .agg(sum(col("exact")).as("c"))
+    val top = tf.orderBy(col("exact").desc, col("tok")).limit(10)
     top.select(col("tok"), col("exact"),
         explode(array(rbs: _*)).as("rb"))
       .select(col("tok"), col("exact"), col("rb.r").as("r"),
