@@ -527,25 +527,28 @@ object GraphOps {
         floor(col(in).cast("double") / lit(tot) * 1000000L + 0.5)
           .as(out))
     }
-    // NOT noAqeCheckpoint-wrapped (unlike closeness/reach): the edge ⋈
-    // scores joins here rely on AQE's runtime broadcast conversion —
-    // without it the cold run plans sort-merge joins and measured
-    // 3.9-4.8 s vs 3.3 s, even though the job count would drop 27→11.
-    var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
-    var auth: DataFrame = null
-    for (_ <- 1 to 2) {
-      auth = norm(e.join(hub, "c").groupBy("p").agg(sum("h").as("ar")),
-        "p", "ar", "a")
-      hub = norm(e.join(auth, "p").groupBy("c").agg(sum("a").as("hr")),
-        "c", "hr", "h")
-    }
-    auth.orderBy(col("a").desc, col("p")).limit(20)
-      .select(lit("authority").as("role"), col("p").as("node"),
-        (col("a") / lit(1000000.0)).as("score"))
-      .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
-        .select(lit("hub").as("role"), col("c").as("node"),
-          (col("h") / lit(1000000.0)).as("score")))
-      .orderBy(col("role"), col("score").desc, col("node"))
+    // noAqeCheckpoint scope + EXPLICIT broadcast hints on the
+    // node-bounded score side: a bare AQE-off wrap planned sort-merge
+    // joins (3.9-4.8 s cold vs 3.3) because only AQE's runtime
+    // conversion made them broadcast; with the hint the static planner
+    // keeps BHJ and the 4 checkpoint queries stop fanning into
+    // per-QueryStage jobs (27 jobs with AQE → ~12).
+    noAqeCheckpoint(s) {
+      var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
+      var auth: DataFrame = null
+      for (_ <- 1 to 2) {
+        auth = norm(e.join(broadcast(hub), "c")
+          .groupBy("p").agg(sum("h").as("ar")), "p", "ar", "a")
+        hub = norm(e.join(broadcast(auth), "p")
+          .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
+      }
+      auth.orderBy(col("a").desc, col("p")).limit(20)
+        .select(lit("authority").as("role"), col("p").as("node"),
+          (col("a") / lit(1000000.0)).as("score"))
+        .unionAll(hub.orderBy(col("h").desc, col("c")).limit(20)
+          .select(lit("hub").as("role"), col("c").as("node"),
+            (col("h") / lit(1000000.0)).as("score")))
+    }.orderBy(col("role"), col("score").desc, col("node"))
   }
 
   /** Local clustering coefficient per node of the support-2 co-purchase
