@@ -1282,30 +1282,43 @@ object VectorOps {
       .filter(col("ca") =!= col("cb"))
       .withColumn("ps_r", r6(expr("graft_dot(x, y)")))
       .select("qid", "ca", "cb", "ps_r"))
-    val c = pinLocal(cand.select("qid", "cid", "rel_r"))
-    def pick(scored: DataFrame, step: Int): DataFrame = {
-      val w = Window.partitionBy("qid")
-        .orderBy(col("mmr_r").desc, col("cid"))
-      pinLocal(scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("qid"), lit(step.toLong).as("step"), col("cid"),
-          col("mmr_r")))
+    // The 5 greedy rounds run DRIVER-SIDE on the two collected bounded
+    // frames (≤36 candidate rows, ≤396 pair rows — k·|queries|-bounded
+    // by construction, the union-find-below-ceiling class). Both
+    // graft_dot passes stay in Spark, so every float the greedy loop
+    // touches is the engine-pinned r6 double; the loop itself is pure
+    // IEEE-double compare/argmax, identical to the round-7 plan-per-
+    // round form it replaces — which pinned 8 LocalRelations via 8
+    // collect jobs plus ~20 AQE stage jobs (29 jobs total, the
+    // registry's most job-exposed key; this form runs ~6).
+    val candRows = cand.select("qid", "cid", "rel_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val psim = pair.select("qid", "ca", "cb", "ps_r").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getDouble(3))).toMap
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val picks = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      var selected = Vector.empty[(Long, Long, Double)] // (step, cid, mmr)
+      for (step <- 1 to 5) {
+        val scored = cs
+          .filter(c => !selected.exists(_._2 == c._2))
+          .map { case (_, cid, rel) =>
+            val mmr =
+              if (step == 1) r6d(0.7 * rel) // empty set → diversity 0
+              else {
+                val maxsim = selected.map(s => psim((qid, cid, s._2))).max
+                r6d(0.7 * rel - 0.3 * maxsim)
+              }
+            (cid, mmr)
+          }
+        val (cid, mmr) = scored.minBy { case (c2, m) => (-m, c2) }
+        selected :+= ((step.toLong, cid, mmr))
+      }
+      selected.map { case (step, cid, mmr) => (qid, step, cid, mmr) }
     }
-    // step 1: empty selected set → diversity term is exactly 0
-    val s1 = pick(c.withColumn("mmr_r", r6(expr("0.7 * rel_r"))), 1)
-    val sel = (2 to 5).foldLeft(s1) { (acc, step) =>
-      val ms = pair
-        .join(acc.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
-        .groupBy(col("qid"), col("ca"))
-        .agg(max(col("ps_r")).as("maxsim_r"))
-        .withColumnRenamed("ca", "cid")
-      val scored = c
-        .join(acc.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
-        .join(ms, Seq("qid", "cid"))
-        .withColumn("mmr_r", r6(expr("0.7 * rel_r - 0.3 * maxsim_r")))
-      acc.unionByName(pick(scored, step))
-    }
-    sel.orderBy("qid", "step")
+    s.createDataFrame(picks.sortBy(p => (p._1, p._2)))
+      .toDF("qid", "step", "cid", "mmr_r")
+      .orderBy("qid", "step")
   }
 
   /** IVF probe-sweep tuning curve — the capacity-planning readout an
