@@ -55,6 +55,12 @@ object Bench {
       // wins without a rebuild; the shipped default stays ON
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Spark's generated-class cache holds 100 entries (static conf);
+      // a 369-key run evicts everything, so even the warmup keys
+      // recompile their codegen at the timed run. Sized to hold the
+      // whole registry's stages.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Tables.configure(spark)
