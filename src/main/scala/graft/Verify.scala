@@ -41,6 +41,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // hold the whole registry's generated classes (the Bench rule,
+      // round 8): the 100-entry default evicts across 369 keys
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     Tables.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
