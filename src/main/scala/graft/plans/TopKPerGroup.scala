@@ -45,18 +45,32 @@ case class TopKPerGroupPlan(k: Int, part: Seq[Attribute],
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(k, part, order, rankAttr, child) =>
-      TopKPerGroupExec(k, part, order, rankAttr, planLater(child)) :: Nil
+      // Two-phase, like partial aggregation: per-group top-k is
+      // decomposable (top-k of a union = top-k of per-partition
+      // top-ks), so a map-side partial heap runs BEFORE the exchange
+      // and only ≤ groups·k rows per input partition shuffle — for
+      // the kNN label-noise key that is 4M pair rows down to ~300k.
+      // Ranks are assigned only in the final (post-exchange) pass.
+      val partial = TopKPerGroupExec(k, part, order, rankAttr,
+        planLater(child), partial = true)
+      TopKPerGroupExec(k, part, order, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, part: Seq[Attribute],
     order: Seq[SortOrder], rankAttr: AttributeReference,
-    child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
+    child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(part) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical
+        .UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(part) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerGroupExec = copy(child = newChild)
 
@@ -65,6 +79,7 @@ case class TopKPerGroupExec(k: Int, part: Seq[Attribute],
     val kLocal = k
     val partLocal = part
     val outLocal = output
+    val partialLocal = partial
     // serializable, codegen'd lazily on each executor
     val ordering = new LazilyGeneratedOrdering(order, childOutput)
     val perPartition = (iter: Iterator[InternalRow]) => {
@@ -89,14 +104,25 @@ case class TopKPerGroupExec(k: Int, part: Seq[Attribute],
           if (buf.size > kLocal) { buf.remove(kLocal): Unit }
         }
       }
-      val outProj = UnsafeProjection.create(outLocal, outLocal)
-      val joined = new JoinedRow
-      val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      groups.values().iterator().asScala.flatMap { buf =>
-        (0 until buf.size).iterator.map { i =>
-          rankRow.update(0, (i + 1).toLong)
-          outProj(joined(buf.get(i), rankRow)): InternalRow
+      if (partialLocal) {
+        // map-side phase: emit the surviving rows unchanged (no rank —
+        // a partition sees only a slice of each group); the unsafe
+        // projection guarantees the exchange receives UnsafeRows
+        val outProj = UnsafeProjection.create(outLocal, outLocal)
+        groups.values().iterator().asScala.flatMap { buf =>
+          (0 until buf.size).iterator.map(r => outProj(buf.get(r))
+            : InternalRow)
+        }
+      } else {
+        val outProj = UnsafeProjection.create(outLocal, outLocal)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        groups.values().iterator().asScala.flatMap { buf =>
+          (0 until buf.size).iterator.map { i =>
+            rankRow.update(0, (i + 1).toLong)
+            outProj(joined(buf.get(i), rankRow)): InternalRow
+          }
         }
       }
     }
