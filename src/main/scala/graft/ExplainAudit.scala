@@ -253,7 +253,12 @@ object ExplainAudit {
     // session-3 close: the clip-then-noise DP sum's per-user aggregate
     // + 1-row release, and Fisher's type-ordered −2Σln p fold over the
     // shared KS family censuses
-    "q_privacy_dp_sum", "q_stats_fisher_combine")
+    "q_privacy_dp_sum", "q_stats_fisher_combine",
+    // round 8: HITS and assortativity join the audit — the
+    // ExplainPlansOnly hook hands back their unexecuted plans (they
+    // were excluded while construction eager-checkpointed; kcore/lpa
+    // stay excluded, their loops checkpoint unconditionally)
+    "q_graph_hits", "q_graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -271,6 +276,12 @@ object ExplainAudit {
     val names =
       if (only.isEmpty) audited
       else SparkEntry.queries.keys.filter(only).toSeq.sorted
+    // Audit-only: the noAqeCheckpoint keys (closeness/reach/
+    // assortativity/hits) otherwise materialize during construction
+    // and explain as a bare ExistingRDD scan — this flag makes them
+    // hand back the unexecuted plan so the audit shows the real
+    // BFS/wedge shapes (at execution the scope + checkpoint apply).
+    operators.GraphOps.ExplainPlansOnly = true
     names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
@@ -289,6 +300,7 @@ object ExplainAudit {
         finally operators.TextOps.AllPairsRowCeiling = saved
       }
     }
+    operators.GraphOps.ExplainPlansOnly = false
     spark.stop()
   }
 }

@@ -35,14 +35,22 @@ object GraphOps {
     * 0.8 s with, 2.1 s without) keep it on. The localCheckpoint runs
     * the work eagerly inside the conf scope (the kcore/hits accepted
     * caveat) and hands back a lineage-free bounded frame. */
+  /** When true, noAqeCheckpoint returns the UNmaterialized plan (no
+    * conf scope, no checkpoint) so `.explain` shows the real BFS/agg
+    * shape instead of a degenerate ExistingRDD scan — the plan-audit
+    * hook (ExplainAudit sets it; execution paths never do). */
+  private[graft] var ExplainPlansOnly = false
+
   private def noAqeCheckpoint(s: SparkSession)(build: => DataFrame)
-      : DataFrame = {
-    val key = "spark.sql.adaptive.enabled"
-    val saved = s.conf.get(key, "true")
-    s.conf.set(key, "false")
-    try build.localCheckpoint()
-    finally s.conf.set(key, saved)
-  }
+      : DataFrame =
+    if (ExplainPlansOnly) build
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val saved = s.conf.get(key, "true")
+      s.conf.set(key, "false")
+      try build.localCheckpoint()
+      finally s.conf.set(key, saved)
+    }
 
   /** Bipartite customer↔part edges, BOTH directions (undirected
     * PageRank), cached per (session, dir) — the index artifact shared
