@@ -77,6 +77,26 @@ class ExtensionsSpec extends SparkSpec {
       df.filter(col("id") < 5), 10, Seq("g"),
       Seq(("v", false), ("id", true)), "rn")
     assert(small.collect().length === 5)
+    // two-phase contract (round 8): a map-side partial heap must run
+    // BEFORE the group exchange, so only groups·k rows shuffle — the
+    // partial-aggregation shape applied to the custom operator
+    assert(physical.contains("TopKPerGroupPartial"),
+      s"map-side partial heap missing from plan:\n$physical")
+    assert(physical.indexOf("TopKPerGroupPartial") >
+      physical.indexOf("TopKPerGroup"),
+      "partial phase must sit below the final (post-exchange) phase")
+  }
+
+  test("noAqeCheckpoint scope restores the session AQE conf") {
+    // the scoped AQE-off materializer (closeness/reach/hits/
+    // assortativity) must never leak its conf mutation — a leaked
+    // 'false' would silently deoptimize every later query in the
+    // session (perf, not correctness, which is why a spec pins it)
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key, "true")
+    operators.GraphOps.queries("q_graph_assortativity")(spark, sfDir)
+      .count()
+    assert(spark.conf.get(key, "true") === before)
   }
 
   test("registered functions reject wrong arity with a named error") {
