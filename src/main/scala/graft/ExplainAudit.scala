@@ -282,7 +282,7 @@ object ExplainAudit {
     // hand back the unexecuted plan so the audit shows the real
     // BFS/wedge shapes (at execution the scope + checkpoint apply).
     operators.GraphOps.ExplainPlansOnly = true
-    names.foreach { name =>
+    try names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       // The two exact all-pairs baselines are ceiling-guarded (VERDICT
@@ -300,7 +300,7 @@ object ExplainAudit {
         finally operators.TextOps.AllPairsRowCeiling = saved
       }
     }
-    operators.GraphOps.ExplainPlansOnly = false
+    finally operators.GraphOps.ExplainPlansOnly = false
     spark.stop()
   }
 }

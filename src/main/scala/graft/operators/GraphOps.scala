@@ -44,7 +44,13 @@ object GraphOps {
   private def noAqeCheckpoint(s: SparkSession)(build: => DataFrame)
       : DataFrame =
     if (ExplainPlansOnly) build
-    else {
+    else s.synchronized {
+      // serialized per session: the save/set/restore of a SHARED session
+      // conf would otherwise race with concurrent query construction on
+      // the same SparkSession (planning an unrelated query with AQE off,
+      // or leaking 'false' via interleaved restores). Registry callers
+      // are sequential; the lock makes the scope safe for library users
+      // who construct queries from multiple threads.
       val key = "spark.sql.adaptive.enabled"
       val saved = s.conf.get(key, "true")
       s.conf.set(key, "false")
@@ -529,8 +535,11 @@ object GraphOps {
       // a bounded driver collect (Dist-caveat pattern) instead of a
       // crossJoin(broadcast(...)): each of the 4 normalizations drops
       // its broadcast-exchange QueryStage job and the downstream plans
-      // carry a literal, not a join
-      val tot = raw.agg(sum(col(in))).first().getLong(0)
+      // carry a literal, not a join. sum over an EMPTY frame is NULL:
+      // any divisor keeps the select-over-empty-frame empty, matching
+      // the old crossJoin(broadcast(tot)) NULL-propagation
+      val tot = Option(raw.agg(sum(col(in))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(1L)
       raw.select(col(key),
         floor(col(in).cast("double") / lit(tot) * 1000000L + 0.5)
           .as(out))

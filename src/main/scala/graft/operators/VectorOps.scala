@@ -1299,7 +1299,9 @@ object VectorOps {
     def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val picks = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
       var selected = Vector.empty[(Long, Long, Double)] // (step, cid, mmr)
-      for (step <- 1 to 5) {
+      var step = 1
+      var exhausted = false
+      while (step <= 5 && !exhausted) {
         val scored = cs
           .filter(c => !selected.exists(_._2 == c._2))
           .map { case (_, cid, rel) =>
@@ -1311,8 +1313,15 @@ object VectorOps {
               }
             (cid, mmr)
           }
-        val (cid, mmr) = scored.minBy { case (c2, m) => (-m, c2) }
-        selected :+= ((step.toLong, cid, mmr))
+        // a query with < 5 distinct candidates emits fewer steps (the
+        // round-7 plan-per-round degraded-output behavior), instead of
+        // minBy throwing on the empty remainder
+        if (scored.isEmpty) exhausted = true
+        else {
+          val (cid, mmr) = scored.minBy { case (c2, m) => (-m, c2) }
+          selected :+= ((step.toLong, cid, mmr))
+        }
+        step += 1
       }
       selected.map { case (step, cid, mmr) => (qid, step, cid, mmr) }
     }
