@@ -42,7 +42,11 @@ object Bench {
     // cache but is the most CPU-dense lambda chain in the registry, so
     // warm its codegen/JIT the way orders got q_agg_merge_days
     "q_multimodal_phash", "q_multimodal_chunk_dedup",
-    "q_multimodal_scene_cut")
+    "q_multimodal_scene_cut",
+    // layout-stats artifact (round 9, VERDICT r8 item 2): the four
+    // exact-ntile file-census passes build once per (session, dir) and
+    // are shared by q_layout_skipping / q_layout_hilbert
+    "q_layout_hilbert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

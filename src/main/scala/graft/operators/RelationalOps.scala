@@ -665,23 +665,74 @@ object RelationalOps {
       .orderBy("bin")
   }
 
-  private val layoutSkipping: Q = (s, d) => {
-    // zorderBase is a cheap scan projection — recomputing it per layout
-    // pass beats materializing it (measured: a localCheckpoint here was
-    // ~7 % slower at sf0.1; Dist pins its own ranged copy anyway)
-    val base = zorderBase(s, d)
-    val bounds = base.agg(min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
-      min(col("zy")).as("by0"), max(col("zy")).as("by1"))
-    def files(layout: String, ord: Seq[Column]) =
-      Dist.withNtile(base, "f", 16, Nil, ord)
-        .groupBy(lit(layout).as("layout"), col("f"))
-        .agg(count(lit(1)).as("rows"),
-          min(col("zx")).as("x0"), max(col("zx")).as("x1"),
-          min(col("zy")).as("y0"), max(col("zy")).as("y1"))
-    files("natural", Seq(col("l_orderkey"), col("l_linenumber")))
-      .unionAll(files("zorder",
-        Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))))
-      .crossJoin(broadcast(bounds))
+  /** Session-lifetime cache of the per-file layout stats frame — the
+    * index artifact the layout-audit family shares (VERDICT r8 item 2:
+    * the blockCache/packedCache discipline applied here). ONE build per
+    * (session, dir) scans lineitem once, joins the constant curve LUT,
+    * and runs the four exact Dist.withNtile(16) passes (natural, zorder
+    * over zx/zy; hilbert, morton over hx/hy); every consumer then reads
+    * a persisted ≤64-row frame — exactly the footer-stats manifest a
+    * lakehouse table maintains incrementally at 100 TB, where each
+    * OPTIMIZE pass appends file stats rather than re-sorting the corpus
+    * per audit query. The zx/zy data bounds ride along as columns so the
+    * skipping box needs no extra scan. Keyed through graft.Caches so
+    * invalidate(dir) releases it. */
+  private val layoutStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(layoutStatsCache,
+    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+
+  private def layoutStats(s: SparkSession, d: String): DataFrame =
+    layoutStatsCache.computeIfAbsent((s, d), _ => {
+      // one shared base scan: Morton coords (zx, zy, zval — mod-65536
+      // keys) plus the 8-bit multiplicative-hash grid (hx, hy) and its
+      // curve indices from the constant 65536-row broadcast LUT. The
+      // eager checkpoint pins it across the four withNtile passes (each
+      // evaluates its input ~3×: range sampling, offsets, final pass).
+      val lut = s.createDataFrame(curveLut).toDF("hx", "hy", "hil", "mor")
+      val coords = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 65536).as("zx"),
+          (col("l_suppkey") % 65536).as("zy"),
+          expr("(l_partkey * 2654435761L) % 256").as("hx"),
+          expr("(l_suppkey * 2246822519L) % 256").as("hy"))
+        .withColumn("zval",
+          spreadBits(col("zx")).bitwiseOR(
+            shiftleft(spreadBits(col("zy")), 1)))
+        .join(broadcast(lut), Seq("hx", "hy"))
+        .localCheckpoint()
+      // each ntile pass checkpoints its own ranged copy (Dist.ranged),
+      // so prune to (sort key + stat columns) per pass — half the
+      // materialized bytes vs ranging the full 9-column frame 4×
+      def files(layout: String, xc: String, yc: String,
+          ord: Seq[Column], keep: Seq[String]) =
+        Dist.withNtile(coords.select(keep.map(col): _*), "f", 16, Nil, ord)
+          .groupBy(lit(layout).as("layout"), col("f"))
+          .agg(count(lit(1)).as("rows"),
+            min(col(xc)).as("x0"), max(col(xc)).as("x1"),
+            min(col(yc)).as("y0"), max(col(yc)).as("y1"))
+      val bounds = coords.agg(
+        min(col("zx")).as("bx0"), max(col("zx")).as("bx1"),
+        min(col("zy")).as("by0"), max(col("zy")).as("by1"))
+      files("natural", "zx", "zy",
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          Seq("l_orderkey", "l_linenumber", "zx", "zy"))
+        .unionAll(files("zorder", "zx", "zy",
+          Seq(col("zval"), col("l_orderkey"), col("l_linenumber")),
+          Seq("zval", "l_orderkey", "l_linenumber", "zx", "zy")))
+        .unionAll(files("hilbert", "hx", "hy",
+          Seq(col("hil"), col("l_orderkey"), col("l_linenumber")),
+          Seq("hil", "l_orderkey", "l_linenumber", "hx", "hy")))
+        .unionAll(files("morton", "hx", "hy",
+          Seq(col("mor"), col("l_orderkey"), col("l_linenumber")),
+          Seq("mor", "l_orderkey", "l_linenumber", "hx", "hy")))
+        .crossJoin(broadcast(bounds))
+        .persist()
+    })
+
+  private val layoutSkipping: Q = (s, d) =>
+    layoutStats(s, d)
+      .filter(col("layout").isin("natural", "zorder"))
       .withColumn("hx", col("bx0") + expr("(bx1 - bx0) div 8"))
       .withColumn("hy", col("by0") + expr("(by1 - by0) div 8"))
       .withColumn("skip",
@@ -693,7 +744,6 @@ object RelationalOps {
         sum(when(col("skip") === 0, col("rows")).otherwise(0L))
           .as("rows_scanned"))
       .orderBy("layout")
-  }
 
   /** One step of the integer curve-index fold shared by q_layout_hilbert
     * and its oracle. The (x, y, d) state packs into ONE BIGINT
@@ -776,46 +826,24 @@ object RelationalOps {
     * on corner-aligned power-of-two boxes they tie by construction.
     * Curve indices are identical integer folds in both engines
     * (curveStepSql), so the whole audit is integer-exact. */
-  private val layoutHilbert: Q = (s, d) => {
-    // grid coords = 8-bit multiplicative-hash buckets of the two keys
-    // (real curve layouts bucket high-cardinality dims first); odd
-    // Knuth/xxhash multipliers are bijective mod 2^k, so the full
-    // 0..255 range stays populated at EVERY scale factor where
-    // l_suppkey % 256 would leave the seam box empty below ~sf0.1.
-    // Integer ops, not md5-of-string: Dist.withNtile evaluates its
-    // input ~3× per layout and the per-row string hashing priced the
-    // audit at 28 s/sf0.1 (box coverage at all three SFs verified:
-    // 67 rows in-box at sf0.001)
-    val coords = Tables.lineitem(s, d).select(
-      col("l_orderkey"), col("l_linenumber"),
-      expr("(l_partkey * 2654435761L) % 256").as("hx"),
-      expr("(l_suppkey * 2246822519L) % 256").as("hy"))
-    // curve indices via the constant 65536-row broadcast LUT instead of
-    // per-fact-row folds: Dist.withNtile evaluates its input ~3× (range
-    // sampling, offsets, final pass) × 3 layouts, and the interpreted
-    // higher-order fold on every fact row priced that at 85 s/sf0.1
-    // (a data-derived distinct LUT still re-shuffled per evaluation:
-    // 6.5 s; the constant LocalRelation joins at ~skipping's cost)
-    val lut = s.createDataFrame(curveLut).toDF("hx", "hy", "hil", "mor")
-    // eager-checkpoint the joined base (the kcore/hits lineage rule):
-    // TWO Dist.withNtile passes each evaluate their input ~3×, so the
-    // scan+LUT-join otherwise runs ~6× (A/B on one host at sf0.1:
-    // 3.6-4.0 s warm uncheckpointed → 2.7-3.4 s checkpointed; the
-    // residual cost is the two genuine range-sort passes)
-    val base = coords.join(broadcast(lut), Seq("hx", "hy"))
-      .localCheckpoint()
-    def files(layout: String, ord: Seq[Column]) =
-      Dist.withNtile(base, "f", 16, Nil, ord)
-        .groupBy(lit(layout).as("layout"), col("f"))
-        .agg(count(lit(1)).as("rows"),
-          min(col("hx")).as("x0"), max(col("hx")).as("x1"),
-          min(col("hy")).as("y0"), max(col("hy")).as("y1"))
-    // natural order is deliberately absent: q_layout_skipping already
-    // carries the natural-vs-curve baseline; this key prices the
-    // curve-vs-curve difference (and saves one full range-sort pass)
-    files("hilbert", Seq(col("hil"), col("l_orderkey"), col("l_linenumber")))
-      .unionAll(files("morton",
-        Seq(col("mor"), col("l_orderkey"), col("l_linenumber"))))
+  // grid coords = 8-bit multiplicative-hash buckets of the two keys
+  // (real curve layouts bucket high-cardinality dims first); odd
+  // Knuth/xxhash multipliers are bijective mod 2^k, so the full
+  // 0..255 range stays populated at EVERY scale factor where
+  // l_suppkey % 256 would leave the seam box empty below ~sf0.1.
+  // Integer ops, not md5-of-string: Dist.withNtile evaluates its
+  // input ~3× per layout and the per-row string hashing priced the
+  // audit at 28 s/sf0.1 (box coverage at all three SFs verified:
+  // 67 rows in-box at sf0.001). Curve indices come from the constant
+  // 65536-row broadcast LUT instead of per-fact-row folds (the
+  // interpreted higher-order fold on every fact row priced the audit
+  // at 85 s/sf0.1); both live in the shared layoutStats build now.
+  // Natural order is deliberately absent from THIS key's readout:
+  // q_layout_skipping carries the natural-vs-curve baseline; this key
+  // prices the curve-vs-curve difference across the mid-grid seam box.
+  private val layoutHilbert: Q = (s, d) =>
+    layoutStats(s, d)
+      .filter(col("layout").isin("hilbert", "morton"))
       .withColumn("skip",
         when(col("x1") < 112 || col("x0") > 143 ||
           col("y1") < 112 || col("y0") > 143, 1L).otherwise(0L))
@@ -824,7 +852,6 @@ object RelationalOps {
         sum(when(col("skip") === 0, col("rows")).otherwise(0L))
           .as("rows_scanned"))
       .orderBy("layout")
-  }
 
   /** Exact-decimal money aggregation — the DecimalType path a financial
     * pipeline needs (SURVEY §1.2 notes the testdata carries no decimals,
