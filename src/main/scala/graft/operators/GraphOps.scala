@@ -523,14 +523,21 @@ object GraphOps {
   private val hits: Q = (s, d) => {
     val e = biEdges(s, d).filter(col("src").startsWith("c"))
       .select(col("src").as("c"), col("dst").as("p"))
-    // Each half-iteration materializes via localCheckpoint (the kcore
-    // discipline): `raw` is referenced twice (total + normalize) and
-    // feeds the next round's join, so an uncheckpointed chain re-expands
-    // the edge join once per later reference — measured 21 s vs ~1 s
-    // checkpointed at sf0.1. Frames are node-bounded (|customers| /
-    // |parts| rows), so the materialization is cheap.
+    // Each half-iteration materializes via persist + the L1-total
+    // aggregate as the materializing ACTION (round 9, VERDICT r8 item
+    // 4): `raw` is referenced twice (total + normalize) and feeds the
+    // next round's join, so an unmaterialized chain re-expands the edge
+    // join once per later reference — measured 21 s vs ~1 s at sf0.1.
+    // The round-8 form paid TWO jobs per half-iteration (localCheckpoint
+    // rewrite + total collect); folding the materialization into the
+    // total's own job halves that — the first action over the persisted
+    // frame both populates the cache and returns the sum. Frames are
+    // node-bounded (|customers| / |parts| rows), so the cache is cheap;
+    // intermediates are unpersisted after the final frame materializes.
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def norm(raw0: DataFrame, key: String, in: String, out: String) = {
-      val raw = raw0.localCheckpoint()
+      val raw = raw0.persist()
+      pinned += raw
       // the L1 total is ONE long over the just-materialized frame —
       // a bounded driver collect (Dist-caveat pattern) instead of a
       // crossJoin(broadcast(...)): each of the 4 normalizations drops
@@ -550,10 +557,20 @@ object GraphOps {
     // conversion made them broadcast; with the hint the static planner
     // keeps BHJ and the 4 checkpoint queries stop fanning into
     // per-QueryStage jobs (27 jobs with AQE → ~12).
-    noAqeCheckpoint(s) {
-      var hub = e.select("c").distinct().withColumn("h", lit(1000000L))
-      var auth: DataFrame = null
-      for (_ <- 1 to 2) {
+    val out = noAqeCheckpoint(s) {
+      // Iteration 1's authority update is algebraically a degree count:
+      // every hub starts at the UNIFORM 1000000, so Σ_{c∈N(p)} h(c) =
+      // 1000000 · |N(p)| — one aggregate pass over the edges with no
+      // distinct-customers shuffle, no broadcast, no join (the r9 probe
+      // priced the literal e ⋈ broadcast(distinct c) form at 0.83 s of
+      // the key's 2.1 s). The long arithmetic is bit-identical to the
+      // joined form, so the oracle's replay (which keeps the textbook
+      // uniform-init join) still hash-matches.
+      var auth = norm(e.groupBy("p")
+        .agg((count(lit(1)) * 1000000L).as("ar")), "p", "ar", "a")
+      var hub = norm(e.join(broadcast(auth), "p")
+        .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
+      for (_ <- 2 to 2) {
         auth = norm(e.join(broadcast(hub), "c")
           .groupBy("p").agg(sum("h").as("ar")), "p", "ar", "a")
         hub = norm(e.join(broadcast(auth), "p")
@@ -566,6 +583,10 @@ object GraphOps {
           .select(lit("hub").as("role"), col("c").as("node"),
             (col("h") / lit(1000000.0)).as("score")))
     }.orderBy(col("role"), col("score").desc, col("node"))
+    // the final frame is checkpointed (lineage-free); release the
+    // half-iteration caches so the key leaves no executor-memory residue
+    pinned.foreach(_.unpersist(false))
+    out
   }
 
   /** Local clustering coefficient per node of the support-2 co-purchase
