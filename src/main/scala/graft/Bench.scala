@@ -46,7 +46,10 @@ object Bench {
     // layout-stats artifact (round 9, VERDICT r8 item 2): the four
     // exact-ntile file-census passes build once per (session, dir) and
     // are shared by q_layout_skipping / q_layout_hilbert
-    "q_layout_hilbert")
+    "q_layout_hilbert",
+    // trained BPE artifact (round 9): the 5-round merge loop builds
+    // once per (session, dir), shared by bpe_train / bpe_encode
+    "q_text_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,6 +114,18 @@ object Bench {
     // (comma-separated keys) restricts the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Fleet job census rides along (round 9, VERDICT r8 item 7): the
+    // projected-degraded-host number is total + jobs × (degraded per-job
+    // cost − this run's per-job cost), so the census has to be in the
+    // same JSON the projection is
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler
+            .SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(): Unit
+        }
+      })
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -124,6 +139,17 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    Thread.sleep(300) // let straggler job-start events land
+    val nJobs = jobCounter.get()
+    // Projected total on a degraded-scheduler host (VERDICT r8 item 7,
+    // the round-8 close math as an emitted field): this run's total +
+    // the fleet's job count × the per-job cost DELTA to the reference
+    // degraded reading (the r8 driver's canary_10jobs 0.751 → 75 ms/job).
+    // projected_slope_sec_per_10ms_job lets any other canary be plugged
+    // in: projected(c) ≈ total + slope × (c×100 − canary×100)/10.
+    val projectedDegraded =
+      total + nJobs * math.max(0.0, 0.075 - canaryJobs / 10.0)
+    val slopePer10ms = nJobs * 0.010
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness keeps only the last ~2000 chars of output, so a
     // queries map covering every registry key (~5 KB at 170+ keys) can
@@ -160,7 +186,7 @@ object Bench {
     val keptSum = results.filter(_._2 >= 0.5)
       .sortBy { case (k, v) => (-v, k) }.take(kept.size).map(_._2).sum
     val omittedSlow = total - floorSum - keptSum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"canary_scan_sec":${r3(canary)},"canary_10jobs_sec":${r3(canaryJobs)},"queries_slowest":${kept.size},"floor_sum_sec":${r3(floorSum)},"n_below_floor":$nBelow,"omitted_slow_sum_sec":${r3(omittedSlow)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"canary_scan_sec":${r3(canary)},"canary_10jobs_sec":${r3(canaryJobs)},"n_jobs":$nJobs,"projected_degraded_sec":${r3(projectedDegraded)},"projected_slope_sec_per_10ms_job":${r3(slopePer10ms)},"queries_slowest":${kept.size},"floor_sum_sec":${r3(floorSum)},"n_below_floor":$nBelow,"omitted_slow_sum_sec":${r3(omittedSlow)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) System.err.println(s"FAILED QUERIES: $failed")
     spark.stop()
   }

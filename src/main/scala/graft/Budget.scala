@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-key bench-budget guard (round 9, VERDICT r8 item 1): the round-7
+  * episode lost 40+ s of bench without any single commit noticing,
+  * because nothing ENFORCED the recorded per-key bands. This pins them:
+  * the 20 slowest BENCH_r08 keys each carry a recorded warm band, and a
+  * measured warm run must stay under band × 1.5, normalized by the
+  * in-band job canary (the host-weather axis BASELINE.md's two-canary
+  * protocol separates from code regressions — a degraded scheduler
+  * inflates every multi-job key together, and the canary scales the
+  * budget with it instead of crying wolf).
+  *
+  * Two tiers, because the suite shares one local[2] SparkContext and a
+  * JVM can hold only one master: `suiteTier` (local[2], sf0.01) runs
+  * inside `sbt test` via BudgetSpec on every build; `benchTier`
+  * (local[32], sf0.1 — the bench config itself) runs via the
+  * `graft.BudgetCheck` main at round close. Bands are warm medians of 3
+  * recorded at the stated config (`BudgetCheck record <tier>` re-emits
+  * them); the recording's own job canary rides along as the
+  * normalization denominator.
+  *
+  * Red-demo hook: GRAFT_BUDGET_SLOW_KEY=<key> sleeps 2× the key's band
+  * inside the timed section, proving the guard actually fails when a
+  * key is artificially slowed (recorded in BASELINE.md round 9). */
+object Budget {
+
+  /** A recorded budget tier: config label, the job canary measured when
+    * the bands were recorded, and key → warm-seconds band. */
+  final case class Tier(label: String, healthyCanary10: Double,
+      bands: Map[String, Double])
+
+  /** The guarded set = BENCH_r08's 20 slowest keys — exactly the
+    * surface where the round-7 drift concentrated. */
+  val guardedKeys: Seq[String] = Seq(
+    "q_layout_hilbert", "q_graph_hits", "q_layout_skipping",
+    "q_sample_dsir", "q_eval_minhash_recall", "q_graph_closeness",
+    "q_graph_reach", "q_dedup_prefix_filter", "q_dedup_simhash_pairs",
+    "q_stats_spearman", "q_vec_label_noise", "q_basket_rules",
+    "q_customer_rfm", "q_join_salted", "q_sim_sparse_topk",
+    "q_graph_lpa", "q_sample_ess", "q_graph_local_bridges",
+    "q_graph_pagerank", "q_join_asof_nearest")
+
+  // Bands recorded 2026-08-15 (round 9) at the current code; re-record
+  // with `sbt "runMain graft.BudgetCheck record <tier>"` after any
+  // deliberate perf-relevant change.
+  val suiteTier: Tier = Tier("local[2] sf0.01", 0.358, Map(
+    "q_layout_hilbert" -> 0.15, "q_graph_hits" -> 0.65,
+    "q_layout_skipping" -> 0.15, "q_sample_dsir" -> 0.35,
+    "q_eval_minhash_recall" -> 0.30, "q_graph_closeness" -> 0.60,
+    "q_graph_reach" -> 0.50, "q_dedup_prefix_filter" -> 0.40,
+    "q_dedup_simhash_pairs" -> 0.35, "q_stats_spearman" -> 0.50,
+    "q_vec_label_noise" -> 0.25, "q_basket_rules" -> 0.30,
+    "q_customer_rfm" -> 0.45, "q_join_salted" -> 0.25,
+    "q_sim_sparse_topk" -> 0.45, "q_graph_lpa" -> 0.55,
+    "q_sample_ess" -> 0.25, "q_graph_local_bridges" -> 0.35,
+    "q_graph_pagerank" -> 0.35, "q_join_asof_nearest" -> 0.25))
+
+  val benchTier: Tier = Tier("local[32] sf0.1", 0.55, Map(
+    "q_layout_hilbert" -> 0.35, "q_graph_hits" -> 1.50,
+    "q_layout_skipping" -> 0.30, "q_sample_dsir" -> 1.60,
+    "q_eval_minhash_recall" -> 1.60, "q_graph_closeness" -> 1.50,
+    "q_graph_reach" -> 1.45, "q_dedup_prefix_filter" -> 1.40,
+    "q_dedup_simhash_pairs" -> 1.40, "q_stats_spearman" -> 1.40,
+    "q_vec_label_noise" -> 1.40, "q_basket_rules" -> 1.35,
+    "q_customer_rfm" -> 1.35, "q_join_salted" -> 1.35,
+    "q_sim_sparse_topk" -> 1.30, "q_graph_lpa" -> 1.30,
+    "q_sample_ess" -> 1.30, "q_graph_local_bridges" -> 1.25,
+    "q_graph_pagerank" -> 1.20, "q_join_asof_nearest" -> 1.20))
+
+  /** Median-of-3 of 10 trivial one-row jobs — Bench's canary_10jobs. */
+  def canary10(s: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      (1 to 10).foreach(_ => s.range(1).count())
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+
+  final case class Result(key: String, measuredSec: Double,
+      budgetSec: Double, bandSec: Double, scale: Double) {
+    def ok: Boolean = measuredSec <= budgetSec
+    def line: String =
+      f"${if (ok) "OK  " else "OVER"} $key%-26s ${measuredSec}%6.2f s" +
+        f"  budget ${budgetSec}%6.2f (band $bandSec%5.2f × 1.5" +
+        f" × canary $scale%4.2f)"
+  }
+
+  /** Warm each guarded key once, then take the best of 2 timed runs
+    * against band × 1.5 × canary-scale. The canary is measured in the
+    * SAME session immediately before, so host weather moves the budget,
+    * not the verdict. */
+  def check(s: SparkSession, sfDir: String, tier: Tier): Seq[Result] = {
+    val keys = guardedKeys.filter(tier.bands.contains)
+    // warm EVERYTHING first (caches, codegen, JIT), THEN read the
+    // canary: measured before any warmup it prices JVM cold start, not
+    // host weather, and a 2-3× cold reading would silently loosen every
+    // budget below regression-detection strength
+    keys.foreach(k => SparkEntry.queries(k)(s, sfDir).count())
+    val scale = math.max(1.0, canary10(s) / tier.healthyCanary10)
+    val slowKey = sys.env.get("GRAFT_BUDGET_SLOW_KEY")
+    keys.map { k =>
+      val band = tier.bands(k)
+      val fn = SparkEntry.queries(k)
+      val measured = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(s, sfDir).count()
+        if (slowKey.contains(k))
+          Thread.sleep(math.ceil(band * 2000).toLong)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      Result(k, measured, band * 1.5 * scale, band, scale)
+    }
+  }
+
+  /** Median-of-3 warm timings per guarded key — the recording pass that
+    * produces the Tier band map source text. */
+  def record(s: SparkSession, sfDir: String): (Double, Seq[(String, Double)]) = {
+    val c = canary10(s)
+    val rows = guardedKeys.map { k =>
+      val fn = SparkEntry.queries(k)
+      fn(s, sfDir).count()
+      val med = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(s, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+      k -> med
+    }
+    (c, rows)
+  }
+}
+
+/** Round-close budget enforcement at the BENCH config (local[32],
+  * sf0.1), plus the band recorder for both tiers.
+  *
+  * Usage:
+  *   sbt "runMain graft.BudgetCheck"                — check benchTier, exit 1 on breach
+  *   sbt "runMain graft.BudgetCheck record bench"   — emit fresh benchTier bands
+  *   sbt "runMain graft.BudgetCheck record suite"   — emit fresh suiteTier bands
+  */
+object BudgetCheck {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("check")
+    val tierName = args.lift(1).getOrElse("bench")
+    val (master, parts, sfDir, tier) =
+      if (tierName == "suite")
+        ("local[2]", "2", "/root/testdata/sf0.01", Budget.suiteTier)
+      else ("local[32]", "32", "/root/testdata/sf0.1", Budget.benchTier)
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Tables.configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    // same untimed warmup the bench does, so one-time artifact builds
+    // never land inside a guarded key's timing
+    Bench.warmupKeys.foreach { k =>
+      try SparkEntry.queries.get(k).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+    }
+    if (mode == "record") {
+      val (c, rows) = Budget.record(spark, sfDir)
+      println(f"// recorded canary10 = $c%.3f  (${tier.label})")
+      rows.foreach { case (k, v) =>
+        println(f"""    "$k" -> ${math.max(0.05, math.ceil(v * 20) / 20)}%.2f,""")
+      }
+    } else {
+      val res = Budget.check(spark, sfDir, tier)
+      res.foreach(r => println(r.line))
+      val over = res.filterNot(_.ok)
+      if (over.nonEmpty) {
+        System.err.println(s"BUDGET BREACH: ${over.map(_.key).mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+      println(s"BUDGET OK: ${res.size} keys within band × 1.5 (${tier.label})")
+    }
+    spark.stop()
+  }
+}

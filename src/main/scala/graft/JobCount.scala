@@ -24,7 +24,10 @@ object JobCount {
       .getOrCreate()
     Tables.configure(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    val keys: Seq[String] = if (args.nonEmpty) args.toSeq else Seq(
+    val keys: Seq[String] =
+      if (args.sameElements(Array("--all")))
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq else Seq(
       "q_graph_hits", "q_graph_closeness", "q_graph_pagerank",
       "q_graph_reach", "q_graph_kcore", "q_graph_lpa",
       "q_layout_hilbert", "q_layout_skipping", "q_vec_label_noise")

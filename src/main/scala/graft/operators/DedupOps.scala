@@ -343,6 +343,12 @@ object DedupOps {
     * union-find by forcing the distributed path on the same graph. */
   private[graft] var DriverCcEdgeThreshold = 500000L
 
+  /** When non-null, the distributed CC loop appends each round's
+    * optimized-plan node count (test hook; never set on execution
+    * paths). */
+  private[graft] var CcPlanNodeLog
+      : scala.collection.mutable.ListBuffer[Int] = null
+
   /** Union-find with MIN representative — the same fixpoint the
     * distributed min-label propagation converges to, so the two paths
     * are oracle-identical (pinned by ScaleTechniqueSpec's equivalence
@@ -477,11 +483,17 @@ object DedupOps {
       // the label table (pointer jumping) — long chains collapse in
       // O(log diameter) rounds instead of O(diameter).
       val jump = stepped.select(col("v").as("jv"), col("mid").as("jl"))
-      val (upd, updRdd) = materialize(
-        stepped.join(jump, stepped("mid") === jump("jv"), "left")
-          .select(stepped("v"), col("prev"),
-            least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
-          .repartition(np, col("v")))
+      val roundPlan = stepped.join(jump, stepped("mid") === jump("jv"), "left")
+        .select(stepped("v"), col("prev"),
+          least(col("mid"), coalesce(col("jl"), col("mid"))).as("nlbl"))
+        .repartition(np, col("v"))
+      // test hook (IterativeLineageSpec): record each round's optimized
+      // plan node count — flat across rounds BY CONSTRUCTION, because
+      // lab/und are always fresh LogicalRDD scans of materialized blocks
+      if (CcPlanNodeLog != null)
+        CcPlanNodeLog += roundPlan.queryExecution.optimizedPlan
+          .collect { case n => n }.length
+      val (upd, updRdd) = materialize(roundPlan)
       changed = upd.filter(col("nlbl") < col("prev")).count()
       labRdd.unpersist(blocking = false) // round k-1 freed eagerly
       lab = upd.select(col("v"), col("nlbl").as("lbl"))

@@ -41,12 +41,33 @@ object Dist {
   private def defaultParts(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** Runs the eager actions inside Dist (range checkpoint, offset
+    * collects) with AQE off, restoring the conf after (serialized per
+    * session, the GraphOps.noAqeCheckpoint discipline). AQE has nothing
+    * to improve here — the range exchange carries an EXPLICIT partition
+    * count AQE must respect and the offset aggregates are
+    * O(partitions)-row — but each materialization would still fan into
+    * per-QueryStage jobs (round-9 fleet census: 2-4 AQE stage jobs per
+    * call; on a host that taxes job submission that is most of a
+    * Dist-using key's cost). The scope covers ONLY the
+    * construction-time actions: consumer plans downstream still run
+    * with the session's AQE setting. */
+  private def noAqe[A](s: org.apache.spark.sql.SparkSession)(f: => A): A =
+    s.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val saved = s.conf.get(key, "true")
+      s.conf.set(key, "false")
+      try f
+      finally s.conf.set(key, saved)
+    }
+
   /** Range-partition on (groupCols ++ sortCols), pin layout, tag pid. */
   private def ranged(df: DataFrame, parts: Int, keys: Seq[Column])
-      : DataFrame =
+      : DataFrame = noAqe(df.sparkSession) {
     df.repartitionByRange(parts, keys: _*)
       .withColumn(PID, spark_partition_id())
       .localCheckpoint()
+  }
 
   /** Exact global (or per-group) 1-based row_number `rnCol` plus the group
     * row count `nCol`, computed without a single-partition window. With
@@ -63,8 +84,8 @@ object Dist {
       if (groupCols.isEmpty) lit("")
       else concat_ws(SEP, groupCols.map(_.cast("string")): _*)
     // bounded: one row per (partition, group)
-    val counts = rp.groupBy(col(PID), gkey.as("__g"))
-      .agg(count(lit(1)).as("__c")).collect()
+    val counts = noAqe(df.sparkSession)(rp.groupBy(col(PID), gkey.as("__g"))
+      .agg(count(lit(1)).as("__c")).collect())
       .map(r => (r.getString(1), r.getInt(0), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     val off = scala.collection.mutable.Map.empty[String, Long]
@@ -116,8 +137,8 @@ object Dist {
     val parts = if (numParts > 0) numParts else defaultParts(df)
     val rp = ranged(df.withColumn("__graft_v", value.cast("long")),
       parts, sortCols)
-    val ptots = rp.groupBy(col(PID))
-      .agg(max(col("__graft_v")).as("__m")).collect()
+    val ptots = noAqe(df.sparkSession)(rp.groupBy(col(PID))
+      .agg(max(col("__graft_v")).as("__m")).collect())
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     var acc = Long.MinValue
@@ -144,9 +165,9 @@ object Dist {
     val aggCols = sums.map { case (nm, c) =>
       sum(c.cast("long")).as(nm + "__t")
     }
-    val ptots = rp.groupBy(col(PID))
+    val ptots = noAqe(df.sparkSession)(rp.groupBy(col(PID))
       .agg(aggCols.head, aggCols.tail: _*)
-      .collect()
+      .collect())
       .map(r => (r.getInt(0), sums.indices.map(i => r.getLong(i + 1))))
       .sortBy(_._1)
     val offs: Seq[Map[Int, Long]] = sums.indices.map { i =>

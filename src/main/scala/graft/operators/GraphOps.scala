@@ -120,19 +120,32 @@ object GraphOps {
     * round-replay discipline), so iteration k+1 starts from identical
     * doubles in both engines; the oracle replays the iterations as
     * chained CTEs. Top-50 by (rank, node) via TakeOrderedAndProject. */
-  private val pagerank: Q = (s, d) => {
+  /** Ranks after `iters` PageRank iterations — the per-iteration frame
+    * the lineage-boundedness spec pins (IterativeLineageSpec): each
+    * iteration references the previous ranks exactly ONCE, so the chain
+    * composes as a single linear plan (constant node-increment per
+    * iteration, never multiplicative re-expansion) and executes as
+    * pipelined shuffle stages in one job — for a FIXED small iteration
+    * count that beats per-iteration materialization, which would break
+    * the pipeline and add a job per round. */
+  private[graft] def pagerankRanks(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
     val e = biEdges(s, d) // (src, dst, deg) — one cached read per use
     var ranks = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
-    for (_ <- 1 to PrIterations) {
+    for (_ <- 1 to iters) {
       ranks = e.join(ranks, col("src") === col("node"))
         .groupBy("dst")
         .agg(sum(col("pr") / col("deg")).as("m"))
         .select(col("dst").as("node"),
           r6(lit(0.15) + lit(0.85) * col("m")).as("pr"))
     }
-    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+    ranks
   }
+
+  private val pagerank: Q = (s, d) =>
+    pagerankRanks(s, d, PrIterations)
+      .orderBy(col("pr").desc, col("node")).limit(50)
 
   /** Exact triangle enumeration on the support-2 co-purchase graph: the
     * classic oriented wedge join — e(a,b) ⋈ e(b,c) builds wedges, a
@@ -240,12 +253,16 @@ object GraphOps {
     * pagerank discipline; labels are localCheckpointed per round so
     * the 3-round lineage never re-expands (the kcore/HITS lesson).
     * Output = the community census after round 3. */
-  private val lpa: Q = (s, d) => {
+  /** Labels after `rounds` LPA supersteps — per-round localCheckpoint
+    * keeps the per-iteration frame a flat LogicalRDD scan regardless of
+    * round count (IterativeLineageSpec pins this). */
+  private[graft] def lpaLabels(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
     val e = copurchaseEdges(s, d).select("x", "y")
     val und = e.select(col("x").as("v"), col("y").as("u"))
       .union(e.select(col("y").as("v"), col("x").as("u")))
     var lbl = und.select("v").distinct().withColumn("lbl", col("v"))
-    for (_ <- 1 to LpaRounds) {
+    for (_ <- 1 to rounds) {
       val cnt = und
         .join(lbl.select(col("v").as("u"), col("lbl")), "u")
         .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
@@ -255,10 +272,14 @@ object GraphOps {
         .filter(col("rn") === 1).select("v", "lbl")
         .localCheckpoint()
     }
-    lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    lbl
+  }
+
+  private val lpa: Q = (s, d) =>
+    lpaLabels(s, d, LpaRounds)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("community"), col("n_members"))
       .orderBy("community")
-  }
 
   /** Modularity decomposition of the component partition of the
     * co-purchase graph: per community c, Q_c = e_c/m − (d_c/2m)² — the
@@ -382,17 +403,31 @@ object GraphOps {
     val seed = und.agg(min(col("x")).as("part"))
       .select(col("part"), lit(0L).as("hops"))
     noAqeCheckpoint(s) {
-      var frontier = seed
-      var layers = List(seed)
-      for (_ <- 1 to BfsHops) {
-        frontier = und.join(frontier, col("x") === col("part"))
-          .groupBy(col("y").as("part"))
-          .agg((min(col("hops")) + 1).as("hops"))
-        layers ::= frontier
-      }
-      layers.reduce(_ union _)
+      bfsLayers(und, seed, Nil, BfsHops).reduce(_ union _)
         .groupBy("part").agg(min("hops").as("hops"))
     }.orderBy("part")
+  }
+
+  /** The layered BFS expansion reach/closeness share: hop k's frontier
+    * joins edges against hop k−1's and collapses to distinct nodes. The
+    * per-hop frame is deliberately UNmaterialized — each layer is
+    * referenced once by the next and once by the final union, so the
+    * plan grows by a CONSTANT node increment per hop (k²/2 cheap joins
+    * total, never the 2^k re-expansion a fold-through-union would pay)
+    * and the whole expansion executes as ONE job under the AQE-off
+    * scope. IterativeLineageSpec pins the constant increment. */
+  private[graft] def bfsLayers(und: DataFrame, seed: DataFrame,
+      extraKey: Seq[org.apache.spark.sql.Column], hops: Int)
+      : List[DataFrame] = {
+    var frontier = seed
+    var layers = List(seed)
+    for (_ <- 1 to hops) {
+      frontier = und.join(frontier, col("x") === col("part"))
+        .groupBy(extraKey :+ col("y").as("part"): _*)
+        .agg((min(col("hops")) + 1).as("hops"))
+      layers ::= frontier
+    }
+    layers
   }
 
   /** Local bridges (Granovetter weak ties) — edges whose endpoints
@@ -447,15 +482,7 @@ object GraphOps {
     val seed = lms.select(col("lm"), col("lm").as("part"),
       lit(0L).as("hops"))
     noAqeCheckpoint(s) {
-      var frontier = seed
-      var layers = List(seed)
-      for (_ <- 1 to BfsHops) {
-        frontier = und.join(frontier, col("x") === col("part"))
-          .groupBy(col("lm"), col("y").as("part"))
-          .agg((min(col("hops")) + 1).as("hops"))
-        layers ::= frontier
-      }
-      layers.reduce(_ union _)
+      bfsLayers(und, seed, Seq(col("lm")), BfsHops).reduce(_ union _)
         .groupBy("lm", "part").agg(min("hops").as("hops"))
         .groupBy("lm")
         .agg(count(when(col("hops") === 1, 1)).as("n1"),
@@ -489,11 +516,15 @@ object GraphOps {
     * build; measured 33 s at sf0.1 vs ~1 s checkpointed). The
     * materialization runs during plan construction, the same accepted
     * caveat as the k-means centroid collects. */
-  private val kcore: Q = (s, d) => {
+  /** Surviving undirected edges after `rounds` peel rounds — flat
+    * LogicalRDD per round via the per-round localCheckpoint
+    * (IterativeLineageSpec pins this). */
+  private[graft] def kcoreSurvivors(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
     val e0 = copurchaseEdges(s, d).select("x", "y")
     var und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val keep = und.groupBy("x").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("x").as("v"))
       und = und
@@ -502,10 +533,14 @@ object GraphOps {
           "left_semi")
         .localCheckpoint()
     }
-    und.groupBy("x").agg(count(lit(1)).as("deg"))
+    und
+  }
+
+  private val kcore: Q = (s, d) =>
+    kcoreSurvivors(s, d, 3)
+      .groupBy("x").agg(count(lit(1)).as("deg"))
       .select(col("x").as("part"), col("deg"))
       .orderBy("part")
-  }
 
   /** HITS hubs & authorities (2 iterations) on the DIRECTED bipartite
     * customer→part purchase graph — the query-independent "important
@@ -520,7 +555,14 @@ object GraphOps {
     * iteration k+1 starts from identical integers in both engines and
     * no float-sum ordering ever matters. Top-20 per role via
     * TakeOrderedAndProject. */
-  private val hits: Q = (s, d) => {
+  /** Authority/hub score frames after `iters` HITS iterations plus the
+    * persisted intermediates to release — each half-iteration's frame is
+    * a Project over an InMemoryRelation (flat regardless of iteration
+    * count; IterativeLineageSpec pins it). Callers materialize inside
+    * their conf scope (construction runs the per-half total aggregates
+    * eagerly) and unpersist the returned pins when done. */
+  private[graft] def hitsScores(s: SparkSession, d: String, iters: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val e = biEdges(s, d).filter(col("src").startsWith("c"))
       .select(col("src").as("c"), col("dst").as("p"))
     // Each half-iteration materializes via persist + the L1-total
@@ -551,31 +593,38 @@ object GraphOps {
         floor(col(in).cast("double") / lit(tot) * 1000000L + 0.5)
           .as(out))
     }
+    // Iteration 1's authority update is algebraically a degree count:
+    // every hub starts at the UNIFORM 1000000, so Σ_{c∈N(p)} h(c) =
+    // 1000000 · |N(p)| — one aggregate pass over the edges with no
+    // distinct-customers shuffle, no broadcast, no join (the r9 probe
+    // priced the literal e ⋈ broadcast(distinct c) form at 0.83 s of
+    // the key's 2.1 s). The long arithmetic is bit-identical to the
+    // joined form, so the oracle's replay (which keeps the textbook
+    // uniform-init join) still hash-matches.
+    var auth = norm(e.groupBy("p")
+      .agg((count(lit(1)) * 1000000L).as("ar")), "p", "ar", "a")
+    var hub = norm(e.join(broadcast(auth), "p")
+      .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
+    for (_ <- 2 to iters) {
+      auth = norm(e.join(broadcast(hub), "c")
+        .groupBy("p").agg(sum("h").as("ar")), "p", "ar", "a")
+      hub = norm(e.join(broadcast(auth), "p")
+        .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
+    }
+    (auth, hub, pinned.toSeq)
+  }
+
+  private val hits: Q = (s, d) => {
     // noAqeCheckpoint scope + EXPLICIT broadcast hints on the
     // node-bounded score side: a bare AQE-off wrap planned sort-merge
     // joins (3.9-4.8 s cold vs 3.3) because only AQE's runtime
     // conversion made them broadcast; with the hint the static planner
-    // keeps BHJ and the 4 checkpoint queries stop fanning into
-    // per-QueryStage jobs (27 jobs with AQE → ~12).
+    // keeps BHJ and the checkpoint queries stop fanning into
+    // per-QueryStage jobs.
+    var pins: Seq[DataFrame] = Nil
     val out = noAqeCheckpoint(s) {
-      // Iteration 1's authority update is algebraically a degree count:
-      // every hub starts at the UNIFORM 1000000, so Σ_{c∈N(p)} h(c) =
-      // 1000000 · |N(p)| — one aggregate pass over the edges with no
-      // distinct-customers shuffle, no broadcast, no join (the r9 probe
-      // priced the literal e ⋈ broadcast(distinct c) form at 0.83 s of
-      // the key's 2.1 s). The long arithmetic is bit-identical to the
-      // joined form, so the oracle's replay (which keeps the textbook
-      // uniform-init join) still hash-matches.
-      var auth = norm(e.groupBy("p")
-        .agg((count(lit(1)) * 1000000L).as("ar")), "p", "ar", "a")
-      var hub = norm(e.join(broadcast(auth), "p")
-        .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
-      for (_ <- 2 to 2) {
-        auth = norm(e.join(broadcast(hub), "c")
-          .groupBy("p").agg(sum("h").as("ar")), "p", "ar", "a")
-        hub = norm(e.join(broadcast(auth), "p")
-          .groupBy("c").agg(sum("a").as("hr")), "c", "hr", "h")
-      }
+      val (auth, hub, pinned) = hitsScores(s, d, 2)
+      pins = pinned
       auth.orderBy(col("a").desc, col("p")).limit(20)
         .select(lit("authority").as("role"), col("p").as("node"),
           (col("a") / lit(1000000.0)).as("score"))
@@ -585,7 +634,7 @@ object GraphOps {
     }.orderBy(col("role"), col("score").desc, col("node"))
     // the final frame is checkpointed (lineage-free); release the
     // half-iteration caches so the key leaves no executor-memory residue
-    pinned.foreach(_.unpersist(false))
+    pins.foreach(_.unpersist(false))
     out
   }
 

@@ -2208,9 +2208,13 @@ object StatsOps {
     * code). Ties → lowest bucket on the r6-PINNED score. The census
     * prefix sum rides Dist — windowless, linear. */
   private val dpQuantile: Q = (s, d) => {
+    // checkpoint the |domain|-bounded bucket census (~400 rows): nDf
+    // and the prefix pass would otherwise each re-expand the lineage
+    // and re-scan events (round 9: this key was 20 jobs, 3 event scans)
     val per = Tables.events(s, d)
       .groupBy(expr("CAST(floor(value) AS BIGINT)").as("b"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val cum = Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
       Seq(col("b")))
     val nDf = per.agg(sum(col("cnt")).as("n_events"),
@@ -2224,6 +2228,10 @@ object StatsOps {
       .withColumn("g_r", r6(expr("-ln(-ln(ug))")))
       .withColumn("score_r",
         r6(expr("CAST(u2 AS DOUBLE) / 4.0 + g_r")))
+      // scored is referenced 3× (mx, trueMed, final) — pin the bounded
+      // census once so each reference reads ~400 rows instead of
+      // re-expanding the prefix-sum + broadcast lineage
+      .localCheckpoint()
     val mx = scored.agg(max(col("score_r")).as("best"))
     val trueMed = scored.filter(lit(2L) * col("cum") >= col("n_events"))
       .agg(min(col("b")).as("true_med_b"))

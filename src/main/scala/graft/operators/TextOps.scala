@@ -1531,7 +1531,24 @@ object TextOps {
     * occurrences — verified against the reference fold in the spec).
     * The census and each winner localCheckpoint (the markov-P lesson:
     * round r's plan would otherwise re-derive all prior rounds). */
+  /** Session-lifetime cache of the trained BPE artifact (merge-rule
+    * frames + final symbol state) — the trained-tokenizer sibling of
+    * the classifier / k-means / PQ caches: one 5-round merge loop per
+    * (session, dir), shared by q_text_bpe_train and q_text_bpe_encode
+    * (round 9: the two keys were the registry's top job count, 24 each,
+    * re-running the identical loop). Frames are localCheckpointed, so
+    * releasing the map entry is enough. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+  graft.Caches.registerMap(bpeCache,
+    (k: (SparkSession, String)) => k._2,
+    (_: (Seq[DataFrame], DataFrame)) => ())
+
   private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) =
+    bpeCache.computeIfAbsent((s, d), _ => bpeTrainedBuild(s, d))
+
+  private def bpeTrainedBuild(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
     val pairsOf = "CASE WHEN size(split(trim(sym), '  ')) < 2" +
       " THEN array() ELSE transform(" +
@@ -2019,9 +2036,19 @@ object TextOps {
       .groupBy("decile")
       .agg(sum(col("nb")).as("n"), sum(col("n1b")).as("n_pos"),
         max(col("nt")).as("nt"), max(col("npos")).as("npos"))
-    graft.operators.Dist.withPrefixSumsLong(dec,
-        Seq("cum_n" -> col("n"), "cum_pos" -> col("n_pos")),
-        Seq(col("decile")))
+    // the decile census is ≤10 rows BY CONSTRUCTION (a constant, not a
+    // data-bounded count), so its prefix sum is the allowlisted
+    // bounded-census window (the |days|/|hours| calendar discipline) —
+    // exact long sums, identical to the Dist form it replaces, minus
+    // that form's range shuffle + checkpoint + offset collect (round 9:
+    // this key was 21 jobs)
+    val wdec = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    dec
+      .withColumn("cum_n", sum(col("n")).over(wdec))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wdec))
       .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
         col("cum_pos"),
         r6(col("cum_pos").cast("double") / col("npos")).as("gain_r"),
