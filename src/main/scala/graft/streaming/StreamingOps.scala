@@ -503,4 +503,101 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  /** Output row of [[userSeenTtl]]. */
+  case class TtlCount(user_id: Long, n_in_state: Long)
+
+  /** transformWithState with a state-TTL retention contract — what a
+    * 100 TB keyed-state pipeline relies on to keep the store bounded
+    * without manual cleanup code: the per-user counter lives in a
+    * ValueState carrying TTLConfig(ttl), so a user idle past the TTL
+    * has its value expired BY THE STORE (between batches, in processing
+    * time) and the next event restarts the count at 1. TTL requires
+    * TimeMode.ProcessingTime; expiry semantics are spec-pinned both
+    * ways (survives under the TTL, gone after it). */
+  class TtlCountProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), TtlCount] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("seenTtl",
+        Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[TtlCount] = {
+      val n = (if (state.exists()) state.get() else 0L) + rows.size
+      state.update(n)
+      Iterator.single(TtlCount(uid, n))
+    }
+  }
+
+  /** Per-user event count whose state expires after `ttlMs` idle. */
+  def userSeenTtl(events: DataFrame, ttlMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Output row of [[userIdleTimeout]]. */
+  case class IdleRow(user_id: Long, n_events: Long, timed_out: Boolean)
+
+  /** Processing-time TIMER path of transformWithState — the session-gap
+    * / inactivity-alert primitive: each input re-arms a single idle
+    * timer (delete-then-register, so exactly one deadline per key) at
+    * now + idleMs; when a later micro-batch runs past the deadline,
+    * handleExpiredTimer fires WITHOUT input for that key, emits the
+    * final count flagged timed_out=true, and clears the state — the
+    * emit-on-silence shape watermarks cannot express (a watermark needs
+    * events to advance; a timer fires on their absence). */
+  class IdleTimerProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), IdleRow] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Long]("idleCount",
+        Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[IdleRow] = {
+      val n = (if (state.exists()) state.get() else 0L) + rows.size
+      state.update(n)
+      // one live idle deadline per key: drop any armed timer, re-arm
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs + idleMs)
+      Iterator.single(IdleRow(uid, n, timed_out = false))
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[IdleRow] = {
+      val n = if (state.exists()) state.get() else 0L
+      state.clear()
+      Iterator.single(IdleRow(uid, n, timed_out = true))
+    }
+  }
+
+  /** Per-user running count that emits a timed_out row (and drops its
+    * state) once the user is idle for `idleMs` of processing time. */
+  def userIdleTimeout(events: DataFrame, idleMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new IdleTimerProcessor(idleMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF()
+  }
 }

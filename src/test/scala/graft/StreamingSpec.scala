@@ -541,6 +541,160 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** transformWithState needs the RocksDB state store provider;
+    * restore the session conf after. Checkpoint file checksums are
+    * disabled inside the scope: their background writer deadlocks the
+    * RocksDB snapshot zip-close on this 2-core test JVM (both task
+    * slots park in ChecksumCancellableFSDataOutputStream.close waiting
+    * on a checksum future that never runs — observed as an indefinite
+    * processAllAvailable hang). */
+  private def withRocksDb[A](f: => A): A = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider"),
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Poll until `cond` holds. A ProcessingTime-mode transformWithState
+    * query NEVER reports noNewData (shouldRunAnotherBatch is always
+    * true — a processing-time timer may be due in every trigger), so
+    * processAllAvailable would block forever; sink polling is the only
+    * sound wait. */
+  private def waitFor(clue: String, timeoutMs: Long = 60000L)
+      (cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis
+    while (!cond && System.currentTimeMillis - t0 < timeoutMs)
+      Thread.sleep(100)
+    assert(cond, s"timed out waiting for: $clue")
+  }
+
+  private val halfSecTrigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds")
+
+  test("transformWithState TTL: state survives under the TTL") {
+    implicit val sc = spark.sqlContext
+    withRocksDb {
+      val ms = MemoryStream[Ev]
+      // TTL far above any plausible inter-batch latency: the two events
+      // must accumulate (proves the TTL config path doesn't silently
+      // drop live state)
+      val q = StreamingOps.userSeenTtl(ms.toDF(), ttlMs = 600000L)
+        .writeStream.format("memory").queryName("t_ttl_live")
+        .outputMode("update").trigger(halfSecTrigger).start()
+      try {
+        ms.addData(ev(1, "2024-01-01 10:00:00", uid = 5))
+        waitFor("first count emission")(
+          spark.table("t_ttl_live").count() >= 1)
+        ms.addData(ev(2, "2024-01-01 10:00:01", uid = 5))
+        waitFor("accumulated count under TTL")(
+          spark.table("t_ttl_live").filter(col("n_in_state") === 2)
+            .count() >= 1)
+        val ns = spark.table("t_ttl_live").filter(col("user_id") === 5)
+          .select("n_in_state").collect().map(_.getLong(0)).toSet
+        assert(ns === Set(1L, 2L))
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState TTL: idle state expires and the count restarts") {
+    implicit val sc = spark.sqlContext
+    withRocksDb {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.userSeenTtl(ms.toDF(), ttlMs = 700L)
+        .writeStream.format("memory").queryName("t_ttl_exp")
+        .outputMode("update").trigger(halfSecTrigger).start()
+      try {
+        ms.addData(ev(1, "2024-01-01 10:00:00", uid = 5))
+        waitFor("first emission")(spark.table("t_ttl_exp").count() >= 1)
+        Thread.sleep(2500) // well past the 0.7 s TTL
+        ms.addData(ev(2, "2024-01-01 10:00:01", uid = 5))
+        waitFor("post-expiry emission")(
+          spark.table("t_ttl_exp").count() >= 2)
+        // the store expired the counter between batches: both
+        // emissions read n=1, never n=2
+        val ns = spark.table("t_ttl_exp").filter(col("user_id") === 5)
+          .select("n_in_state").collect().map(_.getLong(0)).toList
+        assert(ns === List(1L, 1L),
+          s"expected the idle counter to expire, got $ns")
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState processing-time timer fires on key silence") {
+    implicit val sc = spark.sqlContext
+    withRocksDb {
+      val ms = MemoryStream[Ev]
+      val q = StreamingOps.userIdleTimeout(ms.toDF(), idleMs = 600L)
+        .writeStream.format("memory").queryName("t_idle")
+        .outputMode("update").trigger(halfSecTrigger).start()
+      try {
+        ms.addData(ev(1, "2024-01-01 10:00:00", uid = 5))
+        // the timer fires in a later NO-DATA batch — genuine
+        // emit-on-silence, no second key needed to poke the query
+        waitFor("timeout row for the silent key")(
+          spark.table("t_idle")
+            .filter(col("user_id") === 5 && col("timed_out")).count() >= 1)
+        val rows = spark.table("t_idle")
+          .select("user_id", "n_events", "timed_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        assert(rows.contains((5L, 1L, false)), s"got $rows")
+        assert(rows.contains((5L, 1L, true)), s"got $rows")
+        // the timeout cleared the state: the key's next event restarts
+        ms.addData(ev(3, "2024-01-01 10:00:02", uid = 5))
+        waitFor("restarted count after timeout")(
+          spark.table("t_idle")
+            .filter(col("user_id") === 5 && !col("timed_out"))
+            .count() >= 2)
+        val restart = spark.table("t_idle")
+          .filter(col("user_id") === 5 && !col("timed_out"))
+          .select("n_events").collect().map(_.getLong(0)).toList
+        assert(restart === List(1L, 1L),
+          s"expected the count to restart after timeout, got $restart")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming MG candidates + exact verify replay the batch heavy-hitters key") {
+    implicit val sc = spark.sqlContext
+    // END-TO-END parity with q_events_heavy_hitters: the stream's MG
+    // pass only bounds the candidate set (any superset of the true
+    // heavies verifies identically — the same argument the batch key's
+    // partition-union makes), so candidates = the union of all shard
+    // emissions, then the exact recount + threshold cut must reproduce
+    // the batch output EXACTLY (same cap, same corpus, 3 micro-batches).
+    val evs = loadEvs()
+    val ms = MemoryStream[Ev]
+    val q = StreamingOps.heavyHittersStream(ms.toDF(), cap = 256,
+        nShards = 8)
+      .writeStream.format("memory").queryName("t_hh_parity")
+      .outputMode("update").start()
+    try {
+      evs.grouped(evs.size / 3 + 1).foreach { b =>
+        ms.addData(b: _*); q.processAllAvailable()
+      }
+      val cands = spark.table("t_hh_parity").select("user_id").collect()
+        .map(_.getLong(0)).toSet
+      val n = evs.size
+      val exact = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      val streamHeavies = exact.filter { case (u, c) =>
+        cands(u) && c * 256 > n }
+      val batch = operators.EventOps
+        .queries("q_events_heavy_hitters")(spark, sfDir)
+        .select("user_id", "cnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.nonEmpty)
+      assert(streamHeavies === batch)
+    } finally q.stop()
+  }
+
   test("streaming MG heavy-hitter shards keep every above-threshold user") {
     implicit val sc = spark.sqlContext
     val ms = MemoryStream[Ev]
