@@ -57,17 +57,17 @@ object Budget {
     "q_sample_ess" -> 0.25, "q_graph_local_bridges" -> 0.35,
     "q_graph_pagerank" -> 0.35, "q_join_asof_nearest" -> 0.25))
 
-  val benchTier: Tier = Tier("local[32] sf0.1", 0.55, Map(
-    "q_layout_hilbert" -> 0.35, "q_graph_hits" -> 1.50,
-    "q_layout_skipping" -> 0.30, "q_sample_dsir" -> 1.60,
-    "q_eval_minhash_recall" -> 1.60, "q_graph_closeness" -> 1.50,
-    "q_graph_reach" -> 1.45, "q_dedup_prefix_filter" -> 1.40,
-    "q_dedup_simhash_pairs" -> 1.40, "q_stats_spearman" -> 1.40,
-    "q_vec_label_noise" -> 1.40, "q_basket_rules" -> 1.35,
-    "q_customer_rfm" -> 1.35, "q_join_salted" -> 1.35,
-    "q_sim_sparse_topk" -> 1.30, "q_graph_lpa" -> 1.30,
-    "q_sample_ess" -> 1.30, "q_graph_local_bridges" -> 1.25,
-    "q_graph_pagerank" -> 1.20, "q_join_asof_nearest" -> 1.20))
+  val benchTier: Tier = Tier("local[32] sf0.1", 0.679, Map(
+    "q_layout_hilbert" -> 0.15, "q_graph_hits" -> 1.35,
+    "q_layout_skipping" -> 0.15, "q_sample_dsir" -> 0.95,
+    "q_eval_minhash_recall" -> 0.90, "q_graph_closeness" -> 1.15,
+    "q_graph_reach" -> 1.10, "q_dedup_prefix_filter" -> 1.10,
+    "q_dedup_simhash_pairs" -> 0.95, "q_stats_spearman" -> 1.45,
+    "q_vec_label_noise" -> 1.15, "q_basket_rules" -> 0.80,
+    "q_customer_rfm" -> 1.05, "q_join_salted" -> 1.25,
+    "q_sim_sparse_topk" -> 0.85, "q_graph_lpa" -> 0.90,
+    "q_sample_ess" -> 0.85, "q_graph_local_bridges" -> 1.00,
+    "q_graph_pagerank" -> 0.65, "q_join_asof_nearest" -> 1.15))
 
   /** Median-of-3 of 10 trivial one-row jobs — Bench's canary_10jobs. */
   def canary10(s: SparkSession): Double =
@@ -82,8 +82,8 @@ object Budget {
     def ok: Boolean = measuredSec <= budgetSec
     def line: String =
       f"${if (ok) "OK  " else "OVER"} $key%-26s ${measuredSec}%6.2f s" +
-        f"  budget ${budgetSec}%6.2f (band $bandSec%5.2f × 1.5" +
-        f" × canary $scale%4.2f)"
+        f"  budget ${budgetSec}%6.2f (band $bandSec%5.2f x 1.5" +
+        f" x canary $scale%4.2f)"
   }
 
   /** Warm each guarded key once, then take the best of 2 timed runs

@@ -68,7 +68,8 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_stats_ewma",          // |days| census
       "q_stats_runs_test",     // |days| census (sign + run windows)
       "q_stats_pettitt",       // |days| census, PINNED LocalRelation
-      "q_stats_msprt")         // |days| census, PINNED LocalRelation
+      "q_stats_msprt",         // |days| census, PINNED LocalRelation
+      "q_eval_lift_gains")     // ≤10-row decile census (round 9)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan
