@@ -1305,10 +1305,15 @@ object EventOps {
     val w = Window.partitionBy("user_id")
       .orderBy(expr("ts_ns div 1000"), col("event_id"))
     val wSrc = Window.partitionBy("a")
-    // localCheckpoint the |types|²-row P: without it each of the 4
-    // iterations replays the full corpus lag pass (the q_graph_hits
-    // lesson — audited keys exclude eager-checkpoint queries)
-    val p = Tables.events(s, d)
+    // The transition matrix P is |types|²-bounded (≤25 cells — the type
+    // DOMAIN is a constant, not data-scaled), so the 4 power iterations
+    // run DRIVER-SIDE on the collected census (the MMR/cluster-purity
+    // k-bounded pattern): ONE corpus lag pass + one collect, where the
+    // round-8 form re-planned a join + sorted-fold aggregate per
+    // iteration (14 jobs for 25 cells). The fold replays the previous
+    // SQL exactly — per-target terms sorted by source state, same
+    // r6-pinned doubles each round — so the oracle hash is unchanged.
+    val pr = Tables.events(s, d)
       .select(col("user_id"), col("event_type").as("a"),
         col("ts_ns"), col("event_id"))
       .withColumn("b", lead(col("a"), 1).over(w))
@@ -1316,28 +1321,28 @@ object EventOps {
       .groupBy("a", "b").agg(count(lit(1)).as("n"))
       .withColumn("p", r6(col("n") / sum(col("n")).over(wSrc)))
       .select("a", "b", "p")
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     // init weight derived from the data (ADVICE r6): 1/|distinct source
     // states|, not a hardcoded 1/5 — on data where an event type never
     // appears as a transition source, a literal 1/5 init would not be a
     // distribution (and both engines would agree, so the oracle could
     // not catch it). Same derivation in the oracle SQL.
-    val states = p.select(col("a").as("t")).distinct()
-    val nStates = states.agg(count(lit(1)).as("n_states"))
-    val pi0 = states.crossJoin(broadcast(nStates))
-      .withColumn("pi", lit(1.0) / col("n_states"))
-      .select("t", "pi")
-    val piN = (1 to 4).foldLeft(pi0) { (pi, _) =>
-      p.join(pi, col("a") === col("t"))
-        .withColumn("term", col("pi") * col("p"))
-        .groupBy(col("b").as("t2"))
-        .agg(expr("aggregate(transform(array_sort(collect_list(" +
-          "struct(a, term))), x -> x.term), 0D," +
-          " (acc, v) -> acc + v)").as("mix"))
-        .select(col("t2").as("t"), r6(col("mix")).as("pi"))
-    }
-    piN.select(col("t").as("event_type"), col("pi"),
-        lit(4L).as("n_iter"))
+    val states = pr.map(_._1).distinct
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    var pi: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 4)
+      pi = pr.filter(t => pi.contains(t._1)).groupBy(_._2).map {
+        case (t2, ts) =>
+          t2 -> r6d(ts.sortBy(_._1).foldLeft(0.0) { (acc, x) =>
+            acc + pi(x._1) * x._3
+          })
+      }
+    import s.implicits._
+    pi.toSeq.sortBy(_._1)
+      .map { case (t, v) => (t, v, 4L) }
+      .toDF("event_type", "pi", "n_iter")
       .orderBy("event_type")
   }
 

@@ -310,6 +310,10 @@ object GraphOps {
       .filter(col("cx") === col("cy"))
       .groupBy(col("cx").as("component"))
       .agg(count(lit(1)).as("intra_edges"))
+    // AQE stays ON here (A/B round 9: the scope cut 15→12 jobs but ran
+    // slower) — the component-label joins rely on AQE's runtime
+    // broadcast conversion, and a static broadcast hint would pin a
+    // shape that breaks when |nodes| outgrows the threshold at scale
     dsum.join(intra, Seq("component"))
       .crossJoin(broadcast(m))
       .withColumn("contribution",

@@ -2232,17 +2232,19 @@ object StatsOps {
       // census once so each reference reads ~400 rows instead of
       // re-expanding the prefix-sum + broadcast lineage
       .localCheckpoint()
-    val mx = scored.agg(max(col("score_r")).as("best"))
-    val trueMed = scored.filter(lit(2L) * col("cum") >= col("n_events"))
-      .agg(min(col("b")).as("true_med_b"))
-    scored.crossJoin(broadcast(mx))
-      .filter(col("score_r") === col("best"))
-      .groupBy("n_events", "n_buckets")
-      .agg(min(col("b")).as("dp_med_b"))
-      .crossJoin(broadcast(trueMed))
+    // both selections in ONE aggregate over the pinned census:
+    // lexicographic max(struct(score_r, -b)) = "max pinned score, ties
+    // -> lowest bucket" (the argmax discipline), and the true median is
+    // a conditional min — the previous max/filter/crossJoin form paid a
+    // broadcast job and a census re-read per reference
+    scored.agg(max(col("n_events")).as("n_events"),
+        max(col("n_buckets")).as("n_buckets"),
+        max(struct(col("score_r"), (-col("b")).as("negb"))).as("w"),
+        min(when(lit(2L) * col("cum") >= col("n_events"), col("b")))
+          .as("true_med_b"))
       .select(col("n_events"), col("n_buckets"), lit(1.0).as("epsilon"),
-        col("true_med_b"), col("dp_med_b"),
-        abs(col("dp_med_b") - col("true_med_b")).as("err_buckets"))
+        col("true_med_b"), (-col("w.negb")).as("dp_med_b"),
+        abs(-col("w.negb") - col("true_med_b")).as("err_buckets"))
   }
 
   // mSPRT log-likelihood ratio under the N(0, τ²) mixture with τ² =

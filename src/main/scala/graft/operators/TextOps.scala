@@ -767,11 +767,18 @@ object TextOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // materialize the TF-IDF weight index ONCE (round 9): nrm, the
+    // query slice, and the dot pass each referenced `w`, and every
+    // reference re-ran the corpus explode + tf aggregate — at 100 TB
+    // that is re-scanning the corpus per consumer, where building the
+    // weight index once IS the sparse-retrieval shape (the inverted
+    // index is an artifact, not a view)
     val w = tf.join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"),
         (col("tf") * log(col("n_docs").cast("double") / col("df")))
           .as("w"))
+      .localCheckpoint()
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val q = w.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_doc"), col("tok"), col("w").as("wq"))
@@ -2078,11 +2085,14 @@ object TextOps {
     val dd = cum.crossJoin(broadcast(tot))
       .withColumn("d_r", r6(abs(col("c1").cast("double") / col("n_pos")
         - col("c0").cast("double") / col("n_neg"))))
-    val mx = dd.agg(max(col("d_r")).as("ks_r"))
-    dd.crossJoin(broadcast(mx))
-      .filter(col("d_r") === col("ks_r"))
-      .groupBy("n_pos", "n_neg", "ks_r")
-      .agg(min(col("v")).as("at_z_micros"))
+    // argmax in ONE aggregate: lexicographic max(struct(d_r, -v)) is
+    // exactly "max pinned gap, ties -> lowest score" (the ADVICE-r7
+    // argmax discipline) — the previous max-then-broadcast-then-filter
+    // re-ran the whole prefix chain per reference (round 9: 15 jobs)
+    dd.agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        max(struct(col("d_r"), (-col("v")).as("negv"))).as("b"))
+      .select(col("n_pos"), col("n_neg"), col("b.d_r").as("ks_r"),
+        (-col("b.negv")).as("at_z_micros"))
       .withColumn("p_r", r6(expr(
         "least(2.0 * exp(-2.0 * ks_r * ks_r" +
           " * CAST(n_pos * n_neg AS DOUBLE) / (n_pos + n_neg))," +

@@ -1395,44 +1395,44 @@ object VectorOps {
     * accumulate identically. */
   private val evalClusterPurity: Q = (s, d) => {
     val assign = assignTo(vecs(s, d), kmeansCentroids(s, d, 4, 2))
+    // The contingency census is ≤ |clusters|·|labels| = 16 cells BY
+    // CONSTRUCTION (both factors are fixed constants, not data-scaled),
+    // so the entropy/MI folds run DRIVER-SIDE on the collected census —
+    // the MMR k-bounded-collect pattern. The round-8 form derived
+    // nc/nl/nt/mi/hc/hl as six chained frames, each crossJoin(broadcast)
+    // a job (20 jobs for 16 integers); this is ONE collect job after the
+    // assignment join. Fold order and arithmetic replay the previous SQL
+    // folds exactly: cells sorted by (cid, label), clusters by cid,
+    // labels by label, same java.lang.Math.log doubles (Spark's codegen
+    // ln IS Math.log), same r6 pins — the oracle hash is unchanged.
     val cells = assign
       .join(vecs(s, d).select("vec_id", "label"), Seq("vec_id"))
       .groupBy("cid", "label").agg(count(lit(1)).as("ncl"))
-    val nc = cells.groupBy("cid")
-      .agg(sum("ncl").as("nc"), max("ncl").as("mx"))
-    val nl = cells.groupBy("label").agg(sum("ncl").as("nl"))
-    val nt = cells.agg(sum("ncl").as("n"))
-    val iterm = "(CAST(ncl AS DOUBLE) / n) * ln((CAST(ncl AS DOUBLE)" +
-      " * n) / (CAST(nc AS DOUBLE) * nl))"
-    val mi = cells
-      .join(broadcast(nc.select("cid", "nc")), Seq("cid"))
-      .join(broadcast(nl), Seq("label"))
-      .crossJoin(broadcast(nt))
-      .withColumn("it", expr(iterm))
-      .agg(count(lit(1)).as("n_cells"),
-        expr("aggregate(transform(array_sort(collect_list(" +
-          "struct(cid, label, it))), x -> x.it), 0D," +
-          " (acc, v) -> acc + v)").as("mi"))
-    val hTerm = (k: String, tot: String) =>
-      s"-(CAST($k AS DOUBLE) / n) * ln(CAST($k AS DOUBLE) / n)"
-    val hc = nc.crossJoin(broadcast(nt))
-      .withColumn("hterm", expr(hTerm("nc", "n")))
-      .agg(expr("aggregate(transform(array_sort(collect_list(" +
-        "struct(cid, hterm))), x -> x.hterm), 0D," +
-        " (acc, v) -> acc + v)").as("hc"),
-        sum(col("mx")).as("sum_mx"))
-    val hl = nl.crossJoin(broadcast(nt))
-      .withColumn("hterm", expr(hTerm("nl", "n")))
-      .agg(expr("aggregate(transform(array_sort(collect_list(" +
-        "struct(label, hterm))), x -> x.hterm), 0D," +
-        " (acc, v) -> acc + v)").as("hl"))
-    mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
-      .crossJoin(broadcast(nt))
-      .select(col("n"), col("n_cells"),
-        r6(expr("CAST(sum_mx AS DOUBLE) / n")).as("purity"),
-        r6(expr("hc")).as("h_cluster"),
-        r6(expr("hl")).as("h_label"),
-        r6(expr("2.0 * mi / (hc + hl)")).as("nmi"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+    val n = cells.map(_._3).sum
+    val nD = n.toDouble
+    val nc = cells.groupBy(_._1).view
+      .mapValues(cs => (cs.map(_._3).sum, cs.map(_._3).max)).toMap
+    val nl = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val purity = nc.values.map(_._2).sum.toDouble / nD
+    val mi = cells.sortBy(c => (c._1, c._2)).foldLeft(0.0) {
+      case (acc, (cid, label, ncl)) =>
+        acc + (ncl / nD) * math.log(
+          ncl.toDouble * n / (nc(cid)._1.toDouble * nl(label)))
+    }
+    val hc = nc.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, (c, _))) =>
+      acc - (c / nD) * math.log(c / nD)
+    }
+    val hl = nl.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
+      acc - (c / nD) * math.log(c / nD)
+    }
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    s.createDataFrame(Seq(
+        (n, cells.length.toLong, r6d(purity), r6d(hc), r6d(hl),
+          r6d(2.0 * mi / (hc + hl)))))
+      .toDF("n", "n_cells", "purity", "h_cluster", "h_label", "nmi")
   }
 
   /** Binary (1-bit sign) embedding quantization with its recall audit —
