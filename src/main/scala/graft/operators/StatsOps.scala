@@ -693,36 +693,40 @@ object StatsOps {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
-    val glob = daily
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-        sum(col("c") * col("c")).as("sxx"))
-      .withColumn("md", col("sx").cast("double") / col("n"))
-    val lags = s.range(1, LbLags + 1).select(col("id").as("k"))
-    val perk = daily.select(col("day"), col("c").as("x"))
-      .crossJoin(broadcast(lags))
-      .join(daily.select(col("day").as("dayy"), col("c").as("y")),
-        col("dayy") === col("day") + col("k"))
-      .groupBy("k")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x")).as("sh"), sum(col("y")).as("st"))
-      .crossJoin(broadcast(glob))
-      .withColumn("rho_r",
-        r6((col("sxy") - col("md") * (col("sh") + col("st"))
-          + col("n_pairs") * col("md") * col("md"))
-          / (col("sxx") - col("n") * col("md") * col("md"))))
-    val qv = perk
-      .withColumn("term",
-        col("rho_r") * col("rho_r") / (col("n") - col("k")))
-      .groupBy("n")
-      .agg(expr("aggregate(transform(array_sort(collect_list(" +
-        "struct(k, term))), x -> x.term), 0D, (acc, v) -> acc + v)")
-        .as("tsum"))
-      .select(r6(col("n") * (col("n") + 2) * col("tsum")).as("q_lb_r"))
-    perk.select(col("k"), col("n_pairs"), col("rho_r"))
-      .crossJoin(broadcast(qv))
-      .withColumn("reject",
-        col("q_lb_r") > lit(14.067140449340169).cast("double"))
+    // the whole statistic lives on the |days|-bounded census (~30
+    // rows): lag products, autocorrelations, and the Q fold run
+    // DRIVER-SIDE on the collected census (the markov/cluster-purity
+    // pattern — round 9: 13 jobs of crossJoin broadcasts for 30 rows).
+    // Arithmetic replays the previous SQL exactly: exact-long moment
+    // sums, the same double expressions, the Q fold in k order, r6 pins
+    // at the same places — oracle hash unchanged.
+    val rows = daily.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = rows.length.toLong
+    val sx = rows.map(_._2).sum
+    val sxx = rows.map(c => c._2 * c._2).sum
+    val md = sx.toDouble / n
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val byDay = rows.toMap
+    val perk = (1L to LbLags.toLong).map { k =>
+      val pairs = rows.flatMap { case (day, x) =>
+        byDay.get(day + k).map(y => (x, y)) }
+      val nPairs = pairs.length.toLong
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sh = pairs.map(_._1).sum
+      val st = pairs.map(_._2).sum
+      val rho = r6d((sxy - md * (sh + st) + nPairs * md * md)
+        / (sxx - n * md * md))
+      (k, nPairs, rho)
+    }
+    val tsum = perk.sortBy(_._1).foldLeft(0.0) { case (acc, (k, _, rho)) =>
+      acc + rho * rho / (n - k)
+    }
+    val qLb = r6d(n * (n + 2) * tsum)
+    import s.implicits._
+    perk.map { case (k, nPairs, rho) =>
+      (k, nPairs, rho, qLb, qLb > 14.067140449340169) }
+      .toDF("k", "n_pairs", "rho_r", "q_lb_r", "reject")
       .orderBy("k")
   }
 

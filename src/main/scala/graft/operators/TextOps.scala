@@ -1967,13 +1967,15 @@ object TextOps {
       sum(lit(1L) - col("y")).as("n0"))
     val cum = graft.operators.Dist.withPrefixSumsLong(per,
       Seq("c" -> (col("n1") + col("n0"))), Seq(col("v")))
-    val r1d = cum
+    // totals fold into the SAME aggregate: the census columns n1/n0
+    // ride through the Dist prefix pass, so Σn1/Σn0 here are identical
+    // exact longs to a separate corpus aggregate — that separate
+    // crossJoin(broadcast(tot)) was one more job and one more pass
+    cum
       .select((col("n1") * (lit(2L) * col("c")
-        - (col("n1") + col("n0")) + 1)).as("t"))
-      .agg(sum(col("t")).as("r1d"))
-    val tot = sc.agg(sum(col("y")).as("n1t"),
-      sum(lit(1L) - col("y")).as("n0t"))
-    r1d.crossJoin(broadcast(tot))
+        - (col("n1") + col("n0")) + 1)).as("t"), col("n1"), col("n0"))
+      .agg(sum(col("t")).as("r1d"), sum(col("n1")).as("n1t"),
+        sum(col("n0")).as("n0t"))
       .select(col("n1t"), col("n0t"),
         r6((col("r1d") - col("n1t") * (col("n1t") + 1)).cast("double")
           / (lit(2L) * col("n1t") * col("n0t"))).as("auc"))
@@ -2005,13 +2007,13 @@ object TextOps {
     val cum = graft.operators.Dist.withPrefixSumsLong(per,
       Seq("cum_tot" -> (col("n1") + col("n0")), "cum_pos" -> col("n1")),
       Seq(col("v").desc))
-    val apm = cum
+    // totals fold into the same aggregate (the auroc discipline): n1/n0
+    // ride through the prefix pass, exact longs either way
+    cum
       .select(expr("(n1 * cum_pos * 1000000L + cum_tot div 2) div cum_tot")
-        .as("t"))
-      .agg(sum(col("t")).as("ap_micros"))
-    val tot = sc.agg(sum(col("y")).as("n_pos"),
-      sum(lit(1L) - col("y")).as("n_neg"))
-    apm.crossJoin(broadcast(tot))
+        .as("t"), col("n1"), col("n0"))
+      .agg(sum(col("t")).as("ap_micros"), sum(col("n1")).as("n_pos"),
+        sum(col("n0")).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
         r6(col("n_pos").cast("double") / (col("n_pos") + col("n_neg")))
           .as("prevalence_r"),
