@@ -881,26 +881,32 @@ object StatsOps {
           " '0123456789abcdef') - 1) % 10"))
       .groupBy("fold")
       .agg(count(lit(1)).as("n_i"), r2(sum(col("o_totalprice"))).as("s_i"))
-    val tot = folds.agg(sum(col("n_i")).as("n"), r2(sum(col("s_i"))).as("s"),
-      count(lit(1)).as("g"))
-    val loo = folds.crossJoin(broadcast(tot))
-      .select(col("n"), col("s"), col("g"),
-        r6((col("s") - col("s_i")) / (col("n") - col("n_i"))).as("m_i"))
+    // the replicate arithmetic reduces over the 10-row fold census, so
+    // it runs DRIVER-SIDE on the collected census (round 9: the two
+    // broadcast crossJoins + mean/ss aggregates were ~6 jobs for 10
+    // rows). Folds accumulate in fold order; every r6/r2 pin sits at
+    // the same place as the previous SQL, and the centered-ss argument
+    // below carries over unchanged. Oracle hash unchanged.
+    val fr = folds.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def r2d(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val n = fr.map(_._2).sum
+    val sTot = r2d(fr.map(_._3).sum)
+    val g = fr.length.toLong
     // centered sum of squares against the r6-pinned replicate mean —
     // the raw-moment form (sm2 − sm²/g) cancels ~12 digits at sf0.1
     // (sm2 ≈ 6e11, variance ≈ 1e6), leaving ULP noise above the r6
     // boundary; the centered form keeps every term at deviation scale
-    val mb = loo.agg(r6(avg(col("m_i"))).as("mbar"))
-    val dev = col("m_i") - col("mbar")
-    val se = sqrt(((col("g") - 1).cast("double") / col("g")) * col("ss"))
-    loo.crossJoin(broadcast(mb))
-      .groupBy("n", "s", "g")
-      .agg(sum(dev * dev).as("ss"))
-      .select(col("n"), col("g"),
-        r6(col("s") / col("n")).as("mean"),
-        r6(se).as("se_jack"),
-        r6(col("s") / col("n") - lit(1.96) * se).as("ci_lo"),
-        r6(col("s") / col("n") + lit(1.96) * se).as("ci_hi"))
+    val mi = fr.map { case (_, ni, si) => r6d((sTot - si) / (n - ni)) }
+    val mbar = r6d(mi.sum / g)
+    val ss = mi.map(m => (m - mbar) * (m - mbar)).sum
+    val se = math.sqrt((g - 1).toDouble / g * ss)
+    import s.implicits._
+    Seq((n, g, r6d(sTot / n), r6d(se),
+      r6d(sTot / n - 1.96 * se), r6d(sTot / n + 1.96 * se)))
+      .toDF("n", "g", "mean", "se_jack", "ci_lo", "ci_hi")
   }
 
   /** Additive seasonal decomposition (STL-lite) of the daily series:

@@ -1037,24 +1037,29 @@ object VectorOps {
     val conf = centroidPred(s, d)
       .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n"))
-    val rows = conf.groupBy(col("true_label").as("c"))
-      .agg(sum(col("n")).as("rown"))
-    val cols = conf.groupBy(col("pred_label").as("c"))
-      .agg(sum(col("n")).as("coln"))
-    val rc = rows.join(cols, Seq("c"), "full_outer")
-      .agg(sum(coalesce(col("rown"), lit(0L))
-        * coalesce(col("coln"), lit(0L))).as("sum_rc"))
-    conf.agg(sum(col("n")).as("n_total"),
-        sum(when(col("true_label") === col("pred_label"), col("n"))
-          .otherwise(0L)).as("n_agree"))
-      .crossJoin(broadcast(rc))
-      .select(col("n_total"), col("n_agree"), col("sum_rc"),
-        r6(col("n_agree").cast("double") / col("n_total")).as("po"),
-        r6(col("sum_rc").cast("double")
-          / (col("n_total") * col("n_total"))).as("pe"),
-        r6((col("n_total") * col("n_agree") - col("sum_rc")).cast("double")
-          / (col("n_total") * col("n_total") - col("sum_rc")))
-          .as("kappa"))
+    // the marginal/chance folds reduce over the |labels|²-bounded
+    // confusion census, so they run DRIVER-SIDE on the collected census
+    // (the cluster-purity pattern — round 9: the two marginal
+    // aggregates, their full-outer join, and two broadcast crossJoins
+    // were 5 extra jobs for ≤k² rows). Exact-long arithmetic throughout
+    // → identical r6 doubles; only the classifier pass stays corpus-
+    // sized, exactly as before. Oracle hash unchanged.
+    val cells = conf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val rown = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val coln = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val sumRc = (rown.keySet ++ coln.keySet).toSeq
+      .map(c => rown.getOrElse(c, 0L) * coln.getOrElse(c, 0L)).sum
+    val nTotal = cells.map(_._3).sum
+    val nAgree = cells.collect { case (t, p, n) if t == p => n }.sum
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    import s.implicits._
+    Seq((nTotal, nAgree, sumRc,
+      r6d(nAgree.toDouble / nTotal),
+      r6d(sumRc.toDouble / (nTotal * nTotal)),
+      r6d((nTotal * nAgree - sumRc).toDouble
+        / (nTotal * nTotal - sumRc))))
+      .toDF("n_total", "n_agree", "sum_rc", "po", "pe", "kappa")
   }
 
   /** Per-label embedding-norm distribution — the embedding-health audit
