@@ -69,6 +69,62 @@ object Budget {
     "q_sample_ess" -> 0.85, "q_graph_local_bridges" -> 1.00,
     "q_graph_pagerank" -> 0.65, "q_join_asof_nearest" -> 1.15))
 
+  /** Job-count caps — the wall-band guard's exact twin for the OTHER
+    * axis round 8-9 optimized: a key's scheduler exposure is its job
+    * COUNT (BASELINE.md per-job floor: ~11-26 ms/job healthy, ~75 ms on
+    * a degraded driver host), and unlike wall time the count is
+    * config-invariant (measured identical at local[2]/sf0.01 and
+    * local[32]/sf0.1), so no canary normalization is needed. Guarded
+    * set = the keys whose counts the round-8/9 work pinned down
+    * (session-cached artifacts, bounded-census driver folds, iteration
+    * unrolls); cap = measured + 2 (AQE may add a stage job as data
+    * shifts) — a reverted fold or dropped cache costs 3-20 jobs and
+    * trips the cap, while organic variance does not. Enforced by
+    * JobCapSpec on every `sbt test`. Red demo:
+    * GRAFT_JOBCAP_BREAK_KEY=<key> submits 3 extra jobs inside that
+    * key's counting window (exercised at round-9 close, BASELINE.md). */
+  val jobCaps: Map[String, Int] = Map(
+    "q_stats_ljung_box" -> 6, "q_eval_auroc" -> 8, "q_eval_pr_auc" -> 8,
+    "q_eval_kappa" -> 10, "q_stats_jackknife" -> 6,
+    "q_eval_cluster_purity" -> 9, "q_events_markov_stationary" -> 8,
+    "q_eval_ks_score" -> 11, "q_privacy_dp_quantile" -> 13,
+    "q_sim_sparse_topk" -> 18, "q_text_bpe_train" -> 4,
+    "q_text_bpe_encode" -> 4, "q_eval_lift_gains" -> 14,
+    "q_graph_hits" -> 11, "q_layout_hilbert" -> 5,
+    "q_layout_skipping" -> 5, "q_sim_mmr" -> 9,
+    "q_multimodal_phash_hamming" -> 5, "q_graph_closeness" -> 9,
+    "q_customer_rfm" -> 13)
+
+  /** Count the Spark jobs one warm run of `key` submits (the JobCount
+    * census as a reusable primitive): warm untimed first (artifact
+    * builds and codegen land outside the window), then count via a
+    * listener. Safe in the suite because sbt forks one test JVM and
+    * `testForkedParallel` defaults to false — suites run sequentially,
+    * so no concurrent suite's jobs can land in the window. */
+  def countJobs(s: SparkSession, sfDir: String, key: String): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import java.util.concurrent.atomic.AtomicInteger
+    val fn = SparkEntry.queries(key)
+    fn(s, sfDir).count()
+    val counter = new AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(): Unit
+      }
+    }
+    s.sparkContext.addSparkListener(l)
+    try {
+      fn(s, sfDir).count()
+      if (sys.env.get("GRAFT_JOBCAP_BREAK_KEY").contains(key))
+        (1 to 3).foreach(_ => s.range(1).count())
+      // listener events post asynchronously; let stragglers land (the
+      // JobCount discipline — listenerBus.waitUntilEmpty is
+      // private[spark])
+      Thread.sleep(500)
+      counter.get()
+    } finally s.sparkContext.removeSparkListener(l)
+  }
+
   /** Median-of-3 of 10 trivial one-row jobs — Bench's canary_10jobs. */
   def canary10(s: SparkSession): Double =
     (1 to 3).map { _ =>
