@@ -96,25 +96,42 @@ object StatsOps {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
     val obs = j.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
-    val rt = j.groupBy("seg").agg(count(lit(1)).as("rt"))
-    val ct = j.groupBy("pri").agg(count(lit(1)).as("ct"))
-    val n = j.agg(count(lit(1)).as("n"))
-    val exp = (col("rt") * col("ct")).cast("double") / col("n")
-    broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
-      .join(obs, Seq("seg", "pri"), "left")
-      .na.fill(0L, Seq("obs"))
-      .withColumn("term", pow(col("obs") - exp, 2) / exp)
-      .agg(
-        count(lit(1)).as("n_cells"),
-        // (seg, pri)-ordered fold, not sum(): the |seg|×|pri| cell
-        // terms are doubles, and a partition-order-dependent sum is
-        // the one float-parity surface this census has (ADVICE r7 —
-        // the levene/fisher ordered-fold discipline applies here too)
-        r6(expr("aggregate(transform(array_sort(collect_list(" +
-          "struct(seg, pri, term))), x -> x.term), 0D," +
-          " (acc, v) -> acc + v)")).as("chi2"),
-        ((countDistinct(col("seg")) - 1) * (countDistinct(col("pri")) - 1))
-          .as("dof"))
+    // the marginals derive EXACTLY from the |seg|×|pri|-bounded observed
+    // census, so everything after the one corpus aggregate runs
+    // DRIVER-SIDE on the collected census (round 9): the rt/ct/n
+    // aggregates were three MORE full scans of the join, and the
+    // crossJoin + left-join cell assembly four more jobs — all for ≤40
+    // cells. The fold replays the previous SQL's (seg, pri) sort order
+    // and r6 pin; counts stay exact longs until the (obs−exp)²/exp
+    // division. Oracle hash unchanged.
+    val (chi2, nCells, nSeg, nPri, _) = chiSquared(obs)
+    import s.implicits._
+    Seq((nCells, chi2, (nSeg - 1L) * (nPri - 1L)))
+      .toDF("n_cells", "chi2", "dof")
+  }
+
+  /** Shared driver fold for the segment×priority chi-square census
+    * (q_stats_chisq / q_stats_cramers_v): collects the bounded observed
+    * census, derives the marginals exactly, and folds the
+    * (obs−exp)²/exp terms in (seg, pri) order with the standard r6 pin.
+    * Returns (chi2_r6, n_cells, |seg|, |pri|, n_obs). */
+  private def chiSquared(obs: DataFrame)
+      : (Double, Long, Long, Long, Long) = {
+    val cells = obs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    val obsMap = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val all = (for { sg <- rt.keys.toSeq; pr <- ct.keys.toSeq }
+      yield (sg, pr)).sorted
+    val chi2 = all.foldLeft(0.0) { case (acc, (sg, pr)) =>
+      val exp = (rt(sg) * ct(pr)).toDouble / n
+      val o = obsMap.getOrElse((sg, pr), 0L)
+      acc + math.pow(o - exp, 2) / exp
+    }
+    (math.floor(chi2 * 1000000 + 0.5) / 1000000, all.size.toLong,
+      rt.size.toLong, ct.size.toLong, n)
   }
 
   /** Cramér's V effect size for the segment × priority association —
@@ -132,25 +149,16 @@ object StatsOps {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
     val obs = j.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
-    val rt = j.groupBy("seg").agg(count(lit(1)).as("rt"))
-    val ct = j.groupBy("pri").agg(count(lit(1)).as("ct"))
-    val n = j.agg(count(lit(1)).as("n"))
-    val exp = (col("rt") * col("ct")).cast("double") / col("n")
-    broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(n))
-      .join(obs, Seq("seg", "pri"), "left")
-      .na.fill(0L, Seq("obs"))
-      .withColumn("term", pow(col("obs") - exp, 2) / exp)
-      .groupBy("n")
-      .agg(
-        // (seg, pri)-ordered fold for the same ADVICE-r7 reason as
-        // chisq: partition-order float sums are the parity surface
-        r6(expr("aggregate(transform(array_sort(collect_list(" +
-          "struct(seg, pri, term))), x -> x.term), 0D," +
-          " (acc, v) -> acc + v)")).as("chi2"),
-        (least(countDistinct(col("seg")), countDistinct(col("pri"))) - 1)
-          .as("min_dim"))
-      .select(col("n").as("n_obs"), col("chi2"), col("min_dim"),
-        r6(expr("sqrt(chi2 / (n * min_dim))")).as("cramers_v"))
+    // same one-corpus-aggregate + driver-fold shape as q_stats_chisq
+    // (shared chiSquared helper — identical census, identical fold
+    // order and r6 pins); V derives from the pinned χ² exactly as the
+    // previous SQL did (round-then-replay).
+    val (chi2, _, nSeg, nPri, n) = chiSquared(obs)
+    val minDim = math.min(nSeg, nPri) - 1L
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    import s.implicits._
+    Seq((n, chi2, minDim, r6d(math.sqrt(chi2 / (n * minDim)))))
+      .toDF("n_obs", "chi2", "min_dim", "cramers_v")
   }
 
   /** Sample-ratio-mismatch guard — the first health check of any A/B
@@ -959,17 +967,34 @@ object StatsOps {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
-    val d0 = daily.crossJoin(broadcast(daily.agg(min(col("day")).as("d0"))))
-      .select((col("day") - col("d0")).as("x"), col("c"))
-    val pairs = d0.as("a").join(d0.as("b"), col("b.x") > col("a.x"))
-      .select(((col("b.c") - col("a.c")).cast("double") /
-        (col("b.x") - col("a.x"))).as("m"))
-    val ms = pairs.agg(r6(expr("percentile(m, 0.5)")).as("slope"),
-      count(lit(1)).as("n_pairs"))
-    d0.crossJoin(broadcast(ms))
-      .agg(first(col("n_pairs")).as("n_pairs"),
-        first(col("slope")).as("slope"),
-        r6(expr("percentile(c - slope * x, 0.5)")).as("intercept"))
+    // the pair set and both medians live on the |days|-bounded census,
+    // so they fold DRIVER-SIDE on the collected census (round 9: the
+    // min-crossJoin, self-join, and two percentile aggregates were ~7
+    // jobs for ≤66k calendar pairs). Slopes are the same exact integer
+    // differences divided once; the exact-percentile interpolation
+    // below replays Spark's percentile() (position p·(n−1), linear
+    // between neighbors), and both medians keep their r6 pins — slope
+    // is pinned BEFORE the residuals, as before. Oracle unchanged.
+    val rows = daily.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0v = rows.map(_._1).min
+    val xs = rows.map { case (day, c) => (day - d0v, c) }
+    val slopes = for {
+      i <- xs.indices; k <- xs.indices
+      if xs(k)._1 > xs(i)._1
+    } yield (xs(k)._2 - xs(i)._2).toDouble / (xs(k)._1 - xs(i)._1)
+    def pctl(vs: Seq[Double], p: Double): Double = {
+      val sv = vs.sorted
+      val pos = p * (sv.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sv(lo) else sv(lo) + (pos - lo) * (sv(hi) - sv(lo))
+    }
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val slope = r6d(pctl(slopes, 0.5))
+    val intercept = r6d(pctl(xs.map { case (x, c) => c - slope * x }, 0.5))
+    import s.implicits._
+    Seq((slopes.length.toLong, slope, intercept))
+      .toDF("n_pairs", "slope", "intercept")
   }
 
   /** One-pass Poisson bootstrap (5 replicates) of the mean order price:
@@ -1150,23 +1175,29 @@ object StatsOps {
       .agg(count(lit(1)).as("n_g"),
         r6(avg(col("z"))).as("m_g"),
         r6(var_samp(col("z"))).as("v_g"))
-      .withColumn("nm", col("n_g").cast("double") * col("m_g"))
-      .withColumn("wv", (col("n_g") - 1).cast("double") * col("v_g"))
-    def fold(field: String) =
-      expr(s"aggregate(transform(array_sort(collect_list(" +
-        s"struct(g, $field))), x -> x.$field), 0D, (acc, v) -> acc + v)")
-    val totals = g.agg(count(lit(1)).as("k"),
-      sum(col("n_g")).as("n_total"),
-      fold("nm").as("sw"), fold("wv").as("ssw"))
-    g.crossJoin(broadcast(totals))
-      .withColumn("ssb_g", col("n_g").cast("double") *
-        (col("m_g") - col("sw") / col("n_total")) *
-        (col("m_g") - col("sw") / col("n_total")))
-      .groupBy("k", "n_total", "ssw")
-      .agg(fold("ssb_g").as("ssb"))
-      .select(col("k"), col("n_total"),
-        (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"),
-        r6(expr("(ssb / (k - 1)) / (ssw / (n_total - k))")).as("w_stat"))
+    // the cross-group sums reduce over the |types|-bounded group census,
+    // so they fold DRIVER-SIDE on the collected census in g order —
+    // exactly the order the previous array_sort folds accumulated in
+    // (round 9: the totals aggregate + broadcast crossJoin + second
+    // fold were ~5 jobs for ≤5 rows). The two corpus passes (per-type
+    // median, the z aggregate) are unchanged. Oracle unchanged.
+    val rows = g.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    val k = rows.length.toLong
+    val nTotal = rows.map(_._2).sum
+    val sw = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
+      a + ng.toDouble * mg }
+    val ssw = rows.foldLeft(0.0) { case (a, (_, ng, _, vg)) =>
+      a + (ng - 1).toDouble * vg }
+    val ssb = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
+      a + ng.toDouble * (mg - sw / nTotal) * (mg - sw / nTotal) }
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    import s.implicits._
+    Seq((k, nTotal, k - 1L, nTotal - k,
+      r6d((ssb / (k - 1)) / (ssw / (nTotal - k)))))
+      .toDF("k", "n_total", "df1", "df2", "w_stat")
   }
 
   /** Two-proportion experiment sizing — the power-analysis step that
@@ -1706,21 +1737,51 @@ object StatsOps {
     * residual longs, so one division of two exact integers reaches r6.
     * The events series is ~uniform per day ⇒ residuals ≈ white ⇒ DW
     * near 2; the spec pins the DW↔ρ̂₁ identity, not a magic value. */
+  /** Driver-side replay of the dailyOls frame on the collected
+    * |days|-bounded census (round 9): same exact long moments, same
+    * r6-pinned b/a, same exact milli-residual longs — returns the
+    * day-ordered (day, x, y, e_m) rows plus (n, b_r). The consumers'
+    * census-tail sums (dw's Δe²/e² as BigInt ≙ DECIMAL exactness,
+    * breusch_pagan's day-ordered u folds) then run driver-side too. */
+  private def dailyOlsFold(s: SparkSession, d: String)
+      : (Array[(Long, Long, Long, Long)], Long, Double) = {
+    val rows = dailyCensus(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val d0 = rows.map(_._1).min
+    val xy = rows.map { case (day, c) => (day, day - d0, c) }
+    val n = xy.length.toLong
+    val sx = xy.map(_._2).sum
+    val sy = xy.map(_._3).sum
+    val sxx = xy.map(t => t._2 * t._2).sum
+    val sxy = xy.map(t => t._2 * t._3).sum
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val bR = r6d((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    val aR = r6d((sy.toDouble - bR * sx) / n)
+    val withE = xy.map { case (day, x, y) =>
+      (day, x, y,
+        math.floor((y.toDouble - (aR + bR * x)) * 1000 + 0.5).toLong)
+    }
+    (withE, n, bR)
+  }
+
   private val dw: Q = (s, d) => {
-    val r = dailyOls(s, d)
-    val num = r.select((col("day") + 1).as("day"), col("e_m").as("e1"))
-      .join(r.select(col("day"), col("e_m").as("e2")), Seq("day"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(expr("CAST(e2 - e1 AS DECIMAL(19,0))" +
-          " * CAST(e2 - e1 AS DECIMAL(19,0))")).as("sdiff"))
-    val den = r.agg(count(lit(1)).as("n_days"), max("b_r").as("b_r"),
-      sum(expr("CAST(e_m AS DECIMAL(19,0)) * CAST(e_m AS DECIMAL(19,0))"))
-        .as("ssq"))
-    num.crossJoin(broadcast(den))
-      .select(col("n_days"), col("n_pairs"), col("b_r"),
-        r6(col("sdiff").cast("double") / col("ssq").cast("double"))
-          .as("dw_r"))
-      .withColumn("rho1_r", r6(lit(1.0) - col("dw_r") / 2.0))
+    // whole statistic on the |days|-bounded census → driver fold (the
+    // ljung_box pattern; round 9: the self-join + two aggregates + two
+    // crossJoins were ~6 jobs for ≤30 rows). BigInt squares replay the
+    // DECIMAL(19,0) exactness; one division of two exact integers
+    // reaches the same r6. Oracle unchanged.
+    val (rows, n, bR) = dailyOlsFold(s, d)
+    val byDay = rows.map(r => r._1 -> r._4).toMap
+    val pairs = rows.flatMap { case (day, _, _, e1) =>
+      byDay.get(day + 1).map(e2 => (e1, e2)) }
+    val sdiff = pairs.map { case (e1, e2) =>
+      BigInt(e2 - e1) * BigInt(e2 - e1) }.sum
+    val ssq = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val dwR = r6d(sdiff.toDouble / ssq.toDouble)
+    import s.implicits._
+    Seq((n, pairs.length.toLong, bR, dwR, r6d(1.0 - dwR / 2.0)))
+      .toDF("n_days", "n_pairs", "b_r", "dw_r", "rho1_r")
   }
 
   // Breusch–Pagan auxiliary-regression R² from mixed exact/folded sums
@@ -1741,23 +1802,26 @@ object StatsOps {
     * and the verdict compares the r6-pinned LM to the 16-digit χ²₁
     * 0.95 literal. */
   private val breuschPagan: Q = (s, d) => {
-    def fold(c: String) = expr(
-      s"aggregate(transform(array_sort(collect_list(struct(day, $c)))," +
-        s" t -> t.$c), 0D, (acc, v) -> acc + v)")
-    val r = dailyOls(s, d)
-      .withColumn("u", expr("(CAST(e_m AS DOUBLE) * e_m) / 1000000.0"))
-      .withColumn("xu", expr(
-        "CAST(x AS DOUBLE) * ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)"))
-      .withColumn("uu", expr(
-        "((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)" +
-          " * ((CAST(e_m AS DOUBLE) * e_m) / 1000000.0)"))
-    r.groupBy("n", "b_r")
-      .agg(sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
-        fold("u").as("su"), fold("xu").as("sxu"), fold("uu").as("suu"))
-      .select(col("n").as("n_days"), col("b_r"),
-        r6(expr(s"CAST(n AS DOUBLE) * $bpR2")).as("lm_r"))
-      .withColumn("heteroscedastic",
-        col("lm_r") > lit(3.841458820694124))
+    // whole statistic on the |days|-bounded census → driver fold in day
+    // order, exactly the order the previous array_sort folds
+    // accumulated in; x-moments stay exact longs, u/xu/uu replay the
+    // same double expressions, and LM assembles from the same formula.
+    // Oracle unchanged.
+    val (rows, n, bR) = dailyOlsFold(s, d)
+    val sx = rows.map(_._2).sum
+    val sxx = rows.map(r => r._2 * r._2).sum
+    val (su, sxu, suu) = rows.foldLeft((0.0, 0.0, 0.0)) {
+      case ((a, b, c), (_, x, _, em)) =>
+        val u = (em.toDouble * em) / 1000000.0
+        (a + u, b + x.toDouble * u, c + u * u)
+    }
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val num = n * sxu - sx * su
+    val lmR = r6d(n.toDouble *
+      ((num * num) / ((n * sxx - sx * sx).toDouble * (n * suu - su * su))))
+    import s.implicits._
+    Seq((n, bR, lmR, lmR > 3.841458820694124))
+      .toDF("n_days", "b_r", "lm_r", "heteroscedastic")
   }
 
   /** Partial autocorrelation at lags 1–3 of the daily event-count
