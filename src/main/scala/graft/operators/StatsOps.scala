@@ -553,18 +553,33 @@ object StatsOps {
         lit(1.0)).as("p_r"))
   }
 
+  /** Collected ksFamily census ranked by (p, type) — the ≤|event
+    * types|-row frame bh/holm step over, folded driver-side (round 9:
+    * the m-crossJoin + two global windows were ~4 jobs each for ≤5
+    * rows). Returns (event_type, d_r, p_r, rank). */
+  private def ksRanked(s: SparkSession, d: String)
+      : Array[(String, Double, Double, Long)] =
+    ksFamily(s, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1))
+      .zipWithIndex
+      .map { case ((et, dr, pr), i) => (et, dr, pr, (i + 1).toLong) }
+
   private val bhFdr: Q = (s, d) => {
-    val tests = ksFamily(s, d)
-    val mDf = tests.agg(count(lit(1)).as("m"))
-    val wr = Window.orderBy(col("p_r"), col("event_type"))
-    val wrev = Window.orderBy(col("rank").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tests.crossJoin(broadcast(mDf))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .withColumn("term_r", r6(col("p_r") * col("m") / col("rank")))
-      .withColumn("p_adj", least(min(col("term_r")).over(wrev), lit(1.0)))
-      .withColumn("reject", col("p_adj") <= 0.05)
-      .select("event_type", "d_r", "p_r", "rank", "p_adj", "reject")
+    // BH step-up on the driver-side ranked census: adjusted p = running
+    // MIN of the r6-pinned (p·m/rank) terms from the WORST rank up
+    // (suffix min), capped at 1 — the same window the SQL form ran,
+    // replayed in rank order. Oracle unchanged.
+    val ranked = ksRanked(s, d)
+    val m = ranked.length.toLong
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val terms = ranked.map { case (_, _, pr, rk) => r6d(pr * m / rk) }
+    val sufMin = terms.scanRight(Double.PositiveInfinity)(math.min).init
+    import s.implicits._
+    ranked.toSeq.zip(sufMin).map { case ((et, dr, pr, rk), sm) =>
+      val pAdj = math.min(sm, 1.0)
+      (et, dr, pr, rk, pAdj, pAdj <= 0.05)
+    }.toDF("event_type", "d_r", "p_r", "rank", "p_adj", "reject")
       .orderBy("rank")
   }
 
@@ -1919,17 +1934,20 @@ object StatsOps {
     * |event types|-row census (global windows allowlisted); every term
     * r6-pinned before the cummax (round-then-replay). */
   private val holm: Q = (s, d) => {
-    val tests = ksFamily(s, d)
-    val mDf = tests.agg(count(lit(1)).as("m"))
-    val wr = Window.orderBy(col("p_r"), col("event_type"))
-    val wcum = Window.orderBy("rank")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tests.crossJoin(broadcast(mDf))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .withColumn("term_r", r6(col("p_r") * (col("m") - col("rank") + 1)))
-      .withColumn("p_adj", least(max(col("term_r")).over(wcum), lit(1.0)))
-      .withColumn("reject", col("p_adj") <= 0.05)
-      .select("event_type", "p_r", "rank", "p_adj", "reject")
+    // Holm step-down on the driver-side ranked census: adjusted p =
+    // running MAX of the r6-pinned ((m−rank+1)·p) terms from the BEST
+    // rank down (prefix max), capped at 1 — the bh fold's mirror, same
+    // replay discipline. Oracle unchanged.
+    val ranked = ksRanked(s, d)
+    val m = ranked.length.toLong
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val terms = ranked.map { case (_, _, pr, rk) => r6d(pr * (m - rk + 1)) }
+    val preMax = terms.scanLeft(Double.NegativeInfinity)(math.max).tail
+    import s.implicits._
+    ranked.toSeq.zip(preMax).map { case ((et, _, pr, rk), pm) =>
+      val pAdj = math.min(pm, 1.0)
+      (et, pr, rk, pAdj, pAdj <= 0.05)
+    }.toDF("event_type", "p_r", "rank", "p_adj", "reject")
       .orderBy("rank")
   }
 
@@ -2078,21 +2096,27 @@ object StatsOps {
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
       .groupBy("c_mktsegment", "fold")
       .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
-    val seg = cells.groupBy(col("c_mktsegment").as("seg"))
-      .agg(sum(col("n_f")).as("n"), sum(col("s_f")).as("s"))
-    val prior = seg.agg(
-      r6(sum(col("s")).cast("double") / (sum(col("n")) * 100.0))
-        .as("prior_r"))
-    cells.join(seg, col("c_mktsegment") === col("seg"))
-      .crossJoin(broadcast(prior))
-      .select(col("c_mktsegment"), col("fold"),
-        (col("n") - col("n_f")).as("n_out"),
-        r6((col("s") - col("s_f")).cast("double")
-          / ((col("n") - col("n_f")) * 100.0)).as("enc_r"),
-        col("prior_r"),
-        r6(((col("s") - col("s_f")).cast("double") / 100.0
-          + lit(20.0) * col("prior_r"))
-          / ((col("n") - col("n_f")) + lit(20.0))).as("enc_smooth_r"))
+    // the segment marginals and prior derive exactly from the
+    // |segments|×|folds|-bounded census — driver fold (round 9: the
+    // marginal aggregate, prior aggregate, join and crossJoin were ~4
+    // jobs for 25 cells). Exact longs; same r6 pins. Oracle unchanged.
+    val cs = cells.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val segN = cs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val segS = cs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val prior = r6d(segS.values.sum.toDouble / (segN.values.sum * 100.0))
+    import s.implicits._
+    cs.toSeq.sortBy(c => (c._1, c._2)).map { case (sg, fold, nf, sf) =>
+      val (n, sv) = (segN(sg), segS(sg))
+      (sg, fold, n - nf,
+        r6d((sv - sf).toDouble / ((n - nf) * 100.0)),
+        prior,
+        r6d(((sv - sf).toDouble / 100.0 + 20.0 * prior)
+          / ((n - nf) + 20.0)))
+    }.toDF("c_mktsegment", "fold", "n_out", "enc_r", "prior_r",
+        "enc_smooth_r")
       .orderBy("c_mktsegment", "fold")
   }
 
@@ -2117,24 +2141,29 @@ object StatsOps {
           .as("n_good"),
         sum(when(col("o_orderstatus") === "F", 0L).otherwise(1L))
           .as("n_bad"))
-    val tot = cells.agg(sum(col("n_good")).as("g"), sum(col("n_bad")).as("b"))
-    val terms = cells.crossJoin(broadcast(tot))
-      .withColumn("woe_r", r6(log((col("n_good").cast("double") / col("g"))
-        / (col("n_bad").cast("double") / col("b")))))
-      .withColumn("iv_term_r", r6((col("n_good").cast("double") / col("g")
-        - col("n_bad").cast("double") / col("b")) * col("woe_r")))
-    val ivTot = terms.agg(expr(
-      "aggregate(transform(array_sort(collect_list(" +
-        "struct(c_mktsegment, iv_term_r))), t -> t.iv_term_r)," +
-        " 0D, (acc, v) -> acc + v)").as("iv0"))
-      .select(r6(col("iv0")).as("iv_total_r"))
-    terms.crossJoin(broadcast(ivTot))
-      .select(col("c_mktsegment"), col("n_good"), col("n_bad"),
-        col("woe_r"), col("iv_term_r"), col("iv_total_r"),
-        when(col("iv_total_r") < 0.02, "useless")
-          .when(col("iv_total_r") < 0.1, "weak")
-          .when(col("iv_total_r") < 0.3, "medium")
-          .otherwise("strong").as("verdict"))
+    // WoE/IV reduce over the |segments|-bounded census — driver fold
+    // in segment order, exactly the order the previous array_sort fold
+    // accumulated in (round 9: the tot/ivTot aggregates + two
+    // crossJoins were ~4 jobs for 5 rows). Exact longs; same r6 pins.
+    val cs = cells.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val g = cs.map(_._2).sum
+    val b = cs.map(_._3).sum
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val terms = cs.map { case (sg, ng, nb) =>
+      val woe = r6d(math.log((ng.toDouble / g) / (nb.toDouble / b)))
+      (sg, ng, nb, woe, r6d((ng.toDouble / g - nb.toDouble / b) * woe))
+    }
+    val ivTotal = r6d(terms.foldLeft(0.0)(_ + _._5))
+    val verdict =
+      if (ivTotal < 0.02) "useless" else if (ivTotal < 0.1) "weak"
+      else if (ivTotal < 0.3) "medium" else "strong"
+    import s.implicits._
+    terms.toSeq.map { case (sg, ng, nb, woe, ivt) =>
+      (sg, ng, nb, woe, ivt, ivTotal, verdict) }
+      .toDF("c_mktsegment", "n_good", "n_bad", "woe_r", "iv_term_r",
+        "iv_total_r", "verdict")
       .orderBy("c_mktsegment")
   }
 

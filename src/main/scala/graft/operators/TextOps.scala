@@ -1495,9 +1495,19 @@ object TextOps {
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-    conf.join(conf.groupBy("lang").agg(sum(col("n")).as("t")), Seq("lang"))
-      .select(col("lang"), col("pred_lang"), col("n"),
-        r6(col("n").cast("double") / col("t")).as("share"))
+    // the per-language marginals derive exactly from the
+    // |langs|²-bounded confusion census — driver fold (the kappa
+    // pattern; round 9: the self-join + marginal aggregate were ~4 jobs
+    // for ≤36 cells). Exact longs to one r6 division per cell.
+    val cells = conf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    import s.implicits._
+    cells.toSeq.sortBy(c => (c._1, c._2))
+      .map { case (lang, pred, n) =>
+        (lang, pred, n, r6d(n.toDouble / tot(lang))) }
+      .toDF("lang", "pred_lang", "n", "share")
       .orderBy("lang", "pred_lang")
   }
 

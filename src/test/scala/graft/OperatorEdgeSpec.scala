@@ -52,8 +52,6 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_skyline",             // |distinct p_size| ≤ 50 census
       "q_text_tok_zipf",       // top-100 frontier after TakeOrdered
       "q_search_rrf",          // two 20-row TakeOrdered arm frontiers
-      "q_stats_bh",            // |event types| test-family census
-      "q_stats_holm",          // same census, step-down correction
       "q_join_interval_overlap", // |hours| burst census (bursts shape)
       "q_sample_temperature",  // |langs| census
       "q_sample_split",        // 3-row split census
