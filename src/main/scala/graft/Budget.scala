@@ -93,7 +93,13 @@ object Budget {
     "q_graph_hits" -> 11, "q_layout_hilbert" -> 5,
     "q_layout_skipping" -> 5, "q_sim_mmr" -> 9,
     "q_multimodal_phash_hamming" -> 5, "q_graph_closeness" -> 9,
-    "q_customer_rfm" -> 13)
+    "q_customer_rfm" -> 13,
+    // round-9 third/fourth fold passes
+    "q_stats_chisq" -> 7, "q_stats_cramers_v" -> 7,
+    "q_stats_theil_sen" -> 6, "q_stats_levene" -> 8,
+    "q_stats_dw" -> 4, "q_stats_breusch_pagan" -> 4,
+    "q_stats_bh" -> 9, "q_stats_holm" -> 9, "q_eval_langid" -> 12,
+    "q_ml_target_encode" -> 7, "q_ml_woe_iv" -> 7)
 
   /** Count the Spark jobs one warm run of `key` submits (the JobCount
     * census as a reusable primitive): warm untimed first (artifact
