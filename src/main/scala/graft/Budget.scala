@@ -99,7 +99,8 @@ object Budget {
     "q_stats_theil_sen" -> 6, "q_stats_levene" -> 8,
     "q_stats_dw" -> 4, "q_stats_breusch_pagan" -> 4,
     "q_stats_bh" -> 9, "q_stats_holm" -> 9, "q_eval_langid" -> 12,
-    "q_ml_target_encode" -> 7, "q_ml_woe_iv" -> 7)
+    "q_ml_target_encode" -> 7, "q_ml_woe_iv" -> 7,
+    "q_events_lateness" -> 10)
 
   /** Count the Spark jobs one warm run of `key` submits (the JobCount
     * census as a reusable primitive): warm untimed first (artifact

@@ -1009,8 +1009,7 @@ object EventOps {
         (col("ts_us") + col("jit_us")).as("arr_us"))
     val wm = Dist.withPrefixMaxLong(ev, "wm_us", col("ts_us"),
       Seq(col("arr_us"), col("event_id")))
-    val total = wm.agg(count(lit(1)).as("n_tot"))
-    wm.withColumn("late_us", col("wm_us") - col("ts_us"))
+    val buckets = wm.withColumn("late_us", col("wm_us") - col("ts_us"))
       .withColumn("bucket_id",
         when(col("late_us") === 0L, 0)
           .when(col("late_us") <= 1000000L, 1)
@@ -1020,10 +1019,18 @@ object EventOps {
           .otherwise(5))
       .groupBy("bucket_id")
       .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
-      .crossJoin(broadcast(total))
-      .select(col("bucket_id"),
-        col("n"), r6(col("n") / col("n_tot").cast("double")).as("pct"),
-        col("max_late_us"))
+    // n_tot = Σn over the ≤6-row bucket census — the separate corpus
+    // count + crossJoin was one MORE pass over the watermark frame for
+    // a total the census already carries. Driver fold (round 9); exact
+    // longs, same r6 pin. Oracle unchanged.
+    val bs = buckets.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nTot = bs.map(_._2).sum
+    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    import s.implicits._
+    bs.toSeq.map { case (b, n, mx) => (b, n, r6d(n / nTot.toDouble), mx) }
+      .toDF("bucket_id", "n", "pct", "max_late_us")
       .orderBy("bucket_id")
   }
 
