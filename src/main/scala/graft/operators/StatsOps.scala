@@ -725,6 +725,16 @@ object StatsOps {
     // at the same places — oracle hash unchanged.
     val rows = daily.collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
+    // empty census → empty result (empty-stays-empty discipline)
+    if (rows.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, Long, Double, Double, Boolean)]
+        .toDF("k", "n_pairs", "rho_r", "q_lb_r", "reject")
+    } else ljungBoxFold(s, rows)
+  }
+
+  private def ljungBoxFold(s: SparkSession,
+      rows: Array[(Long, Long)]): DataFrame = {
     val n = rows.length.toLong
     val sx = rows.map(_._2).sum
     val sxx = rows.map(c => c._2 * c._2).sum
@@ -913,6 +923,16 @@ object StatsOps {
     val fr = folds.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
+    import s.implicits._
+    if (fr.isEmpty) {
+      // empty census → empty result (empty-stays-empty discipline)
+      Seq.empty[(Long, Long, Double, Double, Double, Double)]
+        .toDF("n", "g", "mean", "se_jack", "ci_lo", "ci_hi")
+    } else jackknifeFold(s, fr)
+  }
+
+  private def jackknifeFold(s: SparkSession,
+      fr: Array[(Int, Long, Double)]): DataFrame = {
     def r2d(x: Double): Double = math.floor(x * 100 + 0.5) / 100
     def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val n = fr.map(_._2).sum
@@ -991,25 +1011,35 @@ object StatsOps {
     // between neighbors), and both medians keep their r6 pins — slope
     // is pinned BEFORE the residuals, as before. Oracle unchanged.
     val rows = daily.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val d0v = rows.map(_._1).min
-    val xs = rows.map { case (day, c) => (day - d0v, c) }
-    val slopes = for {
-      i <- xs.indices; k <- xs.indices
-      if xs(k)._1 > xs(i)._1
-    } yield (xs(k)._2 - xs(i)._2).toDouble / (xs(k)._1 - xs(i)._1)
-    def pctl(vs: Seq[Double], p: Double): Double = {
-      val sv = vs.sorted
-      val pos = p * (sv.length - 1)
-      val lo = math.floor(pos).toInt
-      val hi = math.ceil(pos).toInt
-      if (lo == hi) sv(lo) else sv(lo) + (pos - lo) * (sv(hi) - sv(lo))
-    }
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val slope = r6d(pctl(slopes, 0.5))
-    val intercept = r6d(pctl(xs.map { case (x, c) => c - slope * x }, 0.5))
     import s.implicits._
-    Seq((slopes.length.toLong, slope, intercept))
-      .toDF("n_pairs", "slope", "intercept")
+    // empty/single-day census → no pair set → empty result (the
+    // empty-stays-empty discipline; the old percentile-of-nothing
+    // emitted a null row, but min/percentile on an empty driver seq
+    // would throw instead)
+    if (rows.length < 2)
+      Seq.empty[(Long, Double, Double)]
+        .toDF("n_pairs", "slope", "intercept")
+    else {
+      val d0v = rows.map(_._1).min
+      val xs = rows.map { case (day, c) => (day - d0v, c) }
+      val slopes = for {
+        i <- xs.indices; k <- xs.indices
+        if xs(k)._1 > xs(i)._1
+      } yield (xs(k)._2 - xs(i)._2).toDouble / (xs(k)._1 - xs(i)._1)
+      def pctl(vs: Seq[Double], p: Double): Double = {
+        val sv = vs.sorted
+        val pos = p * (sv.length - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        if (lo == hi) sv(lo) else sv(lo) + (pos - lo) * (sv(hi) - sv(lo))
+      }
+      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+      val slope = r6d(pctl(slopes, 0.5))
+      val intercept =
+        r6d(pctl(xs.map { case (x, c) => c - slope * x }, 0.5))
+      Seq((slopes.length.toLong, slope, intercept))
+        .toDF("n_pairs", "slope", "intercept")
+    }
   }
 
   /** One-pass Poisson bootstrap (5 replicates) of the mean order price:
@@ -1762,6 +1792,9 @@ object StatsOps {
       : (Array[(Long, Long, Long, Long)], Long, Double) = {
     val rows = dailyCensus(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // empty census → empty fold (consumers emit empty frames — the
+    // empty-stays-empty discipline; min on an empty seq would throw)
+    if (rows.isEmpty) return (Array.empty, 0L, 0.0)
     val d0 = rows.map(_._1).min
     val xy = rows.map { case (day, c) => (day, day - d0, c) }
     val n = xy.length.toLong
@@ -1786,17 +1819,22 @@ object StatsOps {
     // DECIMAL(19,0) exactness; one division of two exact integers
     // reaches the same r6. Oracle unchanged.
     val (rows, n, bR) = dailyOlsFold(s, d)
-    val byDay = rows.map(r => r._1 -> r._4).toMap
-    val pairs = rows.flatMap { case (day, _, _, e1) =>
-      byDay.get(day + 1).map(e2 => (e1, e2)) }
-    val sdiff = pairs.map { case (e1, e2) =>
-      BigInt(e2 - e1) * BigInt(e2 - e1) }.sum
-    val ssq = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val dwR = r6d(sdiff.toDouble / ssq.toDouble)
     import s.implicits._
-    Seq((n, pairs.length.toLong, bR, dwR, r6d(1.0 - dwR / 2.0)))
-      .toDF("n_days", "n_pairs", "b_r", "dw_r", "rho1_r")
+    if (rows.isEmpty)
+      Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("n_days", "n_pairs", "b_r", "dw_r", "rho1_r")
+    else {
+      val byDay = rows.map(r => r._1 -> r._4).toMap
+      val pairs = rows.flatMap { case (day, _, _, e1) =>
+        byDay.get(day + 1).map(e2 => (e1, e2)) }
+      val sdiff = pairs.map { case (e1, e2) =>
+        BigInt(e2 - e1) * BigInt(e2 - e1) }.sum
+      val ssq = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum
+      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+      val dwR = r6d(sdiff.toDouble / ssq.toDouble)
+      Seq((n, pairs.length.toLong, bR, dwR, r6d(1.0 - dwR / 2.0)))
+        .toDF("n_days", "n_pairs", "b_r", "dw_r", "rho1_r")
+    }
   }
 
   // Breusch–Pagan auxiliary-regression R² from mixed exact/folded sums
@@ -1823,20 +1861,25 @@ object StatsOps {
     // same double expressions, and LM assembles from the same formula.
     // Oracle unchanged.
     val (rows, n, bR) = dailyOlsFold(s, d)
-    val sx = rows.map(_._2).sum
-    val sxx = rows.map(r => r._2 * r._2).sum
-    val (su, sxu, suu) = rows.foldLeft((0.0, 0.0, 0.0)) {
-      case ((a, b, c), (_, x, _, em)) =>
-        val u = (em.toDouble * em) / 1000000.0
-        (a + u, b + x.toDouble * u, c + u * u)
-    }
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val num = n * sxu - sx * su
-    val lmR = r6d(n.toDouble *
-      ((num * num) / ((n * sxx - sx * sx).toDouble * (n * suu - su * su))))
     import s.implicits._
-    Seq((n, bR, lmR, lmR > 3.841458820694124))
-      .toDF("n_days", "b_r", "lm_r", "heteroscedastic")
+    if (rows.isEmpty)
+      Seq.empty[(Long, Double, Double, Boolean)]
+        .toDF("n_days", "b_r", "lm_r", "heteroscedastic")
+    else {
+      val sx = rows.map(_._2).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val (su, sxu, suu) = rows.foldLeft((0.0, 0.0, 0.0)) {
+        case ((a, b, c), (_, x, _, em)) =>
+          val u = (em.toDouble * em) / 1000000.0
+          (a + u, b + x.toDouble * u, c + u * u)
+      }
+      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+      val num = n * sxu - sx * su
+      val lmR = r6d(n.toDouble * ((num * num) /
+        ((n * sxx - sx * sx).toDouble * (n * suu - su * su))))
+      Seq((n, bR, lmR, lmR > 3.841458820694124))
+        .toDF("n_days", "b_r", "lm_r", "heteroscedastic")
+    }
   }
 
   /** Partial autocorrelation at lags 1–3 of the daily event-count

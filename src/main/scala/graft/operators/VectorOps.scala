@@ -1046,6 +1046,16 @@ object VectorOps {
     // sized, exactly as before. Oracle hash unchanged.
     val cells = conf.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // empty census → empty result (empty-stays-empty discipline)
+    if (cells.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, Long, Long, Double, Double, Double)]
+        .toDF("n_total", "n_agree", "sum_rc", "po", "pe", "kappa")
+    } else kappaFold(s, cells)
+  }
+
+  private def kappaFold(s: SparkSession,
+      cells: Array[(Int, Int, Long)]): DataFrame = {
     val rown = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val coln = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     val sumRc = (rown.keySet ++ coln.keySet).toSeq
