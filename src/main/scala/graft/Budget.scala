@@ -119,15 +119,29 @@ object Budget {
         counter.incrementAndGet(): Unit
       }
     }
+    // listener events post asynchronously (listenerBus.waitUntilEmpty
+    // is private[spark]), so both edges of the window need draining:
+    // poll until the count is stable across two consecutive checks
+    def quiesce(): Unit = {
+      var prev = -1
+      var spins = 0
+      while (prev != counter.get() && spins < 20) {
+        prev = counter.get()
+        Thread.sleep(50)
+        spins += 1
+      }
+    }
     s.sparkContext.addSparkListener(l)
     try {
+      // drain the WARM run's stragglers before zeroing — attached
+      // listeners receive queued events from before the attach, which
+      // would overcount the window on a loaded host
+      quiesce()
+      counter.set(0)
       fn(s, sfDir).count()
       if (sys.env.get("GRAFT_JOBCAP_BREAK_KEY").contains(key))
         (1 to 3).foreach(_ => s.range(1).count())
-      // listener events post asynchronously; let stragglers land (the
-      // JobCount discipline — listenerBus.waitUntilEmpty is
-      // private[spark])
-      Thread.sleep(500)
+      quiesce()
       counter.get()
     } finally s.sparkContext.removeSparkListener(l)
   }

@@ -24,4 +24,12 @@ object Par {
   /** The matching SQL fragment for oracle queries. */
   def sql(expr: String, scale: Long): String =
     s"floor(($expr) * $scale + 0.5) / $scale.0"
+
+  /** Scalar twins of r2/r6 for driver-side census folds (round 9) —
+    * the SAME pure-IEEE formula, so a fold that replays a query's
+    * arithmetic on the collected census pins at identical doubles.
+    * One definition here, not a per-key copy: a drifted local copy
+    * would silently break engine parity for just that key. */
+  def r2d(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+  def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
 }

@@ -1027,9 +1027,8 @@ object EventOps {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val nTot = bs.map(_._2).sum
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     import s.implicits._
-    bs.toSeq.map { case (b, n, mx) => (b, n, r6d(n / nTot.toDouble), mx) }
+    bs.toSeq.map { case (b, n, mx) => (b, n, graft.Par.r6d(n / nTot.toDouble), mx) }
       .toDF("bucket_id", "n", "pct", "max_late_us")
       .orderBy("bucket_id")
   }
@@ -1336,13 +1335,12 @@ object EventOps {
     // distribution (and both engines would agree, so the oracle could
     // not catch it). Same derivation in the oracle SQL.
     val states = pr.map(_._1).distinct
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     var pi: Map[String, Double] =
       states.map(_ -> 1.0 / states.length).toMap
     for (_ <- 1 to 4)
       pi = pr.filter(t => pi.contains(t._1)).groupBy(_._2).map {
         case (t2, ts) =>
-          t2 -> r6d(ts.sortBy(_._1).foldLeft(0.0) { (acc, x) =>
+          t2 -> graft.Par.r6d(ts.sortBy(_._1).foldLeft(0.0) { (acc, x) =>
             acc + pi(x._1) * x._3
           })
       }

@@ -154,11 +154,21 @@ object StatsOps {
     // order and r6 pins); V derives from the pinned χ² exactly as the
     // previous SQL did (round-then-replay).
     val (chi2, _, nSeg, nPri, n) = chiSquared(obs)
-    val minDim = math.min(nSeg, nPri) - 1L
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     import s.implicits._
-    Seq((n, chi2, minDim, r6d(math.sqrt(chi2 / (n * minDim)))))
-      .toDF("n_obs", "chi2", "min_dim", "cramers_v")
+    // empty census → empty result (the old groupBy("n") form emitted
+    // zero rows); a single-level factor (min_dim 0) → null V, matching
+    // Spark's null-on-zero-divisor, not IEEE NaN
+    if (n == 0L)
+      Seq.empty[(Long, Double, Long, Option[Double])]
+        .toDF("n_obs", "chi2", "min_dim", "cramers_v")
+    else {
+      val minDim = math.min(nSeg, nPri) - 1L
+      val v =
+        if (minDim == 0L) None
+        else Some(graft.Par.r6d(math.sqrt(chi2 / (n * minDim))))
+      Seq((n, chi2, minDim, v))
+        .toDF("n_obs", "chi2", "min_dim", "cramers_v")
+    }
   }
 
   /** Sample-ratio-mismatch guard — the first health check of any A/B
@@ -572,8 +582,7 @@ object StatsOps {
     // replayed in rank order. Oracle unchanged.
     val ranked = ksRanked(s, d)
     val m = ranked.length.toLong
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val terms = ranked.map { case (_, _, pr, rk) => r6d(pr * m / rk) }
+    val terms = ranked.map { case (_, _, pr, rk) => graft.Par.r6d(pr * m / rk) }
     val sufMin = terms.scanRight(Double.PositiveInfinity)(math.min).init
     import s.implicits._
     ranked.toSeq.zip(sufMin).map { case ((et, dr, pr, rk), sm) =>
@@ -739,26 +748,36 @@ object StatsOps {
     val sx = rows.map(_._2).sum
     val sxx = rows.map(c => c._2 * c._2).sum
     val md = sx.toDouble / n
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val byDay = rows.toMap
-    val perk = (1L to LbLags.toLong).map { k =>
+    // pairless lags DROP (the old lag-spine inner join emitted no row
+    // for them — a short series must not grow extra rows); a constant
+    // series (zero ACF denominator) gives null rho per Spark's
+    // null-on-zero-divisor, and nulls propagate through the Q fold
+    val denom = sxx - n * md * md
+    val perk = (1L to LbLags.toLong).flatMap { k =>
       val pairs = rows.flatMap { case (day, x) =>
         byDay.get(day + k).map(y => (x, y)) }
-      val nPairs = pairs.length.toLong
-      val sxy = pairs.map(p => p._1 * p._2).sum
-      val sh = pairs.map(_._1).sum
-      val st = pairs.map(_._2).sum
-      val rho = r6d((sxy - md * (sh + st) + nPairs * md * md)
-        / (sxx - n * md * md))
-      (k, nPairs, rho)
+      if (pairs.isEmpty) None
+      else {
+        val nPairs = pairs.length.toLong
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sh = pairs.map(_._1).sum
+        val st = pairs.map(_._2).sum
+        val rho =
+          if (denom == 0.0) None
+          else Some(graft.Par.r6d(
+            (sxy - md * (sh + st) + nPairs * md * md) / denom))
+        Some((k, nPairs, rho))
+      }
     }
-    val tsum = perk.sortBy(_._1).foldLeft(0.0) { case (acc, (k, _, rho)) =>
-      acc + rho * rho / (n - k)
+    val tsum = perk.sortBy(_._1).foldLeft(Option(0.0)) {
+      case (acc, (k, _, rho)) =>
+        for (a <- acc; r <- rho; if n != k) yield a + r * r / (n - k)
     }
-    val qLb = r6d(n * (n + 2) * tsum)
+    val qLb = tsum.map(t => graft.Par.r6d(n * (n + 2) * t))
     import s.implicits._
     perk.map { case (k, nPairs, rho) =>
-      (k, nPairs, rho, qLb, qLb > 14.067140449340169) }
+      (k, nPairs, rho, qLb, qLb.map(_ > 14.067140449340169)) }
       .toDF("k", "n_pairs", "rho_r", "q_lb_r", "reject")
       .orderBy("k")
   }
@@ -933,22 +952,20 @@ object StatsOps {
 
   private def jackknifeFold(s: SparkSession,
       fr: Array[(Int, Long, Double)]): DataFrame = {
-    def r2d(x: Double): Double = math.floor(x * 100 + 0.5) / 100
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val n = fr.map(_._2).sum
-    val sTot = r2d(fr.map(_._3).sum)
+    val sTot = graft.Par.r2d(fr.map(_._3).sum)
     val g = fr.length.toLong
     // centered sum of squares against the r6-pinned replicate mean —
     // the raw-moment form (sm2 − sm²/g) cancels ~12 digits at sf0.1
     // (sm2 ≈ 6e11, variance ≈ 1e6), leaving ULP noise above the r6
     // boundary; the centered form keeps every term at deviation scale
-    val mi = fr.map { case (_, ni, si) => r6d((sTot - si) / (n - ni)) }
-    val mbar = r6d(mi.sum / g)
+    val mi = fr.map { case (_, ni, si) => graft.Par.r6d((sTot - si) / (n - ni)) }
+    val mbar = graft.Par.r6d(mi.sum / g)
     val ss = mi.map(m => (m - mbar) * (m - mbar)).sum
     val se = math.sqrt((g - 1).toDouble / g * ss)
     import s.implicits._
-    Seq((n, g, r6d(sTot / n), r6d(se),
-      r6d(sTot / n - 1.96 * se), r6d(sTot / n + 1.96 * se)))
+    Seq((n, g, graft.Par.r6d(sTot / n), graft.Par.r6d(se),
+      graft.Par.r6d(sTot / n - 1.96 * se), graft.Par.r6d(sTot / n + 1.96 * se)))
       .toDF("n", "g", "mean", "se_jack", "ci_lo", "ci_hi")
   }
 
@@ -1033,10 +1050,9 @@ object StatsOps {
         val hi = math.ceil(pos).toInt
         if (lo == hi) sv(lo) else sv(lo) + (pos - lo) * (sv(hi) - sv(lo))
       }
-      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-      val slope = r6d(pctl(slopes, 0.5))
+      val slope = graft.Par.r6d(pctl(slopes, 0.5))
       val intercept =
-        r6d(pctl(xs.map { case (x, c) => c - slope * x }, 0.5))
+        graft.Par.r6d(pctl(xs.map { case (x, c) => c - slope * x }, 0.5))
       Seq((slopes.length.toLong, slope, intercept))
         .toDF("n_pairs", "slope", "intercept")
     }
@@ -1226,23 +1242,33 @@ object StatsOps {
     // (round 9: the totals aggregate + broadcast crossJoin + second
     // fold were ~5 jobs for ≤5 rows). The two corpus passes (per-type
     // median, the z aggregate) are unchanged. Oracle unchanged.
+    // v_g is read as Option: var_samp of a single-row group is NULL,
+    // and the old wv fold propagated that null into a null w_stat —
+    // getDouble would throw instead. Same for the zero-divisor cases
+    // (k=1, n=k, ssw=0): Spark division yields NULL, not IEEE Inf/NaN,
+    // so w_stat goes None exactly where the SQL went null.
     val rows = g.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3)))
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .sortBy(_._1)
-    val k = rows.length.toLong
-    val nTotal = rows.map(_._2).sum
-    val sw = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
-      a + ng.toDouble * mg }
-    val ssw = rows.foldLeft(0.0) { case (a, (_, ng, _, vg)) =>
-      a + (ng - 1).toDouble * vg }
-    val ssb = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
-      a + ng.toDouble * (mg - sw / nTotal) * (mg - sw / nTotal) }
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     import s.implicits._
-    Seq((k, nTotal, k - 1L, nTotal - k,
-      r6d((ssb / (k - 1)) / (ssw / (nTotal - k)))))
-      .toDF("k", "n_total", "df1", "df2", "w_stat")
+    if (rows.isEmpty)
+      Seq.empty[(Long, Long, Long, Long, Option[Double])]
+        .toDF("k", "n_total", "df1", "df2", "w_stat")
+    else {
+      val k = rows.length.toLong
+      val nTotal = rows.map(_._2).sum
+      val sw = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
+        a + ng.toDouble * mg }
+      val ssw = rows.foldLeft(Option(0.0)) { case (a, (_, ng, _, vg)) =>
+        for (acc <- a; v <- vg) yield acc + (ng - 1).toDouble * v }
+      val ssb = rows.foldLeft(0.0) { case (a, (_, ng, mg, _)) =>
+        a + ng.toDouble * (mg - sw / nTotal) * (mg - sw / nTotal) }
+      val wStat = ssw.filter(v => k > 1 && nTotal != k && v != 0.0)
+        .map(v => graft.Par.r6d((ssb / (k - 1)) / (v / (nTotal - k))))
+      Seq((k, nTotal, k - 1L, nTotal - k, wStat))
+        .toDF("k", "n_total", "df1", "df2", "w_stat")
+    }
   }
 
   /** Two-proportion experiment sizing — the power-analysis step that
@@ -1758,7 +1784,7 @@ object StatsOps {
     * min(day), b/a from exact long moments r6-pinned, e_m = exact
     * milli-scaled residual long — every downstream sum over e_m is
     * integer arithmetic, immune to partition order. */
-  private def dailyOls(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dailyOls(s: SparkSession, d: String): DataFrame = {
     val daily = dailyCensus(s, d)
     val xy = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
       .select(col("day"), (col("day") - col("d0")).as("x"),
@@ -1788,7 +1814,7 @@ object StatsOps {
     * day-ordered (day, x, y, e_m) rows plus (n, b_r). The consumers'
     * census-tail sums (dw's Δe²/e² as BigInt ≙ DECIMAL exactness,
     * breusch_pagan's day-ordered u folds) then run driver-side too. */
-  private def dailyOlsFold(s: SparkSession, d: String)
+  private[graft] def dailyOlsFold(s: SparkSession, d: String)
       : (Array[(Long, Long, Long, Long)], Long, Double) = {
     val rows = dailyCensus(s, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -1802,9 +1828,8 @@ object StatsOps {
     val sy = xy.map(_._3).sum
     val sxx = xy.map(t => t._2 * t._2).sum
     val sxy = xy.map(t => t._2 * t._3).sum
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val bR = r6d((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
-    val aR = r6d((sy.toDouble - bR * sx) / n)
+    val bR = graft.Par.r6d((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    val aR = graft.Par.r6d((sy.toDouble - bR * sx) / n)
     val withE = xy.map { case (day, x, y) =>
       (day, x, y,
         math.floor((y.toDouble - (aR + bR * x)) * 1000 + 0.5).toLong)
@@ -1830,9 +1855,13 @@ object StatsOps {
       val sdiff = pairs.map { case (e1, e2) =>
         BigInt(e2 - e1) * BigInt(e2 - e1) }.sum
       val ssq = rows.map(r => BigInt(r._4) * BigInt(r._4)).sum
-      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-      val dwR = r6d(sdiff.toDouble / ssq.toDouble)
-      Seq((n, pairs.length.toLong, bR, dwR, r6d(1.0 - dwR / 2.0)))
+      // zero residual energy (perfectly linear series) → null DW,
+      // matching Spark's null-on-zero-divisor rather than IEEE NaN
+      val dwR =
+        if (ssq == 0) None
+        else Some(graft.Par.r6d(sdiff.toDouble / ssq.toDouble))
+      Seq((n, pairs.length.toLong, bR, dwR,
+        dwR.map(v => graft.Par.r6d(1.0 - v / 2.0))))
         .toDF("n_days", "n_pairs", "b_r", "dw_r", "rho1_r")
     }
   }
@@ -1873,11 +1902,14 @@ object StatsOps {
           val u = (em.toDouble * em) / 1000000.0
           (a + u, b + x.toDouble * u, c + u * u)
       }
-      def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
       val num = n * sxu - sx * su
-      val lmR = r6d(n.toDouble * ((num * num) /
-        ((n * sxx - sx * sx).toDouble * (n * suu - su * su))))
-      Seq((n, bR, lmR, lmR > 3.841458820694124))
+      // zero aux-regression variance (single day / constant u) → null
+      // LM per Spark's null-on-zero-divisor, not IEEE NaN
+      val den = (n * sxx - sx * sx).toDouble * (n * suu - su * su)
+      val lmR =
+        if (den == 0.0) None
+        else Some(graft.Par.r6d(n.toDouble * ((num * num) / den)))
+      Seq((n, bR, lmR, lmR.map(_ > 3.841458820694124)))
         .toDF("n_days", "b_r", "lm_r", "heteroscedastic")
     }
   }
@@ -1983,8 +2015,7 @@ object StatsOps {
     // replay discipline. Oracle unchanged.
     val ranked = ksRanked(s, d)
     val m = ranked.length.toLong
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val terms = ranked.map { case (_, _, pr, rk) => r6d(pr * (m - rk + 1)) }
+    val terms = ranked.map { case (_, _, pr, rk) => graft.Par.r6d(pr * (m - rk + 1)) }
     val preMax = terms.scanLeft(Double.NegativeInfinity)(math.max).tail
     import s.implicits._
     ranked.toSeq.zip(preMax).map { case ((et, _, pr, rk), pm) =>
@@ -2148,15 +2179,18 @@ object StatsOps {
         r.getLong(3)))
     val segN = cs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val segS = cs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
-    val prior = r6d(segS.values.sum.toDouble / (segN.values.sum * 100.0))
+    val prior = graft.Par.r6d(segS.values.sum.toDouble / (segN.values.sum * 100.0))
     import s.implicits._
     cs.toSeq.sortBy(c => (c._1, c._2)).map { case (sg, fold, nf, sf) =>
       val (n, sv) = (segN(sg), segS(sg))
-      (sg, fold, n - nf,
-        r6d((sv - sf).toDouble / ((n - nf) * 100.0)),
-        prior,
-        r6d(((sv - sf).toDouble / 100.0 + 20.0 * prior)
+      // a segment entirely inside one fold has no out-of-fold rows →
+      // null encoding per Spark's null-on-zero-divisor (the smoothed
+      // divisor carries +20 and can never be zero)
+      val enc =
+        if (n == nf) None
+        else Some(graft.Par.r6d((sv - sf).toDouble / ((n - nf) * 100.0)))
+      (sg, fold, n - nf, enc, prior,
+        graft.Par.r6d(((sv - sf).toDouble / 100.0 + 20.0 * prior)
           / ((n - nf) + 20.0)))
     }.toDF("c_mktsegment", "fold", "n_out", "enc_r", "prior_r",
         "enc_smooth_r")
@@ -2193,15 +2227,27 @@ object StatsOps {
       .sortBy(_._1)
     val g = cs.map(_._2).sum
     val b = cs.map(_._3).sum
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    // a zero good/bad count makes the WoE log-of-zero (or its divisor
+    // zero): Spark's log/divide return NULL there, and the null rides
+    // the fold into a null IV total — replicated with Options; the
+    // verdict's when-chain treats a null IV as no-match → "strong",
+    // exactly as the old otherwise() branch did
     val terms = cs.map { case (sg, ng, nb) =>
-      val woe = r6d(math.log((ng.toDouble / g) / (nb.toDouble / b)))
-      (sg, ng, nb, woe, r6d((ng.toDouble / g - nb.toDouble / b) * woe))
+      val woe =
+        if (g == 0L || b == 0L || nb == 0L || ng == 0L) None
+        else Some(graft.Par.r6d(
+          math.log((ng.toDouble / g) / (nb.toDouble / b))))
+      (sg, ng, nb, woe, woe.map(w =>
+        graft.Par.r6d((ng.toDouble / g - nb.toDouble / b) * w)))
     }
-    val ivTotal = r6d(terms.foldLeft(0.0)(_ + _._5))
-    val verdict =
-      if (ivTotal < 0.02) "useless" else if (ivTotal < 0.1) "weak"
-      else if (ivTotal < 0.3) "medium" else "strong"
+    val ivTotal = terms.foldLeft(Option(0.0)) { case (acc, t) =>
+      for (a <- acc; v <- t._5) yield a + v }.map(graft.Par.r6d)
+    val verdict = ivTotal match {
+      case Some(v) if v < 0.02 => "useless"
+      case Some(v) if v < 0.1  => "weak"
+      case Some(v) if v < 0.3  => "medium"
+      case _                   => "strong"
+    }
     import s.implicits._
     terms.toSeq.map { case (sg, ng, nb, woe, ivt) =>
       (sg, ng, nb, woe, ivt, ivTotal, verdict) }

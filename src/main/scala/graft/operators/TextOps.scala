@@ -1502,11 +1502,10 @@ object TextOps {
     val cells = conf.collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val tot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     import s.implicits._
     cells.toSeq.sortBy(c => (c._1, c._2))
       .map { case (lang, pred, n) =>
-        (lang, pred, n, r6d(n.toDouble / tot(lang))) }
+        (lang, pred, n, graft.Par.r6d(n.toDouble / tot(lang))) }
       .toDF("lang", "pred_lang", "n", "share")
       .orderBy("lang", "pred_lang")
   }

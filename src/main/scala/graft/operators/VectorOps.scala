@@ -1062,13 +1062,16 @@ object VectorOps {
       .map(c => rown.getOrElse(c, 0L) * coln.getOrElse(c, 0L)).sum
     val nTotal = cells.map(_._3).sum
     val nAgree = cells.collect { case (t, p, n) if t == p => n }.sum
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     import s.implicits._
+    // a single-class degenerate matrix has n² = Σrc → null kappa per
+    // Spark's null-on-zero-divisor, not IEEE NaN
+    val kap =
+      if (nTotal * nTotal == sumRc) None
+      else Some(graft.Par.r6d((nTotal * nAgree - sumRc).toDouble
+        / (nTotal * nTotal - sumRc)))
     Seq((nTotal, nAgree, sumRc,
-      r6d(nAgree.toDouble / nTotal),
-      r6d(sumRc.toDouble / (nTotal * nTotal)),
-      r6d((nTotal * nAgree - sumRc).toDouble
-        / (nTotal * nTotal - sumRc))))
+      graft.Par.r6d(nAgree.toDouble / nTotal),
+      graft.Par.r6d(sumRc.toDouble / (nTotal * nTotal)), kap))
       .toDF("n_total", "n_agree", "sum_rc", "po", "pe", "kappa")
   }
 
@@ -1311,7 +1314,6 @@ object VectorOps {
     val psim = pair.select("qid", "ca", "cb", "ps_r").collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
         r.getDouble(3))).toMap
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     val picks = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
       var selected = Vector.empty[(Long, Long, Double)] // (step, cid, mmr)
       var step = 1
@@ -1321,10 +1323,10 @@ object VectorOps {
           .filter(c => !selected.exists(_._2 == c._2))
           .map { case (_, cid, rel) =>
             val mmr =
-              if (step == 1) r6d(0.7 * rel) // empty set → diversity 0
+              if (step == 1) graft.Par.r6d(0.7 * rel) // empty set → diversity 0
               else {
                 val maxsim = selected.map(s => psim((qid, cid, s._2))).max
-                r6d(0.7 * rel - 0.3 * maxsim)
+                graft.Par.r6d(0.7 * rel - 0.3 * maxsim)
               }
             (cid, mmr)
           }
@@ -1443,10 +1445,9 @@ object VectorOps {
     val hl = nl.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, c)) =>
       acc - (c / nD) * math.log(c / nD)
     }
-    def r6d(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
     s.createDataFrame(Seq(
-        (n, cells.length.toLong, r6d(purity), r6d(hc), r6d(hl),
-          r6d(2.0 * mi / (hc + hl)))))
+        (n, cells.length.toLong, graft.Par.r6d(purity), graft.Par.r6d(hc), graft.Par.r6d(hl),
+          graft.Par.r6d(2.0 * mi / (hc + hl)))))
       .toDF("n", "n_cells", "purity", "h_cluster", "h_label", "nmi")
   }
 

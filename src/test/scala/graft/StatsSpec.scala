@@ -887,4 +887,24 @@ class StatsSpec extends SparkSpec {
       assert(!r.getAs[Boolean]("reject"))
     }
   }
+
+  test("dailyOlsFold replays the SQL dailyOls frame bit-exactly") {
+    // dw/breusch_pagan fold the OLS fit driver-side while cooks (and
+    // the DuckDB oracle) still consume the SQL twin — this pins the
+    // two implementations in ULP-exact lockstep so neither can drift
+    // alone (round-9 review finding)
+    val sqlRows = operators.StatsOps.dailyOls(spark, sfDir)
+      .select("day", "x", "y", "e_m", "b_r")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    val (fold, n, bR) = operators.StatsOps.dailyOlsFold(spark, sfDir)
+    assert(fold.length == sqlRows.length && n == sqlRows.length.toLong)
+    sqlRows.zip(fold).foreach { case ((d1, x1, y1, e1, b1), (d2, x2, y2, e2)) =>
+      assert(d1 == d2 && x1 == x2 && y1 == y2)
+      assert(e1 == e2, s"e_m mismatch at day $d1: sql $e1 vs fold $e2")
+      assert(b1 == bR)
+    }
+  }
 }
