@@ -186,7 +186,13 @@ object Budget {
           Thread.sleep(math.ceil(band * 2000).toLong)
         (System.nanoTime() - t0) / 1e9
       }.min
-      Result(k, measured, band * 1.5 * scale, band, scale)
+      // absolute noise floor: on sub-0.3s bands the ×1.5 margin is
+      // thinner than the ~0.1s scheduling jitter a 27-suite run can add
+      // to any single key (q_join_salted breached at +0.13s once with
+      // zero code change, round 9) — a regression that matters still
+      // clears band + 0.15s easily
+      Result(k, measured,
+        math.max(band * 1.5, band + 0.15) * scale, band, scale)
     }
   }
 
