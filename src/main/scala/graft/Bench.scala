@@ -170,10 +170,10 @@ object Bench {
     val retimeOn =
       sys.env.getOrElse("SPARK_GRAFT_RETIME", "true").toBoolean
     val retimeFloor =
-      sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "1.5").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "1.0").toDouble
     val retimed: Map[String, Double] =
       if (!retimeOn) Map.empty
-      else results.filter(_._2 >= retimeFloor).sortBy(-_._2).take(60)
+      else results.filter(_._2 >= retimeFloor).sortBy(-_._2).take(80)
         .map { case (name, first) =>
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sfDir).count()
