@@ -30,13 +30,17 @@ object Caches {
     * that dir's entries, given None all of them. */
   private val handlers = new CopyOnWriteArrayList[Option[String] => Unit]()
 
+  /** One size supplier per registered map — backs `totalEntries`. */
+  private val sizers = new CopyOnWriteArrayList[() => Int]()
+
   private[graft] def register(h: Option[String] => Unit): Unit =
     handlers.add(h)
 
   /** Register a ConcurrentHashMap-backed cache. `dirOf` extracts the data
     * dir from the key; `release` unpersists whatever the value pins. */
   private[graft] def registerMap[K, V](map: ConcurrentHashMap[K, V],
-      dirOf: K => String, release: V => Unit): Unit =
+      dirOf: K => String, release: V => Unit): Unit = {
+    sizers.add(() => map.size)
     register { dirOpt =>
       val it = map.entrySet().iterator()
       while (it.hasNext) {
@@ -47,6 +51,19 @@ object Caches {
         }
       }
     }
+  }
+
+  /** Live entry count across every registered cache map. The bench's
+    * stall re-time pass reports min-of-N per key, which is honest only
+    * if a repeat evaluation repeats the first one's work — i.e. every
+    * session cache is built by an UNTIMED warmup key, never by the
+    * first timed consumer. CacheSpec's warmup-coverage audit asserts
+    * that invariant through this census. */
+  def totalEntries: Int = {
+    var n = 0
+    sizers.forEach(s => n += s())
+    n
+  }
 
   /** Drop every cached frame built from `dir` (all sessions, all
     * tokenizers), unpersisting them. The next query rebuilds from the

@@ -45,6 +45,44 @@ class CacheSpec extends SparkSpec {
     assert(rebuilt.select("doc_id").distinct().count() === 5)
   }
 
+  test("every session cache is warmup-built: timed keys add no entries") {
+    // The bench's stall re-time pass reports the per-key min of
+    // repeated evaluations, which is honest only if a repeat does the
+    // same work as the first — i.e. no timed key builds a session
+    // cache its re-run would then read warm. Run every warmup key,
+    // snapshot the cache census, then run the former first-consumer
+    // keys plus one consumer per cached family: the census must not
+    // grow. (Other suites sharing this session may have pre-populated
+    // entries — computeIfAbsent makes that harmless; only the DELTA
+    // matters.)
+    Bench.warmupKeys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"warmup key $k missing")
+      SparkEntry.queries(k)(spark, sfDir).count()
+    }
+    val before = Caches.totalEntries
+    val probes = Seq(
+      "q_search_rrf", // bm25DocCache (warmup: q_text_search_bm25)
+      // dayCensusCache consumers (warmup: q_stats_breusch_pagan)
+      "q_stats_dw", "q_stats_pettitt", "q_stats_pacf",
+      "q_stats_ljung_box",
+      "q_dedup_near", // TokenBitmap vocab/bitmaps/tokens
+      "q_ann_ivf", "q_ann_ivfpq", // kmeansCache / pqCbCache
+      "q_eval_auroc", // qclfCache
+      "q_multimodal_phash_hamming", // packedCache
+      "q_multimodal_block_jaccard", // blockCache
+      "q_layout_skipping", // layoutStatsCache
+      "q_text_bpe_encode", // bpeCache
+      "q_dedup_simhash_pairs", "q_dedup_containment", // pair caches
+      "q_graph_hits", "q_graph_modularity") // edge/copurchase caches
+    probes.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"probe key $k missing")
+      SparkEntry.queries(k)(spark, sfDir).count()
+      assert(Caches.totalEntries === before,
+        s"$k built a session cache on its first timed run — add its " +
+          "builder to Bench.warmupKeys (re-time honesty precondition)")
+    }
+  }
+
   test("clearAll drops every cached entry") {
     val dir = Files.createTempDirectory("graft-cache2").toString
     val tok = "split(text, ' ')"
