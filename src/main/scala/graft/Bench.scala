@@ -196,6 +196,9 @@ object Bench {
         }.sum
       retimeSaved += passSaved
       retimePasses += 1
+      System.err.println(
+        f"RETIME pass $retimePasses%d (floor $floor%.1f): " +
+          f"saved $passSaved%.1f s, elapsed $elapsedSec%.0f s")
       passSaved
     }
     // Wall cap: a stalled loop plus five passes measured ~13 min of
@@ -218,8 +221,11 @@ object Bench {
       // pays the ~120 extra evaluations.
       if (retimeSaved >= 0.05 * best.values.sum || canaryJobs >= 1.0) {
         cont = true
-        while (cont && retimePasses < 5 && elapsedSec < retimeWallCap)
+        var loPasses = 0
+        while (cont && loPasses < 2 && elapsedSec < retimeWallCap) {
           cont = retimePass(0.4, 120) >= 0.03 * best.values.sum
+          loPasses += 1
+        }
       }
     }
     val finalResults = results.map { case (k, _) => k -> best(k) }
