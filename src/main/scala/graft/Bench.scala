@@ -222,7 +222,7 @@ object Bench {
       if (retimeSaved >= 0.05 * best.values.sum || canaryJobs >= 1.0) {
         cont = true
         var loPasses = 0
-        while (cont && loPasses < 2 && elapsedSec < retimeWallCap) {
+        while (cont && loPasses < 3 && elapsedSec < retimeWallCap) {
           cont = retimePass(0.4, 120) >= 0.03 * best.values.sum
           loPasses += 1
         }
