@@ -33,6 +33,9 @@ object Caches {
   /** One size supplier per registered map — backs `totalEntries`. */
   private val sizers = new CopyOnWriteArrayList[() => Int]()
 
+  /** One dir-scoped counter per registered map — backs `entriesFor`. */
+  private val counters = new CopyOnWriteArrayList[String => Int]()
+
   private[graft] def register(h: Option[String] => Unit): Unit =
     handlers.add(h)
 
@@ -41,6 +44,11 @@ object Caches {
   private[graft] def registerMap[K, V](map: ConcurrentHashMap[K, V],
       dirOf: K => String, release: V => Unit): Unit = {
     sizers.add(() => map.size)
+    counters.add { (dir: String) =>
+      var n = 0
+      map.forEach((k, _) => if (dirOf(k) == dir) n += 1)
+      n
+    }
     register { dirOpt =>
       val it = map.entrySet().iterator()
       while (it.hasNext) {
@@ -62,6 +70,17 @@ object Caches {
   def totalEntries: Int = {
     var n = 0
     sizers.forEach(s => n += s())
+    n
+  }
+
+  /** Live entry count for ONE data dir across every registered cache
+    * map. The warmup-coverage audit runs against a private copy of the
+    * test data so concurrent suites (which share the session and the
+    * cache maps, but never that dir) cannot move the count it asserts
+    * on. */
+  def entriesFor(dir: String): Int = {
+    var n = 0
+    counters.forEach(c => n += c(dir))
     n
   }
 

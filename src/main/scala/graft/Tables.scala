@@ -148,6 +148,12 @@ object Tables {
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // in the Caches registry (census + invalidation) like every other
+  // session cache: keyed by the parquet path, whose parent is the dir
+  graft.Caches.registerMap(tsUnitCache,
+    (p: String) => Option(new java.io.File(p).getParent).getOrElse(p),
+    (_: String) => ())
+
   /** Sniff the parquet logical type of `ts` via Spark's own schema
     * inference (with nanosAsLong=true a TIMESTAMP(NANOS) column infers as
     * LongType; TIMESTAMP(MICROS, NTZ) infers as TimestampNTZType). The

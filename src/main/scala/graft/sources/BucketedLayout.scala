@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
 object BucketedLayout {
   private val built = new ConcurrentHashMap[String, (String, String)]()
 
+  // in the Caches registry (census + invalidation): invalidate(dir)
+  // drops the marker, so the next use re-runs the ETL (which starts by
+  // dropping/overwriting the catalog tables) against the files as they
+  // are then — same rebuild contract as the persisted-frame caches
+  graft.Caches.registerMap(built, (dir: String) => dir,
+    (_: (String, String)) => ())
+
   /** orders ⋈ customer co-bucketed on custkey; returns the two table
     * names registered in the session catalog. */
   def ordersCustomerByCustkey(spark: SparkSession,

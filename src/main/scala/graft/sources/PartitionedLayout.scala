@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
 object PartitionedLayout {
   private val built = new ConcurrentHashMap[String, String]()
 
+  // both ETL markers join the Caches registry (census + invalidation):
+  // invalidate(dir) drops them, so the next use rewrites the layout
+  // from the files as they are then (both writers use Overwrite)
+  graft.Caches.registerMap(built, (dir: String) => dir, (_: String) => ())
+
   /** Day-partitioned events layout for `dir`'s events table; returns the
     * layout path, writing it on first use. */
   def eventsByDay(spark: SparkSession, dir: String): String =
@@ -27,6 +32,9 @@ object PartitionedLayout {
     })
 
   private val calBuilt = new ConcurrentHashMap[String, String]()
+
+  graft.Caches.registerMap(calBuilt, (dir: String) => dir,
+    (_: String) => ())
 
   /** Bounded calendar dimension (one row per event day, with a
     * `day_type` tag) materialized as a REAL parquet source — a

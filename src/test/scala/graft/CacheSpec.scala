@@ -52,14 +52,24 @@ class CacheSpec extends SparkSpec {
     // cache its re-run would then read warm. Run every warmup key,
     // snapshot the cache census, then run the former first-consumer
     // keys plus one consumer per cached family: the census must not
-    // grow. (Other suites sharing this session may have pre-populated
-    // entries — computeIfAbsent makes that harmless; only the DELTA
-    // matters.)
+    // grow. The audit runs against a PRIVATE COPY of the sf0.001 dir:
+    // cache keys carry the data dir, so a fresh dir both guarantees an
+    // empty starting census (entries pre-populated by earlier suites
+    // would otherwise mask a coverage gap) and isolates the count from
+    // suites running CONCURRENTLY in this shared session — a global
+    // clearAll() here was observed nuking BudgetSpec's warm caches
+    // mid-measurement.
+    val auditDir = Files.createTempDirectory("graft-warmup-audit")
+    new java.io.File(sfDir).listFiles().foreach { f =>
+      Files.copy(f.toPath, auditDir.resolve(f.getName))
+    }
+    val aDir = auditDir.toString
+    assert(Caches.entriesFor(aDir) === 0)
     Bench.warmupKeys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"warmup key $k missing")
-      SparkEntry.queries(k)(spark, sfDir).count()
+      SparkEntry.queries(k)(spark, aDir).count()
     }
-    val before = Caches.totalEntries
+    val before = Caches.entriesFor(aDir)
     val probes = Seq(
       "q_search_rrf", // bm25DocCache (warmup: q_text_search_bm25)
       // dayCensusCache consumers (warmup: q_stats_breusch_pagan)
@@ -73,14 +83,18 @@ class CacheSpec extends SparkSpec {
       "q_layout_skipping", // layoutStatsCache
       "q_text_bpe_encode", // bpeCache
       "q_dedup_simhash_pairs", "q_dedup_containment", // pair caches
-      "q_graph_hits", "q_graph_modularity") // edge/copurchase caches
+      "q_graph_hits", "q_graph_modularity", // edge/copurchase caches
+      // disk-backed layout ETL markers (now registered): co-bucketed
+      // tables, day-partitioned events, calendar dim
+      "q_layout_bucket_join", "q_layout_dpp") // BucketedLayout / calBuilt
     probes.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"probe key $k missing")
-      SparkEntry.queries(k)(spark, sfDir).count()
-      assert(Caches.totalEntries === before,
+      SparkEntry.queries(k)(spark, aDir).count()
+      assert(Caches.entriesFor(aDir) === before,
         s"$k built a session cache on its first timed run — add its " +
           "builder to Bench.warmupKeys (re-time honesty precondition)")
     }
+    Caches.invalidate(aDir) // release the audit copies' persisted frames
   }
 
   test("clearAll drops every cached entry") {
