@@ -159,7 +159,20 @@ object Dist {
     * sequential window sum — the reason callers feed counts/cents, never
     * raw doubles). Each (name, col) pair becomes a running-sum column. */
   def withPrefixSumsLong(df: DataFrame, sums: Seq[(String, Column)],
-      sortCols: Seq[Column], numParts: Int = -1): DataFrame = {
+      sortCols: Seq[Column], numParts: Int = -1): DataFrame =
+    withPrefixSumsLongTotals(df, sums, sortCols, numParts)._1
+
+  /** withPrefixSumsLong plus each sum's GRAND total (round 10): the
+    * offsets collect already reads one row per partition, so the grand
+    * totals are the same fold's final accumulators — callers that
+    * previously paid a separate total aggregate + crossJoin(broadcast)
+    * (re-running the input subtree AND a broadcast-exchange job) get
+    * them as exact-long plan literals for free. Empty input → total 0
+    * (the old 1-row agg read NULL there; both make every downstream
+    * division NULL over an empty frame). */
+  def withPrefixSumsLongTotals(df: DataFrame,
+      sums: Seq[(String, Column)], sortCols: Seq[Column],
+      numParts: Int = -1): (DataFrame, Map[String, Long]) = {
     val parts = if (numParts > 0) numParts else defaultParts(df)
     val rp = ranged(df, parts, sortCols)
     val aggCols = sums.map { case (nm, c) =>
@@ -176,11 +189,16 @@ object Dist {
         val e = pid -> acc; acc += vals(i); e
       }.toMap
     }
+    val totals = sums.indices.map { i =>
+      sums(i)._1 -> ptots.map(_._2(i)).sum
+    }.toMap
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sums.zipWithIndex.foldLeft(rp) { case (acc, ((nm, c), i)) =>
-      acc.withColumn(nm, sum(c.cast("long")).over(w) +
-        element_at(typedLit(offs(i)), col(PID)))
+    val out = sums.zipWithIndex.foldLeft(rp) {
+      case (acc, ((nm, c), i)) =>
+        acc.withColumn(nm, sum(c.cast("long")).over(w) +
+          element_at(typedLit(offs(i)), col(PID)))
     }.drop(PID)
+    (out, totals)
   }
 }

@@ -1390,9 +1390,20 @@ object EventOps {
       .join(depthPerAnchor.groupBy("user_id")
         .agg(max(col("depth")).as("depth")), Seq("user_id"), "left")
       .select(coalesce(col("depth"), lit(0L)).as("depth"))
-    val total = perUser.agg(count(lit(1)).as("n_total"))
-    perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
-      .crossJoin(broadcast(total))
+    // n_total = Σ n_users by construction (every user appears exactly
+    // once in perUser), so the share denominator comes from a window
+    // over the ≤4-row depth census — round 10: the previous
+    // crossJoin(broadcast(agg)) form evaluated the whole s1/c1/p1
+    // upstream TWICE (once per action on perUser) and paid a broadcast
+    // QueryStage job; this is one pass, one subtree (15 → 7 jobs).
+    // Partition-less window over a |depths|-bounded census = the
+    // allowlisted census-window pattern.
+    val census = perUser.groupBy("depth").agg(count(lit(1)).as("n_users"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    census
+      .withColumn("n_total", sum(col("n_users")).over(wAll))
       .select(col("depth"), col("n_users"),
         r6(col("n_users").cast("double") / col("n_total")).as("share"))
       .orderBy("depth")

@@ -268,9 +268,17 @@ object GraphOps {
         .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("v")
         .orderBy(col("c").desc, col("lbl").asc)
+      // LAZY checkpoint (round 10): each round's frame is referenced
+      // exactly once (next round's join, or the final census), so the
+      // materialization can ride the consuming job instead of paying an
+      // eager job per round (A/B'd 15 → 11 jobs at unchanged wall; the
+      // plan is still a flat LogicalRDD scan — IterativeLineageSpec).
+      // kcore keeps its EAGER form: its per-round frame feeds two
+      // parallel consumer stages, which would compute a lazy
+      // checkpoint's partitions twice concurrently.
       lbl = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("v", "lbl")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     lbl
   }
@@ -295,7 +303,6 @@ object GraphOps {
     val comp = DedupOps.connectedComponents(s,
         e.select(col("x").as("a"), col("y").as("b")), s"graph::$d")
       .select(col("doc_id").as("v"), col("cluster_rep").as("component"))
-    val m = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("x").as("v"))
       .union(e.select(col("y").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -313,9 +320,17 @@ object GraphOps {
     // AQE stays ON here (A/B round 9: the scope cut 15→12 jobs but ran
     // slower) — the component-label joins rely on AQE's runtime
     // broadcast conversion, and a static broadcast hint would pin a
-    // shape that breaks when |nodes| outgrows the threshold at scale
+    // shape that breaks when |nodes| outgrows the threshold at scale.
+    // m needs no extra aggregate (round 10): for a component partition
+    // every edge is intra, so Σ deg_sum over the component census =
+    // 2m exactly (long arithmetic) — a window over the
+    // |components|-bounded census replaces the old e.agg(count) +
+    // crossJoin(broadcast(...)) pair (15 → 12 jobs, same hashes).
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     dsum.join(intra, Seq("component"))
-      .crossJoin(broadcast(m))
+      .withColumn("two_m", sum(col("deg_sum")).over(wAll))
+      .withColumn("m", expr("two_m div 2"))
       .withColumn("contribution",
         r6(col("intra_edges").cast("double") / col("m") -
           (col("deg_sum") / (lit(2.0) * col("m"))) *

@@ -2116,9 +2116,14 @@ object RelationalOps {
         .as("rev"))
       .withColumn("cents", expr("CAST(floor(rev * 100 + 0.5) AS BIGINT)"))
     val share = col("cum").cast("double") / col("tot")
-    Dist.withPrefixSumsLong(rev, Seq("cum" -> col("cents")),
-        Seq(col("rev").desc, col("l_partkey")))
-      .crossJoin(broadcast(rev.agg(sum(col("cents")).as("tot"))))
+    // the grand total rides the prefix pass's offsets collect (round
+    // 10, Dist.withPrefixSumsLongTotals) — the old rev.agg +
+    // crossJoin(broadcast) re-ran the lineitem revenue aggregate and
+    // paid a broadcast QueryStage job for one number the fold knew
+    val (cum, tots) = Dist.withPrefixSumsLongTotals(rev,
+      Seq("cum" -> col("cents")),
+      Seq(col("rev").desc, col("l_partkey")))
+    cum.withColumn("tot", lit(tots("cum")))
       .select(col("l_partkey"), col("rev"),
         r6(share).as("cum_share"),
         when(share <= 0.80, "A")

@@ -303,8 +303,16 @@ object StatsOps {
       .select(col("value").as("p"), col("event_type").as("g"))
     val per = ev.groupBy("p", "g").agg(count(lit(1)).as("cg"))
     val perV = per.groupBy("p").agg(sum(col("cg")).as("cnt"))
-    val ranked = Dist.withPrefixSumsLong(perV,
-        Seq("cum" -> col("cnt")), Seq(col("p")))
+    // n and the tie term are the prefix pass's own grand totals (round
+    // 10, Dist.withPrefixSumsLongTotals) — the old ranked.agg +
+    // crossJoin(broadcast) paid a second pass over the rank table (and
+    // a broadcast QueryStage job) for two numbers the fold knew; the
+    // tie cubes are the same exact longs the old sum accumulated
+    val (rankedRaw, kwTots) = Dist.withPrefixSumsLongTotals(perV,
+      Seq("cum" -> col("cnt"),
+        "tie_cum" -> (col("cnt") * col("cnt") * col("cnt") - col("cnt"))),
+      Seq(col("p")))
+    val ranked = rankedRaw
       .withColumn("avg_rank",
         (col("cum") - col("cnt")).cast("double") +
           (col("cnt") + 1).cast("double") / 2.0)
@@ -314,8 +322,8 @@ object StatsOps {
         sum(col("cg") * col("avg_rank")).as("r_g"))
       .withColumn("t",
         col("r_g") * col("r_g") / col("n_g").cast("double"))
-    val totals = ranked.agg(sum(col("cnt")).as("n"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+    val nTot = kwTots("cum")
+    val tieTot = kwTots("tie_cum")
     // Σ R_g²/n_g folds SEQUENTIALLY in group order (the graft_dot
     // discipline): per-group rank sums are exact half-integers, but the
     // five quotients are arbitrary doubles, so a partition-order sum
@@ -327,7 +335,8 @@ object StatsOps {
     val n = col("n")
     val corr = lit(1.0) -
       col("tie").cast("double") / (n * n * n - n).cast("double")
-    folded.crossJoin(broadcast(totals))
+    folded
+      .withColumn("n", lit(nTot)).withColumn("tie", lit(tieTot))
       .select(col("n_groups"), col("n").as("n_total"),
         r6((lit(12.0) / (n * (n + 1)).cast("double") * col("srr") -
           lit(3.0) * (n + 1).cast("double")) / corr).as("h_stat"))
@@ -494,12 +503,16 @@ object StatsOps {
     val per = j.groupBy("p").agg(
       count(when(col("st") === "F", 1)).as("f"),
       count(when(col("st") === "O", 1)).as("o"))
-    val nn = j.agg(count(when(col("st") === "F", 1)).as("nf"),
-      count(when(col("st") === "O", 1)).as("no"))
-    Dist.withPrefixSumsLong(per,
-        Seq("cf" -> col("f"), "co" -> col("o")), Seq(col("p")))
+    // nf/no are the prefix pass's own grand totals (round 10,
+    // Dist.withPrefixSumsLongTotals) — the old j.agg +
+    // crossJoin(broadcast) re-ran the orders scan for two numbers the
+    // offsets fold already knew
+    val (cum, tots) = Dist.withPrefixSumsLongTotals(per,
+      Seq("cf" -> col("f"), "co" -> col("o")), Seq(col("p")))
+    cum
       .select(col("p"), col("cf"), col("co"))
-      .crossJoin(broadcast(nn))
+      .withColumn("nf", lit(tots("cf")))
+      .withColumn("no", lit(tots("co")))
       .select(abs(col("cf").cast("double") / col("nf") -
         col("co").cast("double") / col("no")).as("dd"),
         col("nf"), col("no"))
@@ -2407,11 +2420,15 @@ object StatsOps {
       .groupBy(expr("CAST(floor(value) AS BIGINT)").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val cum = Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
-      Seq(col("b")))
-    val nDf = per.agg(sum(col("cnt")).as("n_events"),
-      count(lit(1)).as("n_buckets"))
-    val scored = cum.crossJoin(broadcast(nDf))
+    // n_events / n_buckets are the prefix pass's own grand totals
+    // (round 10, Dist.withPrefixSumsLongTotals; Σ1 = the census row
+    // count) — the old per.agg + crossJoin(broadcast) paid one more
+    // census pass and a broadcast QueryStage job
+    val (cum, dpqTots) = Dist.withPrefixSumsLongTotals(per,
+      Seq("cum" -> col("cnt"), "ones" -> lit(1L)), Seq(col("b")))
+    val scored = cum
+      .withColumn("n_events", lit(dpqTots("cum")))
+      .withColumn("n_buckets", lit(dpqTots("ones")))
       .withColumn("u2", -abs(lit(2L) * col("cum") - col("n_events")))
       .withColumn("ug",
         (expr("CAST(conv(substring(md5(concat('dpq-v1:'," +

@@ -761,24 +761,38 @@ object TextOps {
     * blocking) compose with the same plan. Ranking uses the r6-ROUNDED
     * score (sub-ulp dot-product sum-order differences must not flip
     * ranks cross-engine) with doc_id as the unique tie-break. */
+  /** The TF-IDF weight index (doc_id, tok, w), cached per (session,
+    * dir) — round 10: the round-9 form localCheckpointed it per CALL,
+    * so every evaluation re-paid the corpus explode + tf aggregate +
+    * two broadcasts (~10 of the key's 16 jobs). The inverted index is
+    * a session artifact exactly like the BM25 per-doc stats
+    * (bm25DocCache above): built once by the warmup, reused by every
+    * evaluation, dropped by Caches.invalidate(dir). */
+  private val tfidfIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(tfidfIdxCache,
+    (k: (SparkSession, String)) => k._2,
+    (v: DataFrame) => v.unpersist())
+
+  private def tfidfIndex(s: SparkSession, d: String): DataFrame =
+    tfidfIdxCache.computeIfAbsent(((s, d)), _ => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks()).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq =
+        tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log(col("n_docs").cast("double") / col("df")))
+            .as("w"))
+        .persist()
+    })
+
   private val simSparseTopk: Q = (s, d) => {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks()).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    // materialize the TF-IDF weight index ONCE (round 9): nrm, the
-    // query slice, and the dot pass each referenced `w`, and every
-    // reference re-ran the corpus explode + tf aggregate — at 100 TB
-    // that is re-scanning the corpus per consumer, where building the
-    // weight index once IS the sparse-retrieval shape (the inverted
-    // index is an artifact, not a view)
-    val w = tf.join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("tok"),
-        (col("tf") * log(col("n_docs").cast("double") / col("df")))
-          .as("w"))
-      .localCheckpoint()
+    val w = tfidfIndex(s, d)
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val q = w.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_doc"), col("tok"), col("w").as("wq"))
@@ -2046,14 +2060,20 @@ object TextOps {
     val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
     val per = sc.groupBy("v")
       .agg(count(lit(1)).as("nb"), sum(col("y")).as("n1b"))
-    val cum = graft.operators.Dist.withPrefixSumsLong(per,
-      Seq("cum_tot" -> col("nb")), Seq(col("v").desc))
-    val tot = sc.agg(count(lit(1)).as("nt"), sum(col("y")).as("npos"))
-    val dec = cum.crossJoin(broadcast(tot))
-      .withColumn("decile", expr("(cum_tot * 10 + nt - 1) div nt"))
+    // grand totals ride the prefix pass's own offsets collect (round
+    // 10, Dist.withPrefixSumsLongTotals): the old separate sc.agg +
+    // crossJoin(broadcast) re-ran the residuals subtree and paid a
+    // broadcast QueryStage job for two numbers the fold already knew
+    val (cum, tots) = graft.operators.Dist.withPrefixSumsLongTotals(per,
+      Seq("cum_tot" -> col("nb"), "pos_tot" -> col("n1b")),
+      Seq(col("v").desc))
+    val (nt, npos) = (tots("cum_tot"), tots("pos_tot"))
+    val dec = cum
+      .withColumn("decile",
+        expr(s"(cum_tot * 10 + ${nt}L - 1) div ${nt}L"))
       .groupBy("decile")
       .agg(sum(col("nb")).as("n"), sum(col("n1b")).as("n_pos"),
-        max(col("nt")).as("nt"), max(col("npos")).as("npos"))
+        max(lit(nt)).as("nt"), max(lit(npos)).as("npos"))
     // the decile census is ≤10 rows BY CONSTRUCTION (a constant, not a
     // data-bounded count), so its prefix sum is the allowlisted
     // bounded-census window (the |days|/|hours| calendar discipline) —
@@ -2089,11 +2109,14 @@ object TextOps {
     val sc = st.residuals(st.w).select(col("z_micros").as("v"), col("y"))
     val per = sc.groupBy("v").agg(
       sum(col("y")).as("n1"), sum(lit(1L) - col("y")).as("n0"))
-    val cum = graft.operators.Dist.withPrefixSumsLong(per,
+    // totals from the prefix pass's own offsets collect (round 10) —
+    // see evalLift; the old sc.agg + crossJoin(broadcast) re-ran the
+    // residuals subtree for two numbers the fold already knew
+    val (cum, tots) = graft.operators.Dist.withPrefixSumsLongTotals(per,
       Seq("c1" -> col("n1"), "c0" -> col("n0")), Seq(col("v")))
-    val tot = sc.agg(sum(col("y")).as("n_pos"),
-      sum(lit(1L) - col("y")).as("n_neg"))
-    val dd = cum.crossJoin(broadcast(tot))
+    val dd = cum
+      .withColumn("n_pos", lit(tots("c1")))
+      .withColumn("n_neg", lit(tots("c0")))
       .withColumn("d_r", r6(abs(col("c1").cast("double") / col("n_pos")
         - col("c0").cast("double") / col("n_neg"))))
     // argmax in ONE aggregate: lexicographic max(struct(d_r, -v)) is

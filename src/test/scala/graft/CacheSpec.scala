@@ -53,17 +53,20 @@ class CacheSpec extends SparkSpec {
     // snapshot the cache census, then run the former first-consumer
     // keys plus one consumer per cached family: the census must not
     // grow. The audit runs against a PRIVATE COPY of the sf0.001 dir:
-    // cache keys carry the data dir, so a fresh dir both guarantees an
-    // empty starting census (entries pre-populated by earlier suites
-    // would otherwise mask a coverage gap) and isolates the count from
-    // suites running CONCURRENTLY in this shared session — a global
-    // clearAll() here was observed nuking BudgetSpec's warm caches
-    // mid-measurement.
+    // cache keys carry the data dir, so a fresh dir guarantees an
+    // empty starting census (entries pre-populated by EARLIER suites —
+    // sbt runs suites sequentially in one forked JVM, the same
+    // assumption JobCapSpec's counting windows rest on — would
+    // otherwise mask a coverage gap), and keeps the audit from
+    // clearing state LATER suites still rely on: a global clearAll()
+    // here was observed nuking BudgetSpec's warm caches, which that
+    // suite re-reads afterwards in this shared session.
     val auditDir = Files.createTempDirectory("graft-warmup-audit")
     new java.io.File(sfDir).listFiles().foreach { f =>
       Files.copy(f.toPath, auditDir.resolve(f.getName))
     }
     val aDir = auditDir.toString
+    try {
     assert(Caches.entriesFor(aDir) === 0)
     Bench.warmupKeys.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"warmup key $k missing")
@@ -86,7 +89,8 @@ class CacheSpec extends SparkSpec {
       "q_graph_hits", "q_graph_modularity", // edge/copurchase caches
       // disk-backed layout ETL markers (now registered): co-bucketed
       // tables, day-partitioned events, calendar dim
-      "q_layout_bucket_join", "q_layout_dpp") // BucketedLayout / calBuilt
+      "q_layout_bucket_join", "q_layout_dpp", // BucketedLayout / calBuilt
+      "q_sim_sparse_topk") // tfidfIdxCache (self-warming)
     probes.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"probe key $k missing")
       SparkEntry.queries(k)(spark, aDir).count()
@@ -94,7 +98,30 @@ class CacheSpec extends SparkSpec {
         s"$k built a session cache on its first timed run — add its " +
           "builder to Bench.warmupKeys (re-time honesty precondition)")
     }
-    Caches.invalidate(aDir) // release the audit copies' persisted frames
+    } finally {
+      // Release everything this audit materialized for its private dir
+      // (ADVICE r9): the registry markers + persisted frames, the
+      // tmpdir layout parquets and warehouse bucket tables keyed by the
+      // fresh dir's hash, and the copied data itself.
+      Caches.invalidate(aDir)
+      val tag = Integer.toHexString(aDir.hashCode & 0x7fffffff)
+      Seq(s"graft_orders_bck_$tag", s"graft_customer_bck_$tag")
+        .foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          rmTree(new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:"), t))
+        }
+      Seq(s"graft_events_by_day_$tag", s"graft_calendar_dim_$tag")
+        .foreach(d => rmTree(
+          new java.io.File(sys.props("java.io.tmpdir"), d)))
+      rmTree(auditDir.toFile)
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
   }
 
   test("clearAll drops every cached entry") {

@@ -662,6 +662,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState restart-from-checkpoint equals the uninterrupted run") {
+    implicit val sc = spark.sqlContext
+    // The missing stateful replay (VERDICT r9 item 7): stop a
+    // transformWithState query after its first committed batch, restart
+    // a NEW query from the same checkpoint (RocksDB checksum workaround
+    // via withRocksDb — see its scaladoc), feed the second batch, and
+    // the final per-user state must equal an uninterrupted run's. The
+    // restarted query writes to a FRESH memory table, so an n_events=2
+    // emission there can only come from state RESTORED off the
+    // checkpoint (the n=1, v=4.0 accumulator from before the stop).
+    withRocksDb {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ckpt").toString
+      val b1 = Seq(ev(1, "2024-01-01 10:00:00", uid = 9, v = 4.0),
+        ev(2, "2024-01-01 10:00:01", uid = 7, v = 1.0))
+      val b2 = Seq(ev(3, "2024-01-01 10:05:00", uid = 9, v = 6.0),
+        ev(4, "2024-01-01 10:05:01", uid = 7, v = 2.0))
+      def finalByUser(table: String): Map[Long, (Long, Double)] =
+        spark.table(table)
+          .select("user_id", "n_events", "total_value").collect()
+          .groupBy(_.getLong(0)).map { case (u, rows) =>
+            val last = rows.maxBy(_.getLong(1))
+            u -> (last.getLong(1), last.getDouble(2))
+          }
+      try {
+        val ms = MemoryStream[Ev]
+        def start(name: String) =
+          StreamingOps.userRunningStateTws(ms.toDF())
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+        val q1 = start("t_ckpt_a")
+        ms.addData(b1: _*)
+        q1.processAllAvailable()
+        q1.stop()
+        ms.addData(b2: _*) // arrives while the query is down
+        val q2 = start("t_ckpt_b")
+        try {
+          q2.processAllAvailable()
+          val got = finalByUser("t_ckpt_b")
+          assert(got === Map(9L -> ((2L, 10.0)), 7L -> ((2L, 3.0))),
+            "restored state must carry batch-1 accumulators across " +
+              s"the restart, got $got")
+        } finally q2.stop()
+        // the uninterrupted twin, same batch split
+        val ms2 = MemoryStream[Ev]
+        val qU = StreamingOps.userRunningStateTws(ms2.toDF())
+          .writeStream.format("memory").queryName("t_ckpt_u")
+          .outputMode("update").start()
+        try {
+          ms2.addData(b1: _*); qU.processAllAvailable()
+          ms2.addData(b2: _*); qU.processAllAvailable()
+          assert(finalByUser("t_ckpt_b") === finalByUser("t_ckpt_u"))
+        } finally qU.stop()
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(ckpt))
+      }
+    }
+  }
+
   test("streaming MG candidates + exact verify replay the batch heavy-hitters key") {
     implicit val sc = spark.sqlContext
     // END-TO-END parity with q_events_heavy_hitters: the stream's MG
