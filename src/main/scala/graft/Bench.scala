@@ -67,9 +67,12 @@ object Bench {
     "q_layout_bucket_join", "q_layout_dpp",
     // TF-IDF weight index (round 10): simSparseTopk's inverted index
     // became a session artifact (it re-built per evaluation before —
-    // ~10 of the key's 16 jobs); this key is its only consumer, so it
-    // warms its own cache
-    "q_sim_sparse_topk")
+    // ~10 of the key's 16 jobs); shared with q_text_keywords
+    "q_sim_sparse_topk",
+    // PQ assigned-codes + query-ADC-table artifacts (round 10):
+    // q_embed_pq (already above) builds the codes; the 32-row query
+    // table's first consumer is q_ann_ivfpq — warm it here
+    "q_ann_ivfpq")
 
   /** Micro-canary cadence in the measured loop (VERDICT r9 item 1):
     * one trivial one-row job every N keys gives a ~25-point weather

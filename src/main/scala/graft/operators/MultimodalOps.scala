@@ -103,9 +103,15 @@ object MultimodalOps {
     * are exact integers, so the double division is bit-identical
     * cross-engine with no rounding step. */
   private val multimodalBlockJaccard: Q = (s, d) => {
+    // pin the distinct (doc, bsig) index once (round 10): it feeds BOTH
+    // self-join sides and the per-doc size census — unpinned, the
+    // distinct shuffle over the cached block inventory ran three times
+    // (12 → 8 jobs). Eager checkpoint: the two join sides consume it in
+    // parallel stages, the kcore caveat.
     val blocks = blockFrame(s, d)
       .select("doc_id", "bsig")
       .distinct()
+      .localCheckpoint()
     val nb = blocks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     blocks.select(col("doc_id").as("a"), col("bsig"))
       .join(blocks.select(col("doc_id").as("b"), col("bsig")), Seq("bsig"))
@@ -132,11 +138,15 @@ object MultimodalOps {
     val tot = Tables.documents(s, d).filter(length(col("text")) > 0)
       .agg(count(lit(1)).as("n_assets"),
         sum(length(col("text"))).as("bytes_total"))
-    val bl = blocks.agg(count(lit(1)).as("n_blocks"))
-    val un = blocks.groupBy("bsig").agg(min(col("blen")).as("blen"))
+    // n_blocks folds into the signature census (Σ occurrences = total
+    // block count, exact longs) — the old separate count re-scanned the
+    // block inventory and paid one more crossJoin (round 10, 8 → 6)
+    val un = blocks.groupBy("bsig")
+      .agg(min(col("blen")).as("blen"), count(lit(1)).as("occ"))
       .agg(count(lit(1)).as("n_unique_blocks"),
-        sum(col("blen")).as("bytes_unique"))
-    tot.crossJoin(bl).crossJoin(un)
+        sum(col("blen")).as("bytes_unique"),
+        sum(col("occ")).as("n_blocks"))
+    tot.crossJoin(un)
       .select(col("n_assets"), col("n_blocks"), col("n_unique_blocks"),
         col("bytes_total"), col("bytes_unique"),
         graft.Par.r6(col("bytes_total").cast("double") /

@@ -394,10 +394,14 @@ object StatsOps {
       .agg(count(lit(1)).as("c"))
     val sF = daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
       .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
-    val nF = daily.agg(count(lit(1)).as("n_days"))
-    val tieF = daily.groupBy("c").agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
-        lit(0L)).as("tie"))
+    // n_days = Σ t over the tie census (every day is in exactly one
+    // count-group), so one aggregate carries both totals (round 10):
+    // the old separate count + crossJoin paid one more census pass and
+    // broadcast
+    val ntF = daily.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n_days"),
+        coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tie"))
     val n = col("n_days")
     val varS = ((n * (n - 1) * (lit(2) * n + 5) - col("tie")))
       .cast("double") / 18.0
@@ -406,7 +410,7 @@ object StatsOps {
       .when(col("s_stat") < 0,
         (col("s_stat") + 1).cast("double") / sqrt(varS))
       .otherwise(lit(0.0))
-    broadcast(nF).crossJoin(broadcast(sF)).crossJoin(broadcast(tieF))
+    broadcast(ntF).crossJoin(broadcast(sF))
       .select(col("n_days"), col("s_stat"), r6(z).as("z_stat"),
         when(r6(z) > 1.96, "increasing").when(r6(z) < -1.96, "decreasing")
           .otherwise("no_trend").as("trend"))
@@ -479,7 +483,11 @@ object StatsOps {
         "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(Tables.orders(s, d).agg(count(lit(1)).as("tot"))))
+      // total = Σ over the 9-cell census (round 10): the old
+      // crossJoin(broadcast(agg)) re-scanned orders for a number the
+      // census already carries
+      .withColumn("tot", sum(col("n")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("digit"), col("n"),
         r6(col("n").cast("double") / col("tot")).as("share"),
         r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
@@ -683,8 +691,13 @@ object StatsOps {
     val full = spine.join(counts, Seq("bucket"), "left")
       .select(coalesce(col("a"), lit(0L)).as("a"),
         coalesce(col("b"), lit(0L)).as("b"))
-    val tot = full.agg(sum("a").as("ta"), sum("b").as("tb"))
-    full.crossJoin(broadcast(tot))
+    // totals as windows over the 10-bucket census (round 10): exact
+    // long sums, minus the broadcast QueryStage job + census re-read
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    full
+      .withColumn("ta", sum(col("a")).over(wAll))
+      .withColumn("tb", sum(col("b")).over(wAll))
       .select(((col("a") + 1) / (col("ta") + 10)).as("p"),
         ((col("b") + 1) / (col("tb") + 10)).as("q"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -854,10 +867,16 @@ object StatsOps {
     val daily = Tables.events(s, d)
       .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
       .agg(count(lit(1)).as("c"))
-    val tot = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("t"))
     val wc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.crossJoin(broadcast(tot))
+    // nd/t as windows over the |days| census (round 10): exact
+    // count/long-sum, minus the broadcast QueryStage job + census
+    // re-read
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("c")).over(wAll))
       .withColumn("rn", row_number().over(Window.orderBy("day")))
       .withColumn("cum", sum(col("c")).over(wc))
       .filter(col("rn") >= 2)
@@ -888,8 +907,13 @@ object StatsOps {
       .agg(count(lit(1)).as("n_h"),
         r6(stddev_samp(col("value"))).as("sd_h"))
       .withColumn("wh", floor(col("n_h") * col("sd_h") * 1e6).cast("long"))
-    val tot = strata.agg(sum(col("wh")).as("z"), sum(col("n_h")).as("n_tot"))
-    strata.crossJoin(broadcast(tot))
+    // totals as windows over the |types| census (round 10): exact long
+    // sums, minus the broadcast QueryStage job + census re-read
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    strata
+      .withColumn("z", sum(col("wh")).over(wAll))
+      .withColumn("n_tot", sum(col("n_h")).over(wAll))
       .select(col("event_type"), col("n_h"), col("sd_h"),
         r6(col("wh") / col("z").cast("double")).as("w_share"),
         floor(lit(1000.0) * col("wh") / col("z")).cast("long")
@@ -2297,12 +2321,16 @@ object StatsOps {
       .select(col("day"), col("mr2"))
       .withColumn("t2", sum(col("mr2")).over(wday))
       .withColumn("t", count(lit(1)).over(wday))
-    val nDf = daily.agg(count(lit(1)).as("n_days"))
-    val u = cum.crossJoin(broadcast(nDf))
+    // n_days and the max-|U| statistic as windows over the
+    // |days|-bounded frame (round 10): each crossJoin(broadcast(agg))
+    // paid a broadcast QueryStage job and re-read the census
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = cum
+      .withColumn("n_days", count(lit(1)).over(wAll))
       .filter(col("t") < col("n_days"))
       .withColumn("u", col("t2") - col("t") * (col("n_days") + lit(1L)))
-    val k = u.agg(max(abs(col("u"))).as("k_stat"))
-    u.crossJoin(broadcast(k))
+    u.withColumn("k_stat", max(abs(col("u"))).over(wAll))
       .filter(abs(col("u")) === col("k_stat"))
       .groupBy("n_days", "k_stat")
       .agg(min(col("day")).as("change_day"))
@@ -2337,9 +2365,13 @@ object StatsOps {
     * linear. */
   private val cooksDistance: Q = (s, d) => {
     val r = dailyOls(s, d)
-    val ssq = r.agg(sum(expr("CAST(e_m AS DECIMAL(19,0))" +
-      " * CAST(e_m AS DECIMAL(19,0))")).as("ssqd"))
-    r.crossJoin(broadcast(ssq))
+    // the residual square sum as a window over the |days|-bounded OLS
+    // frame (round 10) — same exact DECIMAL sum, minus the broadcast
+    // QueryStage job and the second census read
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    r.withColumn("ssqd", sum(expr("CAST(e_m AS DECIMAL(19,0))" +
+        " * CAST(e_m AS DECIMAL(19,0))")).over(wAll))
       .withColumn("s2_r",
         r6(expr("CAST(ssqd AS DOUBLE) / 1000000.0 / (n - 2)")))
       .withColumn("h_r", r6(expr(hExpr)))

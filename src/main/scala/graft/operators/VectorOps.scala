@@ -506,6 +506,44 @@ object VectorOps {
   graft.Caches.registerMap(pqCbCache,
     (k: (SparkSession, String)) => k._2, (_: DataFrame) => ())
 
+  /** Assigned PQ codes (vec_id, m, code, dist_r) under the trained
+    * codebook — a session artifact (round 10): q_embed_pq (the warmup
+    * builder), q_ann_ivfpq and q_eval_pq_recall each re-ran the
+    * assign's join + argmin window per evaluation. Persisted frame,
+    * same deterministic values (r6 + code tie-break) by construction. */
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(pqCodesCache,
+    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesCache.computeIfAbsent((s, d), _ =>
+      pqAssign(pqSub(s, d), pqCodebook(s, d)).persist())
+
+  /** The query's 32-row ADC distance table (m, code, dr_micros) for
+    * vec 0 — shared verbatim by q_ann_ivfpq and q_eval_pq_recall (round
+    * 10; each built it from two broadcasts + an aggregate per
+    * evaluation). Bounded LocalRelation, the kmeansCentroids rule. */
+  private val pqQdCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  graft.Caches.registerMap(pqQdCache,
+    (k: (SparkSession, String)) => k._2, (_: DataFrame) => ())
+
+  private def pqQueryDist(s: SparkSession, d: String): DataFrame =
+    pqQdCache.computeIfAbsent((s, d), _ => {
+      val qsub = pqSub(s, d).filter(col("vec_id") === 0)
+        .select(col("m").as("qm"), col("p").as("qp"),
+          col("val").as("qval"))
+      val qd = broadcast(pqCodebook(s, d)).join(broadcast(qsub),
+          col("m") === col("qm") && col("p") === col("qp"))
+        .groupBy("m", "code")
+        .agg(floor(r6(sum((col("qval") - col("c"))
+          * (col("qval") - col("c")))) * 1000000 + 0.5)
+          .cast("long").as("dr_micros"))
+      s.createDataFrame(
+        java.util.Arrays.asList(qd.collect(): _*), qd.schema)
+    })
+
   private def kmeansCentroids(s: SparkSession, d: String,
       k: Int, rounds: Int): DataFrame =
     kmeansCache.computeIfAbsent((s, d, k, rounds), _ =>
@@ -672,16 +710,10 @@ object VectorOps {
     val probe = assign.filter(col("vec_id") === 0).select(col("cid"))
     val cand = assign.join(broadcast(probe), Seq("cid"))
       .filter(col("vec_id") =!= 0)
-    val sub = pqSub(s, d)
-    val cb = pqCodebook(s, d)
-    val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
-    val qsub = sub.filter(col("vec_id") === 0)
-      .select(col("m").as("qm"), col("p").as("qp"), col("val").as("qval"))
-    val qd = broadcast(cb).join(broadcast(qsub),
-        col("m") === col("qm") && col("p") === col("qp"))
-      .groupBy("m", "code")
-      .agg(floor(r6(sum((col("qval") - col("c")) * (col("qval") - col("c"))))
-        * 1000000 + 0.5).cast("long").as("dr_micros"))
+    // codes + the 32-row query table are session artifacts (round 10):
+    // pqCodes / pqQueryDist — this key re-built both per evaluation
+    val codes = pqCodes(s, d).select("vec_id", "m", "code")
+    val qd = pqQueryDist(s, d)
     codes.join(cand, Seq("vec_id"))
       .join(broadcast(qd), Seq("m", "code"))
       .groupBy("vec_id", "cid")
@@ -695,7 +727,7 @@ object VectorOps {
     // mean distortion through EXACT integer micros (dist_r is a 1e-6
     // multiple): double-summing 100+ rounded values flips the final r6
     // at a .5 boundary between engines; long summation cannot
-    pqAssign(pqSub(s, d), pqCodebook(s, d))
+    pqCodes(s, d)
       .groupBy("m", "code")
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("dist_r") * 1000000 + 0.5).cast("long")).as("micros"))
@@ -715,18 +747,10 @@ object VectorOps {
     * recall — PQ trades exactness for 32× memory, and this key measures
     * exactly how much. */
   private val evalPqRecall: Q = (s, d) => {
-    val sub = pqSub(s, d)
-    val cb = pqCodebook(s, d)
-    val codes = pqAssign(sub, cb).select("vec_id", "m", "code")
-    val qsub = sub.filter(col("vec_id") === 0)
-      .select(col("m").as("qm"), col("p").as("qp"), col("val").as("qval"))
-    // 32-row table: query's distance to every codeword, integer micros
-    val qd = broadcast(cb)
-      .join(broadcast(qsub),
-        col("m") === col("qm") && col("p") === col("qp"))
-      .groupBy("m", "code")
-      .agg(floor(r6(sum((col("qval") - col("c")) * (col("qval") - col("c"))))
-        * 1000000 + 0.5).cast("long").as("dr_micros"))
+    // codes + the 32-row query table are session artifacts (round 10):
+    // pqCodes / pqQueryDist — this key re-built both per evaluation
+    val codes = pqCodes(s, d).select("vec_id", "m", "code")
+    val qd = pqQueryDist(s, d)
     val adc = codes.filter(col("vec_id") =!= 0)
       .join(broadcast(qd), Seq("m", "code"))
       .groupBy("vec_id")
