@@ -61,12 +61,18 @@ object Dist {
       finally s.conf.set(key, saved)
     }
 
-  /** Range-partition on (groupCols ++ sortCols), pin layout, tag pid. */
+  /** Range-partition on (groupCols ++ sortCols), pin layout, tag pid.
+    * LAZY checkpoint (round 10): every caller's next step is the
+    * offsets collect, whose job doubles as the materializing action —
+    * the eager form paid one extra job per Dist call (~20 call sites
+    * fleet-wide). After that first action the partitions (and the
+    * sampled range boundaries) are pinned exactly as before, which is
+    * what the window pass relies on. */
   private def ranged(df: DataFrame, parts: Int, keys: Seq[Column])
       : DataFrame = noAqe(df.sparkSession) {
     df.repartitionByRange(parts, keys: _*)
       .withColumn(PID, spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
   }
 
   /** Exact global (or per-group) 1-based row_number `rnCol` plus the group

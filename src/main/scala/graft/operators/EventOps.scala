@@ -1380,12 +1380,18 @@ object EventOps {
       .filter(col("p_us") > col("c1_us") &&
         col("p_us") <= col("s_us") + bandUs)
       .groupBy("user_id", "s_id").agg(min(col("p_us")).as("p1_us"))
-    val depthPerAnchor = s1
-      .join(c1.select(col("s_id"), lit(1L).as("has_c")), Seq("s_id"), "left")
-      .join(p1.select(col("s_id"), lit(1L).as("has_p")), Seq("s_id"), "left")
-      .select(col("user_id"),
-        (lit(1L) + coalesce(col("has_c"), lit(0L)) +
-          coalesce(col("has_p"), lit(0L))).as("depth"))
+    // depth per anchor = how many of {signup, first-click, first-
+    // purchase} exist for the anchor = a count over the union of the
+    // three stage frames (c1/p1 each carry ≤1 row per s_id), keyed by
+    // s_id — ONE hash aggregate instead of the previous two left joins
+    // (round 10; user_id rides along as a constant per anchor)
+    val depthPerAnchor = s1.select(col("user_id"), col("s_id"))
+      .unionAll(c1.select(col("user_id"), col("s_id")))
+      .unionAll(p1.select(col("user_id"), col("s_id")))
+      .groupBy("s_id")
+      .agg(max(col("user_id")).as("user_id"),
+        count(lit(1)).as("depth"))
+      .select(col("user_id"), col("depth"))
     val perUser = Tables.events(s, d).select("user_id").distinct()
       .join(depthPerAnchor.groupBy("user_id")
         .agg(max(col("depth")).as("depth")), Seq("user_id"), "left")

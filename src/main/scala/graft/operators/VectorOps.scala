@@ -914,6 +914,9 @@ object VectorOps {
     * The mean rides on long micro sums; p05/p95 interpolate over
     * micros-valued doubles (identical inputs ⇒ identical outputs). */
   private val rpDistortion: Q = (s, d) => {
+    // NOT checkpointed: a round-10 A/B measured the pin at 10 jobs vs
+    // 9 without — the k-join's twin reads of proj are already
+    // exchange-reused, so the eager materialization only added a job
     val proj = vecs(s, d).filter(col("vec_id") % 5 === 0)
       .crossJoin(broadcast(rpPlanes(s)))
       .select(col("vec_id"), col("k"),

@@ -91,7 +91,7 @@ class CacheSpec extends SparkSpec {
       // tables, day-partitioned events, calendar dim
       "q_layout_bucket_join", "q_layout_dpp", // BucketedLayout / calBuilt
       "q_sim_sparse_topk", // tfidfIdxCache (self-warming)
-      "q_text_keywords", // tfidfIdxCache consumer
+      "q_text_keywords", "q_text_search_tfidf", // tfidfIdxCache consumers
       "q_eval_pq_recall", "q_embed_pq") // pqCodesCache / pqQdCache
     probes.foreach { k =>
       assert(SparkEntry.queries.contains(k), s"probe key $k missing")
