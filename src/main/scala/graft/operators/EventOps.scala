@@ -427,13 +427,17 @@ object EventOps {
     val pairs = purchases.join(touches, Seq("user_id"))
       .filter(col("t_us") < col("p_us") &&
         col("t_us") >= col("p_us") - bandUs)
-    val perPurchase = pairs.groupBy("p_id")
-      .agg(count(lit(1)).as("n_touch"), first(col("value")).as("v"))
-    pairs.join(perPurchase.select(col("p_id"), col("n_touch"), col("v")),
-        Seq("p_id"))
+    // per-purchase touch count as a p_id-partitioned window (round
+    // 10): data-parallel at any scale, and the band join no longer
+    // runs twice (the old groupBy + back-join re-evaluated it); value
+    // is constant per purchase so it rides the pair rows directly
+    val wp = Window.partitionBy("p_id").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(wp))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_credits"),
-        r2(sum(col("v") / col("n_touch"))).as("credited"))
+        r2(sum(col("value") / col("n_touch"))).as("credited"))
       .orderBy("channel")
   }
 

@@ -1964,19 +1964,27 @@ object StatsOps {
     * bounded everywhere, no window at all. */
   private val pacf: Q = (s, d) => {
     val daily = dailyCensus(s, d)
-    val glob = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-        sum(col("c") * col("c")).as("sxx"))
-      .withColumn("md", col("sx").cast("double") / col("n"))
+    // the global moments ride the census rows as windows over the
+    // |days|-bounded frame (round 10): exact count/long sums, minus
+    // the separate aggregate + crossJoin(broadcast) stages; md is the
+    // same one double division
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val lags = s.range(1, 4).select(col("id").as("k"))
     val perk = daily.select(col("day"), col("c").as("x"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
       .crossJoin(broadcast(lags))
       .join(daily.select(col("day").as("dayy"), col("c").as("y")),
         col("dayy") === col("day") + col("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x") * col("y")).as("sxy"),
-        sum(col("x")).as("sh"), sum(col("y")).as("st"))
-      .crossJoin(broadcast(glob))
+        sum(col("x")).as("sh"), sum(col("y")).as("st"),
+        max(col("n")).as("n"), max(col("sx")).as("sx"),
+        max(col("sxx")).as("sxx"))
+      .withColumn("md", col("sx").cast("double") / col("n"))
       .withColumn("rho_r",
         r6((col("sxy") - col("md") * (col("sh") + col("st"))
           + col("n_pairs") * col("md") * col("md"))
