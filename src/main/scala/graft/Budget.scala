@@ -83,24 +83,48 @@ object Budget {
     * JobCapSpec on every `sbt test`. Red demo:
     * GRAFT_JOBCAP_BREAK_KEY=<key> submits 3 extra jobs inside that
     * key's counting window (exercised at round-9 close, BASELINE.md). */
+  // Re-recorded at round-10 close from the full warm census
+  // (target/jobcount_r10_final.log, fleet total 1592): every round-9
+  // cap refreshed to its new measured count + 2, plus a cap for every
+  // key the round-10 job work touched (caches, census-window folds,
+  // lazy Dist checkpoint) so a reverted fold trips the guard.
   val jobCaps: Map[String, Int] = Map(
-    "q_stats_ljung_box" -> 6, "q_eval_auroc" -> 8, "q_eval_pr_auc" -> 8,
-    "q_eval_kappa" -> 10, "q_stats_jackknife" -> 6,
-    "q_eval_cluster_purity" -> 9, "q_events_markov_stationary" -> 8,
-    "q_eval_ks_score" -> 11, "q_privacy_dp_quantile" -> 13,
-    "q_sim_sparse_topk" -> 18, "q_text_bpe_train" -> 4,
-    "q_text_bpe_encode" -> 4, "q_eval_lift_gains" -> 14,
-    "q_graph_hits" -> 11, "q_layout_hilbert" -> 5,
-    "q_layout_skipping" -> 5, "q_sim_mmr" -> 9,
-    "q_multimodal_phash_hamming" -> 5, "q_graph_closeness" -> 9,
-    "q_customer_rfm" -> 13,
-    // round-9 third/fourth fold passes
+    "q_stats_ljung_box" -> 6, "q_eval_auroc" -> 6,
+    "q_eval_pr_auc" -> 6, "q_eval_kappa" -> 10,
+    "q_stats_jackknife" -> 6, "q_eval_cluster_purity" -> 9,
+    "q_events_markov_stationary" -> 8, "q_eval_ks_score" -> 6,
+    "q_privacy_dp_quantile" -> 10, "q_sim_sparse_topk" -> 5,
+    "q_text_bpe_train" -> 4, "q_text_bpe_encode" -> 4,
+    "q_eval_lift_gains" -> 8, "q_graph_hits" -> 11,
+    "q_layout_hilbert" -> 5, "q_layout_skipping" -> 5,
+    "q_sim_mmr" -> 9, "q_multimodal_phash_hamming" -> 5,
+    "q_graph_closeness" -> 9, "q_customer_rfm" -> 12,
     "q_stats_chisq" -> 7, "q_stats_cramers_v" -> 7,
     "q_stats_theil_sen" -> 6, "q_stats_levene" -> 8,
     "q_stats_dw" -> 4, "q_stats_breusch_pagan" -> 4,
-    "q_stats_bh" -> 9, "q_stats_holm" -> 9, "q_eval_langid" -> 12,
-    "q_ml_target_encode" -> 7, "q_ml_woe_iv" -> 7,
-    "q_events_lateness" -> 10)
+    "q_stats_bh" -> 9, "q_stats_holm" -> 9,
+    "q_eval_langid" -> 12, "q_ml_target_encode" -> 7,
+    "q_ml_woe_iv" -> 7, "q_events_lateness" -> 9,
+    "q_text_keywords" -> 4, "q_text_search_tfidf" -> 3,
+    "q_text_llr" -> 6, "q_text_pmi" -> 10,
+    "q_text_perplexity" -> 7, "q_text_perplexity_bigram" -> 9,
+    "q_text_pack" -> 8, "q_eval_cms_error" -> 9,
+    "q_events_window_funnel" -> 14, "q_graph_modularity" -> 15,
+    "q_graph_lpa" -> 14, "q_multimodal_block_jaccard" -> 10,
+    "q_multimodal_storage_audit" -> 6, "q_dedup_prefix_filter" -> 10,
+    "q_ann_ivfpq" -> 9, "q_eval_pq_recall" -> 8,
+    "q_embed_pq" -> 5, "q_stats_pettitt" -> 7,
+    "q_stats_cooks_distance" -> 8, "q_stats_mann_kendall" -> 8,
+    "q_stats_benford" -> 5, "q_stats_psi" -> 4,
+    "q_stats_changepoint" -> 5, "q_sample_neyman" -> 5,
+    "q_stats_ks" -> 7, "q_stats_kruskal" -> 8,
+    "q_stats_mannwhitney" -> 6, "q_stats_wilcoxon" -> 9,
+    "q_abc_analysis" -> 5, "q_stats_spearman" -> 10,
+    "q_events_concurrency" -> 7, "q_eval_ece" -> 5,
+    "q_eval_mcnemar" -> 4, "q_eval_slice_audit" -> 6,
+    "q_text_quality_classifier" -> 6, "q_eval_calibration_slope" -> 4,
+    "q_stats_pacf" -> 6, "q_events_attribution" -> 6,
+    "q_pipeline_mix" -> 5, "q_agg_kmv_merge" -> 12)
 
   /** Count the Spark jobs one warm run of `key` submits (the JobCount
     * census as a reusable primitive): warm untimed first (artifact

@@ -67,7 +67,25 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_stats_runs_test",     // |days| census (sign + run windows)
       "q_stats_pettitt",       // |days| census, PINNED LocalRelation
       "q_stats_msprt",         // |days| census, PINNED LocalRelation
-      "q_eval_lift_gains")     // ≤10-row decile census (round 9)
+      "q_eval_lift_gains",     // ≤10-row decile census (round 9)
+      // round-10 census-window folds (each replaced a separate total
+      // aggregate + crossJoin(broadcast) over the SAME bounded frame —
+      // the boundedness arguments live at the call sites):
+      "q_stats_psi",           // 10-bucket spine census
+      "q_stats_pacf",          // |days| census (global moments)
+      "q_pipeline_mix",        // |sources| census (three scalars)
+      "q_text_llr",            // |vocab|² bigram census (n total)
+      "q_eval_ece",            // 10-bin calibration census
+      "q_stats_benford",       // 9-digit census
+      "q_stats_cooks_distance", // |days| OLS census (ssq)
+      "q_text_perplexity",     // |vocab| LM census (total)
+      "q_text_perplexity_bigram", // |vocab| LM census (total)
+      "q_sample_neyman",       // |types| strata census
+      "q_eval_slice_audit",    // |lang×source| census
+      "q_events_window_funnel", // ≤4-row depth census
+      "q_eval_cms_error",      // |vocab| estimate census
+      "q_text_pmi",            // |vocab|² bigram census (t2)
+      "q_graph_modularity")    // |components| census (2m)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan

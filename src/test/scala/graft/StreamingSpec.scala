@@ -679,43 +679,61 @@ class StreamingSpec extends SparkSpec {
         ev(2, "2024-01-01 10:00:01", uid = 7, v = 1.0))
       val b2 = Seq(ev(3, "2024-01-01 10:05:00", uid = 9, v = 6.0),
         ev(4, "2024-01-01 10:05:01", uid = 7, v = 2.0))
-      def finalByUser(table: String): Map[Long, (Long, Double)] =
-        spark.table(table)
-          .select("user_id", "n_events", "total_value").collect()
-          .groupBy(_.getLong(0)).map { case (u, rows) =>
-            val last = rows.maxBy(_.getLong(1))
-            u -> (last.getLong(1), last.getDouble(2))
-          }
+      def finalOf(rows: Iterable[(Long, Long, Double)])
+          : Map[Long, (Long, Double)] =
+        rows.groupBy(_._1).map { case (u, rs) =>
+          val last = rs.maxBy(_._2)
+          u -> (last._2, last._3)
+        }
       try {
         val ms = MemoryStream[Ev]
-        def start(name: String) =
+        // the memory sink REFUSES recovery from an existing checkpoint
+        // (not fault-tolerant — ResolveWriteToStream), so the
+        // checkpointed queries write through foreachBatch into a
+        // per-phase buffer instead
+        val sunk = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Double)]()
+        def start() =
           StreamingOps.userRunningStateTws(ms.toDF())
-            .writeStream.format("memory").queryName(name)
+            .writeStream
             .option("checkpointLocation", ckpt)
-            .outputMode("update").start()
-        val q1 = start("t_ckpt_a")
+            .outputMode("update")
+            .foreachBatch {
+              (df: org.apache.spark.sql.Dataset[
+                 org.apache.spark.sql.Row], _: Long) =>
+                df.select("user_id", "n_events", "total_value").collect()
+                  .foreach(r => sunk.add(
+                    (r.getLong(0), r.getLong(1), r.getDouble(2))): Unit)
+            }
+            .start()
+        val q1 = start()
         ms.addData(b1: _*)
         q1.processAllAvailable()
         q1.stop()
+        sunk.clear() // phase 2 must observe only post-restart output
         ms.addData(b2: _*) // arrives while the query is down
-        val q2 = start("t_ckpt_b")
+        val q2 = start()
         try {
           q2.processAllAvailable()
-          val got = finalByUser("t_ckpt_b")
+          import scala.jdk.CollectionConverters._
+          val got = finalOf(sunk.asScala)
           assert(got === Map(9L -> ((2L, 10.0)), 7L -> ((2L, 3.0))),
             "restored state must carry batch-1 accumulators across " +
               s"the restart, got $got")
+          // the uninterrupted twin, same batch split
+          val ms2 = MemoryStream[Ev]
+          val qU = StreamingOps.userRunningStateTws(ms2.toDF())
+            .writeStream.format("memory").queryName("t_ckpt_u")
+            .outputMode("update").start()
+          try {
+            ms2.addData(b1: _*); qU.processAllAvailable()
+            ms2.addData(b2: _*); qU.processAllAvailable()
+            val twin = finalOf(spark.table("t_ckpt_u")
+              .select("user_id", "n_events", "total_value").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+            assert(got === twin)
+          } finally qU.stop()
         } finally q2.stop()
-        // the uninterrupted twin, same batch split
-        val ms2 = MemoryStream[Ev]
-        val qU = StreamingOps.userRunningStateTws(ms2.toDF())
-          .writeStream.format("memory").queryName("t_ckpt_u")
-          .outputMode("update").start()
-        try {
-          ms2.addData(b1: _*); qU.processAllAvailable()
-          ms2.addData(b2: _*); qU.processAllAvailable()
-          assert(finalByUser("t_ckpt_b") === finalByUser("t_ckpt_u"))
-        } finally qU.stop()
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm)
