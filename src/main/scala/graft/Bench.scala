@@ -333,10 +333,11 @@ object Bench {
         s""""stall_suspect":$suspectsFullJson}""").getBytes("UTF-8"))
     // Char budget for the in-line queries map: weather (+~320) and
     // suspects (+~230) joined the tail-window JSON this round, so the
-    // map budget drops 1400 → 800 to keep the whole line inside the
+    // map budget drops 1400 → 620 to keep the whole line inside the
     // harness's ~2000-char capture even on a stalled run (bigger
-    // numbers, populated suspects).
-    val budget = 800
+    // numbers, populated suspects; a stalled round-10 run measured the
+    // full line at 2033 chars with an 800 budget).
+    val budget = 620
     // Emit only keys ≥ 0.5 s (the heavy tail the plan audit reads) so
     // the whole set always fits the budget as the registry grows; the
     // full map is in target/bench_full.json regardless.
@@ -349,9 +350,9 @@ object Bench {
       fits
     }
     val qs = kept.mkString("{", ",", "}")
-    // Suspects in-line: capped at 10 names (n_stall_suspect carries the
+    // Suspects in-line: capped at 8 names (n_stall_suspect carries the
     // true count; the full list is in target/bench_full.json).
-    val suspectsJson = stallSuspects.take(10)
+    val suspectsJson = stallSuspects.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full attribution (VERDICT r6 item 3): 42% of BENCH_r06's total was
     // invisible below the 0.5 s floor — exactly where a fleet-wide
