@@ -106,7 +106,10 @@ object Budget {
     "q_eval_langid" -> 12, "q_ml_target_encode" -> 7,
     "q_ml_woe_iv" -> 7, "q_events_lateness" -> 9,
     "q_text_keywords" -> 4, "q_text_search_tfidf" -> 3,
-    "q_text_llr" -> 6, "q_text_pmi" -> 10,
+    // pmi/llr re-measured round 11 (margin-table rework, ADVICE r10:
+    // +2/+3 jobs traded for removing the bigram-frame global-window
+    // serialization): caps = new measured (10/7) + 2
+    "q_text_llr" -> 9, "q_text_pmi" -> 12,
     "q_text_perplexity" -> 7, "q_text_perplexity_bigram" -> 9,
     "q_text_pack" -> 8, "q_eval_cms_error" -> 9,
     "q_events_window_funnel" -> 14, "q_graph_modularity" -> 15,
@@ -190,9 +193,15 @@ object Budget {
   /** Warm each guarded key once, then take the best of 2 timed runs
     * against band × 1.5 × canary-scale. The canary is measured in the
     * SAME session immediately before, so host weather moves the budget,
-    * not the verdict. */
-  def check(s: SparkSession, sfDir: String, tier: Tier): Seq[Result] = {
-    val keys = guardedKeys.filter(tier.bands.contains)
+    * not the verdict. `onlyKeys` restricts the checked set — BudgetSpec
+    * uses it to re-time just the breached keys after a healthy re-probe
+    * (a stall that starts after the canary read and ends before the
+    * re-probe would otherwise fail the build on weather). */
+  def check(s: SparkSession, sfDir: String, tier: Tier,
+      onlyKeys: Seq[String] = Nil): Seq[Result] = {
+    val base = guardedKeys.filter(tier.bands.contains)
+    val keys =
+      if (onlyKeys.isEmpty) base else base.filter(onlyKeys.toSet)
     // warm EVERYTHING first (caches, codegen, JIT), THEN read the
     // canary: measured before any warmup it prices JVM cold start, not
     // host weather, and a 2-3× cold reading would silently loosen every
@@ -206,8 +215,14 @@ object Budget {
       val measured = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(s, sfDir).count()
+        // red-demo sleep is SCALE-PROOF (round 11): a fixed 2×band
+        // sleep fit under a weather-inflated budget (retry canary read
+        // 3.27× during the r11 validation run), silently passing the
+        // demo — sleep past the scaled budget so the injected breach
+        // adjudicates deterministically under any host weather
         if (slowKey.contains(k))
-          Thread.sleep(math.ceil(band * 2000).toLong)
+          Thread.sleep(math.ceil(
+            (math.max(band * 1.5, band + 0.15) * scale + band) * 1000).toLong)
         (System.nanoTime() - t0) / 1e9
       }.min
       // absolute noise floor: on sub-0.3s bands the ×1.5 margin is

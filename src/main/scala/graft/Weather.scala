@@ -41,9 +41,11 @@ object Weather {
     * the key index BEFORE which the canary ran (position 0 = before the
     * first key; a final canary at position = nKeys brackets the tail).
     * A key at index i is a stall suspect iff its nearest canary at or
-    * before i, or its nearest canary after i, read ≥ threshold. Keys
-    * outside any canary bracket (no canary after the last position)
-    * use the last available canary on that side.
+    * before i, or its nearest canary after i, read ≥ threshold. A side
+    * with no canary contributes NO evidence (ADVICE r10: the former
+    * last-canary fallback could re-use a before-side canary as the
+    * after-side reading) — Bench always emits a canary before key 0 and
+    * after the last key, so in production every key is fully bracketed.
     *
     * Returns (runMedianSec, degradedPositions, suspectKeys) with
     * suspects in key order. */
@@ -58,8 +60,7 @@ object Weather {
       case (k, i)
           if {
             val before = sorted.filter(_._1 <= i).lastOption
-              .orElse(sorted.headOption)
-            val after = sorted.find(_._1 > i).orElse(sorted.lastOption)
+            val after = sorted.find(_._1 > i)
             before.exists(_._2 >= thr) || after.exists(_._2 >= thr)
           } =>
         k

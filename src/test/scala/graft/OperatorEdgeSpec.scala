@@ -74,7 +74,6 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_stats_psi",           // 10-bucket spine census
       "q_stats_pacf",          // |days| census (global moments)
       "q_pipeline_mix",        // |sources| census (three scalars)
-      "q_text_llr",            // |vocab|² bigram census (n total)
       "q_eval_ece",            // 10-bin calibration census
       "q_stats_benford",       // 9-digit census
       "q_stats_cooks_distance", // |days| OLS census (ssq)
@@ -84,7 +83,12 @@ class OperatorEdgeSpec extends SparkSpec {
       "q_eval_slice_audit",    // |lang×source| census
       "q_events_window_funnel", // ≤4-row depth census
       "q_eval_cms_error",      // |vocab| estimate census
-      "q_text_pmi",            // |vocab|² bigram census (t2)
+      // round-11 margin-table rework (ADVICE r10): the bigram-census
+      // global windows were a scale hazard (that frame grows with the
+      // corpus); totals now ride |vocab|-row MARGIN tables as global
+      // windows before a broadcast fan-out
+      "q_text_llr",            // |vocab| row-margin census (ra + n)
+      "q_text_pmi",            // |vocab| unigram (t1) + margin (t2)
       "q_graph_modularity")    // |components| census (2m)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
