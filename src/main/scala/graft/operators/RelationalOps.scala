@@ -2201,10 +2201,16 @@ object RelationalOps {
       .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
       .select(col("o_custkey"), col("n_regionkey"))
       .distinct()
-    val nRegions = Tables.region(s, d).agg(count(lit(1)).as("nr"))
+    // |divisor| as a bounded driver census: region is a ≤|regions|-row
+    // dimension, so its count is the k-bounded-collect pattern. A/B'd
+    // round 11 vs the 1-row-aggregate + broadcast-semi-join form: job
+    // count identical (9), kept for the simpler plan (one literal
+    // filter instead of a broadcast exchange on the hot aggregate).
+    // Still dynamic (no hardcoded 5).
+    val nRegions = Tables.region(s, d).count()
     cr.groupBy("o_custkey")
       .agg(countDistinct(col("n_regionkey")).as("k"))
-      .join(broadcast(nRegions), col("k") === col("nr"), "left_semi")
+      .filter(col("k") === lit(nRegions))
       .select(col("o_custkey"))
       .orderBy("o_custkey")
   }

@@ -432,7 +432,12 @@ object TextOps {
   /** n-gram/lexicon-vote language ID. The lexicon is the pluggable part —
     * real deployments load per-language stopword profiles; the voting,
     * argmax, and tie-breaking machinery is what's exercised here. */
-  private val langid: Q = (s, d) => {
+  /** (doc_id, lang, pred_lang) — the prediction frame shared by
+    * q_text_langid and its confusion-matrix eval (round 11: the eval
+    * re-joined documents to recover the `lang` this frame already
+    * carries — one documents scan+join saved, langid_eval 10 → 9
+    * jobs). */
+  private def langidPred(s: SparkSession, d: String): DataFrame = {
     val lex = s.createDataFrame(langLexicon).toDF("token", "lex_lang")
     val docs = Tables.documents(s, d)
     val w = Window.partitionBy("doc_id")
@@ -447,12 +452,15 @@ object TextOps {
       .select(col("doc_id"), col("lex_lang"))
     docs.select("doc_id", "lang")
       .join(votes, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lex_lang"), lit("und")).as("pred_lang"),
-        (coalesce(col("lex_lang"), lit("und")) === col("lang"))
-          .as("is_correct"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lex_lang"), lit("und")).as("pred_lang"))
   }
+
+  private val langid: Q = (s, d) =>
+    langidPred(s, d)
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_correct"))
+      .orderBy("doc_id")
 
   private val langLexicon: Seq[(String, String)] = Seq(
     "the" -> "en", "a" -> "en", "data" -> "zh", "value" -> "zh",
@@ -1543,9 +1551,7 @@ object TextOps {
     * share = per-language recall). Composes the langid plan with one
     * broadcast-scale join and two bounded aggregates. */
   private val langidEval: Q = (s, d) => {
-    val conf = langid(s, d).select(col("doc_id"), col("pred_lang"))
-      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
-        Seq("doc_id"))
+    val conf = langidPred(s, d)
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
     // the per-language marginals derive exactly from the
     // |langs|²-bounded confusion census — driver fold (the kappa
