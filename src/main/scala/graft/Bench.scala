@@ -72,7 +72,15 @@ object Bench {
     // PQ assigned-codes + query-ADC-table artifacts (round 10):
     // q_embed_pq (already above) builds the codes; the 32-row query
     // table's first consumer is q_ann_ivfpq — warm it here
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    // nearest-centroid prediction frame (round 11): session artifact
+    // shared by q_vec_centroid_classify and q_eval_kappa — build it
+    // untimed so q_eval_kappa (alphabetically first consumer) doesn't
+    // carry the scoring join + argmax window
+    "q_vec_centroid_classify",
+    // per-type daily census (round 11): pinned session artifact shared
+    // by granger / kendall_tau / wilcoxon_signed
+    "q_stats_granger")
 
   /** Micro-canary cadence in the measured loop (VERDICT r9 item 1):
     * one trivial one-row job every N keys gives a ~25-point weather

@@ -89,9 +89,22 @@ object Budget {
   // key the round-10 job work touched (caches, census-window folds,
   // lazy Dist checkpoint) so a reverted fold trips the guard.
   val jobCaps: Map[String, Int] = Map(
-    "q_stats_ljung_box" -> 6, "q_eval_auroc" -> 6,
-    "q_eval_pr_auc" -> 6, "q_eval_kappa" -> 10,
+    "q_stats_ljung_box" -> 4, "q_eval_auroc" -> 6,
+    "q_eval_pr_auc" -> 6,
+    // kappa re-measured round 11 (centroidPred session artifact): 4 + 2
+    "q_eval_kappa" -> 6,
     "q_stats_jackknife" -> 6, "q_eval_cluster_purity" -> 9,
+    // round-11 cut keys (each measured post-cut + 2):
+    "q_privacy_k_anon" -> 6, "q_privacy_l_diversity" -> 7,
+    "q_vec_centroid_classify" -> 5, "q_text_langid" -> 9,
+    "q_relational_division" -> 11, "q_embed_drift" -> 10,
+    // round-11 dailyCensus-adopted time-series family (measured + 2;
+    // ljung_box/theil_sen/mann_kendall/changepoint tightened in place):
+    "q_stats_seasonal_mk" -> 9, "q_stats_autocorr" -> 5,
+    "q_stats_cusum" -> 6, "q_stats_ewma" -> 4,
+    "q_stats_decompose" -> 4, "q_stats_anomaly_stl" -> 5,
+    "q_stats_runs_test" -> 4,
+    "q_stats_granger" -> 5, "q_stats_kendall_tau" -> 5,
     "q_events_markov_stationary" -> 8, "q_eval_ks_score" -> 6,
     "q_privacy_dp_quantile" -> 10, "q_sim_sparse_topk" -> 5,
     "q_text_bpe_train" -> 4, "q_text_bpe_encode" -> 4,
@@ -100,10 +113,11 @@ object Budget {
     "q_sim_mmr" -> 9, "q_multimodal_phash_hamming" -> 5,
     "q_graph_closeness" -> 9, "q_customer_rfm" -> 12,
     "q_stats_chisq" -> 7, "q_stats_cramers_v" -> 7,
-    "q_stats_theil_sen" -> 6, "q_stats_levene" -> 8,
+    "q_stats_theil_sen" -> 4, "q_stats_levene" -> 8,
     "q_stats_dw" -> 4, "q_stats_breusch_pagan" -> 4,
     "q_stats_bh" -> 9, "q_stats_holm" -> 9,
-    "q_eval_langid" -> 12, "q_ml_target_encode" -> 7,
+    // langid_eval re-measured round 11 (shared prediction frame): 9 + 2
+    "q_eval_langid" -> 11, "q_ml_target_encode" -> 7,
     "q_ml_woe_iv" -> 7, "q_events_lateness" -> 9,
     "q_text_keywords" -> 4, "q_text_search_tfidf" -> 3,
     // pmi/llr re-measured round 11 (margin-table rework, ADVICE r10:
@@ -119,11 +133,11 @@ object Budget {
     "q_multimodal_storage_audit" -> 6, "q_dedup_prefix_filter" -> 10,
     "q_ann_ivfpq" -> 9, "q_eval_pq_recall" -> 8,
     "q_embed_pq" -> 5, "q_stats_pettitt" -> 7,
-    "q_stats_cooks_distance" -> 8, "q_stats_mann_kendall" -> 8,
+    "q_stats_cooks_distance" -> 8, "q_stats_mann_kendall" -> 7,
     "q_stats_benford" -> 5, "q_stats_psi" -> 4,
-    "q_stats_changepoint" -> 5, "q_sample_neyman" -> 5,
+    "q_stats_changepoint" -> 4, "q_sample_neyman" -> 5,
     "q_stats_ks" -> 7, "q_stats_kruskal" -> 8,
-    "q_stats_mannwhitney" -> 6, "q_stats_wilcoxon" -> 9,
+    "q_stats_mannwhitney" -> 6, "q_stats_wilcoxon" -> 7,
     "q_abc_analysis" -> 5, "q_stats_spearman" -> 10,
     "q_events_concurrency" -> 7, "q_eval_ece" -> 5,
     "q_eval_mcnemar" -> 4, "q_eval_slice_audit" -> 6,

@@ -52,6 +52,26 @@ object StatsOps {
         .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
         .agg(count(lit(1)).as("c"))))
 
+  /** The (day, n_click, n_purchase, n_view) per-type daily census,
+    * pinned + session-cached (round 11) — the typed sibling of
+    * dailyCensus, shared by granger / kendall_tau / wilcoxon_signed
+    * (each re-scanned events per evaluation for a |days|-bounded
+    * frame; q_stats_granger is the warmup builder). */
+  private val dayTypeCensusCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(dayTypeCensusCache,
+    (k: (SparkSession, String)) => k._2, (_: DataFrame) => ())
+
+  private def dailyTypeCensus(s: SparkSession, d: String): DataFrame =
+    dayTypeCensusCache.computeIfAbsent((s, d), _ =>
+      pinDays(s, Tables.events(s, d)
+        .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1))
+            .as("n_purchase"),
+          count(when(col("event_type") === "view", 1)).as("n_view"))))
+
   /** Welch's unequal-variance t-test: F-status vs O-status order values
     * per market segment. One shuffle join (orders ⋈ customer on the FK)
     * + one hash aggregate with FILTERed moments — the two "samples"
@@ -389,9 +409,7 @@ object StatsOps {
     * census, and counts are integers — every sign comparison is exact,
     * no float ordering hazard. One division at the end. */
   private val mannKendall: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val sF = daily.as("a").join(daily.as("b"), col("b.day") > col("a.day"))
       .agg(sum(signum(col("b.c") - col("a.c")).cast("long")).as("s_stat"))
     // n_days = Σ t over the tie census (every day is in exactly one
@@ -427,9 +445,7 @@ object StatsOps {
     * the same continuity correction as the plain key. One extra
     * grouping column turns the O(|days|²) census into 7 tiny ones. */
   private val seasonalMk: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
       .withColumn("g", expr("day % 7"))
     val sF = daily.as("a").join(daily.as("b"),
         col("b.g") === col("a.g") && col("b.day") > col("a.day"))
@@ -716,9 +732,7 @@ object StatsOps {
     * same doubles in that range. ONE division at the end, r6 at the
     * boundary. */
   private val autocorr: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val n = count(lit(1)).cast("double")
     val sx = sum(col("x").cast("double"))
     val sy = sum(col("y").cast("double"))
@@ -748,9 +762,7 @@ object StatsOps {
     * mean in ONE pinned IEEE expression and is r6-rounded before the
     * 7-term fold, which runs in sorted lag order on both engines. */
   private val ljungBox: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     // the whole statistic lives on the |days|-bounded census (~30
     // rows): lag products, autocorrelations, and the Q fold run
     // DRIVER-SIDE on the collected census (the markov/cluster-purity
@@ -840,9 +852,7 @@ object StatsOps {
     * rounding needed until the final cut (which ranks on the r6 value,
     * day tie-break). */
   private val cusum: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val stats = daily.agg(r6(avg(col("c"))).as("m"),
       r6(stddev_samp(col("c"))).as("sd"))
     val wc = Window.orderBy("day")
@@ -864,9 +874,7 @@ object StatsOps {
     * scored census ranked by score, so the consumer sees the margin,
     * not just the winner. */
   private val changepoint: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val wc = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // nd/t as windows over the |days| census (round 10): exact
@@ -942,9 +950,7 @@ object StatsOps {
     * At 100 TB the daily frame is still |days| rows — the window never
     * touches raw events. */
   private val ewma: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val w = Window.orderBy("day")
     val lags = (0 until EwmaLags).map(k => lag(col("c"), k).over(w))
     val num = lags.zipWithIndex.map { case (l, k) =>
@@ -1015,9 +1021,7 @@ object StatsOps {
     * column is round-then-replay off the previous one. Edge days keep
     * their partial trend window (deterministic in both engines). */
   private def stlFrame(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
     val wSeas = Window.partitionBy(expr("day % 7"))
     daily.withColumn("trend", r6(avg(col("c")).over(wTrend)))
@@ -1053,9 +1057,7 @@ object StatsOps {
     * once, so the pair set is bit-identical cross-engine before the
     * median. */
   private val theilSen: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     // the pair set and both medians live on the |days|-bounded census,
     // so they fold DRIVER-SIDE on the collected census (round 9: the
     // min-crossJoin, self-join, and two percentile aggregates were ~7
@@ -1191,9 +1193,7 @@ object StatsOps {
     * moment/z expressions, written as ONE identical formula text in
     * both engines. */
   private val runsTest: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("c"))
+    val daily = dailyCensus(s, d)
     val w = Window.orderBy("day")
     val signs = daily
       .withColumn("df", col("c") - lag(col("c"), 1).over(w))
@@ -1414,10 +1414,8 @@ object StatsOps {
     * closed-form 2-regressor OLS runs once on the 1-row moment frame
     * as identical-text double expressions. */
   private val granger: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(when(col("event_type") === "click", 1)).as("x"),
-        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val daily = dailyTypeCensus(s, d).select(col("day"),
+      col("n_click").as("x"), col("n_purchase").as("y"))
     val lagged = daily.select(col("day"), col("x").as("x1"),
         col("y").as("y1"))
       .join(daily.select((col("day") - 1).as("day"), col("y").as("y0")),
@@ -1617,10 +1615,8 @@ object StatsOps {
     * an exact integer census; τ-b is one shared closed-form text on
     * those integers. */
   private val kendallTau: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(when(col("event_type") === "click", 1)).as("x"),
-        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val daily = dailyTypeCensus(s, d).select(col("day"),
+      col("n_click").as("x"), col("n_purchase").as("y"))
     val pairs = daily.select(col("day").as("da"), col("x").as("xa"),
         col("y").as("ya"))
       .join(daily.select(col("day").as("db"), col("x").as("xb"),
@@ -1721,10 +1717,8 @@ object StatsOps {
     * second-order). Census-bounded: ranks run on the |distinct |d||
     * frame via the distributed prefix sum, never a global window. */
   private val wilcoxonSigned: Q = (s, d) => {
-    val daily = pinDays(s, Tables.events(s, d)
-      .groupBy(expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .agg(count(when(col("event_type") === "click", 1)).as("c"),
-        count(when(col("event_type") === "view", 1)).as("v")))
+    val daily = dailyTypeCensus(s, d).select(col("day"),
+      col("n_click").as("c"), col("n_view").as("v"))
     val dd = daily.select(col("day"), (col("c") - col("v")).as("dif"))
       .filter(col("dif") =!= 0)
       .withColumn("ad", abs(col("dif")))
@@ -2091,16 +2085,21 @@ object StatsOps {
     val ev = Tables.events(s, d)
     val pu = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val mx = pu.groupBy(col("user_id").as("uid"))
-      .agg(max(col("c")).as("mc"), sum(col("c")).as("n_ev"))
-    val dom = pu.join(mx,
-        col("user_id") === col("uid") && col("c") === col("mc"))
-      .groupBy(col("uid"), col("n_ev"))
-      .agg(min(col("event_type")).as("dom_type"))
+    // dominant type in ONE aggregate (round 11): min_by over the
+    // struct (-c, event_type) IS "lexicographic min among max-count
+    // types" — (user_id, event_type) rows are unique, so the ordering
+    // tuple never ties and the argmax is deterministic. Replaces the
+    // old max-census + join-on-max + min re-aggregate (one self-join
+    // and one shuffle fewer; k_anon 7 → 4, l_diversity 8 → 5 jobs,
+    // A/B'd + oracle-checked round 11).
+    val dom = pu.groupBy(col("user_id").as("uid"))
+      .agg(sum(col("c")).as("n_ev"),
+        min_by(col("event_type"),
+          struct((-col("c")).as("nc"), col("event_type"))).as("dom_type"))
     val dy = ev.select(col("user_id"),
         expr("(ts_ns div 1000) div 86400000000").as("day"))
-      .distinct()
-      .groupBy("user_id").agg(count(lit(1)).as("n_days"))
+      .groupBy("user_id")
+      .agg(countDistinct(col("day")).as("n_days"))
     dom.join(dy, col("uid") === dy("user_id"))
       .select(col("uid"), col("dom_type"),
         when(col("n_ev") < 5, "lo").when(col("n_ev") < 20, "mid")
