@@ -80,7 +80,22 @@ object Bench {
     "q_vec_centroid_classify",
     // per-type daily census (round 11): pinned session artifact shared
     // by granger / kendall_tau / wilcoxon_signed
-    "q_stats_granger")
+    "q_stats_granger",
+    // KS test-family census (round 11): pinned session artifact shared
+    // by q_stats_bh / q_stats_holm / q_stats_fisher_combine
+    "q_stats_bh",
+    // n-gram pair-overlap frame (round 11): session artifact shared by
+    // q_eval_rouge / q_eval_bleu
+    "q_eval_bleu",
+    // ranked retrieval frame (round 11): session artifact shared by
+    // q_eval_ndcg / q_eval_map
+    "q_eval_map",
+    // per-doc DSIR score frame (round 11): session artifact shared by
+    // q_sample_dsir / q_sample_ess
+    "q_sample_dsir",
+    // wedge common-neighbor frame (round 11): session artifact shared
+    // by q_graph_link_jaccard / q_graph_local_bridges
+    "q_graph_link_jaccard")
 
   /** Micro-canary cadence in the measured loop (VERDICT r9 item 1):
     * one trivial one-row job every N keys gives a ~25-point weather

@@ -105,6 +105,10 @@ object Budget {
     "q_stats_decompose" -> 4, "q_stats_anomaly_stl" -> 5,
     "q_stats_runs_test" -> 4,
     "q_stats_granger" -> 5, "q_stats_kendall_tau" -> 5,
+    "q_eval_rouge" -> 4, "q_eval_bleu" -> 4,
+    "q_sample_dsir" -> 3, "q_sample_ess" -> 4,
+    "q_graph_link_jaccard" -> 8, "q_graph_local_bridges" -> 8,
+    "q_eval_ndcg" -> 5, "q_eval_map" -> 5,
     "q_events_markov_stationary" -> 8, "q_eval_ks_score" -> 6,
     "q_privacy_dp_quantile" -> 10, "q_sim_sparse_topk" -> 5,
     "q_text_bpe_train" -> 4, "q_text_bpe_encode" -> 4,
@@ -115,7 +119,9 @@ object Budget {
     "q_stats_chisq" -> 7, "q_stats_cramers_v" -> 7,
     "q_stats_theil_sen" -> 4, "q_stats_levene" -> 8,
     "q_stats_dw" -> 4, "q_stats_breusch_pagan" -> 4,
-    "q_stats_bh" -> 9, "q_stats_holm" -> 9,
+    // bh/holm/fisher re-measured round 11 (pinned ksFamily census): 2 + 2
+    "q_stats_bh" -> 4, "q_stats_holm" -> 4,
+    "q_stats_fisher_combine" -> 4,
     // langid_eval re-measured round 11 (shared prediction frame): 9 + 2
     "q_eval_langid" -> 11, "q_ml_target_encode" -> 7,
     "q_ml_woe_iv" -> 7, "q_events_lateness" -> 9,

@@ -599,8 +599,21 @@ object DedupOps {
     * n-gram-overlap pair metrics (ROUGE + BLEU): clipped unigram and
     * bigram multiset overlaps of every cluster member against its
     * representative. Censuses are exploded only for docs inside
-    * clusters; pairs broadcast onto them. */
-  private def pairOverlaps(s: SparkSession, d: String): DataFrame = {
+    * clusters; pairs broadcast onto them. A SESSION ARTIFACT since
+    * round 11 (the centroidPred pattern): both consumers re-ran the
+    * n-gram explode + overlap joins per evaluation (rouge 7 + bleu 7 →
+    * 2 + 2 jobs, A/B'd; q_eval_bleu is the warmup builder). */
+  private val pairOverlapsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(pairOverlapsCache,
+    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+
+  private def pairOverlaps(s: SparkSession, d: String): DataFrame =
+    pairOverlapsCache.computeIfAbsent((s, d),
+      _ => pairOverlapsUncached(s, d).persist())
+
+  private def pairOverlapsUncached(s: SparkSession, d: String): DataFrame = {
     val pairs = clusterReps(s, d)
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("cluster_rep").as("a"), col("doc_id").as("b"))

@@ -546,6 +546,10 @@ object EventOps {
         min(when(col("event_type") === "purchase",
           expr("(ts_ns div 1000) div 86400000000"))).as("p_day"),
         max(expr("(ts_ns div 1000) div 86400000000")).as("last_day"))
+    // NOT a driver-collected literal (round-11 A/B: the collect form
+    // measured -1 job each, but it adds a SECOND events scan — the
+    // crossJoin form's twin reads of perUser are exchange-reused, so
+    // one corpus scan serves both; at 100 TB the scan wins the trade)
     val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
     val census = perUser.crossJoin(broadcast(maxDay))
       .select(
@@ -608,6 +612,10 @@ object EventOps {
         min(when(col("event_type") === "purchase", expr(dayE)))
           .as("p_day"),
         max(expr(dayE)).as("last_day"))
+    // NOT a driver-collected literal (round-11 A/B: the collect form
+    // measured -1 job each, but it adds a SECOND events scan — the
+    // crossJoin form's twin reads of perUser are exchange-reused, so
+    // one corpus scan serves both; at 100 TB the scan wins the trade)
     val maxDay = perUser.agg(max(col("last_day")).as("max_day"))
     val census = perUser.crossJoin(broadcast(maxDay))
       .select(
@@ -1135,13 +1143,17 @@ object EventOps {
     val cands = ev.select(col("user_id")).as[Long]
       .mapPartitions(mgCandidates[Long](cap))
       .toDF("user_id").distinct()
-    val total = ev.agg(count(lit(1)).as("n_total"))
+    // the guarantee threshold needs ONE number (stream length) — a
+    // bounded driver census. A/B'd round 11: job count ties (7) —
+    // the old crossJoin(broadcast(agg)) pair was also a separate
+    // events pass — kept for the simpler plan (no broadcast exchange;
+    // count() is metadata-cheap)
+    val nTotal = ev.count()
     ev.join(cands, Seq("user_id"), "left_semi")
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * cap > col("n_total"))
+      .filter(col("cnt") * cap > lit(nTotal))
       .select(col("user_id"), col("cnt"),
-        r6(col("cnt").cast("double") / col("n_total")).as("share"))
+        r6(col("cnt").cast("double") / lit(nTotal)).as("share"))
       .orderBy(col("cnt").desc, col("user_id"))
   }
 

@@ -481,6 +481,10 @@ object RelationalOps {
       .groupBy("l_suppkey")
       .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_rev"))
+    // NOT a driver-collected literal (round-11 A/B consideration): the
+    // broadcast-join-on-max consumes rev's exchange twice and exchange
+    // reuse dedupes the lineitem scan — a construction-time collect
+    // would run the scan once for the max and AGAIN for the query.
     rev.join(broadcast(rev.agg(max(col("total_rev")).as("mx"))),
         col("total_rev") === col("mx"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))

@@ -570,8 +570,24 @@ object StatsOps {
   /** The per-type KS test family on the md5 A/A split — extracted so
     * q_stats_bh (step-UP FDR) and q_stats_holm (step-DOWN FWER) correct
     * the SAME battery of p-values (one builder, one oracle fragment —
-    * the stlFrame rule). Returns (event_type, d_r, p_r). */
-  private def ksFamily(s: SparkSession, d: String): DataFrame = {
+    * the stlFrame rule). Returns (event_type, d_r, p_r). PINNED +
+    * session-cached since round 11 (the dailyCensus pattern): three
+    * consumers (bh, holm, fisher_combine) each re-ran the corpus KS
+    * pass per evaluation for a ≤|event types|-row census (19 → 7 jobs
+    * across the trio, A/B'd; q_stats_bh is the warmup builder). Every
+    * consumer orders explicitly, so LocalRelation row order is never
+    * observed. */
+  private val ksFamilyCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(ksFamilyCache,
+    (k: (SparkSession, String)) => k._2, (_: DataFrame) => ())
+
+  private def ksFamily(s: SparkSession, d: String): DataFrame =
+    ksFamilyCache.computeIfAbsent((s, d), _ =>
+      pinDays(s, ksFamilyUncached(s, d)))
+
+  private def ksFamilyUncached(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_type").as("t"),
         floor(col("value") * 100 + 0.5).cast("long").as("v"),

@@ -1714,8 +1714,21 @@ object TextOps {
   /** Per-doc DSIR importance score for EVERY document (doc_id, source,
     * n_tok, score_r) — extracted so q_sample_dsir (top-50 ranking) and
     * q_sample_ess (weight-quality audit) share ONE chain (the stlFrame
-    * rule). */
-  private def dsirScores(s: SparkSession, d: String): DataFrame = {
+    * rule). A SESSION ARTIFACT since round 11 (the centroidPred
+    * pattern): both consumers re-ran the token explode + LLR broadcast
+    * + doc aggregate per evaluation (dsir 7 + ess 6 → 1 + 2 jobs,
+    * A/B'd; q_sample_dsir is the warmup builder). */
+  private val dsirCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(dsirCache,
+    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+
+  private def dsirScores(s: SparkSession, d: String): DataFrame =
+    dsirCache.computeIfAbsent((s, d),
+      _ => dsirScoresUncached(s, d).persist())
+
+  private def dsirScoresUncached(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(toks()).as("tok"))
       .withColumn("b", hex2(md5(col("tok"))))

@@ -1156,19 +1156,41 @@ object VectorOps {
     * — the kruskal discipline); IDCG's ideal ranks come from an
     * explicit sequence(1, min(10, n_rel)), so the quotient divides two
     * bit-identical doubles. */
+  /** Shared ranked retrieval frame (qid, vec_id, rel, rk, cum_rel) for
+    * the NDCG/MAP audit pair — identical query set (vec_id < 3), binary
+    * relevance, exact cosine ranking, per-qid rank and running
+    * relevance. A SESSION ARTIFACT since round 11 (the centroidPred
+    * pattern): both consumers re-ran the broadcast scoring + rank
+    * window per evaluation (ndcg 7 + map 7 → 3 + 3 jobs, A/B'd;
+    * q_eval_map is the warmup builder). */
+  private val retrievalRankCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  graft.Caches.registerMap(retrievalRankCache,
+    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+
+  private def retrievalRanked(s: SparkSession, d: String): DataFrame =
+    retrievalRankCache.computeIfAbsent((s, d), _ => {
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("sim_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
+        .withColumn("rel",
+          when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum_rel", sum(col("rel")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("qid", "vec_id", "rel", "rk", "cum_rel")
+        .persist()
+    })
+
   private val evalNdcg: Q = (s, d) => {
-    val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
-      .withColumn("rel",
-        when(col("label") === col("qlabel"), 1L).otherwise(0L))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_r").desc, col("vec_id"))
-    val dcg = scored
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val ranked = retrievalRanked(s, d)
+    val dcg = ranked
       .filter(col("rk") <= 10)
       .withColumn("term",
         expr("floor((rel * ln(2.0) / ln(rk + 1.0)) * 1000000 + 0.5)" +
@@ -1177,7 +1199,7 @@ object VectorOps {
       .agg(expr("aggregate(transform(array_sort(collect_list(" +
         "struct(rk, term))), x -> x.term), 0D," +
         " (acc, v) -> acc + v)").as("dcg_r"))
-    val nrel = scored.filter(col("rel") === 1L)
+    val nrel = ranked.filter(col("rel") === 1L)
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     dcg.join(nrel, Seq("qid"))
       .withColumn("idcg_r",
@@ -1201,20 +1223,8 @@ object VectorOps {
     * the ≤10-term sequential fold (the kruskal discipline); the
     * denominator min(10, n_rel) divides two bit-identical doubles. */
   private val evalMap: Q = (s, d) => {
-    val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-        col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim_r", r6(expr("graft_dot(v, qv)")))
-      .withColumn("rel",
-        when(col("label") === col("qlabel"), 1L).otherwise(0L))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_r").desc, col("vec_id"))
-    val hits = scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum_rel", sum(col("rel")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = retrievalRanked(s, d)
+    val hits = ranked
       .filter(col("rk") <= 10 && col("rel") === 1L)
       .withColumn("term",
         expr("floor((cast(cum_rel AS double) / rk) * 1000000 + 0.5)" +
@@ -1224,7 +1234,7 @@ object VectorOps {
         expr("aggregate(transform(array_sort(collect_list(" +
           "struct(rk, term))), x -> x.term), 0D," +
           " (acc, v) -> acc + v)").as("sum_t"))
-    val nrel = scored.filter(col("rel") === 1L)
+    val nrel = ranked.filter(col("rel") === 1L)
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     ap.join(nrel, Seq("qid"))
       .select(col("qid"), col("n_rel"), col("n_hits10"),
