@@ -282,6 +282,19 @@ object ExplainAudit {
     // hand back the unexecuted plan so the audit shows the real
     // BFS/wedge shapes (at execution the scope + checkpoint apply).
     operators.GraphOps.ExplainPlansOnly = true
+    // same hook for the round-11 nearPairs session artifact: without it
+    // q_dedup_near explains as an InMemoryRelation and the ceiling-flip
+    // branch below would read the cache instead of re-planning
+    operators.TextOps.ExplainPlansOnly = true
+    // Round-11 caveat for the other session artifacts (centroidPred,
+    // dailyCensus/dailyTypeCensus, ksFamily, pairOverlaps,
+    // retrievalRanked, dsirScores, wedgeCn): audited consumer keys
+    // (kappa, ndcg, dsir/ess, bh/holm/fisher, mann_kendall & the
+    // time-series family, link_jaccard/local_bridges, wilcoxon,
+    // kendall_tau, granger) now explain as reads of a pinned
+    // LocalRelation or persisted frame — the pettitt/msprt precedent;
+    // the artifact BUILD plans are the shapes audited via the builder
+    // keys that construct them.
     try names.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
@@ -300,7 +313,10 @@ object ExplainAudit {
         finally operators.TextOps.AllPairsRowCeiling = saved
       }
     }
-    finally operators.GraphOps.ExplainPlansOnly = false
+    finally {
+      operators.GraphOps.ExplainPlansOnly = false
+      operators.TextOps.ExplainPlansOnly = false
+    }
     spark.stop()
   }
 }

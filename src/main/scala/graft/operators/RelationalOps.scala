@@ -1335,12 +1335,17 @@ object RelationalOps {
     * md5/KMV arithmetic, so unlike a theta sketch the whole algebra
     * oracle-checks. */
   private val aggKmvIntersect: Q = (s, d) => {
-    val types = Tables.events(s, d).select("event_type").distinct()
+    val perType = Tables.events(s, d).groupBy("event_type")
+      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)").as("est"))
+    // the type list rides the perType sketch aggregate (round 11): the
+    // old separate events.distinct() was one more corpus pass for a
+    // ≤|types|-row frame the sketch census already carries. A/B'd
+    // round 11: job count ties (9 — AQE stage fan replaces the scan
+    // job), kept for the one-fewer corpus pass at scale.
+    val types = perType.select("event_type")
     val pairs = types.select(col("event_type").as("ta"))
       .crossJoin(types.select(col("event_type").as("tb")))
       .filter(col("ta") < col("tb"))
-    val perType = Tables.events(s, d).groupBy("event_type")
-      .agg(expr(s"graft_kmv(cast(user_id AS string), $KmvK)").as("est"))
     val ev = Tables.events(s, d)
       .select(col("event_type").as("t"), col("user_id"))
     val unionEst = ev.join(broadcast(pairs),

@@ -289,19 +289,30 @@ object TextOps {
     * is the ground truth q_eval_minhash_recall audits against, and
     * both consumers re-ran the (ceiling-guarded) pair join per
     * evaluation (near 5 + recall 7 → 2 + 4 jobs, A/B'd;
-    * q_dedup_near is the warmup builder). The ceiling flip happens at
-    * build time, exactly as before. */
+    * q_dedup_near is the warmup builder). The cache key CARRIES the
+    * ceiling, so the flip-boundary spec's ceiling override still
+    * executes the banded plan instead of reading the sub-ceiling
+    * cache; ExplainPlansOnly (the GraphOps audit hook's twin) bypasses
+    * the cache entirely so the plan audit shows the real pair-join
+    * shapes, not an InMemoryRelation. */
+  private[graft] var ExplainPlansOnly = false
+
   private val nearPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String, Long), DataFrame]()
 
   graft.Caches.registerMap(nearPairsCache,
-    (k: (SparkSession, String)) => k._2, (v: DataFrame) => v.unpersist())
+    (k: (SparkSession, String, Long)) => k._2,
+    (v: DataFrame) => v.unpersist())
 
-  private[operators] def nearPairs(s: SparkSession, d: String): DataFrame =
-    nearPairsCache.computeIfAbsent((s, d), _ =>
-      (if (TokenBitmap.bitmaps(s, d).count() > AllPairsRowCeiling)
+  private[operators] def nearPairs(s: SparkSession, d: String): DataFrame = {
+    def build() =
+      if (TokenBitmap.bitmaps(s, d).count() > AllPairsRowCeiling)
         dedupPrefixFilter(s, d) // identical declared output, banded plan
-      else dedupNearAllPairs(s, d)).persist())
+      else dedupNearAllPairs(s, d)
+    if (ExplainPlansOnly) build()
+    else nearPairsCache.computeIfAbsent((s, d, AllPairsRowCeiling),
+      _ => build().persist())
+  }
 
   private val dedupNear: Q = (s, d) =>
     nearPairs(s, d).orderBy("a", "b")
