@@ -573,7 +573,7 @@ object StatsOps {
     * the stlFrame rule). Returns (event_type, d_r, p_r). PINNED +
     * session-cached since round 11 (the dailyCensus pattern): three
     * consumers (bh, holm, fisher_combine) each re-ran the corpus KS
-    * pass per evaluation for a ≤|event types|-row census (19 → 7 jobs
+    * pass per evaluation for a ≤|event types|-row census (19 → 6 jobs
     * across the trio, A/B'd; q_stats_bh is the warmup builder). Every
     * consumer orders explicitly, so LocalRelation row order is never
     * observed. */
