@@ -321,7 +321,13 @@ object StatsOps {
   private val kruskal: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("value").as("p"), col("event_type").as("g"))
+    // eager localCheckpoint (round 12, guide §2.2): per feeds TWO
+    // consumers — the per-value census perV (via the rank pass) and the
+    // per-group join below — and unmaterialized each re-ran the events
+    // scan + (p, g) shuffle. One events pass now; the checkpointed
+    // census is |distinct (value, type)|-bounded.
     val per = ev.groupBy("p", "g").agg(count(lit(1)).as("cg"))
+      .localCheckpoint()
     val perV = per.groupBy("p").agg(sum(col("cg")).as("cnt"))
     // n and the tie term are the prefix pass's own grand totals (round
     // 10, Dist.withPrefixSumsLongTotals) — the old ranked.agg +
@@ -374,22 +380,41 @@ object StatsOps {
     * IEEE sqrts. Ranks join back by value equality — two |distinct|-
     * bounded rank tables, two hash joins, linear at any scale. */
   private val spearman: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+    // ONE events pass (round 12, guide §2.2 "aggregate before you
+    // shuffle"): the round-11 shape scanned events THREE times (per-x
+    // census, per-y census, and the raw frame the rank tables joined
+    // back onto) and ran the six-moment aggregate over |events| rows.
+    // Every moment is a function of the JOINT (x, y) census — Σ f(x,y)
+    // over events = Σ c_xy·f(x,y) over the census — so one
+    // groupBy(x, y) shuffle replaces all three scans, the per-axis
+    // censuses fold from the joint one (bounded), and the moment
+    // aggregate runs over |distinct (x,y)| rows instead of |events|.
+    // All sums stay exact longs (counts × integer doubled-ranks), so
+    // the result is bit-identical to the per-row form; eager
+    // localCheckpoint because the census feeds three consumers (perX,
+    // perY, the moment join) that would otherwise re-run the events
+    // shuffle each.
+    val cen = Tables.events(s, d)
       .select(col("value").as("x"),
         get_json_object(col("props"), "$.k").cast("int").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .localCheckpoint()
     def ranks2(c: String, out: String): DataFrame = {
-      val per = ev.groupBy(c).agg(count(lit(1)).as("cnt"))
+      val per = cen.groupBy(c).agg(sum(col("cxy")).as("cnt"))
       Dist.withPrefixSumsLong(per, Seq("cum" -> col("cnt")),
           Seq(col(c)))
         .select(col(c),
           (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1).as(out))
     }
-    val j = ev.join(ranks2("x", "rx2"), "x").join(ranks2("y", "ry2"), "y")
-    val m = j.agg(count(lit(1)).as("n"),
-      sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
-      sum(col("rx2") * col("ry2")).as("sxy"),
-      sum(col("rx2") * col("rx2")).as("sxx"),
-      sum(col("ry2") * col("ry2")).as("syy"))
+    val j = cen.join(ranks2("x", "rx2"), "x").join(ranks2("y", "ry2"), "y")
+    // coalesce keeps the old count(*) contract (0 and non-nullable on
+    // an empty frame) — sum alone would flip n's nullability/NULL case
+    val m = j.agg(coalesce(sum(col("cxy")), lit(0L)).as("n"),
+      sum(col("cxy") * col("rx2")).as("sx"),
+      sum(col("cxy") * col("ry2")).as("sy"),
+      sum(col("cxy") * col("rx2") * col("ry2")).as("sxy"),
+      sum(col("cxy") * col("rx2") * col("rx2")).as("sxx"),
+      sum(col("cxy") * col("ry2") * col("ry2")).as("syy"))
     val nD = col("n").cast("double")
     m.select(col("n"),
       r6((nD * col("sxy").cast("double") -

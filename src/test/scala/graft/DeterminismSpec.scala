@@ -2,14 +2,27 @@ package graft
 
 /** Every declared query must be run-to-run deterministic including row
   * order — Verify's coalesce(1) parquet is hash-compared by the driver, so
-  * a nondeterministic plan is a coin-flip failure (SURVEY.md §5.2). */
-class DeterminismSpec extends SparkSpec {
+  * a nondeterministic plan is a coin-flip failure (SURVEY.md §5.2).
+  *
+  * Split into two half-registry suites (round 12, VERDICT r11 item 2):
+  * the single full sweep was the longest suite in the run (556 s of the
+  * 1902 s sequential wall) and pinned the parallel-group test layout's
+  * critical path (build.sbt testGrouping). Interleaved even/odd halves
+  * keep the expensive families balanced; coverage is identical —
+  * RegistrySpec pins the registry, and every key lands in exactly one
+  * half by sorted index parity. */
+abstract class DeterminismHalfSpec(half: Int) extends SparkSpec {
 
-  test("all declared queries produce identical results on repeated runs") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val r1 = fn(spark, sfDir).collect().map(_.toString).toSeq
-      val r2 = fn(spark, sfDir).collect().map(_.toString).toSeq
-      assert(r1 === r2, s"$name is not run-to-run deterministic")
-    }
+  test(s"declared queries (half $half) are identical on repeated runs") {
+    SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .filter(_._2 % 2 == half)
+      .foreach { case ((name, fn), _) =>
+        val r1 = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val r2 = fn(spark, sfDir).collect().map(_.toString).toSeq
+        assert(r1 === r2, s"$name is not run-to-run deterministic")
+      }
   }
 }
+
+class DeterminismSpec extends DeterminismHalfSpec(0)
+class DeterminismBSpec extends DeterminismHalfSpec(1)
