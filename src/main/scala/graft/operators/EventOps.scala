@@ -1077,6 +1077,11 @@ object EventOps {
     val gapUs = 30L * 60 * 1000000
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // eager localCheckpoint (round 12, guide §2.2): the ±1 boundary
+    // union below references sess TWICE (start rows + end rows), so the
+    // unmaterialized form ran the events scan + the two sessionizing
+    // windows + the session aggregate once PER SIDE. One events pass
+    // now; the pinned frame is |sessions|-bounded.
     val sess = Tables.events(s, d)
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("new_sess",
@@ -1086,6 +1091,7 @@ object EventOps {
       .withColumn("sess", sum(col("new_sess")).over(runW))
       .groupBy("user_id", "sess")
       .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .localCheckpoint()
     val bounds = sess
       .select(col("start_us").as("t_us"), lit(1L).as("delta"))
       .unionAll(sess.select(col("end_us").as("t_us"), lit(-1L).as("delta")))

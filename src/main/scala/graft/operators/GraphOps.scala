@@ -296,6 +296,14 @@ object GraphOps {
       // kcore keeps its EAGER form: its per-round frame feeds two
       // parallel consumer stages, which would compute a lazy
       // checkpoint's partitions twice concurrently.
+      // Round-12 A/B (VERDICT r11 item 4, frontier batching): lazy
+      // checkpoints every 2nd round only (and none on the final round)
+      // measured EXACTLY the same 12 jobs and flat wall — the lazy
+      // boundary already rides the consuming job, so the job count is
+      // the AQE stage fan of the per-round shuffles, which batching
+      // does not change. Reverted to the boundary-per-round form: same
+      // cost, and the per-round flat LogicalRDD scan keeps plan depth
+      // bounded at any round count (IterativeLineageSpec pins it).
       lbl = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("v", "lbl")
         .localCheckpoint(false)
@@ -575,6 +583,13 @@ object GraphOps {
       // shrinking keep set they fall back to sort-merge, the lpa
       // lesson, which loses at 100 TB; the BFS noAqe precedent applies
       // to node-bounded frontiers, not edge-scale rounds)
+      // Round-12 A/B (VERDICT r11 item 4, frontier batching): two peel
+      // rounds per eager checkpoint measured 13 → 12 jobs — but a
+      // batched round references its unmaterialized predecessor TWICE
+      // (keep build + semi-join left side), so round k's edge-scale
+      // aggregate+semi-joins execute twice inside round k+1's job.
+      // −1 job for 2× edge-scale recompute loses at 100 TB; reverted
+      // (the same adjudication as the noAqe scope above).
       und = und
         .join(keep, col("x") === col("v"), "left_semi")
         .join(keep.select(col("v").as("v2")), col("y") === col("v2"),

@@ -323,12 +323,18 @@ object TextOps {
       col("sz").as("sa"))
     val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
       col("sz").as("sb"))
+    // Jaccard test in the join condition, ordered after the cheap
+    // guards (round 12) — same pushed-predicate inversion as the
+    // prefix-filtered twin below: as a post-join filter it was
+    // PREPENDED to the condition and the bitmap fold ran before the
+    // id/size-band short-circuits on every enumerated pair.
+    val interC = expr(TokenBitmap.intersectExpr("ba", "bb"))
     a.join(b, col("a") < col("b") &&
-        col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5)
+        col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5 &&
+        interC / (col("sa") + col("sb") - interC) >= 0.8)
       .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jacc") >= 0.8)
       .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
       .orderBy("a", "b")
   }
@@ -389,13 +395,23 @@ object TextOps {
       col("sz").as("sa"), col("pm").as("pa"))
     val b = broadcast(base.select(col("doc_id").as("b"), col("bm").as("bb"),
       col("sz").as("sb"), col("pm").as("pb")))
+    // The Jaccard test lives IN the join condition, ORDERED LAST (round
+    // 12): written as a post-join filter, PushPredicateThroughJoin
+    // PREPENDS it to the condition, so the full-bitmap intersection ran
+    // FIRST for every one of the ~n²/2 enumerated pairs and the cheap
+    // id/size-band/prefix-AND guards never short-circuited it — the
+    // exact inversion of what a prefix filter is for (And short-circuits
+    // left-to-right in codegen; at 100 TB vocab the full-bitmap fold is
+    // the wide one). The survivors' output jacc is recomputed in the
+    // projection — same integer fold, same division, bit-identical.
+    val interC = expr(TokenBitmap.intersectExpr("ba", "bb"))
     a.join(b, col("a") < col("b") &&
         col("sa") * 4 <= col("sb") * 5 && col("sb") * 4 <= col("sa") * 5 &&
-        expr(TokenBitmap.intersectExpr("pa", "pb")) > 0)
+        expr(TokenBitmap.intersectExpr("pa", "pb")) > 0 &&
+        interC / (col("sa") + col("sb") - interC) >= 0.8)
       .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
       .withColumn("jacc",
         col("inter") / (col("sa") + col("sb") - col("inter")))
-      .filter(col("jacc") >= 0.8)
       .select(col("a"), col("b"), r6(col("jacc")).as("jacc_r"))
       .orderBy("a", "b")
   }
@@ -1255,16 +1271,27 @@ object TextOps {
     * gradient-micros discipline. High ppl_bi = improbable token
     * transitions = boilerplate/gibberish the unigram filter misses. */
   private val perplexityBigram: Q = (s, d) => {
-    val bg = Tables.documents(s, d)
+    // TWO corpus passes instead of four (round 12, guide §2.2): the
+    // round-11 shape re-ran the bigram explode for the LM table and the
+    // scoring join (bg referenced twice) AND the unigram census for the
+    // a-side total and the b-side broadcast (uni referenced twice).
+    // Per-doc bigram census: one (doc_id, a, b) shuffle; every
+    // occurrence-level term below is count-weighted exact arithmetic
+    // over it (nm is already a floored LONG per (a,b), so Σ k·nm is
+    // bit-identical to the per-occurrence Σ nm — no float-order surface)
+    val docBi = Tables.documents(s, d)
       .select(col("doc_id"), toks().as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2)," +
           " i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val uni = Tables.documents(s, d)
       .select(explode(toks()).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |vocab|-bounded; feeds the total AND the b side
     // total as a window over the |vocab|-row census, carried on the
     // a-side broadcast (round 10) — the old tot aggregate + crossJoin
     // re-ran the unigram census and paid a broadcast QueryStage job
@@ -1272,8 +1299,8 @@ object TextOps {
       Window.unboundedPreceding, Window.unboundedFollowing)
     val uniT = uni
       .withColumn("total", sum(col("c")).over(wAll).cast("double"))
-    val bi = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    bg.join(broadcast(bi), Seq("a", "b"))
+    val bi = docBi.groupBy("a", "b").agg(sum(col("k")).as("cab"))
+    docBi.join(broadcast(bi), Seq("a", "b"))
       .join(broadcast(uniT.select(col("tok").as("a"), col("c").as("ca"),
         col("total"))), Seq("a"))
       .join(broadcast(uni.select(col("tok").as("b"), col("c").as("cb"))),
@@ -1283,7 +1310,8 @@ object TextOps {
           lit(0.3) * (col("cb").cast("double") / col("total")))
         * 1000000 + 0.5).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("nm")).as("nm_sum"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("nm")).as("nm_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         r6(col("nm_sum") / (col("n_bigrams") * lit(1000000.0)))
           .as("ppl_bi"))
@@ -1529,10 +1557,14 @@ object TextOps {
       col("sz").as("sa"))
     val b = base.select(col("doc_id").as("b"), col("bm").as("bb"),
       col("sz").as("sb"))
+    // bitmap verify in the join condition, ordered after the cheap
+    // guards (round 12) — as a post-join filter it was PREPENDED to the
+    // BNLJ condition (PushPredicateThroughJoin) and the bitmap fold ran
+    // before the id/size short-circuits on every enumerated pair
+    val interC = expr(TokenBitmap.intersectExpr("ba", "bb"))
     a.join(b, col("a") =!= col("b") &&
-        col("sa") >= 5 && col("sb") * 10 >= col("sa") * 9)
-      .withColumn("inter", expr(TokenBitmap.intersectExpr("ba", "bb")))
-      .filter(col("inter") * 10 >= col("sa") * 9)
+        col("sa") >= 5 && col("sb") * 10 >= col("sa") * 9 &&
+        interC * 10 >= col("sa") * 9)
       .groupBy(col("a")).agg(count(lit(1)).as("n_super"))
   }
 
